@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Cross-engine determinism helpers (SURVEY §2.9).
+  *
+  * Summing IEEE doubles is order-dependent, and Spark's partition/merge
+  * order differs from DuckDB's — at 100 TB (or with AQE re-plans) the
+  * addition order is never stable. The fix: per-element cast to decimal
+  * (a deterministic rounding of an identical double in both engines —
+  * decimal tie points like k.5·10⁻⁸ are never exactly representable in
+  * binary, so the engines' tie-break rules can't diverge), then an EXACT
+  * decimal sum (order-independent), then cast back to double (exact).
+  * Element-level arithmetic stays in double — IEEE ops on identical
+  * inputs are bit-identical across engines.
+  */
+object Det {
+  /** Order-independent double sum. Oracle twin: `Det.oSum("expr")`. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 8))).cast("double")
+
+  /** Order-independent double avg. Oracle twin: `Det.oAvg("expr")`. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** DuckDB-side SQL for [[dsum]]. */
+  def oSum(e: String): String = s"cast(sum(cast(($e) as decimal(30,8))) as double)"
+
+  /** DuckDB-side SQL for [[davg]]. */
+  def oAvg(e: String): String = s"${oSum(e)} / count(*)"
+}

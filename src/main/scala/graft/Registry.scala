@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine operator exposed through the driver contract.
+  *
+  * @param name   key in `SparkEntry.queries`
+  * @param oracle equivalent ANSI SQL for DuckDB 1.0 over the same parquet
+  *               tables (bare table names, per the driver contract
+  *               example); None for non-SQL-expressible ops (driver then
+  *               records a weaker rows-only check).
+  * @param run    lazy plan constructor — must be deterministic and end in
+  *               a total-order sort (SURVEY §2.9.1).
+  */
+final case class Q(
+    name: String,
+    oracle: Option[String],
+    run: (SparkSession, String) => DataFrame
+)
+
+/** Central operator registry. `SparkEntry.queries`/`oracleSql` derive from
+  * this list, so adding an operator = adding one `Q` here.
+  */
+object Registry {
+  def all: Seq[Q] =
+    operators.Scans.qs ++
+      operators.ProjFilter.qs ++
+      operators.Joins.qs ++
+      operators.Aggregates.qs ++
+      operators.Windows.qs ++
+      operators.SortSetOps.qs ++
+      functions.Scalars.qs ++
+      operators.TimeSeries.qs ++
+      operators.Dedup.qs ++
+      operators.Similarity.qs ++
+      operators.TextAnalysis.qs ++
+      functions.Udx.qs
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed loaders for the 10 driver-provided parquet tables (FIXTURES.md).
+  *
+  * Scale notes (100 TB design): every loader is a plain columnar parquet
+  * scan — Catalyst pushes filters/projections into the scan, so callers
+  * should `.select`/`.filter` as early as possible and let pushdown do the
+  * rest. No caching/collect here: loaders stay lazy so the same code runs
+  * unchanged on a 1000-executor cluster where each table is a partitioned
+  * directory rather than a single file.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+
+  /** events.ts is parquet TIMESTAMP(NANOS,false), which Spark 4.x cannot
+    * read natively (PARQUET_TYPE_ILLEGAL). Verified recipe (SURVEY §1.3):
+    * read nanos as long, then truncate ns→µs with integer division —
+    * matching DuckDB's own ns→µs truncation — and surface the column as
+    * TIMESTAMP_NTZ so parquet output round-trips as naive timestamps in
+    * both engines. The conf is set inside the loader because the driver's
+    * Verify/Bench sessions do not set it; it is a dynamic SQLConf and only
+    * affects NANOS columns, so setting it repeatedly is safe.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+}
