@@ -28,4 +28,16 @@ object Det {
 
   /** DuckDB-side SQL for [[davg]]. */
   def oAvg(e: String): String = s"${oSum(e)} / count(*)"
+
+  /** Per-row 2-dp rounding that is bit-identical across engines.
+    * Engine `round()` implementations disagree on half-boundaries
+    * (Spark rounds the shortest decimal repr HALF_UP; DuckDB rounds in
+    * float space), which bites on per-row money values whose decimal
+    * repr ends in 5. `floor(x*100 + 0.5)/100` is pure IEEE arithmetic —
+    * identical on identical inputs. Positive inputs only.
+    */
+  def r2(c: Column): Column = floor(c * 100 + lit(0.5)) / 100
+
+  /** DuckDB-side SQL for [[r2]]. */
+  def oR2(e: String): String = s"floor(($e) * 100 + 0.5) / 100"
 }

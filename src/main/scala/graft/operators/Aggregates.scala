@@ -2,14 +2,17 @@ package graft.operators
 
 import graft.{Det, Q, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Aggregation operators (SURVEY §2.4).
   *
   * All grouped aggregates compile to Spark's two-phase HashAggregateExec
-  * (partial map-side combine → shuffle on the group keys → final) — the
-  * shape that scales linearly with executors at 100 TB. Money aggregates
-  * go through [[graft.Det]] so results are independent of partition
-  * count/order (see Det's scaladoc).
+  * (partial map-side combine → shuffle on group keys → final), the shape
+  * that scales linearly at 100 TB. Money aggregates go through
+  * [[graft.Det]] so results are independent of partition count/order.
+  * Statistical moments (`agg_stats`) are computed from exact decimal
+  * power sums rather than streaming-merge formulas — single-pass,
+  * combinable, and bit-identical across engines and cluster sizes.
   */
 object Aggregates {
 
@@ -58,5 +61,244 @@ object Aggregates {
     }
   )
 
-  def qs: Seq[Q] = Seq(aggGroupPricing)
+  /** Ungrouped global aggregate — one row, fully map-side combinable. */
+  val aggGlobal: Q = Q(
+    "agg_global",
+    Some(
+      "SELECT count(*) AS n_rows, " +
+        s"round(${Det.oSum("l_quantity")}, 2) AS sum_qty, " +
+        "min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price, " +
+        s"round(${Det.oAvg("l_discount")}, 6) AS avg_disc " +
+        "FROM lineitem"
+    ),
+    (spark, dir) =>
+      Tables
+        .lineitem(spark, dir)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          round(Det.dsum(col("l_quantity")), 2).as("sum_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          round(Det.davg(col("l_discount")), 6).as("avg_disc")
+        )
+  )
+
+  /** Distinct aggregates — Spark expands to a two-phase distinct plan
+    * (RewriteDistinctAggregates); the distinct quantity sum goes through
+    * a per-element decimal cast so it is order-independent.
+    */
+  val aggDistinct: Q = Q(
+    "agg_distinct",
+    Some(
+      "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
+        "cast(sum(DISTINCT cast(l_quantity as decimal(30,8))) as double) AS sum_dist_qty " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    (spark, dir) =>
+      Tables
+        .lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          sum_distinct(col("l_quantity").cast(DecimalType(30, 8)))
+            .cast("double")
+            .as("sum_dist_qty")
+        )
+        .orderBy(col("l_returnflag"))
+  )
+
+  private def custGeo(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables
+      .customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+
+  /** ROLLUP(r_name, n_name) with GROUPING flags (cast to int — Spark's
+    * grouping() is tinyint, DuckDB's is bigint; int on both sides keeps
+    * the output schema identical). */
+  val aggRollup: Q = Q(
+    "agg_rollup",
+    Some(
+      "SELECT r_name, n_name, count(*) AS n_cust, " +
+        s"round(${Det.oSum("c_acctbal")}, 2) AS sum_bal, " +
+        "cast(GROUPING(r_name) as int) AS g_r, cast(GROUPING(n_name) as int) AS g_n " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY ROLLUP (r_name, n_name) " +
+        "ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"
+    ),
+    (spark, dir) =>
+      custGeo(spark, dir)
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_cust"),
+          round(Det.dsum(col("c_acctbal")), 2).as("sum_bal"),
+          grouping(col("r_name")).cast("int").as("g_r"),
+          grouping(col("n_name")).cast("int").as("g_n")
+        )
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+  )
+
+  /** CUBE(l_returnflag, l_linestatus) counts. */
+  val aggCube: Q = Q(
+    "agg_cube",
+    Some(
+      "SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "cast(GROUPING(l_returnflag) as int) AS g_rf, cast(GROUPING(l_linestatus) as int) AS g_ls " +
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"
+    ),
+    (spark, dir) =>
+      Tables
+        .lineitem(spark, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls")
+        )
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  )
+
+  /** Explicit GROUPING SETS ((c_mktsegment), (n_name), ()). */
+  val aggGroupingSets: Q = Q(
+    "agg_grouping_sets",
+    Some(
+      "SELECT c_mktsegment, n_name, count(*) AS n_cust, " +
+        s"round(${Det.oSum("c_acctbal")}, 2) AS sum_bal " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ()) " +
+        "ORDER BY c_mktsegment NULLS FIRST, n_name NULLS FIRST"
+    ),
+    (spark, dir) =>
+      Tables
+        .customer(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupingSets(
+          Seq(Seq(col("c_mktsegment")), Seq(col("n_name")), Seq()),
+          col("c_mktsegment"),
+          col("n_name")
+        )
+        .agg(
+          count(lit(1)).as("n_cust"),
+          round(Det.dsum(col("c_acctbal")), 2).as("sum_bal")
+        )
+        .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("n_name"))
+  )
+
+  /** Sample stddev/variance/corr/covar from exact decimal power sums:
+    * var = (Σx² − (Σx)²/n)/(n−1), corr from the analogous cross sums.
+    * The power sums are order-independent (Det), the remaining double
+    * arithmetic is identical on identical inputs — bit-exact parity
+    * without trusting either engine's streaming-merge implementation.
+    */
+  val aggStats: Q = Q(
+    "agg_stats", {
+      val sx = Det.oSum("l_extendedprice")
+      val sy = Det.oSum("l_quantity")
+      val sxx = Det.oSum("l_extendedprice * l_extendedprice")
+      val syy = Det.oSum("l_quantity * l_quantity")
+      val sxy = Det.oSum("l_extendedprice * l_quantity")
+      val n = "cast(count(*) as double)"
+      Some(
+        "SELECT l_returnflag, " +
+          s"round(sqrt(($sxx - $sx * $sx / $n) / ($n - 1)), 4) AS stddev_price, " +
+          s"round(($sxx - $sx * $sx / $n) / ($n - 1), 4) AS var_price, " +
+          s"round(($sxy - $sx * $sy / $n) / sqrt(($sxx - $sx * $sx / $n) * ($syy - $sy * $sy / $n)), 6) AS corr_price_qty, " +
+          s"round(($sxy - $sx * $sy / $n) / ($n - 1), 4) AS covar_price_qty " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+      )
+    },
+    (spark, dir) => {
+      val sx = Det.dsum(col("l_extendedprice"))
+      val sy = Det.dsum(col("l_quantity"))
+      val sxx = Det.dsum(col("l_extendedprice") * col("l_extendedprice"))
+      val syy = Det.dsum(col("l_quantity") * col("l_quantity"))
+      val sxy = Det.dsum(col("l_extendedprice") * col("l_quantity"))
+      val n = count(lit(1)).cast("double")
+      Tables
+        .lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(sqrt((sxx - sx * sx / n) / (n - lit(1))), 4).as("stddev_price"),
+          round((sxx - sx * sx / n) / (n - lit(1)), 4).as("var_price"),
+          round(
+            (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)),
+            6
+          ).as("corr_price_qty"),
+          round((sxy - sx * sy / n) / (n - lit(1)), 4).as("covar_price_qty")
+        )
+        .orderBy(col("l_returnflag"))
+    }
+  )
+
+  /** max_by with a deterministic tiebreak: ordering by (price, orderkey)
+    * struct picks the highest orderkey among price ties (§2.9.6).
+    */
+  val aggMinMaxBy: Q = Q(
+    "agg_minmax_by",
+    Some(
+      "WITH j AS (SELECT c_mktsegment, o_orderkey, o_totalprice " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey), " +
+        "m AS (SELECT c_mktsegment, max(o_totalprice) AS mp FROM j GROUP BY 1) " +
+        "SELECT j.c_mktsegment, max(j.o_orderkey) AS best_orderkey, " +
+        "round(max(j.o_totalprice), 2) AS max_price " +
+        "FROM j JOIN m ON j.c_mktsegment = m.c_mktsegment AND j.o_totalprice = m.mp " +
+        "GROUP BY j.c_mktsegment ORDER BY j.c_mktsegment"
+    ),
+    (spark, dir) =>
+      Tables
+        .orders(spark, dir)
+        .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+            .as("best_orderkey"),
+          round(max(col("o_totalprice")), 2).as("max_price")
+        )
+        .orderBy(col("c_mktsegment"))
+  )
+
+  /** Per-nation sorted list of supplier names, emitted as a joined string
+    * (forced element order per §2.9.6; string output avoids exotic-type
+    * hashing differences). */
+  val aggCollectSorted: Q = Q(
+    "agg_collect_sorted",
+    Some(
+      "SELECT n_name, count(*) AS n_sup, " +
+        "string_agg(s_name, ',' ORDER BY s_name) AS names " +
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name"
+    ),
+    (spark, dir) =>
+      Tables
+        .supplier(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_sup"),
+          array_join(sort_array(collect_list(col("s_name"))), ",").as("names")
+        )
+        .orderBy(col("n_name"))
+  )
+
+  /** HyperLogLog distinct (no oracle — sketch internals differ per
+    * engine; unit-tested against exact counts within ±5%). This is the
+    * 100 TB cardinality-estimation path: constant memory per group.
+    */
+  val aggApproxDistinct: Q = Q(
+    "agg_approx_distinct",
+    None,
+    (spark, dir) =>
+      Tables
+        .orders(spark, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_custs"))
+        .orderBy(col("o_orderstatus"))
+  )
+
+  def qs: Seq[Q] = Seq(
+    aggGroupPricing, aggGlobal, aggDistinct, aggRollup, aggCube,
+    aggGroupingSets, aggStats, aggMinMaxBy, aggCollectSorted, aggApproxDistinct
+  )
 }

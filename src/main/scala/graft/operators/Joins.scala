@@ -1,3 +1,262 @@
 package graft.operators
-import graft.Q
-object Joins { def qs: Seq[Q] = Seq() }
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY §2.3).
+  *
+  * Scale strategy: fact-to-fact joins (lineitem⋈orders) shuffle on the
+  * join key and scale linearly; dimension joins broadcast (explicit
+  * `broadcast()` hints on region/nation, auto-broadcast for customer
+  * under the 10 MB threshold) so the fact table is never shuffled for
+  * them. The as-of join avoids a per-row range join entirely: it is a
+  * single shuffle on user_id + one sort — the same plan a 1000-executor
+  * cluster would want (no broadcast of a 100 TB event stream, no skewed
+  * range explosion).
+  */
+object Joins {
+
+  /** orders ⋈ customer (both sides large at scale → shuffled hash/SMJ;
+    * Spark picks via stats + AQE), aggregated per market segment.
+    */
+  val innerHash: Q = Q(
+    "join_inner_hash",
+    Some(
+      "SELECT c_mktsegment, count(*) AS n_orders, " +
+        s"round(${Det.oSum("o_totalprice")}, 2) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    ),
+    (spark, dir) =>
+      Tables
+        .orders(spark, dir)
+        .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(Det.dsum(col("o_totalprice")), 2).as("revenue")
+        )
+        .orderBy(col("c_mktsegment"))
+  )
+
+  /** 5-way star join: the 600k-row (→100 TB) fact stays partition-local;
+    * every dimension is broadcast, so the only shuffle is the final
+    * 25-group aggregation.
+    */
+  val broadcastDims: Q = Q(
+    "join_broadcast_dims",
+    Some(
+      "SELECT r_name, n_name, count(*) AS n_items, " +
+        s"round(${Det.oSum("l_extendedprice * (1 - l_discount)")}, 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name, n_name ORDER BY r_name, n_name"
+    ),
+    (spark, dir) =>
+      Tables
+        .lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue")
+        )
+        .orderBy(col("r_name"), col("n_name"))
+  )
+
+  /** Left outer: every customer, with 0 for the orderless. Aggregate-
+    * then-join keeps the outer side skinny (count per custkey first).
+    */
+  val leftOuter: Q = Q(
+    "join_left_outer",
+    Some(
+      "SELECT c_custkey, c_name, coalesce(o.cnt, 0) AS n_orders " +
+        "FROM customer LEFT JOIN " +
+        "(SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey) o " +
+        "ON c_custkey = o_custkey ORDER BY c_custkey"
+    ),
+    (spark, dir) => {
+      val cnts = Tables
+        .orders(spark, dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+      Tables
+        .customer(spark, dir)
+        .join(cnts, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"), coalesce(col("cnt"), lit(0L)).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    }
+  )
+
+  /** Full outer on per-nation aggregates of two disjoint-ish entity sets
+    * (suppliers vs customers) — at sf0.001 some nations have no
+    * suppliers, exercising null sides both ways.
+    */
+  val fullOuter: Q = Q(
+    "join_full_outer",
+    Some(
+      "SELECT coalesce(s.nk, c.nk) AS nationkey, " +
+        "coalesce(s.s_cnt, 0) AS s_cnt, coalesce(c.c_cnt, 0) AS c_cnt " +
+        "FROM (SELECT s_nationkey AS nk, count(*) AS s_cnt FROM supplier GROUP BY 1) s " +
+        "FULL OUTER JOIN (SELECT c_nationkey AS nk, count(*) AS c_cnt FROM customer GROUP BY 1) c " +
+        "ON s.nk = c.nk ORDER BY nationkey"
+    ),
+    (spark, dir) => {
+      val s = Tables
+        .supplier(spark, dir)
+        .groupBy(col("s_nationkey").as("s_nk"))
+        .agg(count(lit(1)).as("s_cnt"))
+      val c = Tables
+        .customer(spark, dir)
+        .groupBy(col("c_nationkey").as("c_nk"))
+        .agg(count(lit(1)).as("c_cnt"))
+      s.join(c, col("s_nk") === col("c_nk"), "full")
+        .select(
+          coalesce(col("s_nk"), col("c_nk")).as("nationkey"),
+          coalesce(col("s_cnt"), lit(0L)).as("s_cnt"),
+          coalesce(col("c_cnt"), lit(0L)).as("c_cnt")
+        )
+        .orderBy(col("nationkey"))
+    }
+  )
+
+  /** EXISTS → left-semi join (Catalyst's RewritePredicateSubquery shape,
+    * expressed directly). Restricted to 'P'-status orders so the
+    * predicate is selective (every customer has *some* order).
+    */
+  val leftSemi: Q = Q(
+    "join_left_semi",
+    Some(
+      "SELECT c_custkey, c_name FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P') " +
+        "ORDER BY c_custkey"
+    ),
+    (spark, dir) =>
+      Tables
+        .customer(spark, dir)
+        .join(
+          Tables.orders(spark, dir).filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"),
+          "left_semi"
+        )
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+  )
+
+  /** NOT EXISTS → left-anti join (complement of the semi above; 56 rows
+    * at sf0.01 — non-empty at every SF). */
+  val leftAnti: Q = Q(
+    "join_left_anti",
+    Some(
+      "SELECT c_custkey, c_name FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P') " +
+        "ORDER BY c_custkey"
+    ),
+    (spark, dir) =>
+      Tables
+        .customer(spark, dir)
+        .join(
+          Tables.orders(spark, dir).filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"),
+          "left_anti"
+        )
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+  )
+
+  /** Cartesian product of the two smallest dims (5 × 25 rows). */
+  val crossSmall: Q = Q(
+    "join_cross_small",
+    Some(
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name"
+    ),
+    (spark, dir) =>
+      Tables
+        .region(spark, dir)
+        .crossJoin(Tables.nation(spark, dir))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))
+  )
+
+  /** Equi + range condition: ship within 90 days of the order date.
+    * The equi key carries the shuffle; the range predicate is evaluated
+    * post-match, so this stays a hash join (not a cartesian range join).
+    */
+  val thetaRange: Q = Q(
+    "join_theta_range",
+    Some(
+      "SELECT date_trunc('month', o_orderdate) AS order_month, count(*) AS n_lines, " +
+        s"round(${Det.oSum("l_extendedprice")}, 2) AS gross " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 90 DAY " +
+        "GROUP BY 1 ORDER BY order_month"
+    ),
+    (spark, dir) =>
+      Tables
+        .lineitem(spark, dir)
+        .join(
+          Tables.orders(spark, dir),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAY")
+        )
+        .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          round(Det.dsum(col("l_extendedprice")), 2).as("gross")
+        )
+        .orderBy(col("order_month"))
+  )
+
+  /** As-of join: for each purchase, the most recent click at-or-before it
+    * by the same user. Spark has no batch ASOF primitive; the scalable
+    * composition is union-the-tagged-streams + one window pass:
+    * shuffle once on user_id, sort by (ts, tag, event_id), carry the
+    * last click timestamp forward. O(n log n) per user partition, no
+    * range-join blow-up. Oracle uses DuckDB's native ASOF LEFT JOIN
+    * (`p.ts >= c.ts`, i.e. at-or-before, matching the inclusive frame).
+    */
+  val asOf: Q = Q(
+    "join_asof",
+    Some(
+      "SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND p.ts >= c.ts " +
+        "ORDER BY p.event_id"
+    ),
+    (spark, dir) => {
+      val ev = Tables
+        .events(spark, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      // tag 0 = click sorts before tag 1 = purchase at equal ts, making
+      // the "at-or-before" inclusive like DuckDB ASOF's >=.
+      val tagged = ev.withColumn("tag", when(col("event_type") === "click", 0).otherwise(1))
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn(
+          "last_click_ts",
+          last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w)
+        )
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("last_click_ts"))
+        .orderBy(col("event_id"))
+    }
+  )
+
+  def qs: Seq[Q] = Seq(
+    innerHash, broadcastDims, leftOuter, fullOuter, leftSemi, leftAnti,
+    crossSmall, thetaRange, asOf
+  )
+}

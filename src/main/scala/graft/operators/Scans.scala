@@ -1,3 +1,79 @@
 package graft.operators
-import graft.Q
-object Scans { def qs: Seq[Q] = Seq() }
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scans / sources / sinks (SURVEY §2.1).
+  *
+  * 100 TB notes: these queries exist to prove the scan path is efficient —
+  * `src_scan_pushdown`'s plan must show `PushedFilters: [GT(p_size,25)]`
+  * and a 3-column `ReadSchema` (asserted in ScanSpec), so at scale the
+  * parquet reader skips row groups and never materializes unused columns.
+  */
+object Scans {
+
+  val scanPart: Q = Q(
+    "src_scan_part",
+    Some("SELECT * FROM part ORDER BY p_partkey"),
+    (spark, dir) => Tables.part(spark, dir).orderBy(col("p_partkey"))
+  )
+
+  /** Filter + projection pushdown into the parquet scan. */
+  val scanPushdown: Q = Q(
+    "src_scan_pushdown",
+    Some(
+      "SELECT p_partkey, p_name, p_size FROM part WHERE p_size > 25 ORDER BY p_partkey"
+    ),
+    (spark, dir) =>
+      Tables
+        .part(spark, dir)
+        .select(col("p_partkey"), col("p_name"), col("p_size"))
+        .filter(col("p_size") > 25)
+        .orderBy(col("p_partkey"))
+  )
+
+  /** The TIMESTAMP(NANOS) ingest path (SURVEY §1.3): Spark reads nanos as
+    * long and truncates to µs, exactly like DuckDB's automatic ns→µs
+    * truncation, so both engines see identical microsecond timestamps.
+    */
+  val scanEventsNs: Q = Q(
+    "src_scan_events_ns",
+    Some("SELECT event_id, ts FROM events ORDER BY event_id"),
+    (spark, dir) =>
+      Tables.events(spark, dir).select(col("event_id"), col("ts")).orderBy(col("event_id"))
+  )
+
+  /** CSV + JSON round-trip sink demo (no oracle — side-effecting).
+    * Writes `nation` to both formats under java.io.tmpdir, reads each back
+    * with an explicit schema (schema-on-read; csv/json carry no types),
+    * and joins them to prove the round-trip is lossless. Distributed
+    * writers at scale: each task writes its own file — no driver funnel.
+    */
+  val snkCsvJson: Q = Q(
+    "snk_csv_json",
+    None,
+    (spark, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_snk"
+      val n = Tables.nation(spark, dir)
+      n.write.mode("overwrite").option("header", "true").csv(s"$base/nation_csv")
+      n.write.mode("overwrite").json(s"$base/nation_json")
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)
+      ))
+      val fromCsv = spark.read.schema(schema).option("header", "true").csv(s"$base/nation_csv")
+      val fromJson = spark.read.schema(schema).json(s"$base/nation_json")
+      fromCsv
+        .join(
+          fromJson.select(col("n_nationkey"), col("n_name").as("j_name")),
+          Seq("n_nationkey")
+        )
+        .select(col("n_nationkey"), col("n_name"), col("j_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }
+  )
+
+  def qs: Seq[Q] = Seq(scanPart, scanPushdown, scanEventsNs, snkCsvJson)
+}
