@@ -1,3 +1,221 @@
 package graft.operators
-import graft.Q
-object Windows { def qs: Seq[Q] = Seq() }
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Window-function operators (SURVEY §2.5).
+  *
+  * Every window partitions on a high-cardinality key (customer, user),
+  * so at 100 TB each WindowExec task sorts only its own key group after
+  * a single hash shuffle — no global sort, no skew concentration.
+  * Ranking windows that intentionally contain ties (to exercise
+  * rank/dense_rank semantics) are paired with a fully-ordered sibling
+  * window for row_number/ntile, keeping every emitted value
+  * deterministic (SURVEY §2.9.6).
+  */
+object Windows {
+
+  /** row_number/rank/dense_rank/ntile/percent_rank. Ties come from a
+    * 50k-wide price bucket; rank-family functions use the tied ordering,
+    * row_number/ntile use the tie-broken one.
+    */
+  val winRanking: Q = Q(
+    "win_ranking",
+    Some(
+      "WITH j AS (SELECT c_mktsegment, o_orderkey, " +
+        "cast(floor(o_totalprice / 50000) as bigint) AS price_bucket " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey) " +
+        "SELECT c_mktsegment, o_orderkey, price_bucket, " +
+        "row_number() OVER (PARTITION BY c_mktsegment ORDER BY price_bucket DESC, o_orderkey) AS rn, " +
+        "rank() OVER (PARTITION BY c_mktsegment ORDER BY price_bucket DESC) AS rnk, " +
+        "dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY price_bucket DESC) AS drnk, " +
+        "ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY price_bucket DESC, o_orderkey) AS nt, " +
+        "round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY price_bucket DESC), 6) AS pr " +
+        "FROM j ORDER BY c_mktsegment, rn"
+    ),
+    (spark, dir) => {
+      val j = Tables
+        .orders(spark, dir)
+        .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+        .select(
+          col("c_mktsegment"),
+          col("o_orderkey"),
+          floor(col("o_totalprice") / 50000).cast("long").as("price_bucket")
+        )
+      val tied = Window.partitionBy(col("c_mktsegment")).orderBy(col("price_bucket").desc)
+      val total = Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(col("price_bucket").desc, col("o_orderkey"))
+      j.select(
+        col("c_mktsegment"),
+        col("o_orderkey"),
+        col("price_bucket"),
+        row_number().over(total).as("rn"),
+        rank().over(tied).as("rnk"),
+        dense_rank().over(tied).as("drnk"),
+        ntile(4).over(total).as("nt"),
+        round(percent_rank().over(tied), 6).as("pr")
+      ).orderBy(col("c_mktsegment"), col("rn"))
+    }
+  )
+
+  /** Top-3 orders per customer — the groupwise-top-k pattern: one
+    * shuffle on the partition key, per-group sort, early filter. At
+    * scale this beats a global sort by orders of magnitude.
+    */
+  val winTop3PerGroup: Q = Q(
+    "win_top3_per_group",
+    Some(
+      "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"
+    ),
+    (spark, dir) => {
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables
+        .orders(spark, dir)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          col("o_totalprice"),
+          row_number().over(w).as("rn")
+        )
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    }
+  )
+
+  /** lag/lead over each user's event stream + µs since previous event.
+    * Microsecond diffs (not seconds) because engines disagree on
+    * boundary-vs-elapsed second counting; µs-aligned timestamps make the
+    * µs diff exact in both.
+    */
+  val winLagLead: Q = Q(
+    "win_lag_lead",
+    Some(
+      "SELECT event_id, user_id, value, " +
+        "lag(value) OVER w AS prev_value, lead(value) OVER w AS next_value, " +
+        "date_diff('microsecond', lag(ts) OVER w, ts) AS us_since_prev " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "ORDER BY user_id, ts, event_id"
+    ),
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables
+        .events(spark, dir)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("value"),
+          col("ts"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          expr("timestampdiff(MICROSECOND, lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)")
+            .as("us_since_prev")
+        )
+        .drop("ts")
+        .orderBy(col("user_id"), col("event_id"))
+    }
+  )
+
+  /** Running revenue per customer: unbounded-preceding frame over an
+    * exact decimal accumulator (order-independent parity, §2.9.2).
+    */
+  val winRunningSum: Q = Q(
+    "win_running_sum",
+    Some(
+      "SELECT o_custkey, o_orderkey, " +
+        "round(cast(sum(cast(o_totalprice as decimal(30,8))) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double), 2) AS running_rev " +
+        "FROM orders ORDER BY o_custkey, o_orderkey"
+    ),
+    (spark, dir) => {
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables
+        .orders(spark, dir)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          round(sum(col("o_totalprice").cast(DecimalType(30, 8))).over(w).cast("double"), 2)
+            .as("running_rev")
+        )
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }
+  )
+
+  /** 7-day moving order count per customer via an integer RANGE frame
+    * over epoch seconds — the same frame arithmetic on both engines
+    * (interval RANGE frames have engine-specific inclusivity rules;
+    * integers don't).
+    */
+  val winRangeFrame: Q = Q(
+    "win_range_frame",
+    Some(
+      "SELECT o_custkey, o_orderkey, ord_sec, " +
+        "count(*) OVER (PARTITION BY o_custkey ORDER BY ord_sec " +
+        "RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS n_7d " +
+        "FROM (SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) // 1000000 AS ord_sec FROM orders) " +
+        "ORDER BY o_custkey, o_orderkey"
+    ),
+    (spark, dir) => {
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("ord_sec"))
+        .rangeBetween(-604800L, 0L)
+      Tables
+        .orders(spark, dir)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").cast("long").as("ord_sec")
+        )
+        .withColumn("n_7d", count(lit(1)).over(w))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }
+  )
+
+  /** first/last/nth_value with an explicit full-partition frame — the
+    * default frame (unbounded-preceding → current-row) makes last_value
+    * a foot-gun, so the frame is always stated.
+    */
+  val winFirstLast: Q = Q(
+    "win_first_last",
+    Some(
+      "SELECT o_custkey, o_orderkey, " +
+        "first_value(o_orderkey) OVER w AS first_ok, " +
+        "last_value(o_orderkey) OVER w AS last_ok, " +
+        "nth_value(o_orderkey, 2) OVER w AS second_ok " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY o_custkey, o_orderkey"
+    ),
+    (spark, dir) => {
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables
+        .orders(spark, dir)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(w).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_ok")
+        )
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }
+  )
+
+  def qs: Seq[Q] = Seq(
+    winRanking, winTop3PerGroup, winLagLead, winRunningSum, winRangeFrame, winFirstLast
+  )
+}
