@@ -40,4 +40,29 @@ object Det {
 
   /** DuckDB-side SQL for [[r2]]. */
   def oR2(e: String): String = s"floor(($e) * 100 + 0.5) / 100"
+
+  /** [[r2]] generalized to n decimal places (positive inputs only). */
+  def rN(c: Column, n: Int): Column = {
+    val p = math.pow(10, n)
+    floor(c * p + lit(0.5)) / p
+  }
+
+  /** DuckDB-side SQL for [[rN]]. */
+  def oRN(e: String, n: Int): String = {
+    val p = math.pow(10, n).toLong
+    s"floor(($e) * $p + 0.5) / $p"
+  }
+
+  /** Signed per-row rounding: engines' round() disagree on half-points;
+    * trunc-based symmetric rounding is pure IEEE arithmetic. */
+  def rS(c: Column, n: Int): Column = {
+    val p = math.pow(10, n)
+    (floor(abs(c) * p + lit(0.5)) / p) * signum(c)
+  }
+
+  /** DuckDB-side SQL for [[rS]]. */
+  def oRS(e: String, n: Int): String = {
+    val p = math.pow(10, n).toLong
+    s"(floor(abs($e) * $p + 0.5) / $p) * sign($e)"
+  }
 }

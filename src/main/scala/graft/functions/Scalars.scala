@@ -1,3 +1,305 @@
 package graft.functions
-import graft.Q
-object Scalars { def qs: Seq[Q] = Seq() }
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scalar functions, JSON, and generators (SURVEY §2.7).
+  *
+  * Everything here is a codegen'd built-in running inside a single
+  * WholeStageCodegen stage over the scan — no shuffle except the final
+  * driver-mandated ORDER BY, so at 100 TB these are pure map-side
+  * pipelines that scale linearly with input splits.
+  *
+  * Cross-engine parity rules applied throughout (SURVEY §2.9):
+  * trunc-based rounding instead of round() (half-point semantics differ),
+  * floor()+cast instead of double→int casts (DuckDB rounds, Spark
+  * truncates), weekday()+1 ≡ isodow (dayofweek bases differ), and
+  * 1-based positions on both sides (posexplode is 0-based, DuckDB has no
+  * WITH ORDINALITY — zipped unnest(range(...)) is the verified oracle).
+  */
+object Scalars {
+
+  /** String built-ins over part: case, trim/pad, substring, concat,
+    * replace, regexp, edit distance. */
+  val fnString: Q = Q(
+    "fn_string",
+    Some(
+      "SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo, " +
+        "lpad(p_brand, 12, '*') AS pad, substring(p_name, 1, 8) AS sub, " +
+        "concat_ws('|', p_brand, p_type) AS cw, replace(p_type, ' ', '_') AS rep, " +
+        "length(p_name) AS len, regexp_extract(p_name, '([a-z]+)', 1) AS rx, " +
+        "regexp_replace(p_name, '[aeiou]', '', 'g') AS rr, " +
+        "levenshtein(p_brand, p_type) AS lev " +
+        "FROM part ORDER BY p_partkey"
+    ),
+    (spark, dir) =>
+      Tables
+        .part(spark, dir)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          lpad(col("p_brand"), 12, "*").as("pad"),
+          substring(col("p_name"), 1, 8).as("sub"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("cw"),
+          regexp_replace(col("p_type"), " ", "_").as("rep"),
+          length(col("p_name")).as("len"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("rx"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("rr"),
+          levenshtein(col("p_brand"), col("p_type")).as("lev")
+        )
+        .orderBy(col("p_partkey"))
+  )
+
+  /** Math built-ins over part. floor/ceil are cast to BIGINT on both
+    * sides (Spark returns LONG, DuckDB DOUBLE); transcendentals are
+    * trunc-rounded to 6 dp — IEEE-identical inputs round identically
+    * except within 1 ulp of a boundary, which r6 makes astronomically
+    * unlikely. */
+  val fnMath: Q = Q(
+    "fn_math",
+    Some(
+      "SELECT p_partkey, abs(p_size - 25) AS ab, p_size % 7 AS md, " +
+        "cast(sign(p_size - 25) as int) AS sg, " +
+        "cast(floor(p_retailprice) as bigint) AS fl, " +
+        "cast(ceil(p_retailprice) as bigint) AS ce, " +
+        "cast(p_size * p_size as bigint) AS pw, " +
+        Det.oRN("sqrt(p_retailprice)", 6) + " AS sq, " +
+        Det.oRN("ln(p_retailprice)", 6) + " AS ll, " +
+        Det.oRN("log10(p_retailprice)", 6) + " AS lg, " +
+        Det.oRN("exp(p_size / 100.0)", 6) + " AS ex " +
+        "FROM part ORDER BY p_partkey"
+    ),
+    (spark, dir) =>
+      Tables
+        .part(spark, dir)
+        .select(
+          col("p_partkey"),
+          abs(col("p_size") - 25).as("ab"),
+          (col("p_size") % 7).as("md"),
+          signum(col("p_size") - 25).cast("int").as("sg"),
+          floor(col("p_retailprice")).as("fl"),
+          ceil(col("p_retailprice")).as("ce"),
+          (col("p_size") * col("p_size")).cast("long").as("pw"),
+          Det.rN(sqrt(col("p_retailprice")), 6).as("sq"),
+          Det.rN(log(col("p_retailprice")), 6).as("ll"),
+          Det.rN(log10(col("p_retailprice")), 6).as("lg"),
+          Det.rN(exp(col("p_size") / 100.0), 6).as("ex")
+        )
+        .orderBy(col("p_partkey"))
+  )
+
+  /** Date/time built-ins over events (the only table with intraday
+    * times). weekday()+1 ≡ DuckDB isodow; day-diff via date casts on
+    * both sides; month-add clamps end-of-month identically. */
+  val fnDate: Q = Q(
+    "fn_date",
+    Some(
+      "SELECT event_id, date_trunc('hour', ts) AS tr_hour, " +
+        "date_trunc('day', ts) AS tr_day, " +
+        "year(ts) AS y, month(ts) AS mo, day(ts) AS d, " +
+        "hour(ts) AS h, minute(ts) AS mi, isodow(ts) AS dow, " +
+        "date_diff('day', DATE '2024-01-01', ts::DATE) AS dd, " +
+        "ts + INTERVAL 3 MONTH AS plus3m, " +
+        "last_day(ts)::TIMESTAMP AS eom " +
+        "FROM events ORDER BY event_id"
+    ),
+    (spark, dir) =>
+      Tables
+        .events(spark, dir)
+        .select(
+          col("event_id"),
+          date_trunc("hour", col("ts")).as("tr_hour"),
+          date_trunc("day", col("ts")).as("tr_day"),
+          year(col("ts")).as("y"),
+          month(col("ts")).as("mo"),
+          dayofmonth(col("ts")).as("d"),
+          hour(col("ts")).as("h"),
+          minute(col("ts")).as("mi"),
+          (weekday(col("ts")) + 1).as("dow"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("dd"),
+          (col("ts") + expr("INTERVAL 3 MONTH")).as("plus3m"),
+          last_day(col("ts").cast("date")).cast("timestamp_ntz").as("eom")
+        )
+        .orderBy(col("event_id"))
+  )
+
+  /** CASE / coalesce / nullif / casts over customer. double→int goes
+    * through floor() explicitly: bare casts round in DuckDB but
+    * truncate in Spark. */
+  val fnCondCast: Q = Q(
+    "fn_cond_cast",
+    Some(
+      "SELECT c_custkey, " +
+        "CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_band, " +
+        "coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg, " +
+        "cast(c_custkey as varchar) AS key_str, " +
+        "cast(regexp_extract(c_name, '([0-9]+)', 1) as bigint) AS name_num, " +
+        "cast(floor(c_acctbal) as bigint) AS bal_floor, " +
+        "cast(c_nationkey as double) AS nk_d " +
+        "FROM customer ORDER BY c_custkey"
+    ),
+    (spark, dir) =>
+      Tables
+        .customer(spark, dir)
+        .select(
+          col("c_custkey"),
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "low")
+            .otherwise("high")
+            .as("bal_band"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"),
+          col("c_custkey").cast("string").as("key_str"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long").as("name_num"),
+          floor(col("c_acctbal")).as("bal_floor"),
+          col("c_nationkey").cast("double").as("nk_d")
+        )
+        .orderBy(col("c_custkey"))
+  )
+
+  /** Array ops on string token arrays (exact cross-engine equality;
+    * emitted arrays are sort_array'd per §2.9.3). list_position and
+    * array_position are both 1-based with 0 for missing. */
+  val fnArrayTokens: Q = Q(
+    "fn_array_tokens",
+    Some(
+      "SELECT doc_id, len(string_split(text, ' ')) AS n_toks, " +
+        "list_sort(list_distinct(string_split(text, ' '))) AS vocab, " +
+        "list_contains(string_split(text, ' '), 'scan') AS has_scan, " +
+        "list_position(string_split(text, ' '), 'scan') AS scan_pos, " +
+        "string_split(text, ' ')[2] AS second_tok, " +
+        "len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS n_long " +
+        "FROM documents ORDER BY doc_id"
+    ),
+    (spark, dir) => {
+      val toks = split(col("text"), " ")
+      Tables
+        .documents(spark, dir)
+        .select(
+          col("doc_id"),
+          size(toks).as("n_toks"),
+          sort_array(array_distinct(toks)).as("vocab"),
+          array_contains(toks, "scan").as("has_scan"),
+          array_position(toks, "scan").as("scan_pos"),
+          element_at(toks, 2).as("second_tok"),
+          size(filter(toks, t => length(t) > 4)).as("n_long")
+        )
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  /** Higher-order array math on embeddings: transform/aggregate/slice/
+    * filter. Elements cast float→double before arithmetic (§2.9.4);
+    * both engines fold sequentially in list order, so the double sums
+    * are bit-identical. */
+  val fnArrayVec: Q = Q(
+    "fn_array_vec",
+    Some(
+      "SELECT vec_id, len(embedding) AS dim, " +
+        Det.oRN("list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')", 6) + " AS sq_norm, " +
+        Det.oRS("embedding[1]::DOUBLE", 6) + " AS e1, " +
+        Det.oRS("list_aggregate(list_transform(list_slice(embedding, 1, 8), x -> x::DOUBLE), 'sum')", 6) + " AS head_sum, " +
+        "len(list_filter(embedding, x -> x > 0)) AS n_pos " +
+        "FROM embeddings ORDER BY vec_id"
+    ),
+    (spark, dir) =>
+      Tables
+        .embeddings(spark, dir)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          Det
+            .rN(
+              aggregate(
+                transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+                lit(0.0),
+                (acc, x) => acc + x
+              ),
+              6
+            )
+            .as("sq_norm"),
+          Det.rS(element_at(col("embedding"), 1).cast("double"), 6).as("e1"),
+          Det
+            .rS(
+              aggregate(
+                slice(col("embedding"), 1, 8),
+                lit(0.0),
+                (acc, x) => acc + x.cast("double")
+              ),
+              6
+            )
+            .as("head_sum"),
+          size(filter(col("embedding"), x => x > 0)).as("n_pos")
+        )
+        .orderBy(col("vec_id"))
+  )
+
+  /** JSON extraction from events.props + grouped aggregation. */
+  val fnJson: Q = Q(
+    "fn_json",
+    Some(
+      "SELECT event_type, count(*) AS n, " +
+        "cast(sum(json_extract(props, '$.k')::INT) as bigint) AS sum_k, " +
+        "min(json_extract(props, '$.k')::INT) AS min_k, " +
+        "max(json_extract(props, '$.k')::INT) AS max_k " +
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    (spark, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      Tables
+        .events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(k).as("sum_k"),
+          min(k).as("min_k"),
+          max(k).as("max_k")
+        )
+        .orderBy(col("event_type"))
+    }
+  )
+
+  /** Crypto hashes per doc — lowercase hex in both engines; feeds the
+    * exact-dedup operator. xxhash64 deliberately avoided (Spark seed). */
+  val fnHash: Q = Q(
+    "fn_hash",
+    Some(
+      "SELECT doc_id, sha256(text) AS sha, md5(text) AS md " +
+        "FROM documents ORDER BY doc_id"
+    ),
+    (spark, dir) =>
+      Tables
+        .documents(spark, dir)
+        .select(
+          col("doc_id"),
+          sha2(col("text"), 256).as("sha"),
+          md5(col("text")).as("md")
+        )
+        .orderBy(col("doc_id"))
+  )
+
+  /** Generator: text → one row per token with its 1-based position.
+    * posexplode is 0-based; DuckDB lacks WITH ORDINALITY, so the oracle
+    * zips unnest(tokens) with unnest(range(1, n+1)) — verified zipped
+    * semantics. Restricted to doc_id < 100 to keep t2 output bounded. */
+  val genExplodeTokens: Q = Q(
+    "gen_explode_tokens",
+    Some(
+      "SELECT doc_id, unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos, " +
+        "unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents WHERE doc_id < 100 ORDER BY doc_id, pos"
+    ),
+    (spark, dir) =>
+      Tables
+        .documents(spark, dir)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("tok"))
+        .orderBy(col("doc_id"), col("pos"))
+  )
+
+  def qs: Seq[Q] = Seq(
+    fnString, fnMath, fnDate, fnCondCast, fnArrayTokens, fnArrayVec,
+    fnJson, fnHash, genExplodeTokens
+  )
+}
