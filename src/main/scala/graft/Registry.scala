@@ -34,6 +34,7 @@ object Registry {
       operators.Dedup.qs ++
       operators.Similarity.qs ++
       operators.TextAnalysis.qs ++
+      operators.Multimodal.qs ++
       functions.Udx.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

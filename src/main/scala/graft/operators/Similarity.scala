@@ -1,3 +1,155 @@
 package graft.operators
-import graft.Q
-object Similarity { def qs: Seq[Q] = Seq() }
+
+import java.security.MessageDigest
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column: brute-force cosine
+  * top-k (the correctness baseline), k-NN classification on top of it,
+  * and a random-hyperplane-LSH bucketed variant (the scale path).
+  *
+  * 100 TB notes: brute force is a broadcast nested-loop join — correct
+  * and fine while the PROBE side is small (the probe set broadcasts,
+  * the 100 TB base side streams through map tasks; no shuffle of the
+  * big side). When both sides are large, the LSH variant replaces the
+  * cross product with an equi-join on bucket signatures — candidates
+  * collapse from N² to the bucket collision set, and each bucket's
+  * pairs are scored map-side after one hash shuffle.
+  *
+  * Embeddings are L2-normalized (FIXTURES.md) so dot product = cosine.
+  * Elements are cast float→double before any arithmetic and scores are
+  * trunc-rounded to 6 dp with vec_id tiebreaks, so row identity never
+  * depends on a float compare (SURVEY §2.9.4).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product — same op order as DuckDB's
+    * list_dot_product on ::DOUBLE[] casts, so results are bit-identical. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+
+  private def pairsTopK(spark: SparkSession, dir: String, nProbe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+    val probe = e
+      .filter(col("vec_id") < nProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val base = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("label"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    base
+      .join(broadcast(probe), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Det.rS(dot(col("qe"), col("ne")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"), col("label"))
+  }
+
+  private def oraclePairs(nProbe: Int, k: Int): String =
+    "WITH p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label, " +
+      Det.oRS("list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])", 6) + " AS cos " +
+      s"FROM embeddings a JOIN embeddings b ON a.vec_id < $nProbe AND a.vec_id != b.vec_id), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM p) " +
+      s"SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= $k "
+
+  /** Brute-force cosine top-10 for the first 100 vectors. */
+  val simCosineTopk: Q = Q(
+    "sim_cosine_topk",
+    Some(oraclePairs(100, 10) + "ORDER BY query_id, rank"),
+    (spark, dir) =>
+      pairsTopK(spark, dir, 100, 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+  )
+
+  /** 5-NN majority-label classification for the first 50 vectors
+    * (deterministic tiebreaks: votes desc, label asc). Accuracy is
+    * chance-level on this near-random corpus by design — t2 checks
+    * determinism, not model quality. */
+  val simKnnClassify: Q = Q(
+    "sim_knn_classify",
+    Some(
+      "WITH p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label, " +
+        Det.oRS("list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])", 6) + " AS cos " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < 50 AND a.vec_id != b.vec_id), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM p), " +
+        "v AS (SELECT query_id, label, count(*) AS votes FROM r WHERE rank <= 5 GROUP BY query_id, label), " +
+        "top AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS vr FROM v) " +
+        "SELECT query_id, label AS pred_label, votes FROM top WHERE vr = 1 ORDER BY query_id"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val votes = pairsTopK(spark, dir, 50, 5)
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val vw = Window.partitionBy(col("query_id")).orderBy(col("votes").desc, col("label"))
+      votes
+        .withColumn("vr", row_number().over(vw))
+        .filter(col("vr") === 1)
+        .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+        .orderBy(col("query_id"))
+    }
+  )
+
+  /** Deterministic pseudo-random hyperplanes: component (j,d) is an
+    * md5-derived uniform in [-1, 1). Constants, computed driver-side
+    * once — no data dependence. */
+  private[graft] def hyperplane(j: Int, dims: Int): Array[Double] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(dims) { d =>
+      val hex = md.digest(s"${j}_$d".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0) * 2 - 1
+    }
+  }
+
+  /** ANN via 8-plane random-hyperplane LSH: one 8-bit bucket per
+    * vector, candidates = same-bucket pairs, exact cosine re-rank
+    * top-3 within bucket. No oracle (bucket recall is property-tested
+    * against brute force in SimilaritySpec). */
+  val simAnnLsh: Q = Q(
+    "sim_ann_lsh",
+    None,
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nPlanes = 8
+      val planes = (0 until nPlanes).map(j => hyperplane(j, 64))
+      val e = Tables.embeddings(spark, dir)
+      def bucket(emb: Column): Column =
+        (0 until nPlanes)
+          .map { j =>
+            val proj = aggregate(
+              zip_with(
+                emb,
+                array(planes(j).map(lit): _*),
+                (x, p) => x.cast("double") * p
+              ),
+              lit(0.0),
+              (acc, x) => acc + x
+            )
+            when(proj > 0, lit(1 << j)).otherwise(lit(0))
+          }
+          .reduce(_ + _)
+      val sigs = e.select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bucket"))
+      val probe = sigs
+        .filter(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+      val base = sigs.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("bucket"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      probe
+        .join(base, Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", Det.rS(dot(col("qe"), col("ne")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"), col("bucket"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+  )
+
+  def qs: Seq[Q] = Seq(simCosineTopk, simKnnClassify, simAnnLsh)
+}

@@ -1,3 +1,261 @@
 package graft.operators
-import graft.Q
-object TextAnalysis { def qs: Seq[Q] = Seq() }
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: corpus stats, tf-idf,
+  * language-ID heuristic, quality scoring, tokenizer comparison, and
+  * document fingerprinting.
+  *
+  * 100 TB notes: everything is either a map-side scalar pipeline or a
+  * (lang, source)/(token)-keyed aggregation — one shuffle each, partial
+  * aggregation applies, no driver-side state. tf-idf joins a per-token
+  * document-frequency table (small: one row per vocab token) back to
+  * the exploded corpus — broadcast-able at any corpus size as long as
+  * the vocabulary fits in memory.
+  */
+object TextAnalysis {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Corpus statistics per (lang, source): doc count, deterministic
+    * avg chars & tokens, distinct vocabulary size. */
+  val textStats: Q = Q(
+    "text_stats",
+    Some(
+      "WITH base AS (SELECT lang, source, count(*) AS n_docs, " +
+        Det.oRN(Det.oAvg("n_chars"), 6) + " AS avg_chars, " +
+        Det.oRN(Det.oAvg("len(string_split(text, ' '))"), 6) + " AS avg_toks " +
+        "FROM documents GROUP BY lang, source), " +
+        "voc AS (SELECT lang, source, count(DISTINCT tok) AS n_vocab FROM " +
+        "(SELECT lang, source, unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY lang, source) " +
+        "SELECT base.*, voc.n_vocab FROM base JOIN voc USING (lang, source) ORDER BY lang, source"
+    ),
+    (spark, dir) => {
+      val d = Tables.documents(spark, dir)
+      val base = d
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          Det.rN(Det.davg(col("n_chars")), 6).as("avg_chars"),
+          Det.rN(Det.davg(size(toks(col("text")))), 6).as("avg_toks")
+        )
+      val voc = d
+        .select(col("lang"), col("source"), explode(toks(col("text"))).as("tok"))
+        .groupBy(col("lang"), col("source"))
+        .agg(countDistinct(col("tok")).as("n_vocab"))
+      base.join(voc, Seq("lang", "source")).orderBy(col("lang"), col("source"))
+    }
+  )
+
+  /** Per-doc top-1 token by tf-idf (idf = ln(N/df), tiebreak token
+    * asc). df comes from a distinct (doc, token) aggregation; N is a
+    * broadcast scalar. */
+  val textTfidfTop: Q = Q(
+    "text_tfidf_top",
+    Some(
+      "WITH dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM dt GROUP BY doc_id, tok), " +
+        "df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM dt GROUP BY tok), " +
+        "n AS (SELECT count(*) AS n FROM documents), " +
+        "s AS (SELECT tf.doc_id, tf.tok, " + Det.oRN("tf.tf * ln(n.n::DOUBLE / df.df)", 6) + " AS score " +
+        "FROM tf JOIN df USING (tok) CROSS JOIN n), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn FROM s) " +
+        "SELECT doc_id, tok AS top_token, score FROM r WHERE rn = 1 ORDER BY doc_id"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dt = Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      val tf = dt.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = dt.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      val n = Tables.documents(spark, dir).agg(count(lit(1)).cast("double").as("n"))
+      val scored = tf
+        .join(broadcast(df), Seq("tok"))
+        .crossJoin(broadcast(n))
+        .withColumn("score", Det.rN(col("tf") * log(col("n") / col("df")), 6))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("tok").as("top_token"), col("score"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  /** Marker words per language for the n-gram language-ID heuristic —
+    * public-knowledge high-frequency words; scoring = how many marker
+    * words occur in the text, argmax with (score desc, lang asc)
+    * tiebreak and 'und' (undetermined) when every score is 0. */
+  private[graft] val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "nicht", "ist"),
+    "en" -> Seq("the", "and", "of", "is", "not"),
+    "es" -> Seq("el", "la", "de", "que", "no"),
+    "fr" -> Seq("le", "la", "et", "que", "pas"),
+    "zh" -> Seq("的", "是", "不", "了", "在")
+  )
+
+  /** Language-ID over the token set. On this corpus (a shared 31-word
+    * engine-themed vocabulary) every doc scores 0 and lands on 'und' —
+    * the operator's contract is determinism and the scoring shape, not
+    * accuracy on synthetic text. */
+  val textLangid: Q = Q(
+    "text_langid", {
+      val scoreSql = langMarkers
+        .map { case (lg, ws) =>
+          val hits = ws.map(w => s"CASE WHEN list_contains(t, '$w') THEN 1 ELSE 0 END").mkString(" + ")
+          s"($hits) AS score_$lg"
+        }
+        .mkString(", ")
+      val structs = langMarkers
+        .map { case (lg, _) => s"{'s': -score_$lg, 'l': '$lg'}" }
+        .mkString(", ")
+      Some(
+        s"WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t FROM documents), " +
+          s"s AS (SELECT doc_id, lang, $scoreSql FROM d), " +
+          s"best AS (SELECT *, list_sort([$structs])[1] AS b FROM s) " +
+          "SELECT doc_id, lang AS labeled_lang, " +
+          "CASE WHEN b['s'] = 0 THEN 'und' ELSE b['l'] END AS pred_lang, " +
+          "cast(-b['s'] as int) AS best_score FROM best ORDER BY doc_id"
+      )
+    },
+    (spark, dir) => {
+      val d = Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), col("lang"), array_distinct(toks(col("text"))).as("t"))
+      val scored = langMarkers.foldLeft(d) { case (df, (lg, ws)) =>
+        df.withColumn(
+          s"score_$lg",
+          ws.map(w => when(array_contains(col("t"), w), 1).otherwise(0)).reduce(_ + _)
+        )
+      }
+      // argmax via sorted array of (-score, lang) structs: struct order
+      // compares fields in sequence, exactly like DuckDB's list_sort on
+      // {'s':…, 'l':…} structs.
+      val best = sort_array(
+        array(langMarkers.map { case (lg, _) =>
+          struct((-col(s"score_$lg")).as("s"), lit(lg).as("l"))
+        }: _*)
+      ).getItem(0)
+      scored
+        .withColumn("b", best)
+        .select(
+          col("doc_id"),
+          col("lang").as("labeled_lang"),
+          when(col("b.s") === 0, "und").otherwise(col("b.l")).as("pred_lang"),
+          (-col("b.s")).cast("int").as("best_score")
+        )
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  /** Quality scoring: length band, mean token length, stopword ratio,
+    * long-token ratio → weighted composite in [0,1]. All ratios are
+    * ratios of exact ints — identical across engines before the final
+    * rounding. */
+  val textQuality: Q = Q(
+    "text_quality",
+    Some(
+      "WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents), " +
+        "f AS (SELECT doc_id, n_chars, len(t) AS n_toks, " +
+        "CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1.0 ELSE 0.0 END AS len_ok, " +
+        "len(list_filter(t, x -> length(x) > 4))::DOUBLE / len(t) AS long_ratio, " +
+        "len(list_filter(t, x -> list_contains(['the','and','of','a','in','key','row'], x)))::DOUBLE / len(t) AS stop_ratio, " +
+        "n_chars::DOUBLE / len(t) AS chars_per_tok FROM d) " +
+        "SELECT doc_id, n_toks, " + Det.oRN("long_ratio", 6) + " AS long_ratio, " +
+        Det.oRN("stop_ratio", 6) + " AS stop_ratio, " + Det.oRN("chars_per_tok", 6) + " AS chars_per_tok, " +
+        Det.oRN("0.4 * len_ok + 0.3 * long_ratio + 0.2 * (1 - stop_ratio) + 0.1 * least(chars_per_tok / 10, 1.0)", 6) +
+        " AS quality FROM f ORDER BY doc_id"
+    ),
+    (spark, dir) => {
+      val stop = Seq("the", "and", "of", "a", "in", "key", "row")
+      val d = Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"), toks(col("text")).as("t"))
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          size(col("t")).as("n_toks"),
+          when(col("n_chars").between(100, 400), 1.0).otherwise(0.0).as("len_ok"),
+          (size(filter(col("t"), x => length(x) > 4)).cast("double") / size(col("t")))
+            .as("long_ratio_raw"),
+          (size(filter(col("t"), x => array_contains(array(stop.map(lit): _*), x)))
+            .cast("double") / size(col("t"))).as("stop_ratio_raw"),
+          (col("n_chars").cast("double") / size(col("t"))).as("cpt_raw")
+        )
+      d.select(
+        col("doc_id"),
+        col("n_toks"),
+        Det.rN(col("long_ratio_raw"), 6).as("long_ratio"),
+        Det.rN(col("stop_ratio_raw"), 6).as("stop_ratio"),
+        Det.rN(col("cpt_raw"), 6).as("chars_per_tok"),
+        Det
+          .rN(
+            lit(0.4) * col("len_ok") + lit(0.3) * col("long_ratio_raw") +
+              lit(0.2) * (lit(1.0) - col("stop_ratio_raw")) +
+              lit(0.1) * least(col("cpt_raw") / 10, lit(1.0)),
+            6
+          )
+          .as("quality")
+      ).orderBy(col("doc_id"))
+    }
+  )
+
+  /** Tokenizer comparison: whitespace tokens vs a BPE-ish regex
+    * tokenizer (letter runs / digit runs / single non-alnum marks). */
+  val textTokens: Q = Q(
+    "text_tokens",
+    Some(
+      "SELECT doc_id, len(string_split(text, ' ')) AS ws_toks, " +
+        "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_toks, " +
+        "length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct " +
+        "FROM documents ORDER BY doc_id"
+    ),
+    (spark, dir) =>
+      Tables
+        .documents(spark, dir)
+        .select(
+          col("doc_id"),
+          size(toks(col("text"))).as("ws_toks"),
+          size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")).as("bpe_toks"),
+          (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("n_punct")
+        )
+        .orderBy(col("doc_id"))
+  )
+
+  /** Document fingerprinting: (a) a rolling polynomial hash over
+    * md5-derived token hashes (order-sensitive, mod 1e9+7 — no
+    * overflow: acc < 2^35), and (b) a winnowing-style min-shingle
+    * fingerprint (min md5 over token bigrams). */
+  val textFingerprint: Q = Q(
+    "text_fingerprint",
+    Some(
+      "WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "h AS (SELECT doc_id, list_transform(t, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs, " +
+        "list_filter(list_transform(list_zip(t, t[2:]), x -> x[1] || ' ' || x[2]), v -> v IS NOT NULL) AS bg FROM d) " +
+        "SELECT doc_id, list_reduce([0] || hs, (a, b) -> (a * 31 + b) % 1000000007) AS roll_hash, " +
+        "list_min(list_transform(bg, s -> md5(s))) AS min_shingle " +
+        "FROM h ORDER BY doc_id"
+    ),
+    (spark, dir) => {
+      val t = toks(col("text"))
+      val hs = transform(t, x => conv(substring(md5(x), 1, 8), 16, 10).cast("long"))
+      val bg = filter(
+        zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))), (x, y) => concat(x, lit(" "), y)),
+        v => v.isNotNull
+      )
+      Tables
+        .documents(spark, dir)
+        .select(
+          col("doc_id"),
+          aggregate(hs, lit(0L), (acc, h) => (acc * 31 + h) % 1000000007L).as("roll_hash"),
+          array_min(transform(bg, s => md5(s))).as("min_shingle")
+        )
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  def qs: Seq[Q] = Seq(textStats, textTfidfTop, textLangid, textQuality, textTokens, textFingerprint)
+}
