@@ -1,0 +1,109 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Structured Streaming demos (SURVEY §2.7 no-oracle rows): file-source
+  * event ingest with watermarked tumbling and session windows. Their
+  * batch twins (`ts_tumbling_1h`, `ts_session_30m`) carry the
+  * DuckDB-verified semantics; StreamingSpec replays the events file in
+  * chunks through these pipelines and asserts the final state matches
+  * the batch result, plus watermark late-data drop on out-of-order
+  * replay.
+  *
+  * 100 TB notes: both are single-stateful-operator topologies —
+  * state is partitioned by (window/session, key) across executors, the
+  * watermark bounds state size (old windows are evicted once the event
+  * clock passes start+gap+watermark), and the file source scales by
+  * splitting input files across tasks. `maxFilesPerTrigger` gives
+  * backpressure; checkpointing (not enabled in the demo) makes it
+  * exactly-once.
+  */
+object StreamDemos {
+
+  /** The events schema as the STREAM source sees it: ts is read as
+    * raw nanos (LongType, via nanosAsLong) and converted per batch —
+    * same recipe as the batch loader (SURVEY §1.3). */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.events(spark, dir).schema // ts already converted here
+    // The file source needs a DIRECTORY; the testdata table is a single
+    // read-only file, so stage it into a temp dir (per-SF, idempotent).
+    val staged = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"), "graft_stream_src", dir.replaceAll("[^a-zA-Z0-9]", "_"))
+    java.nio.file.Files.createDirectories(staged)
+    val target = staged.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(target))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), target)
+    val raw = spark.readStream
+      .schema(
+        org.apache.spark.sql.types.StructType(
+          schema.map {
+            case f if f.name == "ts" =>
+              f.copy(dataType = org.apache.spark.sql.types.LongType)
+            case f => f
+          }
+        )
+      )
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1 h counts per event_type with a 1 h watermark, append
+    * mode — events later than (max seen ts − 1 h) are dropped. */
+  def tumblingCounts(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"))
+
+  /** Session windows (30-minute gap) per user with a 1 h watermark. */
+  def sessionCounts(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("user_id"),
+        col("n_events")
+      )
+
+  /** Drive a streaming DF to completion against a finite file source:
+    * write every micro-batch to an in-memory table, process all
+    * available input, stop. Returns the memory sink's final contents. */
+  def runToCompletion(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+    val q: StreamingQuery = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Standalone demo main: stream the events table at the given SF dir
+    * through both topologies and print row counts. */
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession
+      .builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tumbled = runToCompletion(spark, tumblingCounts(spark, dir), "tumbling_demo")
+    val sessions = runToCompletion(spark, sessionCounts(spark, dir), "session_demo")
+    println(s"stream tumbling windows: ${tumbled.count()} rows")
+    println(s"stream session windows:  ${sessions.count()} rows")
+    spark.stop()
+  }
+}

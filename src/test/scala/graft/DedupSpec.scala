@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dedup invariants (SURVEY §5.3): Jaccard algebra on generated token
+  * sets, idempotence of exact dedup, and MinHash-LSH recall against
+  * the exact-Jaccard pairs on the real corpus.
+  */
+class DedupSpec extends SparkSuite {
+
+  private def jac(a: Set[String], b: Set[String]): Double =
+    if ((a ++ b).isEmpty) 0.0 else (a & b).size.toDouble / (a ++ b).size
+
+  test("jaccard is symmetric and bounded in [0,1] (seeded property sweep)") {
+    val vocab = Vector("key", "agg", "row", "scan", "slow", "fast", "table", "x", "y")
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 500) {
+      val a = Vector.fill(rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).toSet
+      val b = Vector.fill(rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).toSet
+      val j = jac(a, b)
+      assert(j >= 0.0 && j <= 1.0)
+      assert(math.abs(j - jac(b, a)) < 1e-15)
+      if (a == b && a.nonEmpty) assert(j == 1.0)
+    }
+  }
+
+  test("exact dedup is idempotent: survivors contain no duplicate hashes") {
+    val survivors = operators.Dedup.dedupExact.run(spark, sf)
+    val again = survivors.groupBy(col("text_sha")).count().filter(col("count") > 1)
+    assert(again.count() == 0)
+  }
+
+  test("near-jaccard pairs agree with a driver-side recomputation on a sample") {
+    val pairs = operators.Dedup.dedupNearJaccard.run(spark, sf).limit(50).collect()
+    val texts = Tables
+      .documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet)
+      .toMap
+    for (r <- pairs) {
+      val (ida, idb, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val expected = jac(texts(ida), texts(idb))
+      assert(math.abs(expected - j) < 1e-5, s"pair ($ida,$idb)")
+      assert(expected >= 0.8)
+    }
+  }
+
+  test("minhash LSH recall >= 0.5 vs exact jaccard >= 0.9 pairs") {
+    val exact = operators.Dedup.dedupNearJaccard
+      .run(spark, sf)
+      .filter(col("jac") >= 0.9)
+      .select(col("ida"), col("idb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val approx = operators.Dedup
+      .minhashPairs(spark, sf, 0.3)
+      .select(col("ida"), col("idb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall over ${exact.size} exact pairs")
+  }
+
+  test("simhash of identical texts is identical; hamming rises with edits") {
+    val sh = operators.Dedup.dedupSimhash.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh.size == Tables.documents(spark, sf).count())
+    // near-dup pair should have small hamming distance vs a random pair
+    val pair = operators.Dedup.dedupNearJaccard.run(spark, sf)
+      .filter(col("jac") >= 0.95).limit(1).collect()
+    if (pair.nonEmpty) {
+      val (a, b) = (pair(0).getLong(0), pair(0).getLong(1))
+      val hamNear = java.lang.Long.bitCount(sh(a) ^ sh(b))
+      assert(hamNear <= 30, s"near-dup hamming $hamNear")
+    }
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+/** Plan-shape assertions (SURVEY §5.5): the optimizations the 100 TB
+  * story depends on must be visible in the physical plan, not assumed.
+  */
+class PlanShapeSpec extends SparkSuite {
+
+  private def plan(name: String): String = {
+    val df = Registry.byName(name).run(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("src_scan_pushdown pushes the filter into the parquet scan") {
+    val p = plan("src_scan_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(p_size), GreaterThan(p_size,25)]"), p.take(2000))
+  }
+
+  test("src_scan_pushdown prunes to a 3-column ReadSchema") {
+    val p = plan("src_scan_pushdown")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("p_partkey") && read.contains("p_name") && read.contains("p_size"))
+    assert(!read.contains("p_retailprice") && !read.contains("p_brand"), read)
+  }
+
+  test("join_broadcast_dims uses broadcast joins for dimensions") {
+    val p = plan("join_broadcast_dims")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("sim_cosine_topk broadcasts the probe side (no shuffle of the base)") {
+    val p = plan("sim_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("agg_group_pricing uses two-phase hash aggregation") {
+    val p = plan("agg_group_pricing")
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("whole-stage codegen is active on the flagship query") {
+    // codegen'd operators render with a "*(id)" prefix — only visible
+    // in the FINAL adaptive plan, so execute first
+    val df = Registry.byName("agg_group_pricing").run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p.take(2000))
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming semantics (SURVEY §5.4): the streamed
+  * watermarked aggregations must agree with their DuckDB-verified
+  * batch twins on all FINALIZED windows (append mode only emits a
+  * window once the watermark passes its end — trailing windows inside
+  * the final watermark stay open forever on a finite source), and
+  * out-of-order replay beyond the watermark must drop late rows.
+  */
+class StreamingSpec extends SparkSuite {
+
+  test("streamed tumbling 1h counts == batch twin on finalized windows") {
+    val result = streaming.StreamDemos.runToCompletion(
+      spark,
+      streaming.StreamDemos.tumblingCounts(spark, sf),
+      "t_tumbling"
+    )
+    val events = Tables.events(spark, sf)
+    val maxTs = events.agg(max(col("ts"))).collect()(0).getAs[java.time.LocalDateTime](0)
+    val batch = events
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    // finalized = window end < watermark = maxTs - 1h  ⇒  hour start
+    // strictly before maxTs - 2h (strict: the boundary window's
+    // emission depends on watermark comparison inclusivity)
+    val cutoff = maxTs.minusHours(2)
+    val expected = batch
+      .filter(col("hour") < lit(cutoff))
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val got = result
+      .withColumn("hour", col("hour").cast("timestamp_ntz"))
+      .filter(col("hour") < lit(cutoff))
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(expected.nonEmpty)
+    val onlyStream = (got.keySet -- expected.keySet).take(5)
+    val onlyBatch = (expected.keySet -- got.keySet).take(5)
+    val countDiff = got.collect { case (k, v) if expected.get(k).exists(_ != v) => k }.take(5)
+    assert(
+      got == expected,
+      s"stream=${got.size} batch=${expected.size} onlyStream=$onlyStream onlyBatch=$onlyBatch countDiff=$countDiff"
+    )
+  }
+
+  test("late events beyond the watermark are dropped on out-of-order replay") {
+    val dir = Files.createTempDirectory("graft_stream").toFile
+    val chunkDir = s"${dir.getAbsolutePath}/in"
+    val ev = Tables
+      .events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    // chunk 1: the NEWEST half (advances watermark to near max ts);
+    // chunk 2: the oldest quarter — far beyond the 1h watermark, late.
+    val ts = ev.select(col("ts")).orderBy(col("ts")).collect().map(_.getAs[java.sql.Timestamp](0))
+    val mid = ts(ts.length / 2)
+    val q1 = ts(ts.length / 4)
+    val lateCutoff = java.sql.Timestamp.from(q1.toInstant.minus(java.time.Duration.ofHours(1)))
+    ev.filter(col("ts") >= lit(mid)).coalesce(1).write.mode("overwrite").parquet(chunkDir)
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(chunkDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"))
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("t_late")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(200))
+      .start()
+    q.processAllAvailable()
+    // now replay OLD data (ts < q1): watermark is already near max ts,
+    // so every one of these rows is hours late and must be dropped.
+    ev.filter(col("ts") < lit(q1)).coalesce(1).write.mode("append").parquet(chunkDir)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_late")
+    val lateHours = got.filter(col("hour") < lit(lateCutoff))
+    assert(lateHours.count() == 0, "late rows leaked past the watermark")
+  }
+
+  test("streamed session windows cover all non-trailing events") {
+    val result = streaming.StreamDemos.runToCompletion(
+      spark,
+      streaming.StreamDemos.sessionCounts(spark, sf),
+      "t_sessions"
+    )
+    val batch = operators.TimeSeries.tsSession30m.run(spark, sf)
+    val events = Tables.events(spark, sf)
+    val maxTs = events.agg(max(col("ts"))).collect()(0).getAs[java.time.LocalDateTime](0)
+    // a session is emitted once the watermark (maxTs - 1h) passes its
+    // stream end = last event + 30 min gap; use a strict margin.
+    val cutoff = maxTs.minusHours(2)
+    val batchAll = batch
+      .select(col("user_id"), col("session_start"), col("n_events"), col("session_end"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1)) ->
+        (r.getLong(2), r.getAs[java.time.LocalDateTime](3)))
+      .toMap
+    val got = result
+      .withColumn("s", col("session_start").cast("timestamp_ntz"))
+      .select(col("user_id"), col("s"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1)) -> r.getLong(2))
+      .toMap
+    // everything the stream emitted matches its batch twin exactly
+    for ((k, n) <- got) {
+      assert(batchAll.contains(k), s"stream emitted unknown session $k")
+      assert(batchAll(k)._1 == n, s"session $k count stream=$n batch=${batchAll(k)._1}")
+    }
+    // and every clearly-finalized batch session was emitted
+    val mustEmit = batchAll.filter { case (_, (_, end)) => end.isBefore(cutoff) }
+    assert(mustEmit.nonEmpty)
+    for ((k, (n, _)) <- mustEmit)
+      assert(got.get(k).contains(n), s"finalized session $k missing from stream")
+  }
+}
