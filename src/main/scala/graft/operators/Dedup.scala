@@ -53,16 +53,24 @@ object Dedup {
         "ORDER BY ida, idb"
     ),
     (spark, dir) => {
+      // Join on (lang, token count) instead of lang alone: lang has 5
+      // values (5 skewed shuffle partitions at any scale), while
+      // (lang, count) has ~130. The probe side explodes each doc to its
+      // count-compatible partner counts [ceil(0.8·n), floor(n/0.8)]
+      // (jac ≥ 0.8 forces counts within that band), so the equi-join
+      // itself enforces the prefilter and emits ~4× fewer pairs.
       val d = Tables
         .documents(spark, dir)
         .select(col("doc_id"), col("lang"), toks(col("text")).as("t"), size(toks(col("text"))).as("nt"))
-      val a = d.select(col("doc_id").as("ida"), col("lang"), col("t").as("ta"), col("nt").as("na"))
-      val b = d.select(col("doc_id").as("idb"), col("lang"), col("t").as("tb"), col("nt").as("nb"))
-      a.join(b, Seq("lang"))
-        .filter(
-          col("ida") < col("idb") &&
-            lit(5) * least(col("na"), col("nb")) >= lit(4) * greatest(col("na"), col("nb"))
-        )
+      val a = d.select(
+        col("doc_id").as("ida"),
+        col("lang"),
+        col("t").as("ta"),
+        explode(sequence(expr("(4 * nt + 4) div 5"), expr("(5 * nt) div 4"))).as("pn")
+      )
+      val b = d.select(col("doc_id").as("idb"), col("lang"), col("t").as("tb"), col("nt").as("pn"))
+      a.join(b, Seq("lang", "pn"))
+        .filter(col("ida") < col("idb"))
         .withColumn(
           "jac",
           size(array_intersect(col("ta"), col("tb")))
