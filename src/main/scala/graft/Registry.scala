@@ -35,6 +35,7 @@ object Registry {
       operators.Similarity.qs ++
       operators.TextAnalysis.qs ++
       operators.Multimodal.qs ++
+      operators.Extras.qs ++
       functions.Udx.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Coverage beyond the SURVEY §2 inventory: pivot, exact percentiles,
+  * bitwise functions, and a partitioned-sink/partition-pruning demo —
+  * operators a user of a general analytics engine reaches for that the
+  * core inventory doesn't exercise.
+  */
+object Extras {
+
+  /** Pivot order counts+revenue: priorities × status columns. Spark's
+    * relational pivot with explicit values (no discovery pass); oracle
+    * is the equivalent CASE aggregation. */
+  val aggPivot: Q = Q(
+    "agg_pivot",
+    Some(
+      "SELECT o_orderpriority, " +
+        "cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) as bigint) AS n_f, " +
+        "cast(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) as bigint) AS n_o, " +
+        "cast(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) as bigint) AS n_p, " +
+        Det.oRN(Det.oSum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END"), 2) + " AS rev_f " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    (spark, dir) => {
+      val p = Tables
+        .orders(spark, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(
+          count(lit(1)).as("n"),
+          Det.rN(Det.dsum(col("o_totalprice")), 2).as("rev")
+        )
+      p.select(
+        col("o_orderpriority"),
+        col("F_n").as("n_f"),
+        col("O_n").as("n_o"),
+        col("P_n").as("n_p"),
+        col("F_rev").as("rev_f")
+      ).orderBy(col("o_orderpriority"))
+    }
+  )
+
+  /** Exact interpolated percentiles (median/p25/p75) of account
+    * balances per segment. Both engines linear-interpolate over the
+    * sorted values; trunc-rounded to 4 dp (balances can be negative →
+    * signed rounding). */
+  val aggPercentile: Q = Q(
+    "agg_percentile",
+    Some(
+      "SELECT c_mktsegment, " +
+        Det.oRS("quantile_cont(c_acctbal::DOUBLE, 0.5)", 4) + " AS p50, " +
+        Det.oRS("quantile_cont(c_acctbal::DOUBLE, 0.25)", 4) + " AS p25, " +
+        Det.oRS("quantile_cont(c_acctbal::DOUBLE, 0.75)", 4) + " AS p75 " +
+        "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    ),
+    (spark, dir) =>
+      Tables
+        .customer(spark, dir)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          Det.rS(expr("percentile(c_acctbal, 0.5)"), 4).as("p50"),
+          Det.rS(expr("percentile(c_acctbal, 0.25)"), 4).as("p25"),
+          Det.rS(expr("percentile(c_acctbal, 0.75)"), 4).as("p75")
+        )
+        .orderBy(col("c_mktsegment"))
+  )
+
+  /** Bitwise functions on integer keys: and/or/xor, shifts, popcount. */
+  val fnBitwise: Q = Q(
+    "fn_bitwise",
+    Some(
+      "SELECT p_partkey, p_partkey & 255 AS b_and, p_partkey | 4096 AS b_or, " +
+        "xor(p_partkey, 1365) AS b_xor, p_partkey << 2 AS b_shl, " +
+        "p_partkey >> 1 AS b_shr, bit_count(p_partkey) AS pop " +
+        "FROM part ORDER BY p_partkey"
+    ),
+    (spark, dir) =>
+      Tables
+        .part(spark, dir)
+        .select(
+          col("p_partkey"),
+          expr("p_partkey & 255").as("b_and"),
+          expr("p_partkey | 4096").as("b_or"),
+          expr("p_partkey ^ 1365").as("b_xor"),
+          expr("shiftleft(p_partkey, 2)").as("b_shl"),
+          expr("shiftright(p_partkey, 1)").as("b_shr"),
+          expr("bit_count(p_partkey)").as("pop")
+        )
+        .orderBy(col("p_partkey"))
+  )
+
+  /** Partitioned parquet sink + partition-pruned read-back (no oracle —
+    * side-effecting). Writes lineitem partitioned by l_returnflag, then
+    * reads ONE partition back; the scan must touch only that
+    * directory (partition pruning — the 100 TB layout pattern: data
+    * organized so predicates skip whole files). ExtrasSpec asserts the
+    * pruned plan reads a single partition. */
+  val snkPartitioned: Q = Q(
+    "snk_partitioned",
+    None,
+    (spark, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_snk_part"
+      Tables
+        .lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+        .write
+        .mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(base)
+      spark.read
+        .parquet(base)
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), Det.rN(Det.dsum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("l_returnflag"))
+    }
+  )
+
+  def qs: Seq[Q] = Seq(aggPivot, aggPercentile, fnBitwise, snkPartitioned)
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Extras + approx-sketch accuracy: partition pruning on the
+  * partitioned sink, and HLL distinct counts within tolerance of exact
+  * (the no-oracle queries' correctness stories).
+  */
+class ExtrasSpec extends SparkSuite {
+
+  test("partitioned sink read-back prunes to one partition") {
+    // run the query once so the partitioned layout exists
+    operators.Extras.snkPartitioned.run(spark, sf).collect()
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_snk_part"
+    val pruned = spark.read.parquet(base).filter(col("l_returnflag") === "R")
+    val scan = pruned.queryExecution.executedPlan.toString
+    // partition filter must appear as a PartitionFilters entry, and the
+    // row count must match exactly one flag's rows
+    assert(scan.contains("PartitionFilters") && scan.contains("l_returnflag"), scan.take(1500))
+    val exact = Tables.lineitem(spark, sf).filter(col("l_returnflag") === "R").count()
+    assert(pruned.count() == exact)
+  }
+
+  test("approx_count_distinct is within 5% of exact per group") {
+    val exact = Tables
+      .orders(spark, sf)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val approx = Registry.byName("agg_approx_distinct")
+      .run(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, a) <- approx) {
+      val e = exact(k).toDouble
+      assert(math.abs(a - e) / e <= 0.05, s"$k: approx=$a exact=$e")
+    }
+  }
+
+  test("pivot columns equal their unpivoted group counts") {
+    val pivoted = operators.Extras.aggPivot.run(spark, sf).collect()
+    val flat = Tables
+      .orders(spark, sf)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    for (r <- pivoted) {
+      val p = r.getString(0)
+      assert(r.getLong(1) == flat.getOrElse((p, "F"), 0L))
+      assert(r.getLong(2) == flat.getOrElse((p, "O"), 0L))
+      assert(r.getLong(3) == flat.getOrElse((p, "P"), 0L))
+    }
+  }
+}
