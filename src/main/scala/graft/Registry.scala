@@ -36,6 +36,7 @@ object Registry {
       operators.TextAnalysis.qs ++
       operators.Multimodal.qs ++
       operators.Extras.qs ++
+      operators.Sampling.qs ++
       functions.Udx.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
