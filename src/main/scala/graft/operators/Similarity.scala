@@ -26,13 +26,21 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sequential-fold dot product — same op order as DuckDB's
-    * list_dot_product on ::DOUBLE[] casts, so results are bit-identical. */
+    * list_dot_product on ::DOUBLE[] casts, so results are bit-identical.
+    * Used where operand types are mixed (e.g. float data × double
+    * hyperplane literals); the float×float hot path uses the native
+    * codegen expression [[org.apache.spark.sql.graftx.FloatDot]]
+    * instead, which computes the identical fold without materializing
+    * the zipped array (FloatDotSpec asserts bit-equality).  */
   private def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, x) => acc + x
     )
+
+  private def fdot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftx.FloatDot.dot(a, b)
 
   private def pairsTopK(spark: SparkSession, dir: String, nProbe: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -44,7 +52,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     base
       .join(broadcast(probe), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", Det.rS(dot(col("qe"), col("ne")), 6))
+      .withColumn("cos", Det.rS(fdot(col("qe"), col("ne")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"), col("label"))
@@ -143,7 +151,7 @@ object Similarity {
       probe
         .join(base, Seq("bucket"))
         .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("cos", Det.rS(dot(col("qe"), col("ne")), 6))
+        .withColumn("cos", Det.rS(fdot(col("qe"), col("ne")), 6))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"), col("bucket"))
