@@ -59,22 +59,30 @@ object Dedup {
       // count-compatible partner counts [ceil(0.8·n), floor(n/0.8)]
       // (jac ≥ 0.8 forces counts within that band), so the equi-join
       // itself enforces the prefilter and emits ~4× fewer pairs.
+      // Token sets are md5-hashed to longs and sorted ONCE per doc;
+      // each pair then costs one codegen'd merge scan
+      // (SortedLongIntersectCount) instead of array_intersect +
+      // array_union allocations, and |A∪B| = na + nb - |A∩B|.
+      import org.apache.spark.sql.graftx.SortedLongIntersectCount
+      val hs = sort_array(transform(toks(col("text")), x =>
+        conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
       val d = Tables
         .documents(spark, dir)
-        .select(col("doc_id"), col("lang"), toks(col("text")).as("t"), size(toks(col("text"))).as("nt"))
+        .select(col("doc_id"), col("lang"), hs.as("t"), size(hs).as("nt"))
       val a = d.select(
         col("doc_id").as("ida"),
         col("lang"),
         col("t").as("ta"),
+        col("nt").as("na"),
         explode(sequence(expr("(4 * nt + 4) div 5"), expr("(5 * nt) div 4"))).as("pn")
       )
       val b = d.select(col("doc_id").as("idb"), col("lang"), col("t").as("tb"), col("nt").as("pn"))
       a.join(b, Seq("lang", "pn"))
         .filter(col("ida") < col("idb"))
+        .withColumn("inter", SortedLongIntersectCount.count(col("ta"), col("tb")))
         .withColumn(
           "jac",
-          size(array_intersect(col("ta"), col("tb")))
-            .cast("double") / size(array_union(col("ta"), col("tb")))
+          col("inter").cast("double") / (col("na") + col("pn") - col("inter"))
         )
         .filter(col("jac") >= 0.8)
         .select(col("ida"), col("idb"), Det.rN(col("jac"), 6).as("jac"))
