@@ -229,16 +229,18 @@ object Dedup {
     )
     val a = capped.select(col("bk"), col("doc_id").as("ida"), col("sig").as("siga"))
     val b = capped.select(col("bk"), col("doc_id").as("idb"), col("sig").as("sigb"))
+    // est_jac is computed and thresholded MAP-SIDE, right after the band
+    // join, so the dedup shuffle moves three narrow columns for the few
+    // surviving pairs — not every candidate with two signature arrays.
     a.join(b, Seq("bk"))
       .filter(col("ida") < col("idb"))
-      .select(col("ida"), col("idb"), col("siga"), col("sigb"))
-      .dropDuplicates("ida", "idb")
       .withColumn(
         "est_jac",
         size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), v => v)).cast("double") / nH
       )
       .filter(col("est_jac") >= 1.0 - maxDist)
       .select(col("ida"), col("idb"), Det.rN(col("est_jac"), 6).as("est_jac"))
+      .dropDuplicates("ida", "idb")
       .orderBy(col("ida"), col("idb"))
   }
 
