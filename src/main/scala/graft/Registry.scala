@@ -37,6 +37,7 @@ object Registry {
       operators.Multimodal.qs ++
       operators.Extras.qs ++
       operators.Sampling.qs ++
+      operators.SqlSurface.qs ++
       functions.Udx.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+
+/** SQL entry point: the same engine surface through `spark.sql` over
+  * registered temp views — a user who writes SQL instead of DataFrame
+  * code gets the identical Catalyst plan (views are lazy aliases of
+  * the parquet scans; nothing is materialized by registration).
+  */
+object SqlSurface {
+
+  /** Register all ten tables as temp views (idempotent). */
+  private def registerViews(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+      "documents", "embeddings").foreach { t =>
+      Tables.t(spark, dir, t).createOrReplaceTempView(t)
+    }
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+  }
+
+  /** The flagship pricing summary expressed as literal SQL. The Spark
+    * SQL text and the DuckDB oracle differ only where the determinism
+    * helpers require (decimal-cast sums, trunc rounding) — both are
+    * ANSI. */
+  val sqlPricing: Q = Q(
+    "sql_pricing",
+    Some(
+      "SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        Det.oRN(Det.oSum("l_quantity"), 2) + " AS sum_qty, " +
+        Det.oRN(Det.oSum("l_extendedprice * (1 - l_discount)"), 2) + " AS sum_disc_price " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+    ),
+    (spark, dir) => {
+      registerViews(spark, dir)
+      spark.sql(
+        "SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+          "floor(cast(sum(cast(l_quantity as decimal(30,8))) as double) * 100 + 0.5) / 100 AS sum_qty, " +
+          "floor(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(30,8))) as double) * 100 + 0.5) / 100 AS sum_disc_price " +
+          "FROM lineitem WHERE l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00' " +
+          "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+      )
+    }
+  )
+
+  /** Correlated subqueries through SQL: customers whose balance exceeds
+    * their nation's average (correlated scalar subqueries → Catalyst
+    * rewrites to joins). Phrased as balance·count > decimal-sum so the
+    * comparison is order-independent — a bare avg() of doubles could
+    * differ in the last ulp between engines right at the boundary. */
+  private val correlatedSql =
+    "SELECT c_custkey, c_nationkey FROM customer c " +
+      "WHERE c_acctbal * (SELECT count(*) FROM customer i WHERE i.c_nationkey = c.c_nationkey) " +
+      "> (SELECT cast(sum(cast(c_acctbal as decimal(30,8))) as double) " +
+      "FROM customer i WHERE i.c_nationkey = c.c_nationkey) " +
+      "ORDER BY c_custkey"
+
+  val sqlCorrelated: Q = Q(
+    "sql_correlated",
+    Some(correlatedSql),
+    (spark, dir) => {
+      registerViews(spark, dir)
+      spark.sql(correlatedSql)
+    }
+  )
+
+  /** CTE + window through SQL: each nation's share of its region's
+    * supplier account balance. */
+  val sqlCteWindow: Q = Q(
+    "sql_cte_window",
+    Some(
+      "WITH nb AS (SELECT n_regionkey, n_name, " + Det.oRN(Det.oSum("s_acctbal"), 2) + " AS bal " +
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_regionkey, n_name) " +
+        "SELECT n_regionkey, n_name, bal, " +
+        Det.oRN("bal / cast(sum(cast(bal as decimal(30,8))) OVER (PARTITION BY n_regionkey) as double)", 6) +
+        " AS share FROM nb ORDER BY n_regionkey, n_name"
+    ),
+    (spark, dir) => {
+      registerViews(spark, dir)
+      spark.sql(
+        "WITH nb AS (SELECT n_regionkey, n_name, " +
+          "floor(cast(sum(cast(s_acctbal as decimal(30,8))) as double) * 100 + 0.5) / 100 AS bal " +
+          "FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_regionkey, n_name) " +
+          "SELECT n_regionkey, n_name, bal, " +
+          "floor(bal / cast(sum(cast(bal as decimal(30,8))) OVER (PARTITION BY n_regionkey) as double) " +
+          "* 1000000 + 0.5) / 1000000 AS share " +
+          "FROM nb ORDER BY n_regionkey, n_name"
+      )
+    }
+  )
+
+  def qs: Seq[Q] = Seq(sqlPricing, sqlCorrelated, sqlCteWindow)
+}
