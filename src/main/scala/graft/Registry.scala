@@ -38,6 +38,7 @@ object Registry {
       operators.Extras.qs ++
       operators.Sampling.qs ++
       operators.SqlSurface.qs ++
+      operators.Advanced.qs ++
       functions.Udx.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

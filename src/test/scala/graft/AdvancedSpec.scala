@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** IVF ANN structure + funnel monotonicity. */
+class AdvancedSpec extends SparkSuite {
+
+  test("IVF ANN returns dense ranks and nonzero recall@3 vs brute force") {
+    val ivf = operators.Advanced.simAnnIvf.run(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    for ((_, rows) <- ivf.groupBy(_.getLong(0))) {
+      val ranks = rows.map(_.getInt(1)).sorted
+      assert(ranks.zipWithIndex.forall { case (r, i) => r == i + 1 })
+    }
+    val brute = operators.Similarity.simCosineTopk.run(spark, sf)
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall > 0.0, s"recall=$recall")
+  }
+
+  test("funnel timestamps are monotone: view <= click <= purchase") {
+    val f = operators.Advanced.funnelVcp.run(spark, sf).collect()
+    assert(f.nonEmpty)
+    for (r <- f) {
+      val vt = r.getAs[java.time.LocalDateTime]("vt")
+      val ct = Option(r.getAs[java.time.LocalDateTime]("ct"))
+      val pt = Option(r.getAs[java.time.LocalDateTime]("pt"))
+      for (c <- ct) assert(!c.isBefore(vt))
+      for (c <- ct; p <- pt) assert(!p.isBefore(c))
+      if (ct.isEmpty) assert(pt.isEmpty, "purchase without click stage")
+    }
+  }
+}
