@@ -257,5 +257,53 @@ object TextAnalysis {
     }
   )
 
-  def qs: Seq[Q] = Seq(textStats, textTfidfTop, textLangid, textQuality, textTokens, textFingerprint)
+  /** PII redaction: email/phone patterns → placeholder tokens. The
+    * corpus itself is clean, so each doc gets a synthetic contact line
+    * derived from doc_id appended BEFORE redaction — the query then
+    * proves the scrubber finds and replaces exactly those spans (and
+    * emits the redaction counts a pipeline would log). Same regexes in
+    * both engines (character-class syntax only, no dialect-specific
+    * escapes). */
+  val textPiiRedact: Q = Q(
+    "text_pii_redact",
+    Some(
+      "WITH aug AS (SELECT doc_id, text || ' contact user' || doc_id || '@example.com or 555-01' || " +
+        "lpad(cast(doc_id % 100 as varchar), 2, '0') AS t FROM documents), " +
+        "red AS (SELECT doc_id, " +
+        "regexp_replace(regexp_replace(t, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]', '[EMAIL]', 'g'), " +
+        "'[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted, t FROM aug) " +
+        "SELECT doc_id, redacted, " +
+        "len(regexp_extract_all(t, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]')) AS n_emails, " +
+        "len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4}')) AS n_phones " +
+        "FROM red ORDER BY doc_id"
+    ),
+    (spark, dir) => {
+      val emailRe = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]"
+      val phoneRe = "[0-9]{3}-[0-9]{4}"
+      Tables
+        .documents(spark, dir)
+        .withColumn(
+          "t",
+          concat(
+            col("text"),
+            lit(" contact user"),
+            col("doc_id"),
+            lit("@example.com or 555-01"),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0")
+          )
+        )
+        .select(
+          col("doc_id"),
+          regexp_replace(regexp_replace(col("t"), emailRe, "[EMAIL]"), phoneRe, "[PHONE]")
+            .as("redacted"),
+          size(expr(s"regexp_extract_all(t, '$emailRe', 0)")).as("n_emails"),
+          size(expr(s"regexp_extract_all(t, '$phoneRe', 0)")).as("n_phones")
+        )
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  def qs: Seq[Q] = Seq(
+    textStats, textTfidfTop, textLangid, textQuality, textTokens, textFingerprint, textPiiRedact
+  )
 }
