@@ -118,5 +118,47 @@ object Extras {
     }
   )
 
-  def qs: Seq[Q] = Seq(aggPivot, aggPercentile, fnBitwise, snkPartitioned)
+  /** Bucketed-table co-located join (no oracle — catalog side effect).
+    * lineitem and orders are written bucketed by order key into the
+    * session catalog; joining the bucketed tables then needs NO shuffle
+    * on either side (ExtrasSpec asserts the plan has no Exchange before
+    * the join). This is the 100 TB pattern for repeated fact-to-fact
+    * joins: pay the partitioning once at write time, never at read. */
+  val snkBucketed: Q = Q(
+    "snk_bucketed",
+    None,
+    (spark, dir) => {
+      val nBuckets = 8
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+      Tables
+        .lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .write
+        .mode("overwrite")
+        .option("path", s"$base/lineitem")
+        .bucketBy(nBuckets, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("graft_lineitem_b")
+      Tables
+        .orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write
+        .mode("overwrite")
+        .option("path", s"$base/orders")
+        .bucketBy(nBuckets, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("graft_orders_b")
+      spark
+        .table("graft_lineitem_b")
+        // merge hint: without it the small pruned orders side would
+        // auto-broadcast and hide the shuffle-free bucketed SMJ
+        .join(spark.table("graft_orders_b").hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"), Det.rN(Det.dsum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("l_orderkey"))
+        .limit(1000)
+    }
+  )
+
+  def qs: Seq[Q] = Seq(aggPivot, aggPercentile, fnBitwise, snkPartitioned, snkBucketed)
 }

@@ -57,4 +57,15 @@ class ExtrasSpec extends SparkSuite {
       assert(r.getLong(3) == flat.getOrElse((p, "P"), 0L))
     }
   }
+  test("bucketed join runs with no shuffle on either side") {
+    val df = operators.Extras.snkBucketed.run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(1500))
+    val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
+    // no Exchange may feed the join: bucket layout replaces the shuffle
+    val beforeAgg = joinSection.substring(0, math.max(joinSection.indexOf("FileScan"), 0) + 1)
+    assert(!beforeAgg.contains("Exchange hashpartitioning"), joinSection.take(1500))
+  }
+
 }
