@@ -160,5 +160,30 @@ object Extras {
     }
   )
 
-  def qs: Seq[Q] = Seq(aggPivot, aggPercentile, fnBitwise, snkPartitioned, snkBucketed)
+  /** Explicit skew-salted aggregation: token counts over the exploded
+    * corpus, where a 31-word vocabulary makes every token a heavy
+    * hitter. Phase 1 groups on (token, salt) — spreading each hot key
+    * over 16 reducers — phase 2 merges the partials. Same result as a
+    * direct groupBy (the oracle); the point is the two-shuffle shape
+    * that keeps reducers balanced when one key dominates at scale.
+    * Salt = doc_id % 16: deterministic, engine-independent. */
+  val aggSalted: Q = Q(
+    "agg_salted",
+    Some(
+      "SELECT tok, count(*) AS n FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "GROUP BY tok ORDER BY tok"
+    ),
+    (spark, dir) =>
+      Tables
+        .documents(spark, dir)
+        .select((col("doc_id") % 16).as("salt"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok"), col("salt"))
+        .agg(count(lit(1)).as("pn"))
+        .groupBy(col("tok"))
+        .agg(sum(col("pn")).cast("long").as("n"))
+        .orderBy(col("tok"))
+  )
+
+  def qs: Seq[Q] = Seq(aggPivot, aggPercentile, fnBitwise, snkPartitioned, snkBucketed, aggSalted)
 }

@@ -113,5 +113,34 @@ object TimeSeries {
     }
   )
 
-  def qs: Seq[Q] = Seq(tsTumbling1h, tsSliding15m5m, tsSession30m)
+  /** The native session_window operator in BATCH mode — same 30-min-gap
+    * semantics as the hand-rolled lag/flag/running-sum twin above
+    * (session start = first event, so the oracle is the same
+    * sessionization SQL projected to (user, start, n)). */
+  val tsSessionWindowBatch: Q = Q(
+    "ts_session_window_batch",
+    Some(
+      "WITH flagged AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN date_diff('microsecond', lag(ts) OVER w, ts) IS NULL " +
+        "OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "sess AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flagged) " +
+        "SELECT user_id, min(ts) AS session_start, count(*) AS n_events " +
+        "FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"
+    ),
+    (spark, dir) =>
+      Tables
+        .events(spark, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          col("w.start").cast("timestamp_ntz").as("session_start"),
+          col("n_events")
+        )
+        .orderBy(col("user_id"), col("session_start"))
+  )
+
+  def qs: Seq[Q] = Seq(tsTumbling1h, tsSliding15m5m, tsSession30m, tsSessionWindowBatch)
 }
