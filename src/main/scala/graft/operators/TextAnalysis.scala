@@ -303,7 +303,49 @@ object TextAnalysis {
     }
   )
 
+  /** Corpus score report: the benchmark-report shape (named metric →
+    * value rows) that a batch pipeline emits after a processing run —
+    * corpus size, quality aggregate, near-dup pressure, vocabulary
+    * stats — assembled from the engine's own operators via UNION ALL
+    * of scalar aggregates. */
+  val reportScores: Q = Q(
+    "report_scores",
+    Some(
+      "SELECT 'n_docs' AS metric, count(*)::DOUBLE AS value FROM documents " +
+        "UNION ALL SELECT 'n_langs', count(DISTINCT lang)::DOUBLE FROM documents " +
+        "UNION ALL SELECT 'n_sources', count(DISTINCT source)::DOUBLE FROM documents " +
+        "UNION ALL SELECT 'avg_chars', " + Det.oRN(Det.oAvg("n_chars"), 4) + " FROM documents " +
+        "UNION ALL SELECT 'vocab_size', count(DISTINCT tok)::DOUBLE FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "UNION ALL SELECT 'exact_dup_groups', count(*)::DOUBLE FROM " +
+        "(SELECT sha256(text) FROM documents GROUP BY 1 HAVING count(*) > 1) " +
+        "ORDER BY metric"
+    ),
+    (spark, dir) => {
+      val d = Tables.documents(spark, dir)
+      val nDocs = d.agg(count(lit(1)).cast("double").as("value"))
+        .select(lit("n_docs").as("metric"), col("value"))
+      val nLangs = d.agg(countDistinct(col("lang")).cast("double").as("value"))
+        .select(lit("n_langs").as("metric"), col("value"))
+      val nSources = d.agg(countDistinct(col("source")).cast("double").as("value"))
+        .select(lit("n_sources").as("metric"), col("value"))
+      val avgChars = d.agg(Det.rN(Det.davg(col("n_chars")), 4).as("value"))
+        .select(lit("avg_chars").as("metric"), col("value"))
+      val vocab = d.select(explode(toks(col("text"))).as("tok"))
+        .agg(countDistinct(col("tok")).cast("double").as("value"))
+        .select(lit("vocab_size").as("metric"), col("value"))
+      val dupGroups = d.groupBy(sha2(col("text"), 256)).count()
+        .filter(col("count") > 1)
+        .agg(count(lit(1)).cast("double").as("value"))
+        .select(lit("exact_dup_groups").as("metric"), col("value"))
+      nDocs.unionAll(nLangs).unionAll(nSources).unionAll(avgChars)
+        .unionAll(vocab).unionAll(dupGroups)
+        .orderBy(col("metric"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
-    textStats, textTfidfTop, textLangid, textQuality, textTokens, textFingerprint, textPiiRedact
+    textStats, textTfidfTop, textLangid, textQuality, textTokens, textFingerprint,
+    textPiiRedact, reportScores
   )
 }
