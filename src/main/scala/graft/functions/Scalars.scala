@@ -43,10 +43,10 @@ object Scalars {
           substring(col("p_name"), 1, 8).as("sub"),
           concat_ws("|", col("p_brand"), col("p_type")).as("cw"),
           regexp_replace(col("p_type"), " ", "_").as("rep"),
-          length(col("p_name")).as("len"),
+          length(col("p_name")).cast("long").as("len"),
           regexp_extract(col("p_name"), "([a-z]+)", 1).as("rx"),
           regexp_replace(col("p_name"), "[aeiou]", "").as("rr"),
-          levenshtein(col("p_brand"), col("p_type")).as("lev")
+          levenshtein(col("p_brand"), col("p_type")).cast("long").as("lev")
         )
         .orderBy(col("p_partkey"))
   )
@@ -111,13 +111,13 @@ object Scalars {
           col("event_id"),
           date_trunc("hour", col("ts")).as("tr_hour"),
           date_trunc("day", col("ts")).as("tr_day"),
-          year(col("ts")).as("y"),
-          month(col("ts")).as("mo"),
-          dayofmonth(col("ts")).as("d"),
-          hour(col("ts")).as("h"),
-          minute(col("ts")).as("mi"),
-          (weekday(col("ts")) + 1).as("dow"),
-          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("dd"),
+          year(col("ts")).cast("long").as("y"),
+          month(col("ts")).cast("long").as("mo"),
+          dayofmonth(col("ts")).cast("long").as("d"),
+          hour(col("ts")).cast("long").as("h"),
+          minute(col("ts")).cast("long").as("mi"),
+          (weekday(col("ts")) + 1).cast("long").as("dow"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long").as("dd"),
           (col("ts") + expr("INTERVAL 3 MONTH")).as("plus3m"),
           last_day(col("ts").cast("date")).cast("timestamp_ntz").as("eom")
         )
@@ -166,7 +166,7 @@ object Scalars {
       "SELECT doc_id, len(string_split(text, ' ')) AS n_toks, " +
         "list_sort(list_distinct(string_split(text, ' '))) AS vocab, " +
         "list_contains(string_split(text, ' '), 'scan') AS has_scan, " +
-        "list_position(string_split(text, ' '), 'scan') AS scan_pos, " +
+        "cast(list_position(string_split(text, ' '), 'scan') as bigint) AS scan_pos, " +
         "string_split(text, ' ')[2] AS second_tok, " +
         "len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS n_long " +
         "FROM documents ORDER BY doc_id"
@@ -177,12 +177,12 @@ object Scalars {
         .documents(spark, dir)
         .select(
           col("doc_id"),
-          size(toks).as("n_toks"),
+          size(toks).cast("long").as("n_toks"),
           sort_array(array_distinct(toks)).as("vocab"),
           array_contains(toks, "scan").as("has_scan"),
-          array_position(toks, "scan").as("scan_pos"),
+          array_position(toks, "scan").cast("long").as("scan_pos"),
           element_at(toks, 2).as("second_tok"),
-          size(filter(toks, t => length(t) > 4)).as("n_long")
+          size(filter(toks, t => length(t) > 4)).cast("long").as("n_long")
         )
         .orderBy(col("doc_id"))
     }
@@ -207,7 +207,7 @@ object Scalars {
         .embeddings(spark, dir)
         .select(
           col("vec_id"),
-          size(col("embedding")).as("dim"),
+          size(col("embedding")).cast("long").as("dim"),
           Det
             .rN(
               aggregate(
@@ -229,7 +229,7 @@ object Scalars {
               6
             )
             .as("head_sum"),
-          size(filter(col("embedding"), x => x > 0)).as("n_pos")
+          size(filter(col("embedding"), x => x > 0)).cast("long").as("n_pos")
         )
         .orderBy(col("vec_id"))
   )

@@ -73,7 +73,7 @@ object Extras {
     Some(
       "SELECT p_partkey, p_partkey & 255 AS b_and, p_partkey | 4096 AS b_or, " +
         "xor(p_partkey, 1365) AS b_xor, p_partkey << 2 AS b_shl, " +
-        "p_partkey >> 1 AS b_shr, bit_count(p_partkey) AS pop " +
+        "p_partkey >> 1 AS b_shr, cast(bit_count(p_partkey) as bigint) AS pop " +
         "FROM part ORDER BY p_partkey"
     ),
     (spark, dir) =>
@@ -86,7 +86,7 @@ object Extras {
           expr("p_partkey ^ 1365").as("b_xor"),
           expr("shiftleft(p_partkey, 2)").as("b_shl"),
           expr("shiftright(p_partkey, 1)").as("b_shr"),
-          expr("bit_count(p_partkey)").as("pop")
+          expr("bit_count(p_partkey)").cast("long").as("pop")
         )
         .orderBy(col("p_partkey"))
   )

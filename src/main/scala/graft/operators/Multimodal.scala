@@ -47,7 +47,7 @@ object Multimodal {
         .select(col("doc_id"), col("text"), col("text").cast("binary").as("payload"))
         .select(
           col("doc_id"),
-          length(col("payload")).as("n_bytes"),
+          length(col("payload")).cast("long").as("n_bytes"),
           sha2(col("payload"), 256).as("payload_sha"),
           lit("text/plain").as("kind"),
           upper(substring(md5(substring(col("text"), 1, 16)), 1, 12)).as("header_tag")

@@ -82,7 +82,7 @@ object Sampling {
         .documents(spark, dir)
         .withColumn("round", row_number().over(w))
         .filter(col("round") <= 5)
-        .select(col("round"), col("source"), col("doc_id"))
+        .select(col("round").cast("long").as("round"), col("source"), col("doc_id"))
         .orderBy(col("round"), col("source"))
     }
   )

@@ -71,7 +71,7 @@ object Similarity {
     Some(oraclePairs(100, 10) + "ORDER BY query_id, rank"),
     (spark, dir) =>
       pairsTopK(spark, dir, 100, 10)
-        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("cos"))
         .orderBy(col("query_id"), col("rank"))
   )
 

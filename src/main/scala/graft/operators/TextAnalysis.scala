@@ -187,7 +187,7 @@ object TextAnalysis {
         )
       d.select(
         col("doc_id"),
-        col("n_toks"),
+        col("n_toks").cast("long").as("n_toks"),
         Det.rN(col("long_ratio_raw"), 6).as("long_ratio"),
         Det.rN(col("stop_ratio_raw"), 6).as("stop_ratio"),
         Det.rN(col("cpt_raw"), 6).as("chars_per_tok"),
@@ -218,9 +218,9 @@ object TextAnalysis {
         .documents(spark, dir)
         .select(
           col("doc_id"),
-          size(toks(col("text"))).as("ws_toks"),
-          size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")).as("bpe_toks"),
-          (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("n_punct")
+          size(toks(col("text"))).cast("long").as("ws_toks"),
+          size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")).cast("long").as("bpe_toks"),
+          (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long").as("n_punct")
         )
         .orderBy(col("doc_id"))
   )
@@ -296,8 +296,8 @@ object TextAnalysis {
           col("doc_id"),
           regexp_replace(regexp_replace(col("t"), emailRe, "[EMAIL]"), phoneRe, "[PHONE]")
             .as("redacted"),
-          size(expr(s"regexp_extract_all(t, '$emailRe', 0)")).as("n_emails"),
-          size(expr(s"regexp_extract_all(t, '$phoneRe', 0)")).as("n_phones")
+          size(expr(s"regexp_extract_all(t, '$emailRe', 0)")).cast("long").as("n_emails"),
+          size(expr(s"regexp_extract_all(t, '$phoneRe', 0)")).cast("long").as("n_phones")
         )
         .orderBy(col("doc_id"))
     }

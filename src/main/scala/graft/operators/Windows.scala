@@ -52,10 +52,10 @@ object Windows {
         col("c_mktsegment"),
         col("o_orderkey"),
         col("price_bucket"),
-        row_number().over(total).as("rn"),
-        rank().over(tied).as("rnk"),
-        dense_rank().over(tied).as("drnk"),
-        ntile(4).over(total).as("nt"),
+        row_number().over(total).cast("long").as("rn"),
+        rank().over(tied).cast("long").as("rnk"),
+        dense_rank().over(tied).cast("long").as("drnk"),
+        ntile(4).over(total).cast("long").as("nt"),
         round(percent_rank().over(tied), 6).as("pr")
       ).orderBy(col("c_mktsegment"), col("rn"))
     }
@@ -82,7 +82,7 @@ object Windows {
           col("o_custkey"),
           col("o_orderkey"),
           col("o_totalprice"),
-          row_number().over(w).as("rn")
+          row_number().over(w).cast("long").as("rn")
         )
         .filter(col("rn") <= 3)
         .orderBy(col("o_custkey"), col("rn"))

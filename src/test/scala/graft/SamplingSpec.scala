@@ -27,7 +27,7 @@ class SamplingSpec extends SparkSuite {
   test("interleave emits dense rounds per source") {
     val i = operators.Sampling.interleaveSources.run(spark, sf).collect()
     for ((_, rows) <- i.groupBy(_.getString(1))) {
-      val rounds = rows.map(_.getInt(0)).sorted
+      val rounds = rows.map(_.getLong(0)).sorted
       assert(rounds.zipWithIndex.forall { case (r, k) => r == k + 1 })
     }
   }
