@@ -298,8 +298,34 @@ object Scalars {
         .orderBy(col("doc_id"), col("pos"))
   )
 
+  /** MapType exercise: parse events.props into map<string,int>, emit
+    * sorted keys and the k value — maps stay internal (no map in the
+    * verified output, §2.9.3), only arrays/scalars leave. */
+  val fnMap: Q = Q(
+    "fn_map",
+    Some(
+      "SELECT event_id, json_keys(props) AS ks, " +
+        "json_extract(props, '$.k')::INT AS k_val, " +
+        "len(json_keys(props)) AS n_keys " +
+        "FROM events ORDER BY event_id"
+    ),
+    (spark, dir) => {
+      val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType))
+      Tables
+        .events(spark, dir)
+        .select(
+          col("event_id"),
+          sort_array(map_keys(m)).as("ks"),
+          element_at(m, "k").as("k_val"),
+          size(map_keys(m)).cast("long").as("n_keys")
+        )
+        .orderBy(col("event_id"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     fnString, fnMath, fnDate, fnCondCast, fnArrayTokens, fnArrayVec,
-    fnJson, fnHash, genExplodeTokens
+    fnJson, fnHash, genExplodeTokens, fnMap
   )
 }

@@ -124,7 +124,26 @@ object SortSetOps {
     }
   )
 
-  def qs: Seq[Q] = Seq(
+  /** EXCEPT ALL (bag semantics): per-occurrence difference of
+    * nationkey multisets — each duplicate is cancelled once, unlike the
+    * distinct EXCEPT above. */
+  val setExceptAll: Q = Q(
+    "set_except_all",
+    Some(
+      "SELECT c_nationkey AS nk FROM customer EXCEPT ALL " +
+        "SELECT s_nationkey FROM supplier ORDER BY nk"
+    ),
+    (spark, dir) =>
+      Tables
+        .customer(spark, dir)
+        .select(org.apache.spark.sql.functions.col("c_nationkey").as("nk"))
+        .exceptAll(
+          Tables.supplier(spark, dir).select(org.apache.spark.sql.functions.col("s_nationkey").as("nk"))
+        )
+        .orderBy(org.apache.spark.sql.functions.col("nk"))
+  )
+
+  def qs: Seq[Q] = Seq(setExceptAll, 
     sortMultiNulls, topkGlobal, setUnionAll, setUnionDistinct, setIntersect, setExcept
   )
 }

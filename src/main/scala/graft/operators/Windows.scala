@@ -215,7 +215,31 @@ object Windows {
     }
   )
 
+  /** cume_dist over order values per segment — the remaining ranking
+    * function the win_ranking family doesn't cover. Ordering includes
+    * the unique key so ties cannot shift the distribution. */
+  val winCumeDist: Q = Q(
+    "win_cume_dist",
+    Some(
+      "SELECT o_orderkey, o_orderstatus, " +
+        "round(cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey), 6) AS cd " +
+        "FROM orders ORDER BY o_orderstatus, o_orderkey"
+    ),
+    (spark, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
+      Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderkey"),
+          col("o_orderstatus"),
+          round(cume_dist().over(w), 6).as("cd")
+        )
+        .orderBy(col("o_orderstatus"), col("o_orderkey"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
-    winRanking, winTop3PerGroup, winLagLead, winRunningSum, winRangeFrame, winFirstLast
+    winRanking, winTop3PerGroup, winLagLead, winRunningSum, winRangeFrame, winFirstLast,
+    winCumeDist
   )
 }
