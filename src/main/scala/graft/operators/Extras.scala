@@ -185,5 +185,27 @@ object Extras {
         .orderBy(col("tok"))
   )
 
-  def qs: Seq[Q] = Seq(aggPivot, aggPercentile, fnBitwise, snkPartitioned, snkBucketed, aggSalted)
+  /** Unpivot (melt): wide per-part numeric columns to long
+    * (part, metric, value) form — the inverse of agg_pivot. */
+  val aggUnpivot: Q = Q(
+    "agg_unpivot",
+    Some(
+      "SELECT * FROM (UNPIVOT (SELECT p_partkey, p_retailprice, cast(p_size as double) AS p_size_d " +
+        "FROM part) ON p_retailprice, p_size_d INTO NAME metric VALUE val) " +
+        "ORDER BY p_partkey, metric"
+    ),
+    (spark, dir) =>
+      Tables
+        .part(spark, dir)
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("double").as("p_size_d"))
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size_d")),
+          "metric",
+          "val"
+        )
+        .orderBy(col("p_partkey"), col("metric"))
+  )
+
+  def qs: Seq[Q] = Seq(aggPivot, aggUnpivot, aggPercentile, fnBitwise, snkPartitioned, snkBucketed, aggSalted)
 }

@@ -143,7 +143,27 @@ object SortSetOps {
         .orderBy(org.apache.spark.sql.functions.col("nk"))
   )
 
-  def qs: Seq[Q] = Seq(setExceptAll, 
+  /** unionByName: schemas aligned by column NAME, not position — the
+    * safe union for evolving schemas. The oracle's UNION ALL BY NAME is
+    * the same semantics. */
+  val setUnionByName: Q = Q(
+    "set_union_by_name",
+    Some(
+      "SELECT * FROM (SELECT r_regionkey AS k, r_name AS name FROM region " +
+        "UNION ALL BY NAME SELECT n_name AS name, n_nationkey AS k FROM nation) " +
+        "ORDER BY k, name"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      val a = graft.Tables.region(spark, dir)
+        .select(col("r_regionkey").as("k"), col("r_name").as("name"))
+      val b = graft.Tables.nation(spark, dir)
+        .select(col("n_name").as("name"), col("n_nationkey").as("k"))
+      a.unionByName(b).orderBy(col("k"), col("name"))
+    }
+  )
+
+  def qs: Seq[Q] = Seq(setExceptAll, setUnionByName, 
     sortMultiNulls, topkGlobal, setUnionAll, setUnionDistinct, setIntersect, setExcept
   )
 }
