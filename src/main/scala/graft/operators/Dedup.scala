@@ -52,43 +52,48 @@ object Dedup {
         "SELECT ida, idb, " + Det.oRN("jac", 6) + " AS jac FROM p WHERE jac >= 0.8 " +
         "ORDER BY ida, idb"
     ),
-    (spark, dir) => {
-      // Join on (lang, token count) instead of lang alone: lang has 5
-      // values (5 skewed shuffle partitions at any scale), while
-      // (lang, count) has ~130. The probe side explodes each doc to its
-      // count-compatible partner counts [ceil(0.8·n), floor(n/0.8)]
-      // (jac ≥ 0.8 forces counts within that band), so the equi-join
-      // itself enforces the prefilter and emits ~4× fewer pairs.
-      // Token sets are md5-hashed to longs and sorted ONCE per doc;
-      // each pair then costs one codegen'd merge scan
-      // (SortedLongIntersectCount) instead of array_intersect +
-      // array_union allocations, and |A∪B| = na + nb - |A∩B|.
-      import org.apache.spark.sql.graftx.SortedLongIntersectCount
-      val hs = sort_array(transform(toks(col("text")), x =>
-        conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
-      val d = Tables
-        .documents(spark, dir)
-        .select(col("doc_id"), col("lang"), hs.as("t"), size(hs).as("nt"))
-      val a = d.select(
-        col("doc_id").as("ida"),
-        col("lang"),
-        col("t").as("ta"),
-        col("nt").as("na"),
-        explode(sequence(expr("(4 * nt + 4) div 5"), expr("(5 * nt) div 4"))).as("pn")
-      )
-      val b = d.select(col("doc_id").as("idb"), col("lang"), col("t").as("tb"), col("nt").as("pn"))
-      a.join(b, Seq("lang", "pn"))
-        .filter(col("ida") < col("idb"))
-        .withColumn("inter", SortedLongIntersectCount.count(col("ta"), col("tb")))
-        .withColumn(
-          "jac",
-          col("inter").cast("double") / (col("na") + col("pn") - col("inter"))
-        )
-        .filter(col("jac") >= 0.8)
-        .select(col("ida"), col("idb"), Det.rN(col("jac"), 6).as("jac"))
-        .orderBy(col("ida"), col("idb"))
-    }
+    (spark, dir) => nearJaccardPairs(spark, dir).orderBy(col("ida"), col("idb"))
   )
+
+  /** Unsorted jac ≥ 0.8 pair stream — shared by dedup_near_jaccard
+    * (which adds the contract's total-order sort) and dedup_clusters
+    * (which doesn't need one).
+    *
+    * Join on (lang, token count) instead of lang alone: lang has 5
+    * values (5 skewed shuffle partitions at any scale), while
+    * (lang, count) has ~130. The probe side explodes each doc to its
+    * count-compatible partner counts [ceil(0.8·n), floor(n/0.8)]
+    * (jac ≥ 0.8 forces counts within that band), so the equi-join
+    * itself enforces the prefilter and emits ~4× fewer pairs.
+    * Token sets are md5-hashed to longs and sorted ONCE per doc;
+    * each pair then costs one codegen'd merge scan
+    * (SortedLongIntersectCount) instead of array_intersect +
+    * array_union allocations, and |A∪B| = na + nb - |A∩B|. */
+  private def nearJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftx.SortedLongIntersectCount
+    val hs = sort_array(transform(toks(col("text")), x =>
+      conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
+    val d = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("lang"), hs.as("t"), size(hs).as("nt"))
+    val a = d.select(
+      col("doc_id").as("ida"),
+      col("lang"),
+      col("t").as("ta"),
+      col("nt").as("na"),
+      explode(sequence(expr("(4 * nt + 4) div 5"), expr("(5 * nt) div 4"))).as("pn")
+    )
+    val b = d.select(col("doc_id").as("idb"), col("lang"), col("t").as("tb"), col("nt").as("pn"))
+    a.join(b, Seq("lang", "pn"))
+      .filter(col("ida") < col("idb"))
+      .withColumn("inter", SortedLongIntersectCount.count(col("ta"), col("tb")))
+      .withColumn(
+        "jac",
+        col("inter").cast("double") / (col("na") + col("pn") - col("inter"))
+      )
+      .filter(col("jac") >= 0.8)
+      .select(col("ida"), col("idb"), Det.rN(col("jac"), 6).as("jac"))
+  }
 
   /** Near-dup pairs on token-BIGRAM shingles (n-gram Jaccard): stricter
     * than token sets because it is order-sensitive. Bounded to doc_id <
@@ -244,5 +249,93 @@ object Dedup {
       .orderBy(col("ida"), col("idb"))
   }
 
-  def qs: Seq[Q] = Seq(dedupExact, dedupNearJaccard, dedupNgramJaccard, dedupSimhash, dedupMinhashLsh)
+  /** Near-dup CLUSTERS: connected components over the jac ≥ 0.8 pair
+    * graph, labeled by the minimum doc_id in each component — the step
+    * that turns pairwise near-dup hits into "keep one survivor per
+    * cluster". Spark side runs iterative min-label propagation (one
+    * shuffle per round; near-clique components converge in ~3 rounds,
+    * O(diameter) in general — the scalable alternative to collecting
+    * edges for union-find). Oracle: recursive-CTE transitive closure.
+    * is_survivor marks the cluster representative. */
+  val dedupClusters: Q = Q(
+    "dedup_clusters", {
+      val pairs =
+        "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t " +
+          "FROM documents WHERE doc_id < 2000), " +
+          "p AS (SELECT a.doc_id ida, b.doc_id idb, " +
+          "len(list_intersect(a.t, b.t))::DOUBLE / len(list_distinct(a.t || b.t)) AS jac " +
+          "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+          "AND 5 * least(len(a.t), len(b.t)) >= 4 * greatest(len(a.t), len(b.t))), " +
+          "e AS (SELECT ida, idb FROM p WHERE jac >= 0.8), "
+      Some(
+        "WITH RECURSIVE " + pairs.stripPrefix("WITH ") +
+          "sym AS (SELECT ida AS a, idb AS b FROM e UNION SELECT idb, ida FROM e), " +
+          "reach(x, y) AS (SELECT a, b FROM sym UNION " +
+          "SELECT r.x, s.b FROM reach r JOIN sym s ON r.y = s.a WHERE s.b != r.x), " +
+          "lbl AS (SELECT x AS doc_id, least(x, min(y)) AS cluster FROM reach GROUP BY x) " +
+          "SELECT doc.doc_id, coalesce(lbl.cluster, doc.doc_id) AS cluster, " +
+          "coalesce(lbl.cluster, doc.doc_id) = doc.doc_id AS is_survivor " +
+          "FROM documents doc LEFT JOIN lbl ON doc.doc_id = lbl.doc_id " +
+          "WHERE doc.doc_id < 2000 ORDER BY doc.doc_id"
+      )
+    },
+    (spark, dir) => {
+      // probe scope bounded like dedup_minhash_lsh: the corpus is a
+      // near-clique, so the edge set grows ~quadratically with docs.
+      // The unsorted pair stream is used — clustering needs no order.
+      val edges = nearJaccardPairs(spark, dir)
+        .filter(col("ida") < 2000 && col("idb") < 2000)
+        .select(col("ida"), col("idb"))
+      val sym = edges
+        .union(edges.select(col("idb").as("ida"), col("ida").as("idb")))
+        .toDF("a", "b")
+        .localCheckpoint() // materialize the edge list once — every
+      // iteration joins it, and recomputing the similarity join per
+      // round would dominate the whole algorithm
+      val docs = Tables.documents(spark, dir).filter(col("doc_id") < 2000).select(col("doc_id"))
+      var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val nbrMin = sym
+          .join(labels, col("b") === col("doc_id"))
+          .groupBy(col("a"))
+          .agg(min(col("cluster")).as("nbr_min"))
+        val stepped = labels
+          .join(nbrMin, col("doc_id") === col("a"), "left")
+          .select(
+            col("doc_id"),
+            least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster")
+          )
+        // pointer doubling: follow the label's label, collapsing chain
+        // components in O(log diameter) rounds instead of O(diameter)
+        val next = stepped
+          .join(
+            stepped.select(col("doc_id").as("ld"), col("cluster").as("lc")),
+            col("cluster") === col("ld"),
+            "left"
+          )
+          .select(col("doc_id"), least(col("cluster"), coalesce(col("lc"), col("cluster"))).as("cluster"))
+          .localCheckpoint() // truncate the growing iterative lineage
+        val changed = next
+          .join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
+          .filter(col("cluster") =!= col("prev"))
+          .count()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      labels
+        .select(
+          col("doc_id"),
+          col("cluster"),
+          (col("cluster") === col("doc_id")).as("is_survivor")
+        )
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  def qs: Seq[Q] = Seq(
+    dedupExact, dedupNearJaccard, dedupNgramJaccard, dedupSimhash, dedupMinhashLsh, dedupClusters
+  )
 }
