@@ -78,4 +78,16 @@ class DedupSpec extends SparkSuite {
       assert(hamNear <= 30, s"near-dup hamming $hamNear")
     }
   }
+  test("cluster labels are consistent: edges intra-cluster, survivors minimal") {
+    val labels = operators.Dedup.dedupClusters.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = operators.Dedup.dedupNearJaccard.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    for ((a, b) <- edges) assert(labels(a) == labels(b), s"edge ($a,$b) crosses clusters")
+    for ((doc, cl) <- labels) {
+      assert(cl <= doc, s"label $cl exceeds doc $doc")
+      assert(labels(cl) == cl, s"representative $cl not its own cluster")
+    }
+  }
 }
