@@ -157,14 +157,17 @@ object Scalars {
         .orderBy(col("c_custkey"))
   )
 
-  /** Array ops on string token arrays (exact cross-engine equality;
-    * emitted arrays are sort_array'd per §2.9.3). list_position and
-    * array_position are both 1-based with 0 for missing. */
+  /** Array ops on string token arrays (exact cross-engine equality).
+    * The emitted vocab is serialized with array_join — the driver's
+    * comparator hashes pandas columns and cannot hash list cells at
+    * all (§2.9.3: no raw arrays in verified output; sort_array alone
+    * is not enough). list_position and array_position are both
+    * 1-based with 0 for missing. */
   val fnArrayTokens: Q = Q(
     "fn_array_tokens",
     Some(
       "SELECT doc_id, len(string_split(text, ' ')) AS n_toks, " +
-        "list_sort(list_distinct(string_split(text, ' '))) AS vocab, " +
+        "array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS vocab, " +
         "list_contains(string_split(text, ' '), 'scan') AS has_scan, " +
         "cast(list_position(string_split(text, ' '), 'scan') as bigint) AS scan_pos, " +
         "string_split(text, ' ')[2] AS second_tok, " +
@@ -178,7 +181,7 @@ object Scalars {
         .select(
           col("doc_id"),
           size(toks).cast("long").as("n_toks"),
-          sort_array(array_distinct(toks)).as("vocab"),
+          array_join(sort_array(array_distinct(toks)), " ").as("vocab"),
           array_contains(toks, "scan").as("has_scan"),
           array_position(toks, "scan").cast("long").as("scan_pos"),
           element_at(toks, 2).as("second_tok"),
@@ -299,12 +302,13 @@ object Scalars {
   )
 
   /** MapType exercise: parse events.props into map<string,int>, emit
-    * sorted keys and the k value — maps stay internal (no map in the
-    * verified output, §2.9.3), only arrays/scalars leave. */
+    * the sorted key list serialized to a string (the comparator cannot
+    * hash list cells — §2.9.3) plus the k value — maps and arrays stay
+    * internal, only scalars leave. */
   val fnMap: Q = Q(
     "fn_map",
     Some(
-      "SELECT event_id, json_keys(props) AS ks, " +
+      "SELECT event_id, array_to_string(list_sort(json_keys(props)), ',') AS ks, " +
         "json_extract(props, '$.k')::INT AS k_val, " +
         "len(json_keys(props)) AS n_keys " +
         "FROM events ORDER BY event_id"
@@ -316,7 +320,7 @@ object Scalars {
         .events(spark, dir)
         .select(
           col("event_id"),
-          sort_array(map_keys(m)).as("ks"),
+          array_join(sort_array(map_keys(m)), ",").as("ks"),
           element_at(m, "k").as("k_val"),
           size(map_keys(m)).cast("long").as("n_keys")
         )
