@@ -21,6 +21,19 @@ object Dedup {
 
   private def toks(c: Column): Column = array_distinct(split(c, " "))
 
+  /** Lineage truncation for iterative ops, cluster-honest: when the
+    * session has a checkpoint dir configured (`sparkContext
+    * .setCheckpointDir` — HDFS/object store on a real cluster), use a
+    * reliable `checkpoint()` so an executor loss mid-iteration recovers
+    * from storage instead of killing the job; `localCheckpoint()`
+    * stores blocks on executors only and is kept as the fast path for
+    * single-JVM runs where executor loss equals driver loss anyway.
+    * eager=true in both paths — the point is to cut the growing plan
+    * lineage NOW, not lazily re-derive it. */
+  private[graft] def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
   /** Exact-duplicate groups by sha256(text): group size + surviving
     * (minimum) doc_id per distinct text. */
   val dedupExact: Q = Q(
@@ -286,12 +299,13 @@ object Dedup {
       val edges = nearJaccardPairs(spark, dir)
         .filter(col("ida") < 2000 && col("idb") < 2000)
         .select(col("ida"), col("idb"))
-      val sym = edges
-        .union(edges.select(col("idb").as("ida"), col("ida").as("idb")))
-        .toDF("a", "b")
-        .localCheckpoint() // materialize the edge list once — every
-      // iteration joins it, and recomputing the similarity join per
-      // round would dominate the whole algorithm
+      val sym = truncate(
+        edges
+          .union(edges.select(col("idb").as("ida"), col("ida").as("idb")))
+          .toDF("a", "b")
+      ) // materialize the edge list once — every iteration joins it,
+      // and recomputing the similarity join per round would dominate
+      // the whole algorithm
       val docs = Tables.documents(spark, dir).filter(col("doc_id") < 2000).select(col("doc_id"))
       var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
       var converged = false
@@ -309,14 +323,15 @@ object Dedup {
           )
         // pointer doubling: follow the label's label, collapsing chain
         // components in O(log diameter) rounds instead of O(diameter)
-        val next = stepped
-          .join(
-            stepped.select(col("doc_id").as("ld"), col("cluster").as("lc")),
-            col("cluster") === col("ld"),
-            "left"
-          )
-          .select(col("doc_id"), least(col("cluster"), coalesce(col("lc"), col("cluster"))).as("cluster"))
-          .localCheckpoint() // truncate the growing iterative lineage
+        val next = truncate(
+          stepped
+            .join(
+              stepped.select(col("doc_id").as("ld"), col("cluster").as("lc")),
+              col("cluster") === col("ld"),
+              "left"
+            )
+            .select(col("doc_id"), least(col("cluster"), coalesce(col("lc"), col("cluster"))).as("cluster"))
+        ) // truncate the growing iterative lineage (reliable when a ckpt dir is set)
         val changed = next
           .join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
           .filter(col("cluster") =!= col("prev"))

@@ -69,4 +69,20 @@ class RecoverySpec extends SparkSuite {
     assert(seen.keySet == seen.keySet.min.to(seen.keySet.max).toSet, "batch ids not contiguous")
     assert(seen.values.sum == ev.count(), s"foreachBatch saw ${seen.values.sum} rows")
   }
+
+  test("iterative dedup_clusters survives on reliable checkpoints when a ckpt dir is set") {
+    // Local-path result first (no checkpoint dir configured yet).
+    val local = operators.Dedup.dedupClusters.run(spark, sf).collect().toSet
+
+    // Flip the session to reliable checkpointing — on a real cluster
+    // this would be an HDFS/object-store path, making mid-iteration
+    // executor loss recoverable instead of fatal.
+    val ckptDir = Files.createTempDirectory("graft_reliable_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    val reliable = operators.Dedup.dedupClusters.run(spark, sf).collect().toSet
+
+    assert(reliable == local, "reliable-checkpoint path changed the clustering result")
+    val written = new java.io.File(ckptDir).listFiles()
+    assert(written != null && written.nonEmpty, "reliable path wrote nothing to the checkpoint dir")
+  }
 }
