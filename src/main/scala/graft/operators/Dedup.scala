@@ -82,12 +82,17 @@ object Dedup {
     * each pair then costs one codegen'd merge scan
     * (SortedLongIntersectCount) instead of array_intersect +
     * array_union allocations, and |A∪B| = na + nb - |A∩B|. */
-  private def nearJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  private def nearJaccardPairs(
+      spark: SparkSession,
+      dir: String,
+      docFilter: Column = lit(true)
+  ): DataFrame = {
     import org.apache.spark.sql.graftx.SortedLongIntersectCount
     val hs = sort_array(transform(toks(col("text")), x =>
       conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
     val d = Tables
       .documents(spark, dir)
+      .filter(docFilter) // structurally below the pair join: guaranteed scan-side prune
       .select(col("doc_id"), col("lang"), hs.as("t"), size(hs).as("nt"))
     val a = d.select(
       col("doc_id").as("ida"),
@@ -296,8 +301,7 @@ object Dedup {
       // probe scope bounded like dedup_minhash_lsh: the corpus is a
       // near-clique, so the edge set grows ~quadratically with docs.
       // The unsorted pair stream is used — clustering needs no order.
-      val edges = nearJaccardPairs(spark, dir)
-        .filter(col("ida") < 2000 && col("idb") < 2000)
+      val edges = nearJaccardPairs(spark, dir, docFilter = col("doc_id") < 2000)
         .select(col("ida"), col("idb"))
       val sym = truncate(
         edges
@@ -315,28 +319,37 @@ object Dedup {
           .join(labels, col("b") === col("doc_id"))
           .groupBy(col("a"))
           .agg(min(col("cluster")).as("nbr_min"))
-        val stepped = labels
-          .join(nbrMin, col("doc_id") === col("a"), "left")
-          .select(
-            col("doc_id"),
-            least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster")
-          )
+        // stepped carries prev alongside the propagated label so the
+        // convergence check below is a flag scan, not another join;
+        // it is truncated so the pointer-doubling self-join reads the
+        // materialized rows instead of recomputing the nbrMin join on
+        // both sides.
+        val stepped = truncate(
+          labels
+            .join(nbrMin, col("doc_id") === col("a"), "left")
+            .select(
+              col("doc_id"),
+              col("cluster").as("prev"),
+              least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("c1")
+            )
+        )
         // pointer doubling: follow the label's label, collapsing chain
         // components in O(log diameter) rounds instead of O(diameter)
         val next = truncate(
           stepped
             .join(
-              stepped.select(col("doc_id").as("ld"), col("cluster").as("lc")),
-              col("cluster") === col("ld"),
+              stepped.select(col("doc_id").as("ld"), col("c1").as("lc")),
+              col("c1") === col("ld"),
               "left"
             )
-            .select(col("doc_id"), least(col("cluster"), coalesce(col("lc"), col("cluster"))).as("cluster"))
+            .select(
+              col("doc_id"),
+              least(col("c1"), coalesce(col("lc"), col("c1"))).as("cluster"),
+              (least(col("c1"), coalesce(col("lc"), col("c1"))) =!= col("prev")).as("moved")
+            )
         ) // truncate the growing iterative lineage (reliable when a ckpt dir is set)
-        val changed = next
-          .join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
-          .filter(col("cluster") =!= col("prev"))
-          .count()
-        labels = next
+        val changed = next.filter(col("moved")).count() // scan of the materialized step, no join
+        labels = next.select(col("doc_id"), col("cluster"))
         converged = changed == 0
         iter += 1
       }
