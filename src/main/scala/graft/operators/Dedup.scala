@@ -113,6 +113,67 @@ object Dedup {
       .select(col("ida"), col("idb"), Det.rN(col("jac"), 6).as("jac"))
   }
 
+  /** Embedding-cosine near-duplicates: pairs whose feature-vector
+    * cosine ≥ 0.85. The featurizer is a deterministic token-count
+    * vector (the fixture embeddings are near-random by design — max
+    * pairwise cosine ≈ 0.51 — so a threshold there is vacuous; a real
+    * pipeline would slot model embeddings into the same plan). The
+    * cosine is computed SPARSELY via an inverted-index self-join on
+    * (lang, token) — dot = Σ cnt_a·cnt_b over shared tokens, norms
+    * from one per-doc aggregate — never materializing dense vectors
+    * or an all-pairs product.
+    *
+    * 100 TB notes: on a Zipfian vocabulary the posting lists are short
+    * for almost all tokens and this join is near-linear; hot stop-word
+    * tokens are the skew risk and get dropped by a df-cap in practice.
+    * This fixture's 31-token vocabulary is ALL stop words (every
+    * posting list is ~n_docs, Σcnt² blowup), so the verified scope is
+    * bounded to doc_id < 500 — the LSH/banding operators above are the
+    * scale path for such degenerate corpora. Determinism: integer dot
+    * and squared norms are exact; sqrt/divide are IEEE on identical
+    * inputs, so the ≥ threshold selects identical rows cross-engine. */
+  val dedupEmbedCosine: Q = Q(
+    "dedup_embed_cosine",
+    Some(
+      "WITH t AS (SELECT doc_id, lang, tok, count(*)::BIGINT AS n " +
+        "FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents WHERE doc_id < 500) GROUP BY 1, 2, 3), " +
+        "nrm AS (SELECT doc_id, sqrt(sum(n * n)) AS nrm FROM t GROUP BY 1), " +
+        "dots AS (SELECT a.doc_id ida, b.doc_id idb, sum(a.n * b.n)::BIGINT AS d " +
+        "FROM t a JOIN t b ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2), " +
+        "c AS (SELECT ida, idb, d / (na.nrm * nb.nrm) AS cos FROM dots " +
+        "JOIN nrm na ON na.doc_id = ida JOIN nrm nb ON nb.doc_id = idb) " +
+        "SELECT ida, idb, " + Det.oRN("cos", 6) + " AS cos FROM c WHERE cos >= 0.85 " +
+        "ORDER BY ida, idb"
+    ),
+    (spark, dir) => {
+      val t = Tables
+        .documents(spark, dir)
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("lang"), col("tok"))
+        .agg(count(lit(1)).as("n"))
+      val nrm = t.groupBy(col("doc_id")).agg(sqrt(sum(col("n") * col("n"))).as("nrm"))
+      val dots = t
+        .select(col("doc_id").as("ida"), col("lang"), col("tok"), col("n").as("na"))
+        .join(
+          t.select(col("doc_id").as("idb"), col("lang"), col("tok"), col("n").as("nb")),
+          Seq("lang", "tok")
+        )
+        .filter(col("ida") < col("idb"))
+        .groupBy(col("ida"), col("idb"))
+        .agg(sum(col("na") * col("nb")).as("d"))
+      dots
+        .join(broadcast(nrm.select(col("doc_id").as("ida"), col("nrm").as("nrma"))), Seq("ida"))
+        .join(broadcast(nrm.select(col("doc_id").as("idb"), col("nrm").as("nrmb"))), Seq("idb"))
+        .withColumn("cos", col("d") / (col("nrma") * col("nrmb")))
+        .filter(col("cos") >= 0.85)
+        .select(col("ida"), col("idb"), Det.rN(col("cos"), 6).as("cos"))
+        .orderBy(col("ida"), col("idb"))
+    }
+  )
+
   /** Near-dup pairs on token-BIGRAM shingles (n-gram Jaccard): stricter
     * than token sets because it is order-sensitive. Bounded to doc_id <
     * 200 per side to keep the verified output small. */
@@ -364,6 +425,7 @@ object Dedup {
   )
 
   def qs: Seq[Q] = Seq(
-    dedupExact, dedupNearJaccard, dedupNgramJaccard, dedupSimhash, dedupMinhashLsh, dedupClusters
+    dedupExact, dedupNearJaccard, dedupEmbedCosine, dedupNgramJaccard, dedupSimhash,
+    dedupMinhashLsh, dedupClusters
   )
 }
