@@ -74,6 +74,34 @@ object StreamDemos {
         col("n_events")
       )
 
+  /** Stream-stream INNER join: each view joined to the same user's
+    * purchases landing within 2 hours after it. Watermarks on BOTH
+    * sides plus the closed time-range predicate are what make this
+    * viable at scale — the state store keeps a view only until the
+    * purchase-side watermark passes view_ts + 2h (and vice versa), so
+    * state is bounded by (event rate × window), partitioned across
+    * executors by user_id. Inner-join results emit as soon as both
+    * rows arrive, so on a finite source the output equals the batch
+    * self-join exactly (StreamingSpec asserts set equality). */
+  def viewPurchaseJoin(spark: SparkSession, dir: String): DataFrame = {
+    val views = eventsStream(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    views
+      .join(
+        purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 2 HOURS")
+      )
+      .select(col("user_id"), col("view_id"), col("purchase_id"), col("view_ts"), col("purchase_ts"))
+  }
+
   /** Drive a streaming DF to completion against a finite file source:
     * write every micro-batch to an in-memory table, process all
     * available input, stop. Returns the memory sink's final contents. */

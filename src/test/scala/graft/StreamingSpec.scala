@@ -50,6 +50,41 @@ class StreamingSpec extends SparkSuite {
     )
   }
 
+  test("stream-stream view->purchase join == batch self-join") {
+    val result = streaming.StreamDemos.runToCompletion(
+      spark,
+      streaming.StreamDemos.viewPurchaseJoin(spark, sf),
+      "t_ss_join"
+    )
+    val ev = Tables
+      .events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts").cast("timestamp").as("ts"))
+    val views = ev
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+    val expected = views
+      .join(
+        purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 2 HOURS")
+      )
+      .select(col("view_id"), col("purchase_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val got = result.select(col("view_id"), col("purchase_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(expected.nonEmpty, "batch twin found no view->purchase pairs")
+    assert(got == expected, s"stream=${got.size} batch=${expected.size} " +
+      s"onlyStream=${(got -- expected).take(3)} onlyBatch=${(expected -- got).take(3)}")
+  }
+
   test("late events beyond the watermark are dropped on out-of-order replay") {
     val dir = Files.createTempDirectory("graft_stream").toFile
     val chunkDir = s"${dir.getAbsolutePath}/in"
