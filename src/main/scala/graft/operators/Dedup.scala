@@ -287,40 +287,47 @@ object Dedup {
     val hs = transform(toks(col("text")), x =>
       conv(substring(md5(x), 1, 8), 16, 10).cast("long") % MinhashP
     )
-    val sig = array((0 until nH).map { i =>
-      array_min(transform(col("hs"), h => (h * MinhashA(i) + MinhashB(i)) % MinhashP))
-    }: _*)
+    // The signature lives as 8 FLAT long columns (m0..m7), never an
+    // array: the band join's cartesian expansion inside each bucket
+    // copies every output row, and flat primitives keep that copy and
+    // the agreement scoring in whole-stage codegen with zero array
+    // headers or element_at indirection per candidate.
+    val mcols = (0 until nH).map { i =>
+      array_min(transform(col("hs"), h => (h * MinhashA(i) + MinhashB(i)) % MinhashP)).as(s"m$i")
+    }
     val docs = Tables
       .documents(spark, dir)
       .filter(col("doc_id") < 2000)
       .select(col("doc_id"), hs.as("hs"))
       .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id") +: mcols: _*)
     // 4 bands of r=2: band key packs two 31-bit minhashes into one long
     val banded = docs.select(
-      col("doc_id"),
-      col("sig"),
-      explode(array((0 until nH / 2).map { j =>
-        struct(
-          lit(j).as("band"),
-          (element_at(col("sig"), 2 * j + 1) * MinhashP + element_at(col("sig"), 2 * j + 2)).as("key")
-        )
-      }: _*)).as("bk")
+      col("doc_id") +: (0 until nH).map(i => col(s"m$i")) :+
+        explode(array((0 until nH / 2).map { j =>
+          struct(
+            lit(j).as("band"),
+            (col(s"m${2 * j}") * MinhashP + col(s"m${2 * j + 1}")).as("key")
+          )
+        }: _*)).as("bk"): _*
     )
     val capped = banded.join(
       banded.groupBy(col("bk")).agg(count(lit(1)).as("bucket_n")).filter(col("bucket_n") <= 2000),
       Seq("bk")
     )
-    val a = capped.select(col("bk"), col("doc_id").as("ida"), col("sig").as("siga"))
-    val b = capped.select(col("bk"), col("doc_id").as("idb"), col("sig").as("sigb"))
+    val a = capped.select(col("bk") +: col("doc_id").as("ida") +: (0 until nH).map(i => col(s"m$i").as(s"ma$i")): _*)
+    val b = capped.select(col("bk") +: col("doc_id").as("idb") +: (0 until nH).map(i => col(s"m$i").as(s"mb$i")): _*)
     // est_jac is computed and thresholded MAP-SIDE, right after the band
     // join, so the dedup shuffle moves three narrow columns for the few
-    // surviving pairs — not every candidate with two signature arrays.
+    // surviving pairs — not every candidate with two signatures.
     a.join(b, Seq("bk"))
       .filter(col("ida") < col("idb"))
       .withColumn(
         "est_jac",
-        size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), v => v)).cast("double") / nH
+        (0 until nH)
+          .map(i => when(col(s"ma$i") === col(s"mb$i"), 1).otherwise(0))
+          .reduce(_ + _)
+          .cast("double") / nH
       )
       .filter(col("est_jac") >= 1.0 - maxDist)
       .select(col("ida"), col("idb"), Det.rN(col("est_jac"), 6).as("est_jac"))
