@@ -37,6 +37,30 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("HashAggregate"), p.take(2000))
   }
 
+  test("dedup_embed_cosine broadcasts the per-doc norm table") {
+    val p = plan("dedup_embed_cosine")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("dynamic partition pruning fires on a partition-keyed fact join") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("event_type"), col("value"))
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(base)
+    val fact = spark.read.parquet(base)
+    // dim filter is on a NON-join column, so the partition filter can
+    // only be derived at runtime from the dim scan — at 100 TB this is
+    // the difference between scanning one partition and all of them
+    val dim = ev
+      .select(col("event_type")).distinct()
+      .withColumn("type_len", length(col("event_type")))
+      .filter(col("type_len") === 8) // "purchase" only
+    val joined = fact.join(dim, Seq("event_type"))
+    assert(joined.count() > 0)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"), p.take(3000))
+  }
+
   test("whole-stage codegen is active on the flagship query") {
     // codegen'd operators render with a "*(id)" prefix — only visible
     // in the FINAL adaptive plan, so execute first
