@@ -160,6 +160,51 @@ object Extras {
     }
   )
 
+  /** SCD1 latest-wins MERGE (upsert): an updates set — here a derived
+    * 10% slice of orders with repriced totals, plus synthetic new keys
+    * above the current max — merged into the base so updated keys take
+    * the new row, new keys append, and untouched rows pass through.
+    * Shape: base ANTI-JOIN updates ∪ updates — exactly two shuffles
+    * (or one, when the updates side broadcasts: the common CDC case of
+    * a small change set against a 100 TB base — Spark picks
+    * BroadcastHashJoin for the anti join automatically then). This is
+    * the engine-level move behind MERGE INTO in table formats. */
+  val mergeUpsert: Q = Q(
+    "merge_upsert",
+    Some(
+      "WITH upd AS (SELECT o_orderkey, " + Det.oR2("o_totalprice * 1.1") + " AS price, " +
+        "'updated' AS src FROM orders WHERE o_orderkey % 10 = 0 " +
+        "UNION ALL SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders), " +
+        Det.oR2("o_totalprice") + ", 'inserted' FROM orders WHERE o_orderkey % 100 = 0), " +
+        "base AS (SELECT o_orderkey, " + Det.oR2("o_totalprice") + " AS price, " +
+        "'kept' AS src FROM orders) " +
+        "SELECT * FROM (SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd) " +
+        "UNION ALL SELECT * FROM upd) ORDER BY o_orderkey, src"
+    ),
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+      // global max as a broadcast 1-row scalar, not a window over an
+      // empty partition spec (which would funnel all rows to one task)
+      val mk = orders.agg(max(col("o_orderkey")).as("mk"))
+      val upd = orders
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), Det.r2(col("o_totalprice") * 1.1).as("price"), lit("updated").as("src"))
+        .unionByName(
+          orders
+            .crossJoin(broadcast(mk))
+            .filter(col("o_orderkey") % 100 === 0)
+            .select((col("o_orderkey") + col("mk")).as("o_orderkey"),
+              Det.r2(col("o_totalprice")).as("price"), lit("inserted").as("src"))
+        )
+      val base = orders
+        .select(col("o_orderkey"), Det.r2(col("o_totalprice")).as("price"), lit("kept").as("src"))
+      base
+        .join(upd.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+        .unionByName(upd)
+        .orderBy(col("o_orderkey"), col("src"))
+    }
+  )
+
   /** Explicit skew-salted aggregation: token counts over the exploded
     * corpus, where a 31-word vocabulary makes every token a heavy
     * hitter. Phase 1 groups on (token, salt) — spreading each hot key
@@ -207,5 +252,6 @@ object Extras {
         .orderBy(col("p_partkey"), col("metric"))
   )
 
-  def qs: Seq[Q] = Seq(aggPivot, aggUnpivot, aggPercentile, fnBitwise, snkPartitioned, snkBucketed, aggSalted)
+  def qs: Seq[Q] =
+    Seq(aggPivot, aggUnpivot, aggPercentile, fnBitwise, snkPartitioned, snkBucketed, aggSalted, mergeUpsert)
 }
