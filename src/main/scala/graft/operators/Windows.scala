@@ -89,6 +89,32 @@ object Windows {
     }
   )
 
+  /** Top-3 orders per customer AGAIN, but through the engine's custom
+    * Catalyst operator (graftx.TopKPerGroup: LogicalPlan + Strategy +
+    * two-phase SparkPlan) instead of a window. Same oracle as
+    * win_top3_per_group — the two formulations must agree bit-for-bit.
+    * The custom plan prunes map-side: each scan partition forwards at
+    * most 3 rows per customer into the shuffle, where the window
+    * formulation shuffles and sorts every order. Same answer, a
+    * shuffle that is |groups|·k instead of |orders|.
+    */
+  val winTop3TopK: Q = Q(
+    "win_top3_topk",
+    Some(
+      "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"
+    ),
+    (spark, dir) => {
+      val base = Tables
+        .orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      org.apache.spark.sql.graftx
+        .TopKPerGroup(base, Seq("o_custkey"), Seq("o_totalprice" -> true, "o_orderkey" -> false), 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    }
+  )
+
   /** lag/lead over each user's event stream + µs since previous event.
     * Microsecond diffs (not seconds) because engines disagree on
     * boundary-vs-elapsed second counting; µs-aligned timestamps make the
@@ -239,7 +265,7 @@ object Windows {
   )
 
   def qs: Seq[Q] = Seq(
-    winRanking, winTop3PerGroup, winLagLead, winRunningSum, winRangeFrame, winFirstLast,
+    winRanking, winTop3PerGroup, winTop3TopK, winLagLead, winRunningSum, winRangeFrame, winFirstLast,
     winCumeDist
   )
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.TopKPerGroup
+
+/** The custom TopKPerGroup Catalyst operator: agreement with the
+  * window-function formulation, physical-plan shape (map-side partial →
+  * exchange on the group key → final), and boundary semantics.
+  */
+class TopKSpec extends SparkSuite {
+
+  private def viaWindow(k: Int) = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= k)
+  }
+
+  private def viaTopK(k: Int) =
+    TopKPerGroup(
+      Tables.orders(spark, sf).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      Seq("o_custkey"), Seq("o_totalprice" -> true, "o_orderkey" -> false), k)
+
+  test("matches the window formulation exactly (k=3)") {
+    val a = viaTopK(3).collect().map(_.toSeq).toSet
+    val b = viaWindow(3).collect().map(_.toSeq).toSet
+    assert(a == b, s"topk=${a.size} window=${b.size} diff=${(a diff b).take(3)}")
+  }
+
+  test("k larger than every group returns all rows ranked") {
+    val n = Tables.orders(spark, sf).count()
+    assert(viaTopK(1000000).count() == n)
+  }
+
+  test("k=1 returns one row per group — the argmax pattern") {
+    val groups = Tables.orders(spark, sf).select(col("o_custkey")).distinct().count()
+    val top1 = viaTopK(1)
+    assert(top1.count() == groups)
+    assert(top1.filter(col("rn") =!= 1).count() == 0)
+  }
+
+  test("physical plan is partial -> exchange on group key -> final") {
+    val df = viaTopK(3)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroupPartial"), p.take(2000))
+    assert(p.contains("TopKPerGroupFinal"), p.take(2000))
+    assert(p.contains("hashpartitioning(o_custkey"), p.take(2000))
+    // the partial must sit BELOW the exchange (map-side pruning)
+    val lines = p.linesIterator.toSeq
+    val iFinal = lines.indexWhere(_.contains("TopKPerGroupFinal"))
+    val iEx = lines.indexWhere(_.contains("Exchange hashpartitioning"), iFinal)
+    val iPartial = lines.indexWhere(_.contains("TopKPerGroupPartial"), iEx)
+    assert(iFinal >= 0 && iEx > iFinal && iPartial > iEx, p.take(3000))
+  }
+
+  test("partial prunes the shuffle: exchange input is at most k rows per (group, partition)") {
+    // 15k orders, 1k customers, k=2: the window plan shuffles all 15k
+    // rows; the custom plan's exchange sees ≤ k·groups·inputPartitions.
+    val base = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val inParts = base.rdd.getNumPartitions
+    val groups = base.select(col("o_custkey")).distinct().count()
+    val total = base.count()
+    val cap = 2L * groups * inParts
+    assert(cap < total, s"fixture too small to demonstrate pruning: cap=$cap total=$total")
+    val df = TopKPerGroup(base, Seq("o_custkey"), Seq("o_totalprice" -> true, "o_orderkey" -> false), 2)
+    assert(df.count() <= cap)
+  }
+
+  test("register is idempotent") {
+    TopKPerGroup.register(spark)
+    TopKPerGroup.register(spark)
+    val n = spark.experimental.extraStrategies
+      .count(_ == org.apache.spark.sql.graftx.TopKPerGroupStrategy)
+    assert(n == 1, s"strategy registered $n times")
+  }
+}
