@@ -43,18 +43,22 @@ object Similarity {
     org.apache.spark.sql.graftx.FloatDot.dot(a, b)
 
   private def pairsTopK(spark: SparkSession, dir: String, nProbe: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, dir)
     val probe = e
       .filter(col("vec_id") < nProbe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val base = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("label"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    base
+    // top-k via the custom TopKPerGroup operator, not a window: the
+    // broadcast join's output (|base| x |probe| scored pairs) never
+    // shuffles — each scan partition forwards at most k rows per query
+    // map-side, where the window formulation would exchange and sort
+    // the full cross product on query_id before discarding it.
+    val scored = base
       .join(broadcast(probe), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", Det.rS(fdot(col("qe"), col("ne")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("label"))
+    org.apache.spark.sql.graftx
+      .TopKPerGroup(scored, Seq("query_id"), Seq("cos" -> true, "neighbor_id" -> false), k, rnName = "rank")
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"), col("label"))
   }
 

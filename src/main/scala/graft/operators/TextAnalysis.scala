@@ -65,7 +65,6 @@ object TextAnalysis {
         "SELECT doc_id, tok AS top_token, score FROM r WHERE rn = 1 ORDER BY doc_id"
     ),
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val dt = Tables
         .documents(spark, dir)
         .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
@@ -76,10 +75,12 @@ object TextAnalysis {
         .join(broadcast(df), Seq("tok"))
         .crossJoin(broadcast(n))
         .withColumn("score", Det.rN(col("tf") * log(col("n") / col("df")), 6))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
-      scored
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("tok"), col("score"))
+      // argmax via the custom TopKPerGroup operator (k=1): the scored
+      // rows are pruned to one per doc per partition map-side instead
+      // of shuffling every (doc, token) score into a window sort
+      org.apache.spark.sql.graftx
+        .TopKPerGroup(scored, Seq("doc_id"), Seq("score" -> true, "tok" -> false), 1)
         .select(col("doc_id"), col("tok").as("top_token"), col("score"))
         .orderBy(col("doc_id"))
     }
