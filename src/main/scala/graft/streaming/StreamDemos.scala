@@ -26,17 +26,28 @@ object StreamDemos {
   /** The events schema as the STREAM source sees it: ts is read as
     * raw nanos (LongType, via nanosAsLong) and converted per batch —
     * same recipe as the batch loader (SURVEY §1.3). */
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  private def eventsStream(spark: SparkSession, dir: String, copies: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables.events(spark, dir).schema // ts already converted here
     // The file source needs a DIRECTORY; the testdata table is a single
     // read-only file, so stage it into a temp dir (per-SF, idempotent).
+    // copies > 1 stages the SAME file N times — each copy is its own
+    // micro-batch (maxFilesPerTrigger=1), simulating an at-least-once
+    // upstream that replays its payload.
     val staged = java.nio.file.Paths
-      .get(System.getProperty("java.io.tmpdir"), "graft_stream_src", dir.replaceAll("[^a-zA-Z0-9]", "_"))
+      .get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_stream_src",
+        dir.replaceAll("[^a-zA-Z0-9]", "_") + (if (copies > 1) s"_x$copies" else "")
+      )
     java.nio.file.Files.createDirectories(staged)
-    val target = staged.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(target))
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), target)
+    (1 to copies).foreach { i =>
+      // single-copy path keeps the historical file name so re-runs
+      // against an already-staged dir stay idempotent
+      val target = staged.resolve(if (copies == 1) "events.parquet" else s"events_$i.parquet")
+      if (!java.nio.file.Files.exists(target))
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), target)
+    }
     val raw = spark.readStream
       .schema(
         org.apache.spark.sql.types.StructType(
@@ -101,6 +112,22 @@ object StreamDemos {
       )
       .select(col("user_id"), col("view_id"), col("purchase_id"), col("view_ts"), col("purchase_ts"))
   }
+
+  /** Streaming ingestion dedup — the streaming twin of `dedup_exact`:
+    * an at-least-once upstream (replayed files, retried producers)
+    * becomes an exactly-once event stream via
+    * `dropDuplicatesWithinWatermark` on the event key. State holds one
+    * entry per key seen within the watermark horizon and is evicted as
+    * the event clock advances, so state size is bounded by
+    * (event rate x watermark), partitioned by key hash across
+    * executors — the 100 TB shape for ingest dedup. Duplicates landing
+    * later than the watermark are dropped as late data (also correct:
+    * emit-once already happened). */
+  def dedupedIngest(spark: SparkSession, dir: String, copies: Int = 2): DataFrame =
+    eventsStream(spark, dir, copies)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
 
   /** Drive a streaming DF to completion against a finite file source:
     * write every micro-batch to an in-memory table, process all

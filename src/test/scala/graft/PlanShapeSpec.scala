@@ -76,6 +76,37 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    import org.apache.spark.sql.functions._
+    // Row-level runtime pruning, the complement of DPP: when the dim
+    // side is filtered hard, Catalyst builds a bloom filter over its
+    // join keys at runtime and pushes might_contain onto the fact scan
+    // — at 100 TB the fact side then skips most of its rows before the
+    // shuffle. Thresholds are sized for clusters (10 GB application
+    // side), so pin them down to make the rewrite observable at test SF.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled" -> "false",
+      // broadcast joins skip runtime filters (the broadcast IS the filter)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    )
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+      val ord = Tables.orders(spark, sf)
+        .filter(col("o_totalprice") > 400000) // selective dim-side filter
+        .select(col("o_orderkey"))
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"), optimized.take(3000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen is active on the flagship query") {
     // codegen'd operators render with a "*(id)" prefix — only visible
     // in the FINAL adaptive plan, so execute first

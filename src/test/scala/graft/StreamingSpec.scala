@@ -124,6 +124,21 @@ class StreamingSpec extends SparkSuite {
     assert(lateHours.count() == 0, "late rows leaked past the watermark")
   }
 
+  test("streamed ingest dedup: at-least-once replay emits each event exactly once") {
+    // source stages the events file TWICE -> two micro-batches with
+    // identical payloads; the dedup state (batch 2's recent events) and
+    // the watermark late-drop (batch 2's old events) together must
+    // suppress the entire replay
+    val result = streaming.StreamDemos.runToCompletion(
+      spark,
+      streaming.StreamDemos.dedupedIngest(spark, sf, copies = 2),
+      "t_dedup"
+    )
+    val n = Tables.events(spark, sf).count()
+    assert(result.count() == n, s"expected $n exactly-once events, got ${result.count()}")
+    assert(result.select(col("event_id")).distinct().count() == n, "duplicate event_ids in output")
+  }
+
   test("streamed session windows cover all non-trailing events") {
     val result = streaming.StreamDemos.runToCompletion(
       spark,
