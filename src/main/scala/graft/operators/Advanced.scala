@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** IVF-style similarity search and event-funnel analysis.
@@ -45,7 +46,6 @@ object Advanced {
     "sim_ann_ivf",
     None,
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(spark, dir)
       // centroid per label as an array column (collected onto ~10 rows,
       // then broadcast — the coarse quantizer is tiny by construction)
@@ -58,8 +58,11 @@ object Advanced {
         .groupBy(col("label"))
         .agg(array_sort(collect_list(struct(col("p"), col("c")))).as("pc"))
         .select(col("label").as("list_id"), transform(col("pc"), x => x.getField("c")).as("centroid"))
-      // distance of every vector to every list centroid (10 lists)
-      val dots = e
+      // distance of a vector set to every list centroid (10 lists);
+      // built per caller so the probe side filters BEFORE the cross
+      // join — the previous formulation traversed one full-table dots
+      // lineage twice (once per window)
+      def withDist(src: DataFrame): DataFrame = src
         .crossJoin(broadcast(cent))
         .withColumn(
           "d",
@@ -69,26 +72,27 @@ object Advanced {
             (acc, x) => acc + x
           )
         )
-      val rankW = Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("list_id"))
-      val assigned = dots
-        .withColumn("r", row_number().over(rankW))
-        .filter(col("r") === 1)
+        .select(col("vec_id"), col("embedding"), col("label"), col("list_id"), col("d"))
+      import org.apache.spark.sql.graftx.TopKPerGroup
+      // argmin assignment / nprobe selection via the custom top-k
+      // operator: all 10 centroid rows of a vector sit in one scan
+      // partition, so the partial collapses them map-side — the
+      // exchange moves 1 (resp. 2) rows per vector, not 10
+      val assigned = TopKPerGroup(withDist(e), Seq("vec_id"), Seq("d" -> true, "list_id" -> false), 1)
         .select(col("vec_id"), col("embedding"), col("label"), col("list_id"))
-      val probes = dots
-        .filter(col("vec_id") < 100)
-        .withColumn("r", row_number().over(rankW))
-        .filter(col("r") <= 2) // nprobe = 2
+      val probes = TopKPerGroup(
+        withDist(e.filter(col("vec_id") < 100)),
+        Seq("vec_id"), Seq("d" -> true, "list_id" -> false), 2) // nprobe = 2
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("list_id"))
-      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-      probes
+      val cands = probes
         .join(
           assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("list_id")),
           Seq("list_id")
         )
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("cos", Det.rS(org.apache.spark.sql.graftx.FloatDot.dot(col("qe"), col("ne")), 6))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("list_id"))
+      TopKPerGroup(cands, Seq("query_id"), Seq("cos" -> true, "neighbor_id" -> false), 3, rnName = "rank")
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"), col("list_id"))
         .orderBy(col("query_id"), col("rank"))
     }

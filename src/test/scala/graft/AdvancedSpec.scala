@@ -9,8 +9,8 @@ class AdvancedSpec extends SparkSuite {
     val ivf = operators.Advanced.simAnnIvf.run(spark, sf).collect()
     assert(ivf.nonEmpty)
     for ((_, rows) <- ivf.groupBy(_.getLong(0))) {
-      val ranks = rows.map(_.getInt(1)).sorted
-      assert(ranks.zipWithIndex.forall { case (r, i) => r == i + 1 })
+      val ranks = rows.map(_.getLong(1)).sorted
+      assert(ranks.zipWithIndex.forall { case (r, i) => r == i + 1L })
     }
     val brute = operators.Similarity.simCosineTopk.run(spark, sf)
       .filter(col("rank") <= 3)

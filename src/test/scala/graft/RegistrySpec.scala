@@ -25,6 +25,23 @@ class RegistrySpec extends SparkSuite {
     }
   }
 
+  test("no oracle-checked output carries a top-level complex type (SURVEY 2.9.3)") {
+    // the driver's comparator sorts every column in pandas; list/map/
+    // struct columns make that sort throw (unhashable ndarray) and the
+    // query silently fails the round — serialize with array_join &co
+    // instead. Schema-only check: planning, no execution.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    for (q <- Registry.all if q.oracle.nonEmpty) {
+      val bad = q.run(spark, sf).schema.fields.filter(f =>
+        f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType])
+      assert(
+        bad.isEmpty,
+        s"${q.name}: column(s) ${bad.map(_.name).mkString(", ")} would break the driver comparator"
+      )
+    }
+  }
+
   test("repeated runs are identical (determinism, sampled)") {
     val sample = Seq("agg_group_pricing", "sim_cosine_topk", "dedup_near_jaccard",
       "ts_session_30m", "text_fingerprint", "win_ranking")
