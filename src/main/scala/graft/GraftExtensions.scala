@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.graftx.TopKPerGroupStrategy
+import org.apache.spark.sql.graftx.{TopKPerGroupStrategy, WindowTopKRewrite}
 
 /** Session-extension entry point for cluster deployments:
   *
@@ -18,5 +18,6 @@ import org.apache.spark.sql.graftx.TopKPerGroupStrategy
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+    ext.injectOptimizerRule(_ => WindowTopKRewrite)
   }
 }

@@ -6,7 +6,7 @@ package org.apache.spark.sql.graftx
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, AttributeReference, AttributeSet, Descending, Expression,
+  And, Ascending, Attribute, AttributeReference, AttributeSet, Descending, Expression,
   GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow
 }
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
@@ -145,17 +145,127 @@ object TopKPerGroupStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rule: rewrite the grouped-top-k idiom
+  *
+  *   Filter(rn <= k, Window(row_number() as rn OVER (PARTITION BY p ORDER BY o), child))
+  *
+  * into TopKPerGroupNode — users keep writing the standard window
+  * formulation and the planner swaps in the bounded-heap operator
+  * (map-side pruning instead of a full shuffle-and-sort). Guarded
+  * narrowly: exactly one window expression, it is row_number() (rank/
+  * dense_rank admit >k rows per group; other functions aren't limits),
+  * both partition and order specs non-empty, and the filter bounds rn
+  * by a positive integer literal. Spark's own InferWindowGroupLimit
+  * fires on the same shape first and leaves a WindowGroupLimit below
+  * the Window — it is subsumed and stripped. Conjuncts other than the
+  * rn bound survive as a residual Filter; the rewritten plan reproduces
+  * rn (cast back to the window function's int type) under the original
+  * exprId, so downstream references are untouched.
+  */
+object WindowTopKRewrite
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{
+    Alias, Cast, EqualTo, IntegerLiteral, LessThan, LessThanOrEqual, Literal, RowNumber,
+    WindowExpression
+  }
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window, WindowGroupLimit}
+  import org.apache.spark.sql.catalyst.expressions.SpecifiedWindowFrame
+  import org.apache.spark.sql.catalyst.expressions.{CurrentRow, RowFrame, UnboundedPreceding}
+  import org.apache.spark.sql.types.IntegerType
+
+  /** The rn attribute, possibly wrapped in the widening cast that
+    * predicate pushdown substitutes when the user wrote
+    * `row_number().cast("long")` — injective and monotonic, so bounds
+    * transfer unchanged. */
+  private def isRn(e: Expression, rn: Attribute): Boolean = e match {
+    case a: Attribute            => a.semanticEquals(rn)
+    case Cast(c, LongType, _, _) => isRn(c, rn)
+    case _                       => false
+  }
+
+  private object IntBound {
+    def unapply(e: Expression): Option[Int] = e match {
+      case IntegerLiteral(k)                                               => Some(k)
+      case Literal(k: Long, LongType) if k >= Int.MinValue && k <= Int.MaxValue => Some(k.toInt)
+      case _                                                               => None
+    }
+  }
+
+  /** (bound, droppable): `rn <= k` and `rn < k+1` are fully enforced by
+    * top-k and can be dropped; `rn = n` bounds state at n but must stay
+    * as a residual equality filter. */
+  private def bound(e: Expression, rn: Attribute): Option[(Int, Boolean)] = e match {
+    case LessThanOrEqual(a, IntBound(k)) if isRn(a, rn) => Some((k, true))
+    case LessThan(a, IntBound(k)) if isRn(a, rn)        => Some((k - 1, true))
+    case EqualTo(a, IntBound(k)) if isRn(a, rn)         => Some((k, false))
+    case EqualTo(IntBound(k), a) if isRn(a, rn)         => Some((k, false))
+    case _                                              => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(
+          cond,
+          Window(
+            Seq(alias @ Alias(WindowExpression(RowNumber(), spec), _)),
+            part,
+            order,
+            wChild,
+            _
+          )) if part.nonEmpty && order.nonEmpty &&
+      (spec.frameSpecification match {
+        case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) => true
+        case _                                                              => false
+      }) =>
+      val rnAttr = alias.toAttribute
+      val conjuncts = splitConjunctivePredicates(cond)
+      val bounds = conjuncts.map(c => c -> bound(c, rnAttr))
+      val ks = bounds.collect { case (_, Some((k, _))) => k }
+      // any conjunct that still references rn but is not a recognized
+      // bound (rn > 2, rn % 2 = 0, ...) keeps full window semantics —
+      // don't rewrite
+      val unrecognizedRn = bounds.exists { case (c, b) => b.isEmpty && c.references.contains(rnAttr) }
+      if (ks.isEmpty || ks.min < 1 || unrecognizedRn) f
+      else {
+        val k = ks.min
+        val residual = bounds.collect {
+          case (c, None)             => c
+          case (c, Some((_, false))) => c
+        }
+        // InferWindowGroupLimit already fired on this shape: its
+        // partial limit is subsumed by the top-k operator
+        val child = wChild match {
+          case WindowGroupLimit(_, _, _, _, inner) => inner
+          case other                               => other
+        }
+        val rnLong = AttributeReference(alias.name, LongType, nullable = false)()
+        val topk = TopKPerGroupNode(part, order, k, rnLong, child)
+        val restored = Project(
+          child.output :+ Alias(Cast(rnLong, IntegerType), alias.name)(exprId = rnAttr.exprId),
+          topk
+        )
+        if (residual.isEmpty) restored else Filter(residual.reduce(And), restored)
+      }
+  }
+}
+
 /** Public entry points. */
 object TopKPerGroup {
 
-  /** Idempotently add the planner strategy to an existing session —
-    * the runtime-registration path for sessions the caller didn't
-    * build (the driver's Verify/Bench sessions). Cluster deployments
-    * can instead set `spark.sql.extensions=graft.GraftExtensions`. */
+  /** Idempotently add the planner strategy AND the window-top-k
+    * rewrite to an existing session — the runtime-registration path
+    * for sessions the caller didn't build (the driver's Verify/Bench
+    * sessions). Cluster deployments can instead set
+    * `spark.sql.extensions=graft.GraftExtensions`. The two must
+    * register together: the rule plants TopKPerGroupNode, the strategy
+    * is what can plan it. */
   def register(spark: SparkSession): Unit = synchronized {
     val em = spark.experimental
     if (!em.extraStrategies.contains(TopKPerGroupStrategy)) {
       em.extraStrategies = em.extraStrategies :+ TopKPerGroupStrategy
+    }
+    if (!em.extraOptimizations.contains(WindowTopKRewrite)) {
+      em.extraOptimizations = em.extraOptimizations :+ WindowTopKRewrite
     }
   }
 

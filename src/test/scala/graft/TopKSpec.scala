@@ -70,6 +70,57 @@ class TopKSpec extends SparkSuite {
     assert(df.count() <= cap)
   }
 
+  test("optimizer rule rewrites the window+filter idiom into TopKPerGroup") {
+    TopKPerGroup.register(spark)
+    val df = viaWindow(3) // plain row_number window + rn <= 3 filter
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"), p.take(3000))
+    assert(!p.contains("Window "), s"window exec survived the rewrite: ${p.take(3000)}")
+  }
+
+  test("rewritten idiom returns the same rows as the un-rewritten window") {
+    TopKPerGroup.register(spark)
+    val rewritten = viaWindow(3).collect().map(_.toSeq).toSet
+    // suppress the rewrite by filtering on a non-literal bound Spark
+    // can't recognize — semantically still rn <= 3
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val control = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= lit(2) + lit(1))
+      .collect().map(_.toSeq).toSet
+    assert(rewritten == control)
+  }
+
+  test("rewrite keeps residual conjuncts and equality bounds") {
+    TopKPerGroup.register(spark)
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val df = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 2 && col("o_totalprice") > 1000)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroupFinal"), p.take(3000))
+    // every surviving row is exactly the 2nd-ranked order of its customer
+    assert(df.filter(col("rn") =!= 2).count() == 0)
+    val expected = viaWindow(2).filter(col("rn") === 2 && col("o_totalprice") > 1000)
+      .withColumn("rn", col("rn").cast("int")).collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet == expected)
+  }
+
+  test("rank()-based filters are NOT rewritten (ties admit more than k rows)") {
+    TopKPerGroup.register(spark)
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+    val df = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), rank().over(w).as("rnk"))
+      .filter(col("rnk") <= 3)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("TopKPerGroup"), p.take(3000))
+  }
+
   test("register is idempotent") {
     TopKPerGroup.register(spark)
     TopKPerGroup.register(spark)
