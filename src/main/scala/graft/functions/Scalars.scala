@@ -328,8 +328,40 @@ object Scalars {
     }
   )
 
+  /** Regexp scalar family over part strings: group extraction, global
+    * replace, match predicate, and occurrence counting. Patterns are
+    * chosen to always match (cross-engine no-match conventions differ);
+    * the boolean lands as int and the count as long so both engines
+    * agree on output types. DuckDB needs the 'g' flag where Spark's
+    * regexp_replace is global by default, and counts occurrences via
+    * len(regexp_extract_all). */
+  val fnRegexp: Q = Q(
+    "fn_regexp",
+    Some(
+      "SELECT p_partkey, " +
+        "CAST(regexp_extract(p_brand, '([0-9]+)$', 1) AS BIGINT) AS brand_num, " +
+        "regexp_extract(p_name, '^([a-z]+)', 1) AS first_word, " +
+        "regexp_replace(p_name, '[aeiou]', '', 'g') AS consonants, " +
+        "CAST(regexp_matches(p_type, '^(ECONOMY|PROMO)') AS INT) AS is_cheap, " +
+        "CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels " +
+        "FROM part ORDER BY p_partkey"
+    ),
+    (spark, dir) =>
+      Tables
+        .part(spark, dir)
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_brand"), "([0-9]+)$", 1).cast("long").as("brand_num"),
+          regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("consonants"),
+          col("p_type").rlike("^(ECONOMY|PROMO)").cast("int").as("is_cheap"),
+          regexp_count(col("p_name"), lit("[aeiou]")).cast("long").as("n_vowels")
+        )
+        .orderBy(col("p_partkey"))
+  )
+
   def qs: Seq[Q] = Seq(
     fnString, fnMath, fnDate, fnCondCast, fnArrayTokens, fnArrayVec,
-    fnJson, fnHash, genExplodeTokens, fnMap
+    fnJson, fnHash, genExplodeTokens, fnMap, fnRegexp
   )
 }

@@ -345,8 +345,61 @@ object TextAnalysis {
     }
   )
 
+  /** Bigram language-model fluency score per document: train a corpus
+    * bigram MLE (P(w2|w1) = c(w1 w2) / c(w1 ·)) and score each doc by
+    * the mean log-probability of its bigrams — the classic cheap
+    * fluency/quality signal for training-data filtering (documents of
+    * improbable word transitions score low).
+    *
+    * 100 TB design: both count tables are vocabulary-sized (bigram
+    * types, not tokens), so they broadcast; scoring is a map-side
+    * double join + one keyed aggregate. Determinism: counts are exact
+    * ints, ln of an identical double ratio is IEEE-identical (same
+    * reliance as tf-idf), the per-doc mean uses the order-independent
+    * decimal sum, and the result is trunc-rounded to 6 dp. */
+  val textBigramLm: Q = Q(
+    "text_bigram_lm",
+    Some(
+      "WITH e AS (SELECT doc_id, unnest(list_filter(list_transform(" +
+        "list_zip(string_split(text, ' '), string_split(text, ' ')[2:]), " +
+        "x -> x[1] || ' ' || x[2]), v -> v IS NOT NULL)) AS bg FROM documents), " +
+        "c2 AS (SELECT bg, count(*)::BIGINT AS c2 FROM e GROUP BY bg), " +
+        "c1 AS (SELECT string_split(bg, ' ')[1] AS w1, count(*)::BIGINT AS c1 FROM e GROUP BY 1), " +
+        "lp AS (SELECT e.doc_id, ln(c2.c2::DOUBLE / c1.c1) AS lp FROM e " +
+        "JOIN c2 USING (bg) JOIN c1 ON string_split(e.bg, ' ')[1] = c1.w1) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        Det.oRS("(" + Det.oSum("lp") + ") / count(*)", 6) + " AS fluency " +
+        "FROM lp GROUP BY doc_id ORDER BY doc_id"
+    ),
+    (spark, dir) => {
+      val t = split(col("text"), " ")
+      val bgCol = filter(
+        zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))), (x, y) => concat(x, lit(" "), y)),
+        v => v.isNotNull
+      )
+      val e = Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), explode(bgCol).as("bg"))
+      val c2 = e.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      val c1 = e
+        .select(split(col("bg"), " ").getItem(0).as("w1"))
+        .groupBy(col("w1"))
+        .agg(count(lit(1)).as("c1"))
+      e.join(broadcast(c2), Seq("bg"))
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .join(broadcast(c1), Seq("w1"))
+        .withColumn("lp", log(col("c2").cast("double") / col("c1")))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          Det.rS(Det.dsum(col("lp")) / count(lit(1)), 6).as("fluency")
+        )
+        .orderBy(col("doc_id"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     textStats, textTfidfTop, textLangid, textQuality, textTokens, textFingerprint,
-    textPiiRedact, reportScores
+    textPiiRedact, reportScores, textBigramLm
   )
 }
