@@ -40,6 +40,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The full line above (~2.8 KB for 97 queries) overflows the
+    // harness's 2 KB stdout-tail buffer, so it has never parsed
+    // (BENCH_r1..r3 all show parsed:null with the line's head cut off).
+    // Emit a final COMPACT line that fits the buffer whole: total +
+    // the BASELINE.md headline shapes + the 10 slowest queries, 3 dp.
+    // The full per-query map stays on the previous line for local use.
+    val headline = Seq("agg_group_pricing", "join_broadcast_dims", "win_top3_per_group",
+      "ts_tumbling_1h", "sim_cosine_topk", "dedup_near_jaccard")
+    val slowest = results.toSeq.sortBy(-_._2).take(10).map(_._1)
+    val compact = (headline ++ slowest).distinct
+      .flatMap(n => results.get(n).map(v => f""""$n":$v%.3f"""))
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$compact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
