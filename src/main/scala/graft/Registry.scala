@@ -39,6 +39,7 @@ object Registry {
       operators.Sampling.qs ++
       operators.SqlSurface.qs ++
       operators.Advanced.qs ++
+      operators.Typed.qs ++
       functions.Udx.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
