@@ -107,6 +107,60 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("no unplanned cartesian product anywhere in the registry") {
+    // CartesianProduct is the one physical operator that cannot survive
+    // a 100x scale-up. Whitelist: the contract's deliberate small-table
+    // cartesian. Broadcast nested-loop joins are fine (the broadcast
+    // side is bounded); planning-only, no execution.
+    val allowed = Set("join_cross_small")
+    for (q <- Registry.all if !allowed(q.name)) {
+      val p = q.run(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"${q.name} plans a CartesianProduct")
+    }
+  }
+
+  test("AQE splits a skewed partition in a sort-merge join") {
+    import org.apache.spark.sql.functions._
+    // Funnel ~40% of lineitem onto one join key, forbid broadcast, and
+    // shrink the skew thresholds to test scale: AQE must mark the hot
+    // partition and split it (skew=true in the final plan). At 100 TB
+    // this is what keeps one reducer from running for hours.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    )
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // sf0.01 for enough bytes, and repartition(8) so the hot reduce
+      // partition is built from 8 map outputs — AQE can only split a
+      // skewed partition at map-output granularity
+      val big = "/root/testdata/sf0.01"
+      // one-sided skew: 40% of the left lands on key 0, the right keeps
+      // its natural keys — the hot left partition must split while the
+      // join output stays small enough to collect
+      val skewed = Tables.lineitem(spark, big).repartition(8)
+        .select(when(col("l_orderkey") % 5 < 2, 0L).otherwise(col("l_orderkey")).as("k"),
+          col("l_extendedprice"))
+      val other = Tables.lineitem(spark, big).repartition(8)
+        .select(col("l_orderkey").as("k"), col("l_quantity"))
+      val joined = skewed.join(other, Seq("k"))
+      // collect() (not count()) so THIS Dataset's adaptive plan
+      // executes and finalizes — count() wraps a separate execution
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p.take(500))
+      assert(p.contains("skew=true"), p.take(3000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen is active on the flagship query") {
     // codegen'd operators render with a "*(id)" prefix — only visible
     // in the FINAL adaptive plan, so execute first
