@@ -362,29 +362,39 @@ object Dedup {
     * O(diameter) in general — the scalable alternative to collecting
     * edges for union-find). Oracle: recursive-CTE transitive closure.
     * is_survivor marks the cluster representative. */
+  /** Oracle SQL for the cluster labeling (no outer ORDER BY) — shared
+    * by dedup_clusters and the dedup_report capstone below. */
+  private val clustersOracleBody: String = {
+    val pairs =
+      "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t " +
+        "FROM documents WHERE doc_id < 2000), " +
+        "p AS (SELECT a.doc_id ida, b.doc_id idb, " +
+        "len(list_intersect(a.t, b.t))::DOUBLE / len(list_distinct(a.t || b.t)) AS jac " +
+        "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+        "AND 5 * least(len(a.t), len(b.t)) >= 4 * greatest(len(a.t), len(b.t))), " +
+        "e AS (SELECT ida, idb FROM p WHERE jac >= 0.8), "
+    "WITH RECURSIVE " + pairs.stripPrefix("WITH ") +
+      "sym AS (SELECT ida AS a, idb AS b FROM e UNION SELECT idb, ida FROM e), " +
+      "reach(x, y) AS (SELECT a, b FROM sym UNION " +
+      "SELECT r.x, s.b FROM reach r JOIN sym s ON r.y = s.a WHERE s.b != r.x), " +
+      "lbl AS (SELECT x AS doc_id, least(x, min(y)) AS cluster FROM reach GROUP BY x) " +
+      "SELECT doc.doc_id, coalesce(lbl.cluster, doc.doc_id) AS cluster, " +
+      "coalesce(lbl.cluster, doc.doc_id) = doc.doc_id AS is_survivor " +
+      "FROM documents doc LEFT JOIN lbl ON doc.doc_id = lbl.doc_id " +
+      "WHERE doc.doc_id < 2000"
+  }
+
   val dedupClusters: Q = Q(
-    "dedup_clusters", {
-      val pairs =
-        "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t " +
-          "FROM documents WHERE doc_id < 2000), " +
-          "p AS (SELECT a.doc_id ida, b.doc_id idb, " +
-          "len(list_intersect(a.t, b.t))::DOUBLE / len(list_distinct(a.t || b.t)) AS jac " +
-          "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
-          "AND 5 * least(len(a.t), len(b.t)) >= 4 * greatest(len(a.t), len(b.t))), " +
-          "e AS (SELECT ida, idb FROM p WHERE jac >= 0.8), "
-      Some(
-        "WITH RECURSIVE " + pairs.stripPrefix("WITH ") +
-          "sym AS (SELECT ida AS a, idb AS b FROM e UNION SELECT idb, ida FROM e), " +
-          "reach(x, y) AS (SELECT a, b FROM sym UNION " +
-          "SELECT r.x, s.b FROM reach r JOIN sym s ON r.y = s.a WHERE s.b != r.x), " +
-          "lbl AS (SELECT x AS doc_id, least(x, min(y)) AS cluster FROM reach GROUP BY x) " +
-          "SELECT doc.doc_id, coalesce(lbl.cluster, doc.doc_id) AS cluster, " +
-          "coalesce(lbl.cluster, doc.doc_id) = doc.doc_id AS is_survivor " +
-          "FROM documents doc LEFT JOIN lbl ON doc.doc_id = lbl.doc_id " +
-          "WHERE doc.doc_id < 2000 ORDER BY doc.doc_id"
-      )
-    },
-    (spark, dir) => {
+    "dedup_clusters",
+    Some(clustersOracleBody + " ORDER BY doc.doc_id"),
+    (spark, dir) => clustersFrame(spark, dir).orderBy(col("doc_id"))
+  )
+
+  /** Unsorted (doc_id, cluster, is_survivor) labeling — shared by
+    * dedup_clusters (adds the contract sort) and dedup_report (joins
+    * back to documents for the per-language curation summary). */
+  private[graft] def clustersFrame(spark: SparkSession, dir: String): DataFrame = {
+    {
       // probe scope bounded like dedup_minhash_lsh: the corpus is a
       // near-clique, so the edge set grows ~quadratically with docs.
       // The unsorted pair stream is used — clustering needs no order.
@@ -454,12 +464,54 @@ object Dedup {
           col("cluster"),
           (col("cluster") === col("doc_id")).as("is_survivor")
         )
-        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** The curation capstone: what the dedup stage did to the corpus,
+    * per language — docs in, survivors kept, near-dup copies dropped,
+    * characters saved. This is the summary a 100 TB training-data
+    * pipeline reports after its dedup pass; it composes the full
+    * cluster labeling with one broadcast-side join back to documents
+    * and a 5-group aggregate. Determinism: all counts are exact ints;
+    * kept_ratio is one IEEE division of identical longs, trunc-rounded. */
+  val dedupReport: Q = Q(
+    "dedup_report",
+    Some(
+      "SELECT d.lang, count(*) AS n_docs, " +
+        "sum(CASE WHEN c.is_survivor THEN 1 ELSE 0 END) AS n_kept, " +
+        "sum(CASE WHEN c.is_survivor THEN 0 ELSE 1 END) AS n_dropped, " +
+        "sum(CASE WHEN c.is_survivor THEN 0 ELSE d.n_chars END) AS chars_saved, " +
+        Det.oRN("sum(CASE WHEN c.is_survivor THEN 1 ELSE 0 END)::DOUBLE / count(*)", 6) +
+        " AS kept_ratio " +
+        "FROM (" + clustersOracleBody + ") c " +
+        "JOIN documents d ON c.doc_id = d.doc_id " +
+        "GROUP BY d.lang ORDER BY d.lang"
+    ),
+    (spark, dir) => {
+      val cl = clustersFrame(spark, dir)
+      val docs = Tables
+        .documents(spark, dir)
+        .filter(col("doc_id") < 2000)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs
+        .join(cl, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("is_survivor"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("is_survivor"), 0L).otherwise(1L)).as("n_dropped"),
+          sum(when(col("is_survivor"), 0L).otherwise(col("n_chars"))).as("chars_saved"),
+          Det.rN(
+            sum(when(col("is_survivor"), 1L).otherwise(0L)).cast("double") / count(lit(1)),
+            6
+          ).as("kept_ratio")
+        )
+        .orderBy(col("lang"))
     }
   )
 
   def qs: Seq[Q] = Seq(
     dedupExact, dedupNearJaccard, dedupEmbedCosine, dedupNgramJaccard, dedupSimhash,
-    dedupMinhashLsh, dedupClusters
+    dedupMinhashLsh, dedupClusters, dedupReport
   )
 }
