@@ -129,6 +129,45 @@ object StreamDemos {
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
 
+  /** Incremental top-k maintenance over a stream — grouped top-k is a
+    * MERGEABLE summary (top-k(A ∪ B) = top-k(top-k(A) ∪ top-k(B))), so
+    * each micro-batch folds into a bounded sketch: per trigger, merge
+    * the batch with the current sketch through the custom TopKPerGroup
+    * operator and keep the k best per key. The sketch is k rows per
+    * key (k·|event_types| total — bounded, independent of stream
+    * length), which is what makes holding it driver-side legitimate;
+    * at cluster scale the same merge runs as a foreachBatch write into
+    * a keyed store. This is the streaming analog of map-side partial
+    * aggregation: the unbounded stream never accumulates, only the
+    * summary does. */
+  def incrementalTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("event_id", LongType, nullable = false),
+      StructField("value", DoubleType)
+    ))
+    var sketch: Array[Row] = Array.empty
+    val q = eventsStream(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val prev = spark.createDataFrame(
+          java.util.Arrays.asList(sketch: _*), schema)
+        val merged = org.apache.spark.sql.graftx.TopKPerGroup(
+          batch.select(col("event_type"), col("event_id"), col("value")).unionByName(prev),
+          Seq("event_type"), Seq("value" -> true, "event_id" -> false), k)
+          .select(col("event_type"), col("event_id"), col("value"))
+        sketch = merged.collect() // bounded: k rows per event_type
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.createDataFrame(java.util.Arrays.asList(sketch: _*), schema)
+  }
+
   /** Drive a streaming DF to completion against a finite file source:
     * write every micro-batch to an in-memory table, process all
     * available input, stop. Returns the memory sink's final contents. */

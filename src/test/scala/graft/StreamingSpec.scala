@@ -139,6 +139,16 @@ class StreamingSpec extends SparkSuite {
     assert(result.select(col("event_id")).distinct().count() == n, "duplicate event_ids in output")
   }
 
+  test("incremental streamed top-k equals batch top-k (mergeable-summary invariant)") {
+    val streamed = streaming.StreamDemos.incrementalTopK(spark, sf, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = org.apache.spark.sql.graftx.TopKPerGroup(
+      Tables.events(spark, sf).select(col("event_type"), col("event_id"), col("value")),
+      Seq("event_type"), Seq("value" -> true, "event_id" -> false), 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+
   test("streamed session windows cover all non-trailing events") {
     val result = streaming.StreamDemos.runToCompletion(
       spark,

@@ -121,6 +121,14 @@ class TopKSpec extends SparkSuite {
     assert(!p.contains("TopKPerGroup"), p.take(3000))
   }
 
+  test("GraftExtensions injects the strategy and the rewrite rule") {
+    import org.apache.spark.sql.graftx.ExtensionsProbe
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    assert(ExtensionsProbe.strategies(ext, spark).contains(org.apache.spark.sql.graftx.TopKPerGroupStrategy))
+    assert(ExtensionsProbe.rules(ext, spark).contains(org.apache.spark.sql.graftx.WindowTopKRewrite))
+  }
+
   test("register is idempotent") {
     TopKPerGroup.register(spark)
     TopKPerGroup.register(spark)
