@@ -75,5 +75,33 @@ object Scans {
     }
   )
 
-  def qs: Seq[Q] = Seq(scanPart, scanPushdown, scanEventsNs, snkCsvJson)
+  /** Read through the engine's DataSource V2 connector
+    * (graft.sources.SyntheticSource): range filters are absorbed by
+    * the SOURCE (the readers generate only [25000, 90000)), columns
+    * are pruned at the source, and the 8 input partitions generate
+    * independently. Oracle twin: the same pure-function-of-id table
+    * via DuckDB range(). SourcesSpec asserts the pushdown reached the
+    * scan; this query proves the source end-to-end. */
+  val srcDsv2: Q = Q(
+    "src_dsv2_synthetic",
+    Some(
+      "SELECT CASE i % 5 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta' WHEN 2 THEN 'gamma' " +
+        "WHEN 3 THEN 'delta' ELSE 'epsilon' END AS word, count(*) AS n, " +
+        graft.Det.oRN(graft.Det.oSum("((i * 2654435761) % 1000003) / 1000003.0"), 6) + " AS sum_v " +
+        "FROM range(0, 100000) t(i) WHERE i >= 25000 AND i < 90000 " +
+        "GROUP BY 1 ORDER BY word"
+    ),
+    (spark, dir) =>
+      spark.read
+        .format("graft.sources.SyntheticSource")
+        .option("rows", 100000)
+        .option("partitions", 8)
+        .load()
+        .filter(col("id") >= 25000 && col("id") < 90000)
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"), graft.Det.rN(graft.Det.dsum(col("v")), 6).as("sum_v"))
+        .orderBy(col("word"))
+  )
+
+  def qs: Seq[Q] = Seq(scanPart, scanPushdown, scanEventsNs, snkCsvJson, srcDsv2)
 }

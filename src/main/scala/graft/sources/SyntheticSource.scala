@@ -1,0 +1,154 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 read connector for a deterministic synthetic table —
+  * the engine's template for wrapping an external system as a Spark
+  * source. The three things a 100 TB source must do are all
+  * implemented and test-asserted:
+  *
+  *   1. **split**: the row space divides into `partitions` independent
+  *      `InputPartition`s; every reader generates only its slice —
+  *      no driver-side data path, embarrassingly parallel.
+  *   2. **filter pushdown** (`SupportsPushDownFilters`): range
+  *      predicates on `id` narrow the generated row range at the
+  *      SOURCE, before any row exists; non-range filters stay with
+  *      Spark as residuals.
+  *   3. **column pruning** (`SupportsPushDownRequiredColumns`): readers
+  *      materialize only the requested fields.
+  *
+  * Rows are a pure function of `id` (multiplicative-hash value,
+  * vocabulary word by modulus), so the table is reproducible on any
+  * cluster and has an exact DuckDB twin via `range()` — the source is
+  * oracle-checkable like every other operator.
+  *
+  * Usage: `spark.read.format("graft.sources.SyntheticSource")
+  * .option("rows", n).option("partitions", p).load()`.
+  */
+class SyntheticSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = SyntheticSource.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]
+  ): Table = new SyntheticTable(
+    properties.getOrDefault("rows", "1000").toLong,
+    properties.getOrDefault("partitions", "8").toInt
+  )
+}
+
+object SyntheticSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("v", DoubleType, nullable = false),
+    StructField("word", StringType, nullable = false)
+  ))
+  val Vocab: Array[String] = Array("alpha", "beta", "gamma", "delta", "epsilon")
+  val HashC = 2654435761L
+  val HashM = 1000003L
+  // row content as a pure function of id — the DuckDB twin is
+  // ((i * 2654435761) % 1000003) / 1000003.0 over range(0, n)
+  def valueOf(id: Long): Double = ((id * HashC) % HashM).toDouble / HashM
+  def wordOf(id: Long): String = Vocab((id % Vocab.length).toInt)
+}
+
+private[sources] class SyntheticTable(rows: Long, partitions: Int) extends Table with SupportsRead {
+  override def name(): String = s"synthetic($rows)"
+  override def schema(): StructType = SyntheticSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SyntheticScanBuilder(rows, partitions)
+}
+
+private[sources] class SyntheticScanBuilder(rows: Long, partitions: Int)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var lo: Long = 0L
+  private var hi: Long = rows // exclusive
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = SyntheticSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case GreaterThanOrEqual("id", _: Long) | GreaterThan("id", _: Long) |
+          LessThan("id", _: Long) | LessThanOrEqual("id", _: Long) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
+      case GreaterThan("id", v: Long)        => lo = math.max(lo, v + 1)
+      case LessThan("id", v: Long)           => hi = math.min(hi, v)
+      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1)
+      case _                                 => ()
+    }
+    pushed = accepted
+    residual // Spark re-applies anything the source didn't absorb
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan = new SyntheticScan(lo, hi, partitions, required, pushed)
+}
+
+private[sources] class SyntheticScan(
+    lo: Long,
+    hi: Long,
+    partitions: Int,
+    required: StructType,
+    pushed: Array[Filter]
+) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SyntheticScan range=[$lo,$hi) PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(hi - lo, 0L)
+    val p = math.max(1, math.min(partitions.toLong, math.max(n, 1L)).toInt)
+    (0 until p).map { i =>
+      val s = lo + n * i / p
+      val e = lo + n * (i + 1) / p
+      SyntheticRange(s, e): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticReaderFactory(required)
+}
+
+private[sources] case class SyntheticRange(start: Long, end: Long) extends InputPartition
+
+private[sources] class SyntheticReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = partition.asInstanceOf[SyntheticRange]
+    // bind the projection once per partition, not per row
+    val fields: Array[Long => Any] = required.fields.map(_.name).map {
+      case "id"   => (id: Long) => id
+      case "v"    => (id: Long) => SyntheticSource.valueOf(id)
+      case "word" => (id: Long) => UTF8String.fromString(SyntheticSource.wordOf(id))
+      case other  => throw new IllegalArgumentException(s"unknown column $other")
+    }
+    new PartitionReader[InternalRow] {
+      private var cur = r.start - 1
+      override def next(): Boolean = { cur += 1; cur < r.end }
+      override def get(): InternalRow = InternalRow.fromSeq(fields.toSeq.map(f => f(cur)))
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The DataSource V2 connector: pushdown must reach the source, not
+  * just the plan text — the reader ranges themselves narrow.
+  */
+class SourcesSpec extends SparkSuite {
+
+  private def synth(rows: Int, parts: Int) =
+    spark.read
+      .format("graft.sources.SyntheticSource")
+      .option("rows", rows)
+      .option("partitions", parts)
+      .load()
+
+  test("generates the requested rows across the requested partitions") {
+    val df = synth(10000, 8)
+    assert(df.count() == 10000)
+    assert(df.rdd.getNumPartitions == 8)
+    assert(df.select(col("id")).distinct().count() == 10000)
+  }
+
+  test("range filters are absorbed by the source (narrowed reader range in the scan)") {
+    val df = synth(10000, 4).filter(col("id") >= 2500 && col("id") < 9000)
+    assert(df.count() == 6500)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("range=[2500,9000)"), p.take(2000))
+  }
+
+  test("column pruning reaches the source") {
+    val df = synth(1000, 2).select(col("word"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<word:string>"), p.take(2000))
+  }
+
+  test("row content is the documented pure function of id") {
+    val row = synth(100, 1).filter(col("id") === 42).collect().head
+    assert(row.getDouble(row.fieldIndex("v")) == sources.SyntheticSource.valueOf(42))
+    assert(row.getString(row.fieldIndex("word")) == sources.SyntheticSource.wordOf(42))
+  }
+}
