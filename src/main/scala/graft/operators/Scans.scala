@@ -75,6 +75,30 @@ object Scans {
     }
   )
 
+  /** ORC round-trip: the third columnar-format lane next to parquet and
+    * the text formats. ORC is written with the same per-task parallel
+    * writer and read back through Spark's vectorized ORC reader with
+    * predicate pushdown; the query proves write → read → filter on the
+    * supplier table and is oracle-checked against the parquet original
+    * (the round-trip must be lossless, so DuckDB on parquet IS the
+    * oracle for the ORC copy). */
+  val snkOrc: Q = Q(
+    "snk_orc",
+    Some(
+      "SELECT s_suppkey, s_name, s_nationkey, " + graft.Det.oR2("s_acctbal") + " AS bal " +
+        "FROM supplier WHERE s_acctbal > 0 ORDER BY s_suppkey"
+    ),
+    (spark, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_snk/supplier_orc"
+      Tables.supplier(spark, dir).write.mode("overwrite").orc(base)
+      spark.read
+        .orc(base)
+        .filter(col("s_acctbal") > 0)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), graft.Det.r2(col("s_acctbal")).as("bal"))
+        .orderBy(col("s_suppkey"))
+    }
+  )
+
   /** Read through the engine's DataSource V2 connector
     * (graft.sources.SyntheticSource): range filters are absorbed by
     * the SOURCE (the readers generate only [25000, 90000)), columns
@@ -103,5 +127,5 @@ object Scans {
         .orderBy(col("word"))
   )
 
-  def qs: Seq[Q] = Seq(scanPart, scanPushdown, scanEventsNs, snkCsvJson, srcDsv2)
+  def qs: Seq[Q] = Seq(scanPart, scanPushdown, scanEventsNs, snkCsvJson, snkOrc, srcDsv2)
 }
