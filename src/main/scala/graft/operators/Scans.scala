@@ -99,6 +99,38 @@ object Scans {
     }
   )
 
+  /** Round-trip through the engine's DSv2 WRITE connector
+    * (graft.sources.MemoryTableSink): task-buffered DataWriters,
+    * commit-message assembly on the driver, truncate-on-overwrite —
+    * then read back through its DSv2 read path and aggregate.
+    * Oracle: DuckDB on the parquet original (lossless round-trip). */
+  val snkDsv2Mem: Q = Q(
+    "snk_dsv2_mem",
+    Some(
+      "SELECT p_brand, count(*) AS n, sum(p_size) AS total_size " +
+        "FROM part WHERE p_size > 10 GROUP BY p_brand ORDER BY p_brand"
+    ),
+    (spark, dir) => {
+      val table = "snk_dsv2_mem_rt"
+      Tables
+        .part(spark, dir)
+        .filter(col("p_size") > 10)
+        .select(col("p_brand"), col("p_size"))
+        .write
+        .format("graft.sources.MemoryTableSink")
+        .option("name", table)
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .save()
+      spark.read
+        .format("graft.sources.MemoryTableSink")
+        .option("name", table)
+        .load()
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("p_size")).cast("long").as("total_size"))
+        .orderBy(col("p_brand"))
+    }
+  )
+
   /** Read through the engine's DataSource V2 connector
     * (graft.sources.SyntheticSource): range filters are absorbed by
     * the SOURCE (the readers generate only [25000, 90000)), columns
@@ -127,5 +159,5 @@ object Scans {
         .orderBy(col("word"))
   )
 
-  def qs: Seq[Q] = Seq(scanPart, scanPushdown, scanEventsNs, snkCsvJson, snkOrc, srcDsv2)
+  def qs: Seq[Q] = Seq(scanPart, scanPushdown, scanEventsNs, snkCsvJson, snkOrc, snkDsv2Mem, srcDsv2)
 }

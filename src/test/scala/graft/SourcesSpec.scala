@@ -35,6 +35,26 @@ class SourcesSpec extends SparkSuite {
     assert(p.contains("ReadSchema: struct<word:string>"), p.take(2000))
   }
 
+  test("DSv2 write commit protocol: round-trip, append, overwrite") {
+    import org.apache.spark.sql.SaveMode
+    sources.MemoryTableStore.clear("t_rt")
+    val nation = Tables.nation(spark, sf).select(col("n_nationkey"), col("n_name"))
+    def readBack = spark.read.format("graft.sources.MemoryTableSink").option("name", "t_rt").load()
+
+    nation.write.format("graft.sources.MemoryTableSink").option("name", "t_rt")
+      .mode(SaveMode.Append).save()
+    assert(readBack.collect().map(_.toSeq).toSet == nation.collect().map(_.toSeq).toSet)
+
+    nation.write.format("graft.sources.MemoryTableSink").option("name", "t_rt")
+      .mode(SaveMode.Append).save()
+    assert(readBack.count() == 2 * nation.count(), "append did not accumulate")
+
+    nation.limit(5).write.format("graft.sources.MemoryTableSink").option("name", "t_rt")
+      .mode(SaveMode.Overwrite).save()
+    assert(readBack.count() == 5, "overwrite did not truncate")
+    sources.MemoryTableStore.clear("t_rt")
+  }
+
   test("row content is the documented pure function of id") {
     val row = synth(100, 1).filter(col("id") === 42).collect().head
     assert(row.getDouble(row.fieldIndex("v")) == sources.SyntheticSource.valueOf(42))
