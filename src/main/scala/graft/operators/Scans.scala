@@ -159,5 +159,26 @@ object Scans {
         .orderBy(col("word"))
   )
 
-  def qs: Seq[Q] = Seq(scanPart, scanPushdown, scanEventsNs, snkCsvJson, snkOrc, snkDsv2Mem, srcDsv2)
+  /** Aggregate pushdown through the DSv2 connector: COUNT/MIN/MAX over
+    * the filtered id range are answered by the SOURCE in closed form —
+    * the plan contains a one-row SyntheticAggScan and no aggregation
+    * over generated rows (asserted in SourcesSpec). */
+  val srcDsv2Agg: Q = Q(
+    "src_dsv2_agg",
+    Some(
+      "SELECT count(*) AS n, min(i) AS lo, max(i) AS hi " +
+        "FROM range(0, 100000) t(i) WHERE i >= 25000"
+    ),
+    (spark, dir) =>
+      spark.read
+        .format("graft.sources.SyntheticSource")
+        .option("rows", 100000)
+        .option("partitions", 8)
+        .load()
+        .filter(col("id") >= 25000)
+        .agg(count(lit(1)).as("n"), min(col("id")).as("lo"), max(col("id")).as("hi"))
+  )
+
+  def qs: Seq[Q] = Seq(scanPart, scanPushdown, scanEventsNs, snkCsvJson, snkOrc, snkDsv2Mem,
+    srcDsv2, srcDsv2Agg)
 }

@@ -73,12 +73,45 @@ private[sources] class SyntheticTable(rows: Long, partitions: Int) extends Table
 private[sources] class SyntheticScanBuilder(rows: Long, partitions: Int)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 
   private var lo: Long = 0L
   private var hi: Long = rows // exclusive
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SyntheticSource.schema
+  private var aggSpec: Option[Seq[String]] = None // "count" | "min" | "max" per position
+
+  /** COUNT/MIN(id)/MAX(id) over a contiguous id range have closed
+    * forms — the source answers them without generating a single row.
+    * Complete pushdown only (no grouping), so Spark replaces its whole
+    * aggregation with a read of the one-row result. */
+  private def aggPlan(agg: Aggregation): Option[Seq[String]] = {
+    def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean = e match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+      case _                  => false
+    }
+    if (agg.groupByExpressions.nonEmpty) None
+    else {
+      val specs = agg.aggregateExpressions.map {
+        case _: CountStar           => Some("count")
+        case m: Min if isId(m.column) => Some("min")
+        case m: Max if isId(m.column) => Some("max")
+        case _                      => None
+      }
+      if (specs.forall(_.isDefined)) Some(specs.map(_.get).toSeq) else None
+    }
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = aggPlan(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = aggPlan(agg) match {
+    case some @ Some(_) => aggSpec = some; true
+    case None           => false
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {
@@ -101,7 +134,45 @@ private[sources] class SyntheticScanBuilder(rows: Long, partitions: Int)
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new SyntheticScan(lo, hi, partitions, required, pushed)
+  override def build(): Scan = aggSpec match {
+    case Some(spec) => new SyntheticAggScan(lo, hi, spec, pushed)
+    case None       => new SyntheticScan(lo, hi, partitions, required, pushed)
+  }
+}
+
+/** One-row scan answering a completely-pushed-down aggregation in
+  * closed form: count = hi-lo, min = lo, max = hi-1 (nulls on an empty
+  * range). No data rows are ever generated. */
+private[sources] class SyntheticAggScan(lo: Long, hi: Long, spec: Seq[String], pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(spec.map {
+    case "count" => StructField("count", LongType, nullable = false)
+    case s       => StructField(s"${s}_id", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SyntheticAggScan range=[$lo,$hi) pushedAgg=[${spec.mkString(", ")}] " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SyntheticRange(lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val s = spec
+    (partition: InputPartition) => {
+      val r = partition.asInstanceOf[SyntheticRange]
+      val n = math.max(r.end - r.start, 0L)
+      val values: Seq[Any] = s.map {
+        case "count" => n
+        case "min"   => if (n == 0) null else r.start
+        case "max"   => if (n == 0) null else r.end - 1
+      }
+      new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = { val f = !emitted; emitted = true; f }
+        override def get(): InternalRow = InternalRow.fromSeq(values)
+        override def close(): Unit = ()
+      }
+    }
+  }
 }
 
 private[sources] class SyntheticScan(

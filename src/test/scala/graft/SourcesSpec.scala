@@ -55,6 +55,17 @@ class SourcesSpec extends SparkSuite {
     sources.MemoryTableStore.clear("t_rt")
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX answered in closed form by the source") {
+    val df = synth(100000, 8)
+      .filter(col("id") >= 25000)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("lo"), max(col("id")).as("hi"))
+    val row = df.collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == (75000L, 25000L, 99999L))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SyntheticAggScan"), p.take(2000))
+    assert(p.contains("pushedAgg=[count, min, max]"), p.take(2000))
+  }
+
   test("row content is the documented pure function of id") {
     val row = synth(100, 1).filter(col("id") === 42).collect().head
     assert(row.getDouble(row.fieldIndex("v")) == sources.SyntheticSource.valueOf(42))
