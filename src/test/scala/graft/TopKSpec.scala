@@ -121,6 +121,31 @@ class TopKSpec extends SparkSuite {
     assert(!p.contains("TopKPerGroup"), p.take(3000))
   }
 
+  test("randomized agreement with the window formulation (ties, nulls, varied k)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42) // seeded: deterministic cases
+    for (round <- 1 to 8) {
+      val n = 50 + rnd.nextInt(400)
+      val nGroups = 1 + rnd.nextInt(12)
+      val k = 1 + rnd.nextInt(6)
+      // values drawn from a tiny domain so ties are common; ~10% null
+      val rows = (0 until n).map { i =>
+        val v: Option[Int] = if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(7))
+        (i.toLong, s"g${rnd.nextInt(nGroups)}", v)
+      }
+      val df = rows.toDF("id", "g", "v")
+      val viaOp = TopKPerGroup(df, Seq("g"), Seq("v" -> true, "id" -> false), k)
+        .select(col("g"), col("id"), col("rn"))
+        .collect().map(_.toSeq).toSet
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+      val viaWin = df
+        .select(col("g"), col("id"), row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= k)
+        .collect().map(_.toSeq).toSet
+      assert(viaOp == viaWin, s"round=$round n=$n groups=$nGroups k=$k diff=${(viaOp diff viaWin).take(3)}")
+    }
+  }
+
   test("GraftExtensions injects the strategy and the rewrite rule") {
     import org.apache.spark.sql.graftx.ExtensionsProbe
     val ext = new org.apache.spark.sql.SparkSessionExtensions
