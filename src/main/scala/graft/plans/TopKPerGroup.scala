@@ -95,15 +95,22 @@ case class TopKPerGroupExec(
     val kk = k
     val isPartial = partial
     val rnAttr = rn
+    // Memory honesty at 100 TB: the partial's working set is one k-row
+    // heap per DISTINCT group per partition. A hash aggregate would
+    // spill here; a partial top-k doesn't need to — flushing the heaps
+    // downstream and starting over is always correct (the final phase
+    // merges), it only costs pruning ratio. This cap bounds partial
+    // memory regardless of group cardinality.
+    val maxGroups = conf.getConfString("spark.graft.topk.maxGroupsPerPartition", "131072").toInt
     child.execute().mapPartitionsInternal { iter =>
+      import scala.jdk.CollectionConverters._
       val keyProj = UnsafeProjection.create(groupE, childOutput)
       val ord = RowOrdering.create(orderE, childOutput)
       // max-heap under ord: peek() is the WORST row kept, so a new row
       // replaces it iff the new row sorts strictly before it
       val worstFirst: java.util.Comparator[InternalRow] = (a, b) => ord.compare(b, a)
       val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
+      def insert(row: InternalRow): Unit = {
         val key = keyProj(row)
         var q = heaps.get(key)
         if (q == null) {
@@ -113,10 +120,32 @@ case class TopKPerGroupExec(
         if (q.size() < kk) q.add(row.copy())
         else if (ord.compare(row, q.peek()) < 0) { q.poll(); q.add(row.copy()) }
       }
-      import scala.jdk.CollectionConverters._
       if (isPartial) {
-        heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+        // streaming flush: consume input until the group map hits the
+        // cap (or input ends), emit-and-clear, repeat
+        new scala.collection.AbstractIterator[InternalRow] {
+          private var pending: Iterator[InternalRow] = Iterator.empty
+          private def refill(): Unit = {
+            while (!pending.hasNext && iter.hasNext) {
+              var overflow = false
+              while (iter.hasNext && !overflow) {
+                insert(iter.next())
+                if (heaps.size() > maxGroups) overflow = true
+              }
+              val snapshot = heaps.values().asScala.toArray
+              heaps.clear()
+              pending = snapshot.iterator.flatMap(_.iterator().asScala)
+            }
+          }
+          override def hasNext: Boolean = { refill(); pending.hasNext }
+          override def next(): InternalRow = { refill(); pending.next() }
+        }
       } else {
+        // the final phase must hold every group of its partition at
+        // once (k rows each) to merge partials — the same buffer count
+        // a hash aggregate keeps; for extreme group cardinality the
+        // sort-based window remains the spill-safe alternative
+        while (iter.hasNext) insert(iter.next())
         val joined = new JoinedRow
         val out = childOutput :+ rnAttr
         val proj = UnsafeProjection.create(out, out)

@@ -146,6 +146,16 @@ class TopKSpec extends SparkSuite {
     }
   }
 
+  test("partial flush under a tiny group cap stays correct (pruning degrades, results don't)") {
+    val key = "spark.graft.topk.maxGroupsPerPartition"
+    spark.conf.set(key, "3") // orders has 1000 customers: constant flushing
+    try {
+      val a = viaTopK(3).collect().map(_.toSeq).toSet
+      val b = viaWindow(3).collect().map(_.toSeq).toSet
+      assert(a == b)
+    } finally spark.conf.unset(key)
+  }
+
   test("GraftExtensions injects the strategy and the rewrite rule") {
     import org.apache.spark.sql.graftx.ExtensionsProbe
     val ext = new org.apache.spark.sql.SparkSessionExtensions
