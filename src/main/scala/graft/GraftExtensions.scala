@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.graftx.{TopKPerGroupStrategy, WindowTopKRewrite}
+import org.apache.spark.sql.graftx.{GraftFunctions, TopKPerGroupStrategy, WindowTopKRewrite}
 
 /** Session-extension entry point for cluster deployments:
   *
@@ -19,5 +19,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     ext.injectOptimizerRule(_ => WindowTopKRewrite)
+    GraftFunctions.functions.foreach(ext.injectFunction)
   }
 }

@@ -1,0 +1,50 @@
+/* In org.apache.spark.sql (like the expressions themselves) because
+ * FunctionRegistry access via sessionState is package-private. */
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** The engine's native expressions exposed as SQL functions, so
+  * `spark.sql("SELECT float_dot(a, b) ...")` plans the same codegen'd
+  * expression the DataFrame API uses. Installed by
+  * `graft.GraftExtensions` (spark.sql.extensions) or at runtime via
+  * [[registerFunctions]] on sessions the engine does not build.
+  */
+object GraftFunctions {
+
+  private def two(
+      name: String,
+      usage: String,
+      make: (Expression, Expression) => Expression
+  ): (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (
+      FunctionIdentifier(name),
+      new ExpressionInfo(GraftFunctions.getClass.getName, name, usage),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
+        make(args(0), args(1))
+      }
+    )
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    two(
+      "float_dot",
+      "float_dot(a, b) - dot product of two float32 arrays, double accumulation",
+      FloatDot(_, _)
+    ),
+    two(
+      "sorted_intersect_count",
+      "sorted_intersect_count(a, b) - intersection size of two sorted distinct long arrays",
+      SortedLongIntersectCount(_, _)
+    )
+  )
+
+  /** Runtime twin of the extension injection — registration overwrites
+    * idempotently. */
+  def registerFunctions(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

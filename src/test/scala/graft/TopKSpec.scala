@@ -164,6 +164,17 @@ class TopKSpec extends SparkSuite {
     assert(ExtensionsProbe.rules(ext, spark).contains(org.apache.spark.sql.graftx.WindowTopKRewrite))
   }
 
+  test("native expressions are callable from SQL once registered") {
+    org.apache.spark.sql.graftx.GraftFunctions.registerFunctions(spark)
+    val r = spark.sql(
+      "SELECT float_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
+        "array(cast(3.0 as float), cast(4.0 as float))) AS d, " +
+        "sorted_intersect_count(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS c"
+    ).collect().head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getInt(1) == 2)
+  }
+
   test("register is idempotent") {
     TopKPerGroup.register(spark)
     TopKPerGroup.register(spark)
