@@ -142,5 +142,98 @@ object TimeSeries {
         .orderBy(col("user_id"), col("session_start"))
   )
 
-  def qs: Seq[Q] = Seq(tsTumbling1h, tsSliding15m5m, tsSession30m, tsSessionWindowBatch)
+  /** Forward-fill (LOCF): carry each user's last observed value over
+    * the gaps — the standard repair for sparse sensor/metric streams.
+    * Nulls are synthesized deterministically (value < 20 → ~33% null),
+    * then `last(v, ignoreNulls)` over an unbounded-preceding row frame
+    * fills them. One shuffle on user_id; the frame is computed in a
+    * single pass per user partition.
+    */
+  val tsFillForward: Q = Q(
+    "ts_fill_forward",
+    Some(
+      "SELECT event_id, user_id, ts, " +
+        "CASE WHEN value < 20 THEN NULL ELSE value END AS v, " +
+        "last_value(CASE WHEN value < 20 THEN NULL ELSE value END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled " +
+        "FROM events ORDER BY event_id"
+    ),
+    (spark, dir) => {
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables
+        .events(spark, dir)
+        .withColumn("v", when(col("value") < 20, lit(null)).otherwise(col("value")))
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("ts"),
+          col("v"),
+          last(col("v"), ignoreNulls = true).over(w).as("filled")
+        )
+        .orderBy(col("event_id"))
+    }
+  )
+
+  /** Resample to a regular hourly grid per user (first 10 users):
+    * per-user hourly sums where events exist, an explicit
+    * `sequence(t0, t1, 1 hour)` grid for the hours where they don't,
+    * and forward-fill across the gaps — the canonical
+    * resample-then-LOCF time-series pipeline.
+    *
+    * 100 TB notes: the grid generates |users| × |hours| rows — at
+    * scale that product is the operator's real output size and is
+    * generated distributed (explode of per-user sequences after a
+    * tiny span aggregate), never on the driver. One shuffle for the
+    * hourly aggregate, one for the user-partitioned fill window.
+    */
+  val tsResampleHourly: Q = Q(
+    "ts_resample_hourly",
+    Some(
+      "WITH base AS (SELECT user_id, date_trunc('hour', ts) AS h, value " +
+        "FROM events WHERE user_id < 10), " +
+        "spans AS (SELECT user_id, min(h) AS t0, max(h) AS t1 FROM base GROUP BY 1), " +
+        "grid AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h FROM spans), " +
+        "hourly AS (SELECT user_id, h, " + Det.oRN(Det.oSum("value"), 6) + " AS hv " +
+        "FROM base GROUP BY 1, 2) " +
+        "SELECT g.user_id, g.h, hv, " +
+        "last_value(hv IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.h " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled " +
+        "FROM grid g LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h " +
+        "ORDER BY g.user_id, g.h"
+    ),
+    (spark, dir) => {
+      val base = Tables
+        .events(spark, dir)
+        .filter(col("user_id") < 10)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("value"))
+      val spans = base.groupBy(col("user_id")).agg(min(col("h")).as("t0"), max(col("h")).as("t1"))
+      val grid = spans.select(
+        col("user_id"),
+        explode(sequence(col("t0"), col("t1"), expr("INTERVAL 1 HOUR"))).as("h")
+      )
+      val hourly = base
+        .groupBy(col("user_id"), col("h"))
+        .agg(Det.rN(Det.dsum(col("value")), 6).as("hv"))
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .join(hourly, Seq("user_id", "h"), "left")
+        .select(
+          col("user_id"),
+          col("h"),
+          col("hv"),
+          last(col("hv"), ignoreNulls = true).over(w).as("filled")
+        )
+        .orderBy(col("user_id"), col("h"))
+    }
+  )
+
+  def qs: Seq[Q] = Seq(tsTumbling1h, tsSliding15m5m, tsSession30m, tsSessionWindowBatch,
+    tsFillForward, tsResampleHourly)
 }
