@@ -215,6 +215,52 @@ object Joins {
         .orderBy(col("order_month"))
   )
 
+  /** Interval-overlap self-join: pairs of users whose daily active
+    * intervals ([first event, last event] per user per day) overlap,
+    * with the exact overlap duration in µs. The join key is the DAY
+    * block — the residual overlap predicate only runs within a block,
+    * so candidates are bounded by per-day activity, never all-pairs
+    * across time. At 100 TB the refinement is a finer block (day,
+    * start-hour bucket) with intervals replicated into each bucket
+    * they span — same plan shape, smaller blocks. Scope bounded to
+    * user_id < 50 (interval overlap output is inherently quadratic in
+    * concurrently-active users). Overlap arithmetic is exact integer
+    * µs — bit-identical cross-engine. */
+  val intervalOverlap: Q = Q(
+    "join_interval_overlap",
+    Some(
+      "WITH iv AS (SELECT user_id, date_trunc('day', ts) AS day, min(ts) AS s, max(ts) AS e " +
+        "FROM events WHERE user_id < 50 GROUP BY 1, 2) " +
+        "SELECT a.day, a.user_id AS ua, b.user_id AS ub, " +
+        "epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s)) AS overlap_us " +
+        "FROM iv a JOIN iv b ON a.day = b.day AND a.user_id < b.user_id " +
+        "AND a.s <= b.e AND b.s <= a.e " +
+        "ORDER BY 1, 2, 3"
+    ),
+    (spark, dir) => {
+      val iv = Tables
+        .events(spark, dir)
+        .filter(col("user_id") < 50)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+      val a = iv.select(col("day"), col("user_id").as("ua"), col("s").as("sa"), col("e").as("ea"))
+      val b = iv.select(col("day"), col("user_id").as("ub"), col("s").as("sb"), col("e").as("eb"))
+      a.join(b, Seq("day"))
+        .filter(col("ua") < col("ub") && col("sa") <= col("eb") && col("sb") <= col("ea"))
+        .select(
+          col("day"),
+          col("ua"),
+          col("ub"),
+          // ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the
+          // session is pinned UTC so the cast is the identity instant
+          (unix_micros(least(col("ea"), col("eb")).cast("timestamp")) -
+            unix_micros(greatest(col("sa"), col("sb")).cast("timestamp")))
+            .as("overlap_us")
+        )
+        .orderBy(col("day"), col("ua"), col("ub"))
+    }
+  )
+
   /** As-of join: for each purchase, the most recent click at-or-before it
     * by the same user. Spark has no batch ASOF primitive; the scalable
     * composition is union-the-tagged-streams + one window pass:
@@ -257,6 +303,6 @@ object Joins {
 
   def qs: Seq[Q] = Seq(
     innerHash, broadcastDims, leftOuter, fullOuter, leftSemi, leftAnti,
-    crossSmall, thetaRange, asOf
+    crossSmall, thetaRange, intervalOverlap, asOf
   )
 }
