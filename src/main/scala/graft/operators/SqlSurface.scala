@@ -89,5 +89,36 @@ object SqlSurface {
     }
   )
 
-  def qs: Seq[Q] = Seq(sqlPricing, sqlCorrelated, sqlCteWindow)
+  /** LATERAL correlated subquery with per-row ORDER BY + LIMIT — the
+    * SQL spelling of "top-2 orders per customer". Catalyst decorrelates
+    * this into the same grouped-limit shape as the window idiom; the
+    * oracle runs DuckDB's native LATERAL. Scoped to the first 100
+    * customers to keep the verified output small. */
+  val sqlLateral: Q = Q(
+    "sql_lateral", {
+      val sql =
+        "SELECT c_custkey, o_orderkey, o_totalprice " +
+          "FROM customer, LATERAL (" +
+          "SELECT o_orderkey, o_totalprice FROM orders " +
+          "WHERE o_custkey = c_custkey " +
+          "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) " +
+          "WHERE c_custkey < 100 " +
+          "ORDER BY c_custkey, o_totalprice DESC, o_orderkey"
+      Some(sql)
+    },
+    (spark, dir) => {
+      registerViews(spark, dir)
+      spark.sql(
+        "SELECT c_custkey, o_orderkey, o_totalprice " +
+          "FROM customer, LATERAL (" +
+          "SELECT o_orderkey, o_totalprice FROM orders " +
+          "WHERE o_custkey = c_custkey " +
+          "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) " +
+          "WHERE c_custkey < 100 " +
+          "ORDER BY c_custkey, o_totalprice DESC, o_orderkey"
+      )
+    }
+  )
+
+  def qs: Seq[Q] = Seq(sqlPricing, sqlCorrelated, sqlCteWindow, sqlLateral)
 }
