@@ -88,6 +88,17 @@ case class TopKPerGroupExec(
 
   override def nodeName: String = if (partial) "TopKPerGroupPartial" else "TopKPerGroupFinal"
 
+  // observability at scale: numOutputRows vs the child's row count IS
+  // the operator's pruning ratio, and numFlushes > 0 on the partial
+  // says the group-cap safety valve engaged (pruning degraded — size
+  // spark.graft.topk.maxGroupsPerPartition up if memory allows)
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numFlushes" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "partial heap flushes")
+  )
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val groupE = groupExprs
@@ -102,6 +113,8 @@ case class TopKPerGroupExec(
     // merges), it only costs pruning ratio. This cap bounds partial
     // memory regardless of group cardinality.
     val maxGroups = conf.getConfString("spark.graft.topk.maxGroupsPerPartition", "131072").toInt
+    val outRows = longMetric("numOutputRows")
+    val flushes = longMetric("numFlushes")
     child.execute().mapPartitionsInternal { iter =>
       import scala.jdk.CollectionConverters._
       val keyProj = UnsafeProjection.create(groupE, childOutput)
@@ -134,7 +147,8 @@ case class TopKPerGroupExec(
               }
               val snapshot = heaps.values().asScala.toArray
               heaps.clear()
-              pending = snapshot.iterator.flatMap(_.iterator().asScala)
+              if (overflow) flushes += 1 // the end-of-input drain is not a cap event
+              pending = snapshot.iterator.flatMap(_.iterator().asScala).map { r => outRows += 1; r }
             }
           }
           override def hasNext: Boolean = { refill(); pending.hasNext }
@@ -155,6 +169,7 @@ case class TopKPerGroupExec(
           java.util.Arrays.sort(arr, ord)
           arr.iterator.zipWithIndex.map { case (r, i) =>
             rnRow.update(0, (i + 1).toLong)
+            outRows += 1
             proj(joined(r, rnRow))
           }
         }

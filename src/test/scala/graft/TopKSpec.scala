@@ -164,6 +164,26 @@ class TopKSpec extends SparkSuite {
     assert(ExtensionsProbe.rules(ext, spark).contains(org.apache.spark.sql.graftx.WindowTopKRewrite))
   }
 
+  test("SQL metrics report pruning output and flush count") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = viaTopK(3)
+    df.collect()
+    // AQE hides operators inside query stages; descend through them
+    def collectAll(p: SparkPlan): Seq[org.apache.spark.sql.graftx.TopKPerGroupExec] =
+      p.collect { case e: org.apache.spark.sql.graftx.TopKPerGroupExec => e } ++
+        p.collect { case s: QueryStageExec => s }.flatMap(s => collectAll(s.plan))
+    val execs = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case p                        => collectAll(p)
+    }
+    assert(execs.size == 2, df.queryExecution.executedPlan.toString.take(2000))
+    val fin = execs.find(!_.partial).get
+    assert(fin.metrics("numOutputRows").value == df.count())
+    // default cap (128k) with 1000 groups: the safety valve must NOT fire
+    assert(execs.find(_.partial).get.metrics("numFlushes").value == 0)
+  }
+
   test("native expressions are callable from SQL once registered") {
     org.apache.spark.sql.graftx.GraftFunctions.registerFunctions(spark)
     val r = spark.sql(
