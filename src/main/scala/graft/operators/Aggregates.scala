@@ -297,8 +297,79 @@ object Aggregates {
         .orderBy(col("o_orderstatus"))
   )
 
+  /** Predicate aggregates: count_if, bool_and/bool_or, and a
+    * FILTER-style conditional sum — per returnflag over lineitem.
+    * Booleans land as int (0/1) for comparator friendliness. */
+  val aggPredicates: Q = Q(
+    "agg_predicates",
+    Some(
+      "SELECT l_returnflag, " +
+        "count(*) FILTER (l_discount > 0.05) AS n_discounted, " +
+        "CAST(bool_and(l_quantity >= 1) AS INT) AS all_qty_ok, " +
+        "CAST(bool_or(l_tax > 0.07) AS INT) AS any_high_tax, " +
+        Det.oRN("coalesce(" + Det.oSum("CASE WHEN l_discount > 0.05 THEN l_extendedprice END") + ", 0)", 2) +
+        " AS discounted_value " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    (spark, dir) =>
+      Tables
+        .lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count_if(col("l_discount") > 0.05).as("n_discounted"),
+          bool_and(col("l_quantity") >= 1).cast("int").as("all_qty_ok"),
+          bool_or(col("l_tax") > 0.07).cast("int").as("any_high_tax"),
+          Det.rN(
+            coalesce(Det.dsum(when(col("l_discount") > 0.05, col("l_extendedprice"))), lit(0.0)),
+            2
+          ).as("discounted_value")
+        )
+        .orderBy(col("l_returnflag"))
+  )
+
+  /** Weekly cohort retention — the canonical product-analytics shape:
+    * users bucketed by first-seen ISO week, then for each later week
+    * the fraction still active. Two aggregates and one broadcast-sized
+    * join (cohort table is |users| rows, week pairs are |users|×|weeks|
+    * at most); retention is an exact int ratio. */
+  val aggCohortRetention: Q = Q(
+    "agg_cohort_retention",
+    Some(
+      "WITH c AS (SELECT user_id, date_trunc('week', min(ts)) AS c0 FROM events GROUP BY 1), " +
+        "a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events), " +
+        "j AS (SELECT c.c0, datediff('day', c.c0, a.w) // 7 AS week_offset, a.user_id " +
+        "FROM a JOIN c ON a.user_id = c.user_id), " +
+        "g AS (SELECT c0, week_offset, count(DISTINCT user_id) AS n_active FROM j GROUP BY 1, 2), " +
+        "base AS (SELECT c0, n_active AS n0 FROM g WHERE week_offset = 0) " +
+        "SELECT g.c0 AS cohort_week, g.week_offset, g.n_active, " +
+        Det.oRN("g.n_active::DOUBLE / base.n0", 6) + " AS retention " +
+        "FROM g JOIN base ON g.c0 = base.c0 " +
+        "ORDER BY cohort_week, week_offset"
+    ),
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+      val c = ev.groupBy(col("user_id")).agg(date_trunc("week", min(col("ts"))).as("c0"))
+      val a = ev.select(col("user_id"), date_trunc("week", col("ts")).as("w")).distinct()
+      val g = a
+        .join(c, Seq("user_id"))
+        .select(col("c0"), (datediff(col("w"), col("c0")) / 7).cast("long").as("week_offset"), col("user_id"))
+        .groupBy(col("c0"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+      val base = g.filter(col("week_offset") === 0).select(col("c0"), col("n_active").as("n0"))
+      g.join(broadcast(base), Seq("c0"))
+        .select(
+          col("c0").as("cohort_week"),
+          col("week_offset"),
+          col("n_active"),
+          Det.rN(col("n_active").cast("double") / col("n0"), 6).as("retention")
+        )
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     aggGroupPricing, aggGlobal, aggDistinct, aggRollup, aggCube,
-    aggGroupingSets, aggStats, aggMinMaxBy, aggCollectSorted, aggApproxDistinct
+    aggGroupingSets, aggStats, aggMinMaxBy, aggCollectSorted, aggApproxDistinct,
+    aggPredicates, aggCohortRetention
   )
 }
