@@ -398,8 +398,44 @@ object TextAnalysis {
     }
   )
 
+  /** Document chunking with overlap — the step every training-data
+    * pipeline runs before tokenization: windows of 32 tokens advancing
+    * by 24 (8-token overlap), trailing chunk kept even when short.
+    * Pure map-side explode (chunk starts come from a per-row
+    * `sequence`, chunks from `slice`): no shuffle except the contract
+    * sort; at 100 TB output scales with token volume, generated
+    * distributed. */
+  val textChunk: Q = Q(
+    "text_chunk",
+    Some(
+      "WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "s AS (SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 24)) AS s0 FROM d) " +
+        "SELECT doc_id, s0 // 24 AS chunk_id, " +
+        "len(list_slice(t, s0 + 1, s0 + 32)) AS n_tokens, " +
+        "array_to_string(list_slice(t, s0 + 1, s0 + 32), ' ') AS chunk " +
+        "FROM s ORDER BY doc_id, chunk_id"
+    ),
+    (spark, dir) => {
+      val t = split(col("text"), " ")
+      Tables
+        .documents(spark, dir)
+        .select(
+          col("doc_id"),
+          t.as("t"),
+          explode(sequence(lit(0), greatest(size(t) - 1, lit(0)), lit(24))).as("s0")
+        )
+        .select(
+          col("doc_id"),
+          (col("s0") / 24).cast("long").as("chunk_id"),
+          size(slice(col("t"), col("s0") + 1, lit(32))).cast("long").as("n_tokens"),
+          array_join(slice(col("t"), col("s0") + 1, lit(32)), " ").as("chunk")
+        )
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     textStats, textTfidfTop, textLangid, textQuality, textTokens, textFingerprint,
-    textPiiRedact, reportScores, textBigramLm
+    textPiiRedact, reportScores, textBigramLm, textChunk
   )
 }
