@@ -127,7 +127,6 @@ object Similarity {
     "sim_ann_lsh",
     None,
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val nPlanes = 8
       val planes = (0 until nPlanes).map(j => hyperplane(j, 64))
       val e = Tables.embeddings(spark, dir)
@@ -151,13 +150,16 @@ object Similarity {
         .filter(col("vec_id") < 100)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
       val base = sigs.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("bucket"))
-      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-      probe
+      // exact re-rank of the bucket candidates through the custom
+      // top-k operator: candidates prune map-side right after the
+      // bucket join instead of shuffling into a window sort
+      val cands = probe
         .join(base, Seq("bucket"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("cos", Det.rS(fdot(col("qe"), col("ne")), 6))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("bucket"))
+      org.apache.spark.sql.graftx
+        .TopKPerGroup(cands, Seq("query_id"), Seq("cos" -> true, "neighbor_id" -> false), 3, rnName = "rank")
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"), col("bucket"))
         .orderBy(col("query_id"), col("rank"))
     }

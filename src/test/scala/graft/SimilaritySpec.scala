@@ -29,8 +29,8 @@ class SimilaritySpec extends SparkSuite {
     // ranks dense from 1 per query
     val byQuery = ann.groupBy(_.getLong(0))
     for ((_, rows) <- byQuery) {
-      val ranks = rows.map(_.getInt(1)).sorted
-      assert(ranks.zipWithIndex.forall { case (r, i) => r == i + 1 })
+      val ranks = rows.map(_.getLong(1)).sorted
+      assert(ranks.zipWithIndex.forall { case (r, i) => r == i + 1L })
     }
   }
 
