@@ -65,12 +65,13 @@ private[sources] class SyntheticTable(rows: Long, partitions: Int) extends Table
   override def name(): String = s"synthetic($rows)"
   override def schema(): StructType = SyntheticSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SyntheticScanBuilder(rows, partitions)
+    new SyntheticScanBuilder(rows, partitions,
+      options.getLong("rowsPerTrigger", math.max(rows / 4, 1L)))
 }
 
-private[sources] class SyntheticScanBuilder(rows: Long, partitions: Int)
+private[sources] class SyntheticScanBuilder(rows: Long, partitions: Int, rowsPerTrigger: Long)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -136,7 +137,7 @@ private[sources] class SyntheticScanBuilder(rows: Long, partitions: Int)
 
   override def build(): Scan = aggSpec match {
     case Some(spec) => new SyntheticAggScan(lo, hi, spec, pushed)
-    case None       => new SyntheticScan(lo, hi, partitions, required, pushed)
+    case None       => new SyntheticScan(lo, hi, partitions, required, pushed, rowsPerTrigger)
   }
 }
 
@@ -180,13 +181,23 @@ private[sources] class SyntheticScan(
     hi: Long,
     partitions: Int,
     required: StructType,
-    pushed: Array[Filter]
+    pushed: Array[Filter],
+    rowsPerTrigger: Long = Long.MaxValue
 ) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"SyntheticScan range=[$lo,$hi) PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
+
+  /** Streaming read path: the id space IS the offset space, so
+    * exactly-once comes for free — an offset is just the next unread
+    * id, batches are contiguous [start, end) slices capped at
+    * `rowsPerTrigger`, and replaying a batch regenerates identical
+    * rows. The template for wrapping an ordered external stream
+    * (Kafka-like) as a custom micro-batch source. */
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new SyntheticMicroBatchStream(lo, hi, rowsPerTrigger, required)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(hi - lo, 0L)
@@ -203,6 +214,40 @@ private[sources] class SyntheticScan(
 }
 
 private[sources] case class SyntheticRange(start: Long, end: Long) extends InputPartition
+
+private[sources] case class SyntheticOffset(id: Long) extends streaming.Offset {
+  override def json(): String = id.toString
+}
+
+private[sources] class SyntheticMicroBatchStream(
+    lo: Long,
+    hi: Long,
+    rowsPerTrigger: Long,
+    required: StructType
+) extends streaming.MicroBatchStream {
+  // admission control: each trigger advances the visible end by at most
+  // rowsPerTrigger — the backpressure knob of a real source
+  private var visible: Long = lo
+  override def initialOffset(): streaming.Offset = SyntheticOffset(lo)
+  override def latestOffset(): streaming.Offset = {
+    visible = math.min(hi, visible + rowsPerTrigger)
+    SyntheticOffset(visible)
+  }
+  override def deserializeOffset(json: String): streaming.Offset = SyntheticOffset(json.toLong)
+  override def planInputPartitions(
+      start: streaming.Offset,
+      end: streaming.Offset
+  ): Array[InputPartition] = Array(
+    SyntheticRange(
+      start.asInstanceOf[SyntheticOffset].id,
+      end.asInstanceOf[SyntheticOffset].id
+    )
+  )
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticReaderFactory(required)
+  override def commit(end: streaming.Offset): Unit = () // ids below end are durable by construction
+  override def stop(): Unit = ()
+}
 
 private[sources] class SyntheticReaderFactory(required: StructType)
     extends PartitionReaderFactory {

@@ -66,6 +66,28 @@ class SourcesSpec extends SparkSuite {
     assert(p.contains("pushedAgg=[count, min, max]"), p.take(2000))
   }
 
+  test("micro-batch streaming read delivers every id exactly once across triggers") {
+    val q = spark.readStream
+      .format("graft.sources.SyntheticSource")
+      .option("rows", 1000)
+      .option("rowsPerTrigger", 300) // 4 batches: 300+300+300+100
+      .load()
+      .writeStream
+      .format("memory")
+      .queryName("t_synth_stream")
+      .outputMode("append")
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("t_synth_stream").count() < 1000 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+      }
+    } finally q.stop()
+    val got = spark.table("t_synth_stream")
+    assert(got.count() == 1000, s"got ${got.count()} rows")
+    assert(got.select(col("id")).distinct().count() == 1000, "duplicate or missing ids")
+  }
+
   test("row content is the documented pure function of id") {
     val row = synth(100, 1).filter(col("id") === 42).collect().head
     assert(row.getDouble(row.fieldIndex("v")) == sources.SyntheticSource.valueOf(42))
