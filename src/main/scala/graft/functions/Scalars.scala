@@ -360,8 +360,47 @@ object Scalars {
         .orderBy(col("p_partkey"))
   )
 
+  /** NULL-semantics torture: three-valued logic through nullif /
+    * coalesce chains, null-safe equality (Spark `<=>` ↔ DuckDB
+    * IS NOT DISTINCT FROM), NULL propagation through arithmetic and
+    * IN-lists. Booleans land as int; the IN-list result is a genuinely
+    * nullable int column (NULL when the probe is NULL — the SQL
+    * standard's awkward corner, asserted cross-engine). */
+  val fnNull: Q = Q(
+    "fn_null",
+    Some(
+      "SELECT o_orderkey, " +
+        "nullif(o_orderstatus, 'O') AS st_nn, " +
+        "coalesce(nullif(o_orderstatus, 'O'), 'fallback') AS st_co, " +
+        "CAST(nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F' AS INT) AS nse_f, " +
+        "CAST(nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL AS INT) AS nse_null, " +
+        Det.oRN("coalesce(CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END * 2, -1)", 2) +
+        " AS arith_prop, " +
+        "CAST(nullif(o_orderstatus, 'O') IN ('F') AS INT) AS in_3vl " +
+        "FROM orders ORDER BY o_orderkey"
+    ),
+    (spark, dir) => {
+      val nn = nullif(col("o_orderstatus"), lit("O"))
+      Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderkey"),
+          nn.as("st_nn"),
+          coalesce(nn, lit("fallback")).as("st_co"),
+          (nn <=> "F").cast("int").as("nse_f"),
+          (nn <=> lit(null)).cast("int").as("nse_null"),
+          Det.rN(
+            coalesce(when(col("o_orderstatus") === "O", lit(null)).otherwise(col("o_totalprice")) * 2, lit(-1.0)),
+            2
+          ).as("arith_prop"),
+          nn.isin("F").cast("int").as("in_3vl")
+        )
+        .orderBy(col("o_orderkey"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     fnString, fnMath, fnDate, fnCondCast, fnArrayTokens, fnArrayVec,
-    fnJson, fnHash, genExplodeTokens, fnMap, fnRegexp
+    fnJson, fnHash, genExplodeTokens, fnMap, fnRegexp, fnNull
   )
 }

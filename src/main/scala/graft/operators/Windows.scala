@@ -241,6 +241,38 @@ object Windows {
     }
   )
 
+  /** Gaps-and-islands: runs of CONSECUTIVE active days per user (first
+    * 100 users) via the classic rn-difference trick — day minus
+    * row_number is constant within a consecutive run, so it groups the
+    * island. Window + aggregate only, identical in both engines; the
+    * island key itself is never emitted (its type differs across
+    * engines), only run boundaries and lengths. */
+  val winGapsIslands: Q = Q(
+    "win_gaps_islands",
+    Some(
+      "WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day " +
+        "FROM events WHERE user_id < 100), " +
+        "r AS (SELECT user_id, day, row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM d), " +
+        "i AS (SELECT user_id, day, day - rn * INTERVAL 1 DAY AS grp FROM r) " +
+        "SELECT user_id, min(day) AS run_start, max(day) AS run_end, count(*) AS run_days " +
+        "FROM i GROUP BY user_id, grp ORDER BY user_id, run_start"
+    ),
+    (spark, dir) => {
+      val d = Tables
+        .events(spark, dir)
+        .filter(col("user_id") < 100)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      d.withColumn("rn", row_number().over(w))
+        .withColumn("grp", date_sub(col("day").cast("date"), col("rn")))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(min(col("day")).as("run_start"), max(col("day")).as("run_end"), count(lit(1)).as("run_days"))
+        .select(col("user_id"), col("run_start"), col("run_end"), col("run_days"))
+        .orderBy(col("user_id"), col("run_start"))
+    }
+  )
+
   /** cume_dist over order values per segment — the remaining ranking
     * function the win_ranking family doesn't cover. Ordering includes
     * the unique key so ties cannot shift the distribution. */
@@ -265,7 +297,7 @@ object Windows {
   )
 
   def qs: Seq[Q] = Seq(
-    winRanking, winTop3PerGroup, winTop3TopK, winLagLead, winRunningSum, winRangeFrame, winFirstLast,
+    winRanking, winTop3PerGroup, winTop3TopK, winLagLead, winRunningSum, winRangeFrame, winFirstLast, winGapsIslands,
     winCumeDist
   )
 }
