@@ -252,6 +252,45 @@ object Extras {
         .orderBy(col("p_partkey"), col("metric"))
   )
 
+  /** Z-score outlier flagging per event_type — population moments from
+    * order-independent decimal sums (mean = Σx/n, var = Σx²/n − mean²,
+    * both IEEE on identical operands cross-engine), broadcast back
+    * onto the stream, |z| > 2.5 flagged. The per-group-stats-then-score
+    * shape every monitoring pipeline runs; emits only the outliers. */
+  val eventsAnomaly: Q = graft.Q(
+    "events_anomaly",
+    Some(
+      "WITH m AS (SELECT event_type, " +
+        Det.oSum("value") + " / count(*) AS mu, " +
+        "sqrt(" + Det.oSum("value * value") + " / count(*) - " +
+        "pow(" + Det.oSum("value") + " / count(*), 2)) AS sigma " +
+        "FROM events GROUP BY 1) " +
+        "SELECT e.event_id, e.event_type, e.value, " +
+        Det.oRS("(e.value - m.mu) / m.sigma", 6) + " AS z " +
+        "FROM events e JOIN m ON e.event_type = m.event_type " +
+        "WHERE abs((e.value - m.mu) / m.sigma) > 2.5 " +
+        "ORDER BY e.event_id"
+    ),
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      val m = ev
+        .groupBy(col("event_type"))
+        .agg(
+          (Det.dsum(col("value")) / count(lit(1))).as("mu"),
+          sqrt(
+            Det.dsum(col("value") * col("value")) / count(lit(1)) -
+              pow(Det.dsum(col("value")) / count(lit(1)), 2)
+          ).as("sigma")
+        )
+      ev.join(broadcast(m), Seq("event_type"))
+        .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("event_id"), col("event_type"), col("value"), Det.rS(col("z"), 6).as("z"))
+        .orderBy(col("event_id"))
+    }
+  )
+
   def qs: Seq[Q] =
-    Seq(aggPivot, aggUnpivot, aggPercentile, fnBitwise, snkPartitioned, snkBucketed, aggSalted, mergeUpsert)
+    Seq(aggPivot, aggUnpivot, aggPercentile, fnBitwise, snkPartitioned, snkBucketed, aggSalted,
+      mergeUpsert, eventsAnomaly)
 }

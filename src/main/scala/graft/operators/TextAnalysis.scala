@@ -434,8 +434,42 @@ object TextAnalysis {
     }
   )
 
+  /** Vocabulary coverage curve — the tokenizer-training metric: tokens
+    * by corpus frequency with cumulative coverage fraction ("the top N
+    * tokens cover X% of the corpus"). One explode + count + two global
+    * window passes over the (vocabulary-sized, tiny) count table. */
+  val textVocab: Q = Q(
+    "text_vocab",
+    Some(
+      "WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "c AS (SELECT tok, count(*) AS n FROM t GROUP BY 1), " +
+        "r AS (SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rnk, " +
+        "sum(n) OVER (ORDER BY n DESC, tok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "sum(n) OVER () AS total FROM c) " +
+        "SELECT rnk, tok, n, " + Det.oRN("cum::DOUBLE / total", 6) + " AS coverage " +
+        "FROM r ORDER BY rnk"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables
+        .documents(spark, dir)
+        .select(explode(toks(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"))
+      val ord = Window.orderBy(col("n").desc, col("tok"))
+      val cumW = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totW = Window.partitionBy() // global
+      c.select(
+        row_number().over(ord).cast("long").as("rnk"),
+        col("tok"),
+        col("n"),
+        Det.rN(sum(col("n")).over(cumW).cast("double") / sum(col("n")).over(totW), 6).as("coverage")
+      ).orderBy(col("rnk"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     textStats, textTfidfTop, textLangid, textQuality, textTokens, textFingerprint,
-    textPiiRedact, reportScores, textBigramLm, textChunk
+    textPiiRedact, reportScores, textBigramLm, textChunk, textVocab
   )
 }
