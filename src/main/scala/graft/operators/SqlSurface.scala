@@ -120,5 +120,32 @@ object SqlSurface {
     }
   )
 
-  def qs: Seq[Q] = Seq(sqlPricing, sqlCorrelated, sqlCteWindow, sqlLateral)
+  /** Catalog DDL lifecycle: CTAS into a managed parquet table, INSERT
+    * INTO appending a second slice, aggregate read-back — the
+    * warehouse surface (a user managing tables instead of paths).
+    * Oracle: the same aggregate straight off the part file (the
+    * managed copy must be lossless). DROP..IF EXISTS first makes the
+    * query re-runnable in a shared warehouse. */
+  val sqlDdlCtas: Q = Q(
+    "sql_ddl_ctas",
+    Some(
+      "SELECT p_brand, count(*) AS n, cast(sum(p_size) as bigint) AS total_size " +
+        "FROM part WHERE p_size >= 25 GROUP BY p_brand ORDER BY p_brand"
+    ),
+    (spark, dir) => {
+      registerViews(spark, dir)
+      spark.sql("DROP TABLE IF EXISTS graft_ctas")
+      spark.sql(
+        "CREATE TABLE graft_ctas USING parquet AS " +
+          "SELECT p_brand, p_size FROM part WHERE p_size > 25"
+      )
+      spark.sql("INSERT INTO graft_ctas SELECT p_brand, p_size FROM part WHERE p_size = 25")
+      spark.sql(
+        "SELECT p_brand, count(*) AS n, cast(sum(p_size) as bigint) AS total_size " +
+          "FROM graft_ctas GROUP BY p_brand ORDER BY p_brand"
+      )
+    }
+  )
+
+  def qs: Seq[Q] = Seq(sqlPricing, sqlCorrelated, sqlCteWindow, sqlLateral, sqlDdlCtas)
 }
