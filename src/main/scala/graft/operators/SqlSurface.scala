@@ -135,6 +135,12 @@ object SqlSurface {
     (spark, dir) => {
       registerViews(spark, dir)
       spark.sql("DROP TABLE IF EXISTS graft_ctas")
+      // the default catalog is in-memory per session but the warehouse
+      // files persist — a stale location from an earlier session blocks
+      // CTAS even after DROP IF EXISTS, so clear it physically too
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), "graft_ctas")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
       spark.sql(
         "CREATE TABLE graft_ctas USING parquet AS " +
           "SELECT p_brand, p_size FROM part WHERE p_size > 25"
