@@ -251,6 +251,57 @@ private[sources] class SyntheticMicroBatchStream(
 
 private[sources] class SyntheticReaderFactory(required: StructType)
     extends PartitionReaderFactory {
+
+  /** Vectorized path: generate directly into on-heap column vectors in
+    * 4k-row batches — the scan then feeds Spark's columnar pipeline and
+    * whole-stage codegen consumes it through ColumnarToRow, exactly
+    * like the built-in parquet reader. */
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(
+      partition: InputPartition
+  ): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.ColumnarBatch
+    val r = partition.asInstanceOf[SyntheticRange]
+    val batchSize = 4096
+    val fieldNames = required.fields.map(_.name)
+    new PartitionReader[ColumnarBatch] {
+      private var cur = r.start
+      private var batch: ColumnarBatch = _
+      override def next(): Boolean = {
+        if (batch != null) { batch.close(); batch = null }
+        if (cur >= r.end) false
+        else {
+          val n = math.min(batchSize.toLong, r.end - cur).toInt
+          val vectors = required.fields.map(f => new OnHeapColumnVector(n, f.dataType))
+          var i = 0
+          while (i < n) {
+            val id = cur + i
+            var j = 0
+            while (j < fieldNames.length) {
+              fieldNames(j) match {
+                case "id"   => vectors(j).putLong(i, id)
+                case "v"    => vectors(j).putDouble(i, SyntheticSource.valueOf(id))
+                case "word" =>
+                  val b = SyntheticSource.wordOf(id).getBytes("UTF-8")
+                  vectors(j).putByteArray(i, b)
+                case other => throw new IllegalArgumentException(s"unknown column $other")
+              }
+              j += 1
+            }
+            i += 1
+          }
+          batch = new ColumnarBatch(vectors.toArray[org.apache.spark.sql.vectorized.ColumnVector], n)
+          cur += n
+          true
+        }
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = if (batch != null) { batch.close(); batch = null }
+    }
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val r = partition.asInstanceOf[SyntheticRange]
     // bind the projection once per partition, not per row

@@ -88,6 +88,16 @@ class SourcesSpec extends SparkSuite {
     assert(got.select(col("id")).distinct().count() == 1000, "duplicate or missing ids")
   }
 
+  test("batch reads are columnar (vectorized generation + ColumnarToRow)") {
+    val df = synth(10000, 4).filter(col("id") >= 100)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ColumnarToRow"), p.take(2000))
+    // and the vectorized path produces the same rows as the row path
+    val row42 = synth(100, 1).filter(col("id") === 42).collect().head
+    assert(row42.getDouble(row42.fieldIndex("v")) == sources.SyntheticSource.valueOf(42))
+  }
+
   test("row content is the documented pure function of id") {
     val row = synth(100, 1).filter(col("id") === 42).collect().head
     assert(row.getDouble(row.fieldIndex("v")) == sources.SyntheticSource.valueOf(42))
