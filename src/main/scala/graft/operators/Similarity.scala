@@ -165,5 +165,56 @@ object Similarity {
     }
   )
 
-  def qs: Seq[Q] = Seq(simCosineTopk, simKnnClassify, simAnnLsh)
+  /** Multi-probe LSH: each query ALSO probes the 8 buckets at Hamming
+    * distance 1 from its own (one sign-bit flip each) — the classic
+    * recall amplifier that trades k extra (cheap, bucket-sized) probes
+    * for not building more tables. The probe side explodes 9× BEFORE
+    * the equi-join; the base side — the 100 TB side — is untouched, so
+    * the plan cost scales with probes, not data. Exact cosine re-rank
+    * top-3 over the union of candidate buckets via TopKPerGroup.
+    * No oracle (bucket internals); SimilaritySpec proves recall
+    * DOMINATES single-probe LSH on the same corpus. */
+  val simAnnMultiprobe: Q = Q(
+    "sim_ann_multiprobe",
+    None,
+    (spark, dir) => {
+      val nPlanes = 8
+      val planes = (0 until nPlanes).map(j => hyperplane(j, 64))
+      val e = Tables.embeddings(spark, dir)
+      def bucket(emb: Column): Column =
+        (0 until nPlanes)
+          .map { j =>
+            val proj = aggregate(
+              zip_with(emb, array(planes(j).map(lit): _*), (x, p) => x.cast("double") * p),
+              lit(0.0),
+              (acc, x) => acc + x
+            )
+            when(proj > 0, lit(1 << j)).otherwise(lit(0))
+          }
+          .reduce(_ + _)
+      val sigs = e.select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bucket"))
+      // query probes its own bucket plus each 1-bit flip
+      val probe = sigs
+        .filter(col("vec_id") < 100)
+        .select(
+          col("vec_id").as("query_id"),
+          col("embedding").as("qe"),
+          explode(array(col("bucket") +: (0 until nPlanes).map(j =>
+            col("bucket").bitwiseXOR(lit(1 << j))): _*)).as("bucket")
+        )
+      val base = sigs.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("bucket"))
+      val cands = probe
+        .join(base, Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", Det.rS(fdot(col("qe"), col("ne")), 6))
+        .select(col("query_id"), col("neighbor_id"), col("cos"))
+        .dropDuplicates("query_id", "neighbor_id") // a neighbor can match via several probes
+      org.apache.spark.sql.graftx
+        .TopKPerGroup(cands, Seq("query_id"), Seq("cos" -> true, "neighbor_id" -> false), 3, rnName = "rank")
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+  )
+
+  def qs: Seq[Q] = Seq(simCosineTopk, simKnnClassify, simAnnLsh, simAnnMultiprobe)
 }

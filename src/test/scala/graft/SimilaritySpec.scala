@@ -34,6 +34,23 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("multi-probe recall@3 dominates single-probe LSH") {
+    def recall(q: graft.Q): Double = {
+      val brute = operators.Similarity.simCosineTopk.run(spark, sf)
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ann = q.run(spark, sf)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & ann).size.toDouble / brute.size
+    }
+    val single = recall(operators.Similarity.simAnnLsh)
+    val multi = recall(operators.Similarity.simAnnMultiprobe)
+    assert(multi >= single, s"multi=$multi single=$single")
+    assert(multi > 0.0)
+  }
+
   test("ANN-LSH recall@3 vs brute force is nonzero (buckets collapse candidates)") {
     val brute = operators.Similarity.simCosineTopk.run(spark, sf)
       .filter(col("rank") <= 3)
