@@ -510,8 +510,44 @@ object Dedup {
     }
   )
 
+  /** Threshold-sensitivity curve: near-dup pair counts in 0.05-wide
+    * Jaccard bins with the cumulative count at-or-above each bin — the
+    * artifact you read before CHOOSING a dedup threshold (how many
+    * more pairs does lowering the bar to 0.85 drag in?). One pass over
+    * the already-blocked pair stream; binning on the 6-dp-rounded jac
+    * is bit-identical cross-engine. */
+  val dedupThresholdCurve: Q = Q(
+    "dedup_threshold_curve",
+    Some(
+      "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t FROM documents), " +
+        "p AS (SELECT " + Det.oRN(
+          "len(list_intersect(a.t, b.t))::DOUBLE / len(list_distinct(a.t || b.t))", 6) + " AS jac " +
+        "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+        "AND 5 * least(len(a.t), len(b.t)) >= 4 * greatest(len(a.t), len(b.t))), " +
+        "b AS (SELECT floor(jac * 20) / 20 AS bin FROM p WHERE jac >= 0.8), " +
+        "g AS (SELECT bin, count(*) AS n_pairs FROM b GROUP BY bin) " +
+        "SELECT bin, n_pairs, cast(sum(n_pairs) OVER (ORDER BY bin DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS n_at_or_above " +
+        "FROM g ORDER BY bin"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("bin").desc).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      nearJaccardPairs(spark, dir)
+        .select((floor(col("jac") * 20) / 20).as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(
+          col("bin"),
+          col("n_pairs"),
+          sum(col("n_pairs")).over(w).cast("long").as("n_at_or_above")
+        )
+        .orderBy(col("bin"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     dedupExact, dedupNearJaccard, dedupEmbedCosine, dedupNgramJaccard, dedupSimhash,
-    dedupMinhashLsh, dedupClusters, dedupReport
+    dedupMinhashLsh, dedupClusters, dedupReport, dedupThresholdCurve
   )
 }
