@@ -468,8 +468,63 @@ object TextAnalysis {
     }
   )
 
+  /** The end-to-end curation pipeline in ONE plan — what this engine
+    * exists for: quality gate (length + token floor) → exact-dedup
+    * survivors (min doc_id per sha256) → overlapping 32/24 chunking →
+    * per-language corpus statistics. Every stage is one of the
+    * engine's verified operators composed; the whole pipeline is two
+    * shuffles (dedup hash, final group) plus map-side chunking. */
+  val pipelineCurate: Q = Q(
+    "pipeline_curate",
+    Some(
+      "WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)), " +
+        "kept AS (SELECT d.doc_id, d.lang, string_split(d.text, ' ') AS t FROM documents d " +
+        "JOIN keepers k ON d.doc_id = k.doc_id " +
+        "WHERE d.n_chars >= 150 AND len(string_split(d.text, ' ')) >= 20), " +
+        "ch AS (SELECT doc_id, lang, " +
+        "len(list_slice(t, s0 + 1, s0 + 32)) AS n_toks " +
+        "FROM (SELECT doc_id, lang, t, unnest(range(0, greatest(len(t), 1), 24)) AS s0 FROM kept)) " +
+        "SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks, " +
+        "cast(sum(n_toks) as bigint) AS total_tokens, " +
+        Det.oRN("sum(n_toks)::DOUBLE / count(*)", 6) + " AS avg_chunk_tokens " +
+        "FROM ch GROUP BY lang ORDER BY lang"
+    ),
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val keepers = docs
+        .groupBy(sha2(col("text"), 256))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val t = split(col("text"), " ")
+      val kept = docs
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .filter(col("n_chars") >= 150 && size(t) >= 20)
+        .select(col("doc_id"), col("lang"), t.as("t"))
+      kept
+        .select(
+          col("doc_id"),
+          col("lang"),
+          col("t"),
+          explode(sequence(lit(0), greatest(size(col("t")) - 1, lit(0)), lit(24))).as("s0")
+        )
+        .select(
+          col("doc_id"),
+          col("lang"),
+          size(slice(col("t"), col("s0") + 1, lit(32))).as("n_toks")
+        )
+        .groupBy(col("lang"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("n_toks")).cast("long").as("total_tokens"),
+          Det.rN(sum(col("n_toks")).cast("double") / count(lit(1)), 6).as("avg_chunk_tokens")
+        )
+        .orderBy(col("lang"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     textStats, textTfidfTop, textLangid, textQuality, textTokens, textFingerprint,
-    textPiiRedact, reportScores, textBigramLm, textChunk, textVocab
+    textPiiRedact, reportScores, textBigramLm, textChunk, textVocab, pipelineCurate
   )
 }
