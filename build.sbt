@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the forked JVM's stdout line-by-line;
+// sbt's default logged output prefixes every line with "[info] ", which
+// breaks JSON-line parsing (BENCH_r1..r4 all recorded parsed:null).
+// StdoutOutput passes the child's stdout through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

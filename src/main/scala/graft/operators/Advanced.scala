@@ -38,6 +38,53 @@ object Advanced {
         .orderBy(col("label"), col("dim"))
   )
 
+  /** Centroid per label as an array column (collapsed onto ~10 rows —
+    * the coarse quantizer is tiny by construction and broadcasts).
+    * Decimal-sum mean: partition-order-independent, so repeated runs
+    * assign vectors to identical lists. */
+  private def centroidTable(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
+      .groupBy(col("label"), col("p"))
+      .agg((Det.dsum(col("v").cast("double")) / count(lit(1))).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("p"), col("c")))).as("pc"))
+      .select(col("label").as("list_id"), transform(col("pc"), x => x.getField("c")).as("centroid"))
+
+  /** Dot of every src vector against every list centroid (10 lists);
+    * built per caller so the probe side filters BEFORE the cross join.
+    * Keeps all src columns + (list_id, d). */
+  private def withDist(src: DataFrame, cent: DataFrame): DataFrame = src
+    .crossJoin(broadcast(cent))
+    .withColumn(
+      "d",
+      aggregate(
+        zip_with(col("embedding"), col("centroid"), (x, c) => x.cast("double") * c),
+        lit(0.0),
+        (acc, x) => acc + x
+      )
+    )
+    .drop("centroid")
+
+  /** Exact cosine re-rank of list-collision candidates: probes search
+    * their nearest `nprobe` lists, candidates come from one equi-join
+    * on list_id, top-3 via the map-side-pruning custom operator. */
+  private def ivfProbe(probes: DataFrame, assigned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftx.TopKPerGroup
+    val cands = probes
+      .join(
+        assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("list_id")),
+        Seq("list_id")
+      )
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Det.rS(org.apache.spark.sql.graftx.FloatDot.dot(col("qe"), col("ne")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("list_id"))
+    TopKPerGroup(cands, Seq("query_id"), Seq("cos" -> true, "neighbor_id" -> false), 3, rnName = "rank")
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"), col("list_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF ANN: assign each vector to its nearest label-centroid list
     * (map-side argmin over the broadcast centroid table), then search
     * the probe's nearest 2 lists only. No oracle — recall vs brute
@@ -47,54 +94,71 @@ object Advanced {
     None,
     (spark, dir) => {
       val e = Tables.embeddings(spark, dir)
-      // centroid per label as an array column (collected onto ~10 rows,
-      // then broadcast — the coarse quantizer is tiny by construction)
-      val cent = e
-        .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
-        .groupBy(col("label"), col("p"))
-        // decimal-sum mean: partition-order-independent, so repeated
-        // runs assign vectors to identical lists
-        .agg((Det.dsum(col("v").cast("double")) / count(lit(1))).as("c"))
-        .groupBy(col("label"))
-        .agg(array_sort(collect_list(struct(col("p"), col("c")))).as("pc"))
-        .select(col("label").as("list_id"), transform(col("pc"), x => x.getField("c")).as("centroid"))
-      // distance of a vector set to every list centroid (10 lists);
-      // built per caller so the probe side filters BEFORE the cross
-      // join — the previous formulation traversed one full-table dots
-      // lineage twice (once per window)
-      def withDist(src: DataFrame): DataFrame = src
-        .crossJoin(broadcast(cent))
-        .withColumn(
-          "d",
-          aggregate(
-            zip_with(col("embedding"), col("centroid"), (x, c) => x.cast("double") * c),
-            lit(0.0),
-            (acc, x) => acc + x
-          )
-        )
-        .select(col("vec_id"), col("embedding"), col("label"), col("list_id"), col("d"))
+      val cent = centroidTable(spark, dir)
       import org.apache.spark.sql.graftx.TopKPerGroup
       // argmin assignment / nprobe selection via the custom top-k
       // operator: all 10 centroid rows of a vector sit in one scan
       // partition, so the partial collapses them map-side — the
       // exchange moves 1 (resp. 2) rows per vector, not 10
-      val assigned = TopKPerGroup(withDist(e), Seq("vec_id"), Seq("d" -> true, "list_id" -> false), 1)
-        .select(col("vec_id"), col("embedding"), col("label"), col("list_id"))
+      val assigned = TopKPerGroup(withDist(e, cent), Seq("vec_id"), Seq("d" -> true, "list_id" -> false), 1)
+        .select(col("vec_id"), col("embedding"), col("list_id"))
       val probes = TopKPerGroup(
-        withDist(e.filter(col("vec_id") < 100)),
+        withDist(e.filter(col("vec_id") < 100), cent),
         Seq("vec_id"), Seq("d" -> true, "list_id" -> false), 2) // nprobe = 2
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("list_id"))
-      val cands = probes
-        .join(
-          assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("list_id")),
-          Seq("list_id")
-        )
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("cos", Det.rS(org.apache.spark.sql.graftx.FloatDot.dot(col("qe"), col("ne")), 6))
-        .select(col("query_id"), col("neighbor_id"), col("cos"), col("list_id"))
-      TopKPerGroup(cands, Seq("query_id"), Seq("cos" -> true, "neighbor_id" -> false), 3, rnName = "rank")
-        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"), col("list_id"))
-        .orderBy(col("query_id"), col("rank"))
+      ivfProbe(probes, assigned)
+    }
+  )
+
+  /** Where the persisted IVF index lives for a given sf dir, and the
+    * per-session build-once cache. A real pipeline builds the index in
+    * one job and serves many query batches from it; recomputing
+    * signatures per query (as the demo variants above do) re-pays the
+    * full base-table pass every time. The index is two parquet tables —
+    * `centroids` (the coarse quantizer, ~|lists| rows) and
+    * `assignments` (vec_id, embedding, list_id — the inverted lists,
+    * |base| rows, list_id-partitionable at scale). */
+  private val ivfIndexCache =
+    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  private[graft] def ivfIndexPath(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    ivfIndexCache.synchronized {
+      ivfIndexCache.getOrElseUpdate(
+        (spark, dir), {
+          val base =
+            s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index/${Integer.toHexString(dir.hashCode)}"
+          val cent = centroidTable(spark, dir)
+          cent.write.mode("overwrite").parquet(s"$base/centroids")
+          import org.apache.spark.sql.graftx.TopKPerGroup
+          TopKPerGroup(
+            withDist(Tables.embeddings(spark, dir), cent),
+            Seq("vec_id"), Seq("d" -> true, "list_id" -> false), 1)
+            .select(col("vec_id"), col("embedding"), col("list_id"))
+            .write.mode("overwrite").parquet(s"$base/assignments")
+          base
+        }
+      )
+    }
+
+  /** IVF ANN served from the PERSISTED index: the quantizer and the
+    * inverted lists are read back from parquet — only the 100 probe
+    * vectors are quantized at query time; the base table is never
+    * re-scanned. AdvancedSpec asserts (a) result equality with the
+    * recomputing sim_ann_ivf and (b) that this plan's base side is a
+    * parquet scan of the index path, not an aggregate. */
+  val simAnnIvfPersisted: Q = Q(
+    "sim_ann_ivf_persisted",
+    None,
+    (spark, dir) => {
+      val base = ivfIndexPath(spark, dir)
+      val cent = spark.read.parquet(s"$base/centroids")
+      val assigned = spark.read.parquet(s"$base/assignments")
+      import org.apache.spark.sql.graftx.TopKPerGroup
+      val probes = TopKPerGroup(
+        withDist(Tables.embeddings(spark, dir).filter(col("vec_id") < 100), cent),
+        Seq("vec_id"), Seq("d" -> true, "list_id" -> false), 2)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("list_id"))
+      ivfProbe(probes, assigned)
     }
   )
 
@@ -138,5 +202,5 @@ object Advanced {
     }
   )
 
-  def qs: Seq[Q] = Seq(ivfCentroids, simAnnIvf, funnelVcp)
+  def qs: Seq[Q] = Seq(ivfCentroids, simAnnIvf, simAnnIvfPersisted, funnelVcp)
 }

@@ -107,7 +107,7 @@ object Scans {
   val snkDsv2Mem: Q = Q(
     "snk_dsv2_mem",
     Some(
-      "SELECT p_brand, count(*) AS n, sum(p_size) AS total_size " +
+      "SELECT p_brand, count(*) AS n, cast(sum(p_size) as bigint) AS total_size " +
         "FROM part WHERE p_size > 10 GROUP BY p_brand ORDER BY p_brand"
     ),
     (spark, dir) => {

@@ -44,7 +44,9 @@ object Typed {
         .filter(col("n_chars") >= 150) // column predicate: reaches the scan
         .as[Doc]
       docs
-        .filter(d => d.text.split(" ").length >= 20) // typed refinement
+        // limit -1 keeps trailing empty tokens, matching DuckDB
+        // string_split (and Spark SQL split) semantics exactly
+        .filter(d => d.text.split(" ", -1).length >= 20) // typed refinement
         .groupByKey(_.lang)
         .mapGroups { (lang, ds) =>
           var n = 0L

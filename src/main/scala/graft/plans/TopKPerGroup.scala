@@ -329,10 +329,21 @@ object TopKPerGroup {
     val spark = cdf.sparkSession
     register(spark)
     val lp = cdf.queryExecution.analyzed
-    def attr(n: String): Attribute = lp.output
-      .find(_.name == n)
-      .getOrElse(throw new IllegalArgumentException(
-        s"column '$n' not in ${lp.output.map(_.name).mkString(", ")}"))
+    // Resolve with the session's resolver (case-insensitive by default)
+    // and refuse ambiguity: after a join a DataFrame can carry duplicate
+    // column names, and silently binding the first would rank by the
+    // wrong side's column.
+    val resolver = spark.sessionState.analyzer.resolver
+    def attr(n: String): Attribute = lp.output.filter(a => resolver(a.name, n)) match {
+      case collection.Seq(one) => one
+      case collection.Seq() =>
+        throw new IllegalArgumentException(
+          s"column '$n' not in ${lp.output.map(_.name).mkString(", ")}")
+      case many =>
+        throw new IllegalArgumentException(
+          s"column '$n' is ambiguous: ${many.size} attributes match " +
+            s"(${many.map(_.qualifiedName).mkString(", ")}) — disambiguate before TopKPerGroup")
+    }
     val group = groupCols.map(attr)
     val order = orderSpec.map { case (n, desc) =>
       SortOrder(attr(n), if (desc) Descending else Ascending)

@@ -226,26 +226,40 @@ private[sources] class SyntheticMicroBatchStream(
     required: StructType
 ) extends streaming.MicroBatchStream {
   // admission control: each trigger advances the visible end by at most
-  // rowsPerTrigger — the backpressure knob of a real source
+  // rowsPerTrigger — the backpressure knob of a real source.
+  // `progressed` tracks the highest offset the ENGINE has reported back
+  // (batch starts / commits): on restart from a checkpoint this stream
+  // object is fresh (visible == lo) but the engine resumes from its
+  // committed offset, and without the clamp latestOffset() could return
+  // an end below that start, yielding inverted/empty [start, end)
+  // ranges until visible caught up.
   private var visible: Long = lo
+  private var progressed: Long = lo
   override def initialOffset(): streaming.Offset = SyntheticOffset(lo)
   override def latestOffset(): streaming.Offset = {
-    visible = math.min(hi, visible + rowsPerTrigger)
+    visible = math.min(hi, math.max(visible, progressed) + rowsPerTrigger)
     SyntheticOffset(visible)
   }
   override def deserializeOffset(json: String): streaming.Offset = SyntheticOffset(json.toLong)
   override def planInputPartitions(
       start: streaming.Offset,
       end: streaming.Offset
-  ): Array[InputPartition] = Array(
-    SyntheticRange(
-      start.asInstanceOf[SyntheticOffset].id,
-      end.asInstanceOf[SyntheticOffset].id
+  ): Array[InputPartition] = {
+    progressed = math.max(progressed, start.asInstanceOf[SyntheticOffset].id)
+    Array(
+      SyntheticRange(
+        start.asInstanceOf[SyntheticOffset].id,
+        end.asInstanceOf[SyntheticOffset].id
+      )
     )
-  )
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new SyntheticReaderFactory(required)
-  override def commit(end: streaming.Offset): Unit = () // ids below end are durable by construction
+  override def commit(end: streaming.Offset): Unit = {
+    // ids below end are durable by construction; remember the engine's
+    // progress so a restarted stream never re-advances from scratch
+    progressed = math.max(progressed, end.asInstanceOf[SyntheticOffset].id)
+  }
   override def stop(): Unit = ()
 }
 

@@ -21,6 +21,21 @@ class AdvancedSpec extends SparkSuite {
     assert(recall > 0.0, s"recall=$recall")
   }
 
+  test("persisted IVF index: probe equals recompute and reads parquet, not the base table") {
+    val recomputed = operators.Advanced.simAnnIvf.run(spark, sf).collect().toSeq
+    val persisted = operators.Advanced.simAnnIvfPersisted.run(spark, sf)
+    assert(persisted.collect().toSeq == recomputed,
+      "index round-trip must not change the ANN result")
+    // the probe plan's base side must be a parquet scan of the index
+    // dir — NOT the centroid aggregate / assignment recompute
+    val plan = persisted.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_ivf_index"), s"expected index scan in plan:\n$plan")
+    // build-once: a second invocation reuses the cached index path, so
+    // its plan still reads the same persisted location
+    val again = operators.Advanced.simAnnIvfPersisted.run(spark, sf)
+    assert(again.queryExecution.executedPlan.toString.contains("graft_ivf_index"))
+  }
+
   test("funnel timestamps are monotone: view <= click <= purchase") {
     val f = operators.Advanced.funnelVcp.run(spark, sf).collect()
     assert(f.nonEmpty)
