@@ -61,6 +61,60 @@ object Aggregates {
     }
   )
 
+  /** End-to-end DecimalType pricing: inputs cast to tight decimals
+    * (safe — FIXTURES money columns are exact 2-dp values, so the
+    * double→decimal cast recovers the identical decimal in both
+    * engines), every multiply/subtract/sum stays EXACT decimal
+    * arithmetic (precisions sized so no Spark precision-loss rounding
+    * fires: (8,2)×(4,2)→(13,4), (13,4)×(4,2)→(18,6), sums widen the
+    * integral part only), and only the final output casts to double
+    * (§2.9.3 bans decimal output columns; an exact decimal → double is
+    * one deterministic IEEE rounding in both engines). This is the
+    * decimal counterpart of agg_group_pricing's Det.dsum trick — the
+    * whole pipeline is typed decimal, not just the sum. */
+  val aggDecimalPricing: Q = Q(
+    "agg_decimal_pricing",
+    Some(
+      "WITH d AS (SELECT l_returnflag, l_linestatus, " +
+        "l_extendedprice::DECIMAL(8,2) AS ep, " +
+        "l_discount::DECIMAL(3,2) AS disc, l_tax::DECIMAL(3,2) AS tax " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'), " +
+        "p AS (SELECT l_returnflag, l_linestatus, ep, " +
+        "ep * (1.00 - disc) AS disc_price, " +
+        "ep * (1.00 - disc) * (1.00 + tax) AS charge FROM d) " +
+        "SELECT l_returnflag, l_linestatus, " +
+        "cast(sum(ep) as double) AS sum_base_price, " +
+        "cast(sum(disc_price) as double) AS sum_disc_price, " +
+        "cast(sum(charge) as double) AS sum_charge, " +
+        "count(*) AS count_order " +
+        "FROM p GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus"
+    ),
+    (spark, dir) => {
+      val one = lit(1).cast("decimal(3,2)")
+      val d = Tables
+        .lineitem(spark, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .select(
+          col("l_returnflag"),
+          col("l_linestatus"),
+          col("l_extendedprice").cast("decimal(8,2)").as("ep"),
+          col("l_discount").cast("decimal(3,2)").as("disc"),
+          col("l_tax").cast("decimal(3,2)").as("tax")
+        )
+        .withColumn("disc_price", col("ep") * (one - col("disc")))
+        .withColumn("charge", col("ep") * (one - col("disc")) * (one + col("tax")))
+      d.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("ep")).cast("double").as("sum_base_price"),
+          sum(col("disc_price")).cast("double").as("sum_disc_price"),
+          sum(col("charge")).cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }
+  )
+
   /** Ungrouped global aggregate — one row, fully map-side combinable. */
   val aggGlobal: Q = Q(
     "agg_global",
@@ -368,7 +422,7 @@ object Aggregates {
   )
 
   def qs: Seq[Q] = Seq(
-    aggGroupPricing, aggGlobal, aggDistinct, aggRollup, aggCube,
+    aggGroupPricing, aggDecimalPricing, aggGlobal, aggDistinct, aggRollup, aggCube,
     aggGroupingSets, aggStats, aggMinMaxBy, aggCollectSorted, aggApproxDistinct,
     aggPredicates, aggCohortRetention
   )
