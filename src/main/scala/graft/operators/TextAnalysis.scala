@@ -523,8 +523,71 @@ object TextAnalysis {
     }
   )
 
+  /** Benchmark-contamination detection: for every corpus document, the
+    * benchmark ("eval set") documents it shares 5-gram shingles with,
+    * reported when the overlap covers ≥ 50% of the benchmark doc's
+    * shingles — the standard decontamination pass a training-data
+    * pipeline runs before training (n-gram collision against held-out
+    * eval sets). The benchmark set here is doc_id < 20 standing in for
+    * an external eval suite.
+    *
+    * 100 TB design: the benchmark side is always tiny (eval suites are
+    * thousands of docs) — its exploded shingle table BROADCASTS, so the
+    * corpus side is one linear scan + map-side explode + hash join with
+    * no shuffle of the corpus; the only exchange is the final bounded
+    * (corpus_doc × bench_doc) aggregate. Determinism: shingle sets are
+    * distinct per doc, so count(*) over the join IS |intersection|
+    * (exact ints); the coverage fraction is one IEEE division of
+    * identical ints, trunc-rounded; the ≥ 0.5 gate compares that exact
+    * ratio, never a float artifact. */
+  val textContamination: Q = Q(
+    "text_contamination",
+    Some(
+      "WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 3), " +
+        "i -> array_to_string(t[i:i+4], ' '))) AS s FROM d WHERE len(t) >= 5), " +
+        "bench AS (SELECT doc_id AS bench_id, len(s) AS nb, unnest(s) AS g FROM sh WHERE doc_id < 20), " +
+        "corp AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 20) " +
+        "SELECT c.doc_id, b.bench_id, count(*)::BIGINT AS n_shared, " +
+        Det.oRN("count(*)::DOUBLE / max(b.nb)", 6) + " AS coverage " +
+        "FROM corp c JOIN bench b ON c.g = b.g " +
+        "GROUP BY c.doc_id, b.bench_id " +
+        "HAVING count(*)::DOUBLE / max(b.nb) >= 0.5 " +
+        "ORDER BY doc_id, bench_id"
+    ),
+    (spark, dir) => {
+      val t = split(col("text"), " ")
+      val sh = Tables
+        .documents(spark, dir)
+        .filter(size(t) >= 5)
+        .select(
+          col("doc_id"),
+          array_distinct(
+            transform(sequence(lit(0), size(t) - 5), i => concat_ws(" ", slice(t, i + 1, lit(5))))
+          ).as("s")
+        )
+      val bench = sh
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id").as("bench_id"), size(col("s")).as("nb"), explode(col("s")).as("g"))
+      val corp = sh.filter(col("doc_id") >= 20).select(col("doc_id"), explode(col("s")).as("g"))
+      corp
+        .join(broadcast(bench), Seq("g"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"), max(col("nb")).as("nb"))
+        .filter(col("n_shared").cast("double") / col("nb") >= 0.5)
+        .select(
+          col("doc_id"),
+          col("bench_id"),
+          col("n_shared"),
+          Det.rN(col("n_shared").cast("double") / col("nb"), 6).as("coverage")
+        )
+        .orderBy(col("doc_id"), col("bench_id"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     textStats, textTfidfTop, textLangid, textQuality, textTokens, textFingerprint,
-    textPiiRedact, reportScores, textBigramLm, textChunk, textVocab, pipelineCurate
+    textPiiRedact, reportScores, textBigramLm, textChunk, textVocab, pipelineCurate,
+    textContamination
   )
 }
