@@ -127,5 +127,78 @@ object Sampling {
     }
   )
 
-  def qs: Seq[Q] = Seq(sampleHashPct, sampleStratified, interleaveSources, joinRangeEvents)
+  /** Source-mixture rebalancing plan: per source, its current corpus
+    * share and the sampling rate that would bring the mixture to a
+    * UNIFORM target (rate = min(1, target_share / current_share)),
+    * plus the projected post-sampling doc count — the artifact a
+    * training run reads to set its data-mixing weights. One tiny
+    * aggregate (|sources| rows) cross-joined with a broadcast 1-row
+    * total; everything downstream of the count is driver-free column
+    * arithmetic. Determinism: counts are exact longs; every ratio is a
+    * division of identical exact values in an identical expression
+    * tree, so doubles (and the floor) agree bit-for-bit cross-engine. */
+  val mixReport: Q = Q(
+    "mix_report",
+    Some(
+      "WITH s AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source), " +
+        "t AS (SELECT cast(sum(n) as bigint) AS total, count(*)::BIGINT AS k FROM s) " +
+        "SELECT source, n AS n_docs, " +
+        Det.oRN("n::DOUBLE / total", 6) + " AS share, " +
+        Det.oRN("least(1.0, total::DOUBLE / (k * n))", 6) + " AS sampling_rate, " +
+        "cast(floor(n::DOUBLE * least(1.0, total::DOUBLE / (k * n))) as bigint) AS projected_docs " +
+        "FROM s CROSS JOIN t ORDER BY source"
+    ),
+    (spark, dir) => {
+      val s = Tables
+        .documents(spark, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+      val t = s.agg(sum(col("n")).cast("long").as("total"), count(lit(1)).as("k"))
+      val rate = least(
+        lit(1.0),
+        col("total").cast("double") / (col("k") * col("n"))
+      )
+      s.crossJoin(broadcast(t))
+        .select(
+          col("source"),
+          col("n").as("n_docs"),
+          Det.rN(col("n").cast("double") / col("total"), 6).as("share"),
+          Det.rN(rate, 6).as("sampling_rate"),
+          floor(col("n").cast("double") * rate).cast("long").as("projected_docs")
+        )
+        .orderBy(col("source"))
+    }
+  )
+
+  /** Quality-weighted deterministic sampling: keep-probability grows
+    * with a quality proxy (n_chars, saturating at 400), realized by
+    * comparing an md5-uniform in [0,1) against it — longer/higher-
+    * quality docs are kept at a higher rate, and the decision is a
+    * pure function of doc_id so retries/engines agree row-for-row.
+    * The comparison is exact-rational vs exact-rational in the same
+    * expression shape both engines, never a float artifact. Map-side
+    * filter — zero shuffle at any scale. */
+  val sampleQualityWeighted: Q = Q(
+    "sample_quality_weighted",
+    Some(
+      "SELECT doc_id, lang, n_chars, " +
+        Det.oRN("least(1.0, n_chars::DOUBLE / 400.0)", 6) + " AS keep_p " +
+        s"FROM documents WHERE (${oHkey("doc_id")} % 1000000)::DOUBLE / 1000000.0 " +
+        "< least(1.0, n_chars::DOUBLE / 400.0) ORDER BY doc_id"
+    ),
+    (spark, dir) => {
+      val u = (hkey(col("doc_id")) % 1000000).cast("double") / 1000000.0
+      val p = least(lit(1.0), col("n_chars").cast("double") / 400.0)
+      Tables
+        .documents(spark, dir)
+        .filter(u < p)
+        .select(col("doc_id"), col("lang"), col("n_chars"), Det.rN(p, 6).as("keep_p"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  def qs: Seq[Q] = Seq(
+    sampleHashPct, sampleStratified, interleaveSources, joinRangeEvents,
+    mixReport, sampleQualityWeighted
+  )
 }
