@@ -72,7 +72,11 @@ object Advanced {
     * on list_id, top-3 via the map-side-pruning custom operator. */
   private def ivfProbe(probes: DataFrame, assigned: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftx.TopKPerGroup
-    val cands = probes
+    // the probe side is |queries|·nprobe rows BY CONSTRUCTION — pin it
+    // as the broadcast build side so the inverted lists (the 100 TB
+    // side) stream; without the hint, local size estimates can invert
+    // the choice and broadcast the base
+    val cands = broadcast(probes)
       .join(
         assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("list_id")),
         Seq("list_id")

@@ -152,8 +152,10 @@ object Similarity {
       val base = sigs.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("bucket"))
       // exact re-rank of the bucket candidates through the custom
       // top-k operator: candidates prune map-side right after the
-      // bucket join instead of shuffling into a window sort
-      val cands = probe
+      // bucket join instead of shuffling into a window sort. The probe
+      // side is 100 rows by construction — pin it as the broadcast
+      // side so the base table streams at any scale.
+      val cands = broadcast(probe)
         .join(base, Seq("bucket"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("cos", Det.rS(fdot(col("qe"), col("ne")), 6))
@@ -203,7 +205,8 @@ object Similarity {
             col("bucket").bitwiseXOR(lit(1 << j))): _*)).as("bucket")
         )
       val base = sigs.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("bucket"))
-      val cands = probe
+      // probe side is |queries|·9 rows by construction — broadcast it
+      val cands = broadcast(probe)
         .join(base, Seq("bucket"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("cos", Det.rS(fdot(col("qe"), col("ne")), 6))
