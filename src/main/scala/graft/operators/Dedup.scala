@@ -598,8 +598,47 @@ object Dedup {
     }
   )
 
+  /** Diversity-preserving survivor selection: instead of the arbitrary
+    * min-doc_id representative, keep the HIGHEST-QUALITY document of
+    * each near-dup cluster (quality proxy: n_chars; deterministic
+    * doc_id tiebreak) — the policy an actual curation pass wants, since
+    * near-dup groups usually contain one full document and several
+    * truncated copies. Reuses the memoized cluster labels (zero extra
+    * clustering cost) + one broadcast-sized join; the per-cluster
+    * argmax runs through the custom TopKPerGroup operator (map-side
+    * k=1 heaps, exchange moves one row per cluster). */
+  val dedupBestOfCluster: Q = Q(
+    "dedup_best_of_cluster",
+    Some(
+      "SELECT cluster, doc_id AS kept_doc_id, n_docs, n_chars FROM (" +
+        "SELECT c.cluster, c.doc_id, d.n_chars, " +
+        "count(*) OVER (PARTITION BY c.cluster) AS n_docs, " +
+        "row_number() OVER (PARTITION BY c.cluster ORDER BY d.n_chars DESC, c.doc_id) AS rn " +
+        "FROM (" + clustersOracleBody + ") c " +
+        "JOIN documents d ON c.doc_id = d.doc_id) " +
+        "WHERE rn = 1 ORDER BY cluster"
+    ),
+    (spark, dir) => {
+      val j = clustersFrame(spark, dir)
+        .join(
+          Tables
+            .documents(spark, dir)
+            .filter(col("doc_id") < ClusterProbeScope)
+            .select(col("doc_id"), col("n_chars")),
+          Seq("doc_id")
+        )
+      val sizes = j.groupBy(col("cluster")).agg(count(lit(1)).as("n_docs"))
+      org.apache.spark.sql.graftx
+        .TopKPerGroup(j, Seq("cluster"), Seq("n_chars" -> true, "doc_id" -> false), 1)
+        .select(col("cluster"), col("doc_id").as("kept_doc_id"), col("n_chars"))
+        .join(sizes, Seq("cluster"))
+        .select(col("cluster"), col("kept_doc_id"), col("n_docs"), col("n_chars"))
+        .orderBy(col("cluster"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     dedupExact, dedupNearJaccard, dedupEmbedCosine, dedupNgramJaccard, dedupSimhash,
-    dedupMinhashLsh, dedupClusters, dedupReport, dedupThresholdCurve
+    dedupMinhashLsh, dedupClusters, dedupReport, dedupThresholdCurve, dedupBestOfCluster
   )
 }

@@ -32,6 +32,14 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("ANN candidate joins broadcast the probe side (left), streaming the base") {
+    for (name <- Seq("sim_ann_lsh", "sim_ann_multiprobe", "sim_ann_ivf", "sim_ann_ivf_persisted")) {
+      val p = plan(name)
+      assert(p.contains("BuildLeft"),
+        s"$name: expected the probe side (left) pinned as broadcast build\n" + p.take(2000))
+    }
+  }
+
   test("agg_group_pricing uses two-phase hash aggregation") {
     val p = plan("agg_group_pricing")
     assert(p.contains("HashAggregate"), p.take(2000))
