@@ -115,5 +115,43 @@ object Multimodal {
         .orderBy(col("doc_id"), col("frame_idx"))
   )
 
-  def qs: Seq[Q] = Seq(mmBinaryMeta, mmDecodeFeatures, mmFrameSample)
+  /** Perceptual-hash-style payload dedup: signature = hash of the
+    * SAMPLED frames (every 4th 16-byte frame — mm_frame_sample's
+    * schedule), then exact-dup groups on the signature. With a real
+    * media decoder the per-frame hash becomes a perceptual block
+    * digest and nothing else changes; the stand-in is structurally the
+    * same pipeline (sample → per-frame digest → doc signature →
+    * bucket). The signature is pure per-row expression work (no
+    * explode, no shuffle until the final group-by), so at 100 TB this
+    * is one linear scan + one hash shuffle of (doc_id, 32-byte sig). */
+  val mmPhashDedup: Q = Q(
+    "mm_phash_dedup",
+    Some(
+      "WITH s AS (SELECT doc_id, md5(array_to_string(list_transform(" +
+        "range(0, (length(text) + 15) // 16, 4), " +
+        "i -> md5(substr(text, cast(1 + i * 16 as int), 16))), '')) AS phash FROM documents) " +
+        "SELECT phash, count(*) AS n_copies, min(doc_id) AS keeper " +
+        "FROM s GROUP BY phash HAVING count(*) > 1 ORDER BY phash"
+    ),
+    (spark, dir) => {
+      val sig = md5(
+        concat_ws(
+          "",
+          transform(
+            sequence(lit(0L), expr("cast((length(text) + 15) div 16 - 1 as bigint)"), lit(4L)),
+            i => md5(col("text").substr((i * 16 + 1).cast("int"), lit(16)))
+          )
+        )
+      )
+      Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), sig.as("phash"))
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+        .filter(col("n_copies") > 1)
+        .orderBy(col("phash"))
+    }
+  )
+
+  def qs: Seq[Q] = Seq(mmBinaryMeta, mmDecodeFeatures, mmFrameSample, mmPhashDedup)
 }
