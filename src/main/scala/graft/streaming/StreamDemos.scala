@@ -168,6 +168,49 @@ object StreamDemos {
     spark.createDataFrame(java.util.Arrays.asList(sketch: _*), schema)
   }
 
+  /** The documents table as a stream (file source over a staged copy;
+    * copies > 1 replays the same file N times — an at-least-once
+    * upstream). No nanos conversion needed: documents has no
+    * timestamp column. */
+  private def docsStream(spark: SparkSession, dir: String, copies: Int = 1): DataFrame = {
+    val schema = Tables.documents(spark, dir).schema
+    val staged = java.nio.file.Paths
+      .get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_stream_docs",
+        dir.replaceAll("[^a-zA-Z0-9]", "_") + (if (copies > 1) s"_x$copies" else "")
+      )
+    java.nio.file.Files.createDirectories(staged)
+    (1 to copies).foreach { i =>
+      val target = staged.resolve(if (copies == 1) "documents.parquet" else s"documents_$i.parquet")
+      if (!java.nio.file.Files.exists(target))
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"), target)
+    }
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+  }
+
+  /** Streaming curation gate — the ingest-side of pipeline_curate:
+    * quality gate (stateless, map-side) → exact dedup on
+    * (lang, sha256(text)). Dedup state is one 32-byte key per DISTINCT
+    * surviving document, partitioned by key hash across executors —
+    * for a corpus-ingest stream that is the honest state bound (the
+    * distinct set IS the product being built; there is no event-time
+    * horizon after which a duplicate stops mattering, so
+    * dropDuplicatesWithinWatermark would be wrong here, unlike
+    * dedupedIngest's event stream). With copies=2 the source replays
+    * every document — the sink must still see each distinct doc
+    * exactly once (StreamingSpec asserts equality with the batch
+    * curation). */
+  def curatedIngest(spark: SparkSession, dir: String, copies: Int = 2): DataFrame =
+    docsStream(spark, dir, copies)
+      .filter(col("n_chars") >= 150 && size(split(col("text"), " ")) >= 20)
+      .withColumn("text_sha", sha2(col("text"), 256))
+      .dropDuplicates("lang", "text_sha")
+      .select(col("doc_id"), col("lang"), col("text_sha"), col("n_chars"))
+
   /** Drive a streaming DF to completion against a finite file source:
     * write every micro-batch to an in-memory table, process all
     * available input, stop. Returns the memory sink's final contents. */

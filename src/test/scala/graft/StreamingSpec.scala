@@ -139,6 +139,27 @@ class StreamingSpec extends SparkSuite {
     assert(result.select(col("event_id")).distinct().count() == n, "duplicate event_ids in output")
   }
 
+  test("streaming curation gate: replayed corpus yields each distinct doc exactly once") {
+    val curated = streaming.StreamDemos.runToCompletion(
+      spark,
+      streaming.StreamDemos.curatedIngest(spark, sf, copies = 2),
+      "t_curate"
+    )
+    val batch = Tables
+      .documents(spark, sf)
+      .filter(col("n_chars") >= 150 && size(split(col("text"), " ")) >= 20)
+      .select(col("lang"), sha2(col("text"), 256).as("text_sha"))
+      .distinct()
+    // exactly-once per distinct (lang, sha) despite the x2 replay
+    assert(curated.count() == batch.count(),
+      s"expected ${batch.count()} curated docs, got ${curated.count()}")
+    val got = curated.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp = batch.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exp, s"per-lang curated counts diverge: got=$got exp=$exp")
+  }
+
   test("incremental streamed top-k equals batch top-k (mergeable-summary invariant)") {
     val streamed = streaming.StreamDemos.incrementalTopK(spark, sf, k = 3)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
