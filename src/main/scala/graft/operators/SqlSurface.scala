@@ -153,5 +153,39 @@ object SqlSurface {
     }
   )
 
-  def qs: Seq[Q] = Seq(sqlPricing, sqlCorrelated, sqlCteWindow, sqlLateral, sqlDdlCtas)
+  /** Recursive CTE (Spark 4 `WITH RECURSIVE`): generate the complete
+    * month spine of the order-date range, then LEFT JOIN order counts
+    * onto it — the gap-free calendar a reporting layer needs (months
+    * with zero orders appear as 0, which no plain GROUP BY can
+    * produce). The recursion is 80 rows of driver-cheap generation;
+    * the join probes it broadcast-style against the fact scan. Bounds
+    * are literals of the fixture's fixed date range (identical at
+    * every SF — see TESTDATA.md). */
+  val sqlRecursive: Q = Q(
+    "sql_recursive", {
+      val body =
+        "WITH RECURSIVE cal(m) AS (" +
+          "SELECT TIMESTAMP '1995-01-01 00:00:00' " +
+          "UNION ALL SELECT m + INTERVAL 1 MONTH FROM cal " +
+          "WHERE m < TIMESTAMP '2001-08-01 00:00:00') " +
+          "SELECT c.m AS month, count(o.o_orderkey) AS n_orders " +
+          "FROM cal c LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = c.m " +
+          "GROUP BY c.m ORDER BY month"
+      Some(body)
+    },
+    (spark, dir) => {
+      registerViews(spark, dir)
+      spark.sql(
+        "WITH RECURSIVE cal(m) AS (" +
+          "SELECT TIMESTAMP_NTZ '1995-01-01 00:00:00' " +
+          "UNION ALL SELECT m + INTERVAL 1 MONTH FROM cal " +
+          "WHERE m < TIMESTAMP_NTZ '2001-08-01 00:00:00') " +
+          "SELECT c.m AS month, count(o.o_orderkey) AS n_orders " +
+          "FROM cal c LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = c.m " +
+          "GROUP BY c.m ORDER BY month"
+      )
+    }
+  )
+
+  def qs: Seq[Q] = Seq(sqlPricing, sqlCorrelated, sqlCteWindow, sqlLateral, sqlDdlCtas, sqlRecursive)
 }
