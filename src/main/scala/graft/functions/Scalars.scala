@@ -399,8 +399,33 @@ object Scalars {
     }
   )
 
+  /** Fuzzy key lookup by edit distance: the 20 part names closest to a
+    * (typo'd) probe string — levenshtein is codegen'd in Spark and the
+    * classic unit-cost definition in both engines, so distances are
+    * exact ints. Linear scan + TakeOrderedAndProject (per-partition
+    * top-20 heap, only 20 rows per partition reach the driver) — the
+    * fuzzy-match shape that scales to any catalog size. Total order:
+    * (dist, p_partkey). */
+  val fnFuzzyMatch: Q = Q(
+    "fn_fuzzy_match",
+    Some(
+      "SELECT p_partkey, p_name, cast(levenshtein(p_name, 'smal ring') as bigint) AS dist " +
+        "FROM part ORDER BY dist, p_partkey LIMIT 20"
+    ),
+    (spark, dir) =>
+      graft.Tables
+        .part(spark, dir)
+        .select(
+          col("p_partkey"),
+          col("p_name"),
+          levenshtein(col("p_name"), lit("smal ring")).cast("long").as("dist")
+        )
+        .orderBy(col("dist"), col("p_partkey"))
+        .limit(20)
+  )
+
   def qs: Seq[Q] = Seq(
     fnString, fnMath, fnDate, fnCondCast, fnArrayTokens, fnArrayVec,
-    fnJson, fnHash, genExplodeTokens, fnMap, fnRegexp, fnNull
+    fnJson, fnHash, genExplodeTokens, fnMap, fnRegexp, fnNull, fnFuzzyMatch
   )
 }
