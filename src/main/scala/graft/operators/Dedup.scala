@@ -463,8 +463,14 @@ object Dedup {
       var converged = false
       var iter = 0
       while (!converged && iter < 20) {
+        // labels is ≤ ClusterProbeScope rows here (see the bound doc) —
+        // broadcast it so the big edge list never shuffles; only the
+        // narrow (a, nbr_min) aggregate exchanges. The hint is needed
+        // because the checkpointed inputs carry no stats for AQE to
+        // discover this. At unbounded corpus scale (labels = all docs)
+        // drop the hint and this reverts to the shuffle-join CC shape.
         val nbrMin = sym
-          .join(labels, col("b") === col("doc_id"))
+          .join(broadcast(labels), col("b") === col("doc_id"))
           .groupBy(col("a"))
           .agg(min(col("cluster")).as("nbr_min"))
         // stepped carries prev alongside the propagated label so the
@@ -487,7 +493,7 @@ object Dedup {
         val next = truncate(
           stepped
             .join(
-              stepped.select(col("doc_id").as("ld"), col("c1").as("lc")),
+              broadcast(stepped.select(col("doc_id").as("ld"), col("c1").as("lc"))),
               col("c1") === col("ld"),
               "left"
             )
