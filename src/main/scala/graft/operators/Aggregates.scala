@@ -115,6 +115,41 @@ object Aggregates {
     }
   )
 
+  /** Value-distribution histogram of o_totalprice: 10 fixed-width
+    * buckets over a literal range, computed with pure floor arithmetic
+    * (identical cross-engine; width_bucket is not portable) and
+    * clamped at the edges. One map-side bucket projection + one 10-row
+    * aggregate — the data-profiling shape that runs at any scale. */
+  val aggHistogram: Q = Q(
+    "agg_histogram",
+    Some(
+      "WITH b AS (SELECT cast(least(9, greatest(0, floor(o_totalprice / 60000.0))) as bigint) AS bucket " +
+        "FROM orders) " +
+        // cast: DuckDB types int * decimal-literal as DECIMAL — the
+        // same HUGEINT-class trap the dtype checker exists to catch
+        "SELECT bucket, cast(bucket * 60000.0 as double) AS lo, " +
+        "cast((bucket + 1) * 60000.0 as double) AS hi, " +
+        "count(*) AS n_orders FROM b GROUP BY bucket ORDER BY bucket"
+    ),
+    (spark, dir) =>
+      Tables
+        .orders(spark, dir)
+        .select(
+          least(lit(9), greatest(lit(0), floor(col("o_totalprice") / 60000.0)))
+            .cast("long")
+            .as("bucket")
+        )
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(
+          col("bucket"),
+          (col("bucket") * 60000.0).as("lo"),
+          ((col("bucket") + 1) * 60000.0).as("hi"),
+          col("n_orders")
+        )
+        .orderBy(col("bucket"))
+  )
+
   /** Ungrouped global aggregate — one row, fully map-side combinable. */
   val aggGlobal: Q = Q(
     "agg_global",
@@ -422,7 +457,7 @@ object Aggregates {
   )
 
   def qs: Seq[Q] = Seq(
-    aggGroupPricing, aggDecimalPricing, aggGlobal, aggDistinct, aggRollup, aggCube,
+    aggGroupPricing, aggDecimalPricing, aggHistogram, aggGlobal, aggDistinct, aggRollup, aggCube,
     aggGroupingSets, aggStats, aggMinMaxBy, aggCollectSorted, aggApproxDistinct,
     aggPredicates, aggCohortRetention
   )
