@@ -585,9 +585,42 @@ object TextAnalysis {
     }
   )
 
+  /** One-pass heavy hitters through the custom count-min-sketch
+    * aggregate ([[org.apache.spark.sql.graftx.CountMinTopK]]): the
+    * top-10 most frequent tokens with their estimated counts. The
+    * sketch is a fixed-size mergeable buffer (d×w matrix + bounded
+    * candidates), so the aggregation never shuffles the token key
+    * space — at 100 TB the exchange carries ~32 KB partials instead of
+    * the full vocabulary. On this corpus's 31-token vocabulary the
+    * estimates are collision-free (SketchSpec pins estimate == exact
+    * and the ≥-bound), so the exact-count oracle applies; at real
+    * vocabulary scale the same query is the approximate profile.
+    * SketchSpec also asserts partition-count invariance (mergeability). */
+  val textHeavyHitters: Q = Q(
+    "text_heavy_hitters",
+    Some(
+      "WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "c AS (SELECT tok, count(*)::BIGINT AS n FROM t GROUP BY tok) " +
+        "SELECT cast(row_number() OVER (ORDER BY n DESC, tok) as bigint) AS rank, " +
+        "tok AS token, n AS est_count FROM c ORDER BY n DESC, tok LIMIT 10"
+    ),
+    (spark, dir) =>
+      Tables
+        .documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .agg(org.apache.spark.sql.graftx.CountMinTopK.topk(col("tok"), 10).as("hh"))
+        .select(posexplode(col("hh")).as(Seq("pos", "s")))
+        .select(
+          (col("pos") + 1).cast("long").as("rank"),
+          col("s.token").as("token"),
+          col("s.est").as("est_count")
+        )
+        .orderBy(col("rank"))
+  )
+
   def qs: Seq[Q] = Seq(
     textStats, textTfidfTop, textLangid, textQuality, textTokens, textFingerprint,
     textPiiRedact, reportScores, textBigramLm, textChunk, textVocab, pipelineCurate,
-    textContamination
+    textContamination, textHeavyHitters
   )
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.CountMinTopK
+
+/** Count-min heavy-hitter aggregate: over-count bound, exactness on
+  * this corpus's small vocabulary, and merge-order/partition-count
+  * invariance (the property that makes the sketch a legal distributed
+  * aggregate).
+  */
+class SketchSpec extends SparkSuite {
+
+  private def tokens = Tables
+    .documents(spark, sf)
+    .select(explode(split(col("text"), " ")).as("tok"))
+
+  private def sketchTop(df: org.apache.spark.sql.DataFrame, k: Int): Seq[(String, Long)] =
+    df.agg(CountMinTopK.topk(col("tok"), k).as("hh"))
+      .select(explode(col("hh")).as("s"))
+      .select(col("s.token"), col("s.est"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+
+  test("estimates never under-count and are exact on the 31-token vocabulary") {
+    val exact = tokens.groupBy(col("tok")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = sketchTop(tokens, exact.size + 5)
+    assert(est.nonEmpty)
+    for ((t, e) <- est) {
+      assert(e >= exact(t), s"under-count for '$t': est=$e exact=${exact(t)}")
+      assert(e == exact(t), s"collision inflated '$t': est=$e exact=${exact(t)}")
+    }
+  }
+
+  test("top-10 equals the exact top-10 with deterministic tiebreaks") {
+    val exact = tokens.groupBy(col("tok")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, n) => (-n, t) }
+      .take(10)
+      .toSeq
+    assert(sketchTop(tokens, 10) == exact)
+  }
+
+  test("result is invariant to partition count (mergeable partials)") {
+    val one = sketchTop(tokens.repartition(1), 10)
+    val many = sketchTop(tokens.repartition(13), 10)
+    assert(one == many, "sketch result depends on partitioning")
+  }
+}
