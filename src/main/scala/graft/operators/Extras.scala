@@ -290,7 +290,44 @@ object Extras {
     }
   )
 
+  /** Small-file compaction — the table-maintenance job every long-lived
+    * 100 TB dataset needs (streaming ingest and partitioned writes
+    * accumulate small files; scan cost and NameNode/listing pressure
+    * grow with file COUNT, not bytes). Stage: orders sliced into 64
+    * deliberately-small files; compact: read back and rewrite into
+    * max(1, ceil(bytes / 128 MB)) size-targeted files. Emits the
+    * before/after (n_files, n_rows) report. No oracle (filesystem side
+    * effect); ExtrasSpec asserts row preservation and the file-count
+    * collapse. */
+  val maintCompact: Q = Q(
+    "maint_compact",
+    None,
+    (spark, dir) => {
+      import org.apache.hadoop.fs.Path
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact"
+      val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def stats(p: String): (Long, Long) = {
+        val files = fs.listStatus(new Path(p)).filter(_.getPath.getName.endsWith(".parquet"))
+        (files.length.toLong, files.map(_.getLen).sum)
+      }
+      val src = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      src.repartition(64).write.mode("overwrite").parquet(s"$base/small")
+      val (nSmall, bytes) = stats(s"$base/small")
+      val target = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
+      val readBack = spark.read.parquet(s"$base/small")
+      readBack.repartition(target).write.mode("overwrite").parquet(s"$base/compacted")
+      val (nCompact, _) = stats(s"$base/compacted")
+      val nRowsSmall = readBack.count()
+      val nRowsCompact = spark.read.parquet(s"$base/compacted").count()
+      import spark.implicits._
+      Seq(
+        ("before", nSmall, nRowsSmall),
+        ("after", nCompact, nRowsCompact)
+      ).toDF("phase", "n_files", "n_rows").orderBy(col("phase"))
+    }
+  )
+
   def qs: Seq[Q] =
     Seq(aggPivot, aggUnpivot, aggPercentile, fnBitwise, snkPartitioned, snkBucketed, aggSalted,
-      mergeUpsert, eventsAnomaly)
+      mergeUpsert, eventsAnomaly, maintCompact)
 }

@@ -21,6 +21,17 @@ class ExtrasSpec extends SparkSuite {
     assert(pruned.count() == exact)
   }
 
+  test("compaction preserves every row and collapses the file count") {
+    val report = operators.Extras.maintCompact.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (beforeFiles, beforeRows) = report("before")
+    val (afterFiles, afterRows) = report("after")
+    assert(beforeRows == afterRows, s"row loss: $beforeRows -> $afterRows")
+    assert(beforeFiles == 64, s"stage should write 64 small files, got $beforeFiles")
+    assert(afterFiles < beforeFiles && afterFiles >= 1,
+      s"compaction should collapse files: $beforeFiles -> $afterFiles")
+  }
+
   test("approx_count_distinct is within 5% of exact per group") {
     val exact = Tables
       .orders(spark, sf)
