@@ -556,16 +556,34 @@ object TextAnalysis {
         "ORDER BY doc_id, bench_id"
     ),
     (spark, dir) => {
+      // Shingles never materialize as strings on the Spark side: each
+      // token is xxhash64'd once per doc, and a 5-gram's key is a
+      // position-sensitive bitwise mix (per-offset bit-rotation, xor)
+      // of 5 consecutive token hashes — a rolling-hash shingle. The
+      // explode and the join then move 8-byte longs instead of ~50-char
+      // strings (measured 7.2 s → ~1 s at sf0.1). The DuckDB oracle
+      // keeps exact string shingles: overlap counts agree unless two
+      // DIFFERENT 5-grams of one doc pair collide in 64 bits
+      // (~2^-45 per pair here; the sf0.01 hash gate re-proves equality
+      // every round).
+      // Formulated as zip_with over 5 SHIFTED SLICES of the token-hash
+      // array (not element_at inside a positional lambda): projection
+      // collapse inlines column aliases into every reference, so a
+      // per-position element_at formulation recomputes the whole hash
+      // array O(positions) times per row — measured 32 s; this shape
+      // references it a constant 6 times per row.
+      def rot(c: Column, bits: Int): Column =
+        if (bits == 0) c else shiftleft(c, bits).bitwiseOR(shiftrightunsigned(c, 64 - bits))
       val t = split(col("text"), " ")
+      val th = transform(t, tok => xxhash64(tok))
+      val m = size(t) - 4 // shingle count (size >= 5 is filtered below)
+      val mixed = (1 to 4).foldLeft(slice(th, lit(1), m)) { (acc, o) =>
+        zip_with(acc, slice(th, lit(o + 1), m), (a, b) => a.bitwiseXOR(rot(b, 13 * o)))
+      }
       val sh = Tables
         .documents(spark, dir)
         .filter(size(t) >= 5)
-        .select(
-          col("doc_id"),
-          array_distinct(
-            transform(sequence(lit(0), size(t) - 5), i => concat_ws(" ", slice(t, i + 1, lit(5))))
-          ).as("s")
-        )
+        .select(col("doc_id"), array_distinct(mixed).as("s"))
       val bench = sh
         .filter(col("doc_id") < 20)
         .select(col("doc_id").as("bench_id"), size(col("s")).as("nb"), explode(col("s")).as("g"))
