@@ -11,7 +11,10 @@ object SparkSpec {
   lazy val spark: SparkSession = {
     val s = SparkSession
       .builder()
-      .master("local[4]")
+      // local[4, 2]: 2 task attempts, like a real cluster (default 4) —
+      // lets SinkRetrySpec prove exactly-once under task retry; inert
+      // for every other suite (their tasks don't fail)
+      .master("local[4, 2]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
