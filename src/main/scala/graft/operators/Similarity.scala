@@ -219,5 +219,58 @@ object Similarity {
     }
   )
 
-  def qs: Seq[Q] = Seq(simCosineTopk, simKnnClassify, simAnnLsh, simAnnMultiprobe)
+  /** Top-10 by INT8-QUANTIZED dot product: per-vector symmetric
+    * quantization (scale = 127 / max|x|), integer dot, rescale by the
+    * two scales — the 4×-smaller-vector memory/bandwidth lever every
+    * large ANN deployment pulls. Scores are exact integer dots times
+    * exact per-vector scales (doubles, identical op order in both
+    * engines), trunc-rounded, vec_id tiebreaks — bit-identical
+    * cross-engine, so the quantized ranking itself is oracle-checked.
+    * SimilaritySpec measures recall@10 vs the float baseline. */
+  val simQuantizedTopk: Q = Q(
+    "sim_quantized_topk",
+    Some(
+      "WITH m AS (SELECT vec_id, embedding::DOUBLE[] AS x, " +
+        "list_max(list_transform(embedding::DOUBLE[], v -> abs(v))) AS mx FROM embeddings), " +
+        "q AS (SELECT vec_id, mx, " +
+        "list_transform(x, v -> cast(floor(v * 127.0 / mx + 0.5) as int)::DOUBLE) AS q FROM m), " +
+        "p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        Det.oRS("list_dot_product(a.q, b.q) * a.mx * b.mx / 16129.0", 6) + " AS qcos " +
+        "FROM q a JOIN q b ON a.vec_id < 100 AND a.vec_id != b.vec_id), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rank FROM p) " +
+        "SELECT query_id, rank, neighbor_id, qcos FROM r WHERE rank <= 10 ORDER BY query_id, rank"
+    ),
+    (spark, dir) => {
+      val e = Tables.embeddings(spark, dir)
+      val mx = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+      val qv = transform(
+        col("embedding"),
+        x => floor(x.cast("double") * lit(127.0) / mx + 0.5).cast("int")
+      )
+      val quant = e.select(col("vec_id"), mx.as("mx"), qv.as("q"))
+      val probe = quant
+        .filter(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), col("mx").as("mxa"), col("q").as("qa"))
+      val base = quant
+        .select(col("vec_id").as("neighbor_id"), col("mx").as("mxb"), col("q").as("qb"))
+      // integer dot in a sequential fold (ints ≤ 127² fit exactly in
+      // the double fold DuckDB's list_dot_product runs — same order,
+      // same bits); probe side broadcast, base streams
+      val idot = aggregate(
+        zip_with(col("qa"), col("qb"), (x, y) => (x * y).cast("double")),
+        lit(0.0),
+        (acc, x) => acc + x
+      )
+      val scored = base
+        .join(broadcast(probe), col("query_id") =!= col("neighbor_id"))
+        .withColumn("qcos", Det.rS(idot * col("mxa") * col("mxb") / 16129.0, 6))
+        .select(col("query_id"), col("neighbor_id"), col("qcos"))
+      org.apache.spark.sql.graftx
+        .TopKPerGroup(scored, Seq("query_id"), Seq("qcos" -> true, "neighbor_id" -> false), 10, rnName = "rank")
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("qcos"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+  )
+
+  def qs: Seq[Q] = Seq(simCosineTopk, simKnnClassify, simAnnLsh, simAnnMultiprobe, simQuantizedTopk)
 }

@@ -65,6 +65,17 @@ class SimilaritySpec extends SparkSuite {
     assert(recall > 0.0, s"recall=$recall")
   }
 
+  test("int8-quantized top-10 recalls most of the float-exact top-10") {
+    val exact = operators.Similarity.simCosineTopk.run(spark, sf)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = operators.Similarity.simQuantizedTopk.run(spark, sf)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.5, s"int8 recall@10 too low: $recall")
+  }
+
   test("knn prediction is a label that actually appears among the 5-NN") {
     val knn = operators.Similarity.simKnnClassify.run(spark, sf).collect()
     assert(knn.length == 50)
