@@ -234,6 +234,50 @@ object TimeSeries {
     }
   )
 
+  /** Exponentially-weighted moving average per user (α = 0.2) — the
+    * smoothing primitive window frames cannot express (each output
+    * depends on the PREVIOUS output, not a fixed frame). Realized as a
+    * deterministic sequential fold: collect each user's values in
+    * (ts, event_id) order and left-fold 0.8·acc + 0.2·x from a zero
+    * init — both engines run the identical op sequence, so the doubles
+    * agree bit-for-bit. State per user is its event list; at 100 TB
+    * the same fold runs incrementally as stateful streaming
+    * (mapGroupsWithState carrying acc) instead of a collect_list. */
+  val tsEwma: Q = Q(
+    "ts_ewma",
+    Some(
+      "SELECT user_id, count(*)::BIGINT AS n, " +
+        Det.oRN(
+          "list_reduce(list_prepend(0.0::DOUBLE, list(value::DOUBLE ORDER BY ts, event_id)), " +
+            "(acc, x) -> 0.8::DOUBLE * acc + 0.2::DOUBLE * x)",
+          6
+        ) + " AS ewma " +
+        "FROM events WHERE value IS NOT NULL GROUP BY user_id ORDER BY user_id"
+    ),
+    (spark, dir) =>
+      Tables
+        .events(spark, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sort_array(collect_list(struct(col("ts"), col("event_id"), col("value")))).as("seq")
+        )
+        .select(
+          col("user_id"),
+          col("n"),
+          Det.rN(
+            aggregate(
+              transform(col("seq"), s => s.getField("value")),
+              lit(0.0),
+              (acc, x) => lit(0.8) * acc + lit(0.2) * x
+            ),
+            6
+          ).as("ewma")
+        )
+        .orderBy(col("user_id")),
+  )
+
   def qs: Seq[Q] = Seq(tsTumbling1h, tsSliding15m5m, tsSession30m, tsSessionWindowBatch,
-    tsFillForward, tsResampleHourly)
+    tsFillForward, tsResampleHourly, tsEwma)
 }
