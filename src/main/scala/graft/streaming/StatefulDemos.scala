@@ -30,6 +30,38 @@ object StatefulDemos {
     * updated totals. */
   case class UserAgg(user_id: Long, n_events: Long, max_value: Double)
 
+  /** Per-user streaming EWMA — the incremental form of `ts_ewma`'s
+    * batch fold. State carries (n, acc): each micro-batch's rows are
+    * sorted (ts, event_id) within the group and folded from the
+    * carried acc, so on a time-ordered source the final state equals
+    * the batch left-fold exactly (StatefulSpec asserts bit-equality).
+    * This is the 100 TB form of the operator: two numbers of state per
+    * user — O(users), never O(events) — where the batch formulation
+    * collects each user's full history. */
+  case class EwmaAgg(user_id: Long, n: Long, ewma: Double)
+
+  def userEwma(spark: SparkSession, events: DataFrame): Dataset[EwmaAgg] = {
+    import spark.implicits._
+    events
+      .filter(col("value").isNotNull)
+      .selectExpr("user_id", "unix_micros(cast(ts as timestamp)) AS tsm", "event_id", "value")
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Double)], state: GroupState[EwmaAgg]) =>
+          val prev = state.getOption.getOrElse(EwmaAgg(user, 0L, 0.0))
+          var n = prev.n
+          var acc = prev.ewma
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            acc = 0.8 * acc + 0.2 * r._4
+            n += 1
+          }
+          val next = EwmaAgg(user, n, acc)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
   def userTotals(spark: SparkSession, events: DataFrame): Dataset[UserAgg] = {
     import spark.implicits._
     events

@@ -36,6 +36,38 @@ class StatefulSpec extends SparkSuite {
     assert(got == distinct, s"deduped stream rows $got vs distinct ids $distinct")
   }
 
+  test("streaming EWMA state machine equals the batch fold bit-for-bit") {
+    val tmp = Files.createTempDirectory("graft_ewma_stream").toString + "/in"
+    val ev = Tables
+      .events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id"), col("value"))
+    ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(tmp)
+    val q = streaming.StatefulDemos
+      .userEwma(spark, stream)
+      .writeStream
+      .format("memory")
+      .queryName("t_ewma")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // last emission per user (highest n) vs the batch fold, after the
+    // same trunc-rounding the batch query applies
+    val got = spark.table("t_ewma").collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) =>
+        val last = rows.maxBy(_.getLong(1))
+        u -> (last.getLong(1), math.floor(last.getDouble(2) * 1e6 + 0.5) / 1e6)
+      }
+    val exp = operators.TimeSeries.tsEwma.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.size == exp.size, s"user count ${got.size} vs ${exp.size}")
+    for ((u, (n, e)) <- got) {
+      assert(exp(u) == ((n, e)), s"user $u: streamed ($n, $e) vs batch ${exp(u)}")
+    }
+  }
+
   test("flatMapGroupsWithState totals converge to batch ground truth") {
     val tmp = Files.createTempDirectory("graft_state_stream").toString + "/in"
     val ev = Tables
