@@ -179,6 +179,52 @@ object Scans {
         .agg(count(lit(1)).as("n"), min(col("id")).as("lo"), max(col("id")).as("hi"))
   )
 
+  /** Dirty-ingest accounting: PERMISSIVE CSV read over a staged mix of
+    * well-formed rows and deliberately malformed lines, with the
+    * corrupt raw text captured in a `_corrupt` column instead of
+    * failing the job — the quarantine pattern a 100 TB ingest needs
+    * (one bad line in a billion must not kill the pipeline; it must be
+    * COUNTED and inspectable). Emits the good/corrupt row accounting.
+    * No oracle (filesystem staging); ScansSpec-style assertions live in
+    * SourcesSpec. */
+  val srcCsvBadRecords: Q = Q(
+    "src_csv_badrecords",
+    None,
+    (spark, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_badcsv/data"
+      Tables
+        .nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .coalesce(1)
+        .write.mode("overwrite").csv(base)
+      // a deterministic corrupt shard: wrong types and wrong arity
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(base, "zz_corrupt.csv"),
+        "oops,not_a_number,NaNkey\nanother;bad;line;entirely\n"
+      )
+      val schema = StructType(Seq(
+        StructField("n_nationkey", LongType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", LongType),
+        StructField("_corrupt", StringType)
+      ))
+      val read = spark.read
+        .schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(base)
+        // cache: Spark refuses a query that filters ONLY the internal
+        // corrupt column of a raw CSV scan; materializing first is the
+        // documented pattern
+        .cache()
+      read
+        .select(when(col("_corrupt").isNotNull, "corrupt").otherwise("good").as("kind"))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("kind"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(scanPart, scanPushdown, scanEventsNs, snkCsvJson, snkOrc, snkDsv2Mem,
-    srcDsv2, srcDsv2Agg)
+    srcDsv2, srcDsv2Agg, srcCsvBadRecords)
 }

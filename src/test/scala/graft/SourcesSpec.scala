@@ -1,5 +1,14 @@
 package graft
 
+class BadRecordsSpec extends SparkSuite {
+  test("permissive CSV ingest quarantines malformed lines without losing good rows") {
+    val rows = operators.Scans.srcCsvBadRecords.run(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.getOrElse("good", 0L) == 25L, s"expected 25 good nation rows: $rows")
+    assert(rows.getOrElse("corrupt", 0L) >= 1L, s"expected quarantined corrupt rows: $rows")
+  }
+}
+
 import org.apache.spark.sql.functions._
 
 /** The DataSource V2 connector: pushdown must reach the source, not
