@@ -225,6 +225,36 @@ object Scans {
     }
   )
 
+  /** Schema evolution on read: two generations of the same table — v2
+    * adds a column v1 never wrote — unified by `mergeSchema`, with the
+    * missing column null-filled for old files. This is how a 100 TB
+    * dataset evolves IN PLACE: no rewrite of historical partitions,
+    * new readers see the superset schema, per-generation accounting
+    * stays queryable. Emits rows-per-generation with null accounting
+    * for the evolved column. */
+  val srcSchemaEvolution: Q = Q(
+    "src_schema_evolution",
+    None,
+    (spark, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_schema_evo"
+      val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+      o.filter(col("o_orderkey") % 2 === 0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/gen=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_bucket", (col("o_totalprice") / 100000.0).cast("long"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/gen=2")
+      spark.read
+        .option("mergeSchema", "true")
+        .parquet(base)
+        .groupBy(col("gen"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("o_bucket").isNull, 1L).otherwise(0L)).as("n_null_bucket")
+        )
+        .orderBy(col("gen"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(scanPart, scanPushdown, scanEventsNs, snkCsvJson, snkOrc, snkDsv2Mem,
-    srcDsv2, srcDsv2Agg, srcCsvBadRecords)
+    srcDsv2, srcDsv2Agg, srcCsvBadRecords, srcSchemaEvolution)
 }

@@ -1,5 +1,17 @@
 package graft
 
+class SchemaEvolutionSpec extends SparkSuite {
+  test("mergeSchema unifies generations; old files null-fill the new column") {
+    val rows = operators.Scans.srcSchemaEvolution.run(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (n1, null1) = rows(1)
+    val (n2, null2) = rows(2)
+    assert(n1 > 0 && n2 > 0)
+    assert(null1 == n1, "every gen=1 row must null-fill the evolved column")
+    assert(null2 == 0L, "gen=2 rows all carry the evolved column")
+  }
+}
+
 class BadRecordsSpec extends SparkSuite {
   test("permissive CSV ingest quarantines malformed lines without losing good rows") {
     val rows = operators.Scans.srcCsvBadRecords.run(spark, sf).collect()
