@@ -39,6 +39,7 @@ object Registry {
       operators.Sampling.qs ++
       operators.SqlSurface.qs ++
       operators.Advanced.qs ++
+      operators.Ml.qs ++
       operators.Typed.qs ++
       functions.Udx.qs
 
