@@ -636,9 +636,95 @@ object TextAnalysis {
         .orderBy(col("rank"))
   )
 
+  /** The curation FUNNEL in one plan: per language, how many documents
+    * survive each successive gate — raw → quality (length + token
+    * floor) → exact-dedup survivor → decontaminated (no ≥50% 5-gram
+    * coverage of an eval-set doc). This is the per-stage accounting a
+    * data-curation run publishes next to its output. Every gate is a
+    * FLAG, not a filter, so one aggregate over one pass of the corpus
+    * produces all four counts; the dedup and contamination inputs are
+    * the engine's existing shapes (hash-groupBy keepers; broadcast
+    * eval-set shingle join). */
+  val pipelineFunnel: Q = Q(
+    "pipeline_funnel",
+    Some(
+      "WITH keepers AS (SELECT min(doc_id) AS k FROM documents GROUP BY sha256(text)), " +
+        "dd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 3), " +
+        "i -> array_to_string(t[i:i+4], ' '))) AS s FROM dd WHERE len(t) >= 5), " +
+        "bench AS (SELECT doc_id AS bench_id, len(s) AS nb, unnest(s) AS g FROM sh WHERE doc_id < 20), " +
+        "corp AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 20), " +
+        "cont AS (SELECT DISTINCT c.doc_id FROM corp c JOIN bench b ON c.g = b.g " +
+        "GROUP BY c.doc_id, b.bench_id HAVING count(*)::DOUBLE / max(b.nb) >= 0.5), " +
+        "f AS (SELECT d.lang, " +
+        "(d.n_chars >= 150 AND len(string_split(d.text, ' ')) >= 20) AS pass_q, " +
+        "(d.doc_id IN (SELECT k FROM keepers)) AS pass_d, " +
+        "(d.doc_id NOT IN (SELECT doc_id FROM cont)) AS pass_c " +
+        "FROM documents d) " +
+        "SELECT lang, count(*) AS n_raw, " +
+        "cast(sum(CASE WHEN pass_q THEN 1 ELSE 0 END) as bigint) AS n_quality, " +
+        "cast(sum(CASE WHEN pass_q AND pass_d THEN 1 ELSE 0 END) as bigint) AS n_dedup, " +
+        "cast(sum(CASE WHEN pass_q AND pass_d AND pass_c THEN 1 ELSE 0 END) as bigint) AS n_clean " +
+        "FROM f GROUP BY lang ORDER BY lang"
+    ),
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val keepers = docs
+        .groupBy(sha2(col("text"), 256))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), lit(true).as("pass_d"))
+      // contaminated corpus docs: the hashed-shingle pipeline from
+      // text_contamination, reduced to a distinct doc_id set
+      def rot(c: Column, bits: Int): Column =
+        if (bits == 0) c else shiftleft(c, bits).bitwiseOR(shiftrightunsigned(c, 64 - bits))
+      val t = split(col("text"), " ")
+      val th = transform(t, tok => xxhash64(tok))
+      val m = size(t) - 4
+      val mixed = (1 to 4).foldLeft(slice(th, lit(1), m)) { (acc, o) =>
+        zip_with(acc, slice(th, lit(o + 1), m), (a, b) => a.bitwiseXOR(rot(b, 13 * o)))
+      }
+      val sh = docs.filter(size(t) >= 5).select(col("doc_id"), array_distinct(mixed).as("s"))
+      val bench = sh
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id").as("bench_id"), size(col("s")).as("nb"), explode(col("s")).as("g"))
+      val cont = sh
+        .filter(col("doc_id") >= 20)
+        .select(col("doc_id"), explode(col("s")).as("g"))
+        .join(broadcast(bench), Seq("g"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"), max(col("nb")).as("nb"))
+        .filter(col("n_shared").cast("double") / col("nb") >= 0.5)
+        .select(col("doc_id"))
+        .distinct()
+        .withColumn("contaminated", lit(true))
+      docs
+        .select(
+          col("doc_id"),
+          col("lang"),
+          (col("n_chars") >= 150 && size(split(col("text"), " ")) >= 20).as("pass_q")
+        )
+        .join(keepers, Seq("doc_id"), "left")
+        .join(broadcast(cont), Seq("doc_id"), "left")
+        .select(
+          col("lang"),
+          col("pass_q"),
+          coalesce(col("pass_d"), lit(false)).as("pass_d"),
+          coalesce(col("contaminated"), lit(false)).as("cont")
+        )
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_raw"),
+          sum(when(col("pass_q"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("pass_q") && col("pass_d"), 1L).otherwise(0L)).as("n_dedup"),
+          sum(when(col("pass_q") && col("pass_d") && !col("cont"), 1L).otherwise(0L)).as("n_clean")
+        )
+        .orderBy(col("lang"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     textStats, textTfidfTop, textLangid, textQuality, textTokens, textFingerprint,
     textPiiRedact, reportScores, textBigramLm, textChunk, textVocab, pipelineCurate,
-    textContamination, textHeavyHitters
+    textContamination, textHeavyHitters, pipelineFunnel
   )
 }
