@@ -150,6 +150,36 @@ object Aggregates {
         .orderBy(col("bucket"))
   )
 
+  /** Distinct-count SKETCH REUSE: per-event-type HLL sketches
+    * (Datasketches, order- and partition-independent by construction),
+    * with the global count produced by UNIONING the per-type sketches —
+    * never rescanning the data. That is the 100 TB pattern: persist
+    * small sketches per partition/day, answer rollup distinct-count
+    * questions by merging them. No oracle: the estimate is exact only
+    * while the sketch stays in sparse mode (true at sf0.01's 150
+    * users, already off by ~1% at sf0.1's 1500), so pinning exact
+    * counts would be an SF-dependent landmine — AggSketchSpec asserts
+    * the ±5% error bound and that the merged-union estimate equals a
+    * direct whole-scan sketch exactly (mergeability). */
+  val aggHllMerge: Q = Q(
+    "agg_hll_merge",
+    None,
+    (spark, dir) => {
+      val sk = Tables
+        .events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val per = sk.select(
+        col("event_type").as("scope"),
+        hll_sketch_estimate(col("sk")).as("n_users")
+      )
+      val all = sk
+        .agg(hll_union_agg(col("sk")).as("sk"))
+        .select(lit("ALL").as("scope"), hll_sketch_estimate(col("sk")).as("n_users"))
+      per.unionByName(all).orderBy(col("scope"))
+    }
+  )
+
   /** Ungrouped global aggregate — one row, fully map-side combinable. */
   val aggGlobal: Q = Q(
     "agg_global",
@@ -457,7 +487,7 @@ object Aggregates {
   )
 
   def qs: Seq[Q] = Seq(
-    aggGroupPricing, aggDecimalPricing, aggHistogram, aggGlobal, aggDistinct, aggRollup, aggCube,
+    aggGroupPricing, aggDecimalPricing, aggHistogram, aggHllMerge, aggGlobal, aggDistinct, aggRollup, aggCube,
     aggGroupingSets, aggStats, aggMinMaxBy, aggCollectSorted, aggApproxDistinct,
     aggPredicates, aggCohortRetention
   )

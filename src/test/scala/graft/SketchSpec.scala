@@ -42,6 +42,21 @@ class SketchSpec extends SparkSuite {
     assert(sketchTop(tokens, 10) == exact)
   }
 
+  test("HLL union-of-parts equals a direct whole-scan sketch and stays within 5% of exact") {
+    val ev = Tables.events(spark, sf)
+    val rows = operators.Aggregates.aggHllMerge.run(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = ev.select(col("user_id")).distinct().count()
+    assert(math.abs(rows("ALL") - exactAll).toDouble / exactAll <= 0.05,
+      s"ALL estimate ${rows("ALL")} vs exact $exactAll")
+    val direct = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))).collect()(0).getLong(0)
+    assert(rows("ALL") == direct, "union of per-type sketches must equal the whole-scan sketch")
+    for ((scope, est) <- rows if scope != "ALL") {
+      val exact = ev.filter(col("event_type") === scope).select(col("user_id")).distinct().count()
+      assert(math.abs(est - exact).toDouble / exact <= 0.05, s"$scope: $est vs $exact")
+    }
+  }
+
   test("result is invariant to partition count (mergeable partials)") {
     val one = sketchTop(tokens.repartition(1), 10)
     val many = sketchTop(tokens.repartition(13), 10)
