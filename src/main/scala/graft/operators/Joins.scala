@@ -301,8 +301,47 @@ object Joins {
     }
   )
 
+  /** Forward as-of: for each purchase, the EARLIEST click at-or-after
+    * it by the same user — the attribution direction (what did this
+    * purchase lead to). Same union-and-one-window composition as the
+    * backward as-of, mirrored: purchases sort before clicks at equal
+    * ts (inclusive ≥), and the frame looks forward. One shuffle on
+    * user_id, no range-join blowup. Oracle: DuckDB native ASOF with
+    * the ≤ comparator. */
+  val asOfForward: Q = Q(
+    "join_asof_forward",
+    Some(
+      "SELECT p.event_id, p.user_id, p.ts, c.ts AS next_click_ts " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND p.ts <= c.ts " +
+        "ORDER BY p.event_id"
+    ),
+    (spark, dir) => {
+      val ev = Tables
+        .events(spark, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      // tag 0 = purchase sorts before tag 1 = click at equal ts, so the
+      // current-row..following frame includes an equal-ts click (≥).
+      val tagged = ev.withColumn("tag", when(col("event_type") === "purchase", 0).otherwise(1))
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      tagged
+        .withColumn(
+          "next_click_ts",
+          first(when(col("tag") === 1, col("ts")), ignoreNulls = true).over(w)
+        )
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("next_click_ts"))
+        .orderBy(col("event_id"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     innerHash, broadcastDims, leftOuter, fullOuter, leftSemi, leftAnti,
-    crossSmall, thetaRange, intervalOverlap, asOf
+    crossSmall, thetaRange, intervalOverlap, asOf, asOfForward
   )
 }
