@@ -424,8 +424,36 @@ object Scalars {
         .limit(20)
   )
 
+  /** ANSI-safe arithmetic surface: Spark 4 runs ANSI mode by default,
+    * where divide-by-zero and bad casts THROW — `try_divide`/`try_cast`
+    * are the null-on-failure escape hatches a migrated pipeline leans
+    * on. Oracle spells the identical semantics portably
+    * (`x / nullif(y, 0)`, DuckDB TRY_CAST). The division operands are
+    * exact small values, so the double results agree bit-for-bit. */
+  val fnTrySafe: Q = Q(
+    "fn_try_safe",
+    Some(
+      "SELECT p_partkey, " +
+        "p_size / nullif(p_size - 25, 0) AS safe_ratio, " +
+        "TRY_CAST(substr(p_name, 1, 3) AS INT) AS bad_parse, " +
+        "TRY_CAST(p_partkey AS SMALLINT) AS narrow_key " +
+        "FROM part WHERE p_partkey < 500 ORDER BY p_partkey"
+    ),
+    (spark, dir) =>
+      graft.Tables
+        .part(spark, dir)
+        .filter(col("p_partkey") < 500)
+        .select(
+          col("p_partkey"),
+          try_divide(col("p_size"), col("p_size") - 25).as("safe_ratio"),
+          expr("try_cast(substr(p_name, 1, 3) AS INT)").as("bad_parse"),
+          expr("try_cast(p_partkey AS SMALLINT)").as("narrow_key")
+        )
+        .orderBy(col("p_partkey"))
+  )
+
   def qs: Seq[Q] = Seq(
     fnString, fnMath, fnDate, fnCondCast, fnArrayTokens, fnArrayVec,
-    fnJson, fnHash, genExplodeTokens, fnMap, fnRegexp, fnNull, fnFuzzyMatch
+    fnJson, fnHash, genExplodeTokens, fnMap, fnRegexp, fnNull, fnFuzzyMatch, fnTrySafe
   )
 }
