@@ -38,6 +38,27 @@ object GraftFunctions {
       "sorted_intersect_count",
       "sorted_intersect_count(a, b) - intersection size of two sorted distinct long arrays",
       SortedLongIntersectCount(_, _)
+    ),
+    (
+      FunctionIdentifier("count_min_topk"),
+      new ExpressionInfo(
+        GraftFunctions.getClass.getName,
+        "count_min_topk",
+        "count_min_topk(col, k) - top-k heavy hitters of a string column " +
+          "via a mergeable count-min sketch; returns array<struct<token, est>>"
+      ),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"count_min_topk expects 2 arguments, got ${args.length}")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
+          case other =>
+            throw new IllegalArgumentException(
+              s"count_min_topk's k must be an integer literal, got $other")
+        }
+        // returning the AggregateFunction directly: the analyzer wraps
+        // it in an AggregateExpression, as with built-in aggregates
+        CountMinTopK(args.head, k)
+      }
     )
   )
 

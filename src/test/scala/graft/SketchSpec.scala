@@ -57,6 +57,18 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("count_min_topk is callable from SQL and matches the Column API") {
+    org.apache.spark.sql.graftx.GraftFunctions.registerFunctions(spark)
+    tokens.createOrReplaceTempView("hh_tokens")
+    val viaSql = spark
+      .sql("SELECT explode(count_min_topk(tok, 10)) AS s FROM hh_tokens")
+      .select(col("s.token"), col("s.est"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    assert(viaSql == sketchTop(tokens, 10))
+  }
+
   test("result is invariant to partition count (mergeable partials)") {
     val one = sketchTop(tokens.repartition(1), 10)
     val many = sketchTop(tokens.repartition(13), 10)
