@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -183,7 +184,34 @@ private[sources] class SyntheticScan(
     required: StructType,
     pushed: Array[Filter],
     rowsPerTrigger: Long = Long.MaxValue
-) extends Scan with Batch {
+) extends Scan with Batch with SupportsRuntimeFiltering {
+  // RUNTIME filtering (the DSv2 analog of dynamic partition pruning):
+  // after the other side of a join materializes, Spark hands this scan
+  // the join-key filter — In(id, ...) from a broadcast, or a range —
+  // and the generated row space narrows BEFORE planInputPartitions.
+  // Narrowing to [min, max+1) of an In-set is a superset of the exact
+  // match set, which is safe: the join itself re-filters; the win is
+  // never generating (at 100 TB: never reading) the rest.
+  private var rlo: Long = lo
+  private var rhi: Long = hi
+
+  override def filterAttributes(): Array[NamedReference] = Array(Expressions.column("id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("id", vs) if vs.nonEmpty =>
+      val longs = vs.collect { case v: java.lang.Long => v.longValue() }
+      if (longs.length == vs.length) {
+        rlo = math.max(rlo, longs.min)
+        rhi = math.min(rhi, longs.max + 1)
+      }
+    case EqualTo("id", v: Long)            => rlo = math.max(rlo, v); rhi = math.min(rhi, v + 1)
+    case GreaterThanOrEqual("id", v: Long) => rlo = math.max(rlo, v)
+    case GreaterThan("id", v: Long)        => rlo = math.max(rlo, v + 1)
+    case LessThan("id", v: Long)           => rhi = math.min(rhi, v)
+    case LessThanOrEqual("id", v: Long)    => rhi = math.min(rhi, v + 1)
+    case _                                 => ()
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -200,11 +228,13 @@ private[sources] class SyntheticScan(
     new SyntheticMicroBatchStream(lo, hi, rowsPerTrigger, required)
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(hi - lo, 0L)
+    // rlo/rhi: the statically-pushed range further narrowed by any
+    // runtime join-key filter delivered via filter() above
+    val n = math.max(rhi - rlo, 0L)
     val p = math.max(1, math.min(partitions.toLong, math.max(n, 1L)).toInt)
     (0 until p).map { i =>
-      val s = lo + n * i / p
-      val e = lo + n * (i + 1) / p
+      val s = rlo + n * i / p
+      val e = rlo + n * (i + 1) / p
       SyntheticRange(s, e): InputPartition
     }.toArray
   }

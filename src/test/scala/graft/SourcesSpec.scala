@@ -49,6 +49,31 @@ class SourcesSpec extends SparkSuite {
     assert(p.contains("range=[2500,9000)"), p.take(2000))
   }
 
+  test("runtime filtering narrows the generated range from a join-side filter") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import spark.implicits._
+    // dim filtered on a NON-join column so only a runtime filter (the
+    // DSv2 analog of dynamic partition pruning) can narrow the scan
+    val dim = Seq((30000L, "keep"), (30500L, "keep"), (31000L, "keep"), (5L, "drop"))
+      .toDF("id", "tag")
+    val fact = synth(100000, 8)
+    val joined = fact.join(dim.filter(col("tag") === "keep"), Seq("id"))
+    assert(joined.count() == 3)
+    val top = joined.queryExecution.executedPlan
+    val finalPlan = top match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = finalPlan.collect {
+      case b: BatchScanExec if b.scan.getClass.getName.contains("SyntheticScan") => b
+    }
+    assert(scans.nonEmpty, "synthetic BatchScan not found in final plan")
+    // without runtime filtering the scan emits 100000 rows; with it,
+    // only the [min, max+1) hull of the broadcast join keys
+    val emitted = scans.map(_.metrics("numOutputRows").value).sum
+    assert(emitted <= 1001, s"runtime filter did not narrow the scan: emitted $emitted rows")
+  }
+
   test("column pruning reaches the source") {
     val df = synth(1000, 2).select(col("word"))
     df.collect()
