@@ -604,6 +604,63 @@ object Dedup {
     }
   )
 
+  /** Near-SUBSET pairs by token-set CONTAINMENT: |A ∩ B| / |A| ≥ 0.9
+    * with |B| ≥ |A| — the asymmetric sibling of Jaccard dedup that
+    * catches TRUNCATED COPIES (a prefix/excerpt of a longer document
+    * has low Jaccard but high containment in its source). Reports
+    * (small doc, containing doc, containment).
+    *
+    * 100 TB notes: same blocked equi-join shape as the Jaccard pass —
+    * join on (lang, partner token count), but the probe explodes the
+    * SMALL side's compatible partner counts upward: containment ≥ 0.9
+    * with |B| ≥ |A| bounds partners to [na, 3·na] (the 3× cap is the
+    * documented knob: a 40-token excerpt of a 10k-token book needs a
+    * containment INDEX, not a wider band). Candidates stay linear in
+    * docs × band width; the per-pair intersect is the codegen'd merge
+    * scan. Determinism: exact int ratio, 6-dp trunc round, ≥ on the
+    * exact ratio. */
+  val dedupContainment: Q = Q(
+    "dedup_containment",
+    Some(
+      "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t FROM documents), " +
+        "p AS (SELECT a.doc_id AS small_id, b.doc_id AS big_id, len(a.t) AS na, " +
+        "len(list_intersect(a.t, b.t))::DOUBLE / len(a.t) AS cont " +
+        "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id != b.doc_id " +
+        "AND len(b.t) >= len(a.t) AND len(b.t) <= 3 * len(a.t) " +
+        "AND NOT (len(b.t) = len(a.t) AND b.doc_id < a.doc_id)) " +
+        "SELECT small_id, big_id, " + Det.oRN("cont", 6) + " AS cont " +
+        "FROM p WHERE cont >= 0.9 ORDER BY small_id, big_id"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.graftx.SortedLongIntersectCount
+      val hs = sort_array(transform(toks(col("text")), x =>
+        conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
+      val d = Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), col("lang"), hs.as("t"), size(hs).as("nt"))
+      // small side explodes its compatible CONTAINING counts [na, 5na];
+      // equal-count pairs keep one orientation via the id tiebreak
+      val a = d.select(
+        col("doc_id").as("small_id"),
+        col("lang"),
+        col("t").as("ta"),
+        col("nt").as("na"),
+        explode(sequence(col("nt"), expr("3 * nt"))).as("pn")
+      )
+      val b = d.select(col("doc_id").as("big_id"), col("lang"), col("t").as("tb"), col("nt").as("pn"))
+      a.join(b, Seq("lang", "pn"))
+        .filter(
+          col("small_id") =!= col("big_id") &&
+            !(col("pn") === col("na") && col("big_id") < col("small_id"))
+        )
+        .withColumn("inter", SortedLongIntersectCount.count(col("ta"), col("tb")))
+        .withColumn("cont", col("inter").cast("double") / col("na"))
+        .filter(col("cont") >= 0.9)
+        .select(col("small_id"), col("big_id"), Det.rN(col("cont"), 6).as("cont"))
+        .orderBy(col("small_id"), col("big_id"))
+    }
+  )
+
   /** Diversity-preserving survivor selection: instead of the arbitrary
     * min-doc_id representative, keep the HIGHEST-QUALITY document of
     * each near-dup cluster (quality proxy: n_chars; deterministic
@@ -645,6 +702,7 @@ object Dedup {
 
   def qs: Seq[Q] = Seq(
     dedupExact, dedupNearJaccard, dedupEmbedCosine, dedupNgramJaccard, dedupSimhash,
-    dedupMinhashLsh, dedupClusters, dedupReport, dedupThresholdCurve, dedupBestOfCluster
+    dedupMinhashLsh, dedupClusters, dedupReport, dedupThresholdCurve, dedupBestOfCluster,
+    dedupContainment
   )
 }
