@@ -340,8 +340,51 @@ object Joins {
     }
   )
 
+  /** Salted skew join: the manual remedy when one join key carries a
+    * disproportionate share of a 100 TB fact table and AQE's skew split
+    * can't help (e.g. the skew is in the UNSALTED shuffle itself, or
+    * AQE is off). The fact side gets a deterministic salt in [0, 8)
+    * derived from its row identity; the dimension side replicates each
+    * row once per salt value; the join key becomes (suppkey, salt), so
+    * a hot supplier's rows spread across 8 reducers instead of one.
+    * The salt is invisible in the result — the oracle is the plain
+    * unsalted join — and deterministic (xxhash64 of the row key, not
+    * rand()), so retries produce identical partitioning. The 8×
+    * dimension replication is the cost: only worth it when the skewed
+    * side dwarfs it (here 8×80 supplier rows vs 600k lineitems; at
+    * 100 TB, 8×|dim| vs the hot key's reducer being the straggler).
+    */
+  val skewSalted: Q = Q(
+    "join_skew_salted",
+    Some(
+      "SELECT s_name, count(*) AS n_items, " +
+        s"round(${Det.oSum("l_quantity")}, 2) AS total_qty " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY s_name ORDER BY s_name"
+    ),
+    (spark, dir) => {
+      val salts = 8
+      val li = Tables
+        .lineitem(spark, dir)
+        .withColumn(
+          "salt",
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)).cast("int")
+        )
+      val sup = Tables
+        .supplier(spark, dir)
+        .withColumn("salt", explode(array((0 until salts).map(lit(_)): _*)))
+      li.join(sup, li("l_suppkey") === sup("s_suppkey") && li("salt") === sup("salt"))
+        .groupBy(col("s_name"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(Det.dsum(col("l_quantity")), 2).as("total_qty")
+        )
+        .orderBy(col("s_name"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     innerHash, broadcastDims, leftOuter, fullOuter, leftSemi, leftAnti,
-    crossSmall, thetaRange, intervalOverlap, asOf, asOfForward
+    crossSmall, thetaRange, intervalOverlap, asOf, asOfForward, skewSalted
   )
 }

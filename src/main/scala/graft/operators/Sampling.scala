@@ -197,8 +197,53 @@ object Sampling {
     }
   )
 
+  /** Sequence packing: assign documents to fixed-budget training packs
+    * (budget = 4000 chars ≈ a 1k-token context) without splitting a
+    * document. Docs are laid out in deterministic hash order within
+    * each language shard; a doc belongs to the pack where its START
+    * offset falls (running prefix sum of sizes), i.e. streaming
+    * first-fit packing with boundary overflow — the standard
+    * concatenate-then-chunk layout LLM dataloaders use. One window per
+    * lang partition (partition-parallel; at 100 TB you'd sub-shard the
+    * partition key to (lang, hash bucket) to bound any one shard — the
+    * pack ids stay local to the shard either way) plus a tiny 2-key
+    * aggregate. Determinism: offsets are exact long sums in identical
+    * order both engines; pack_id is floor of an exact-double division
+    * (sums ≪ 2^53). */
+  val pipelinePack: Q = Q(
+    "pipeline_pack",
+    Some(
+      "SELECT lang, pack_id, count(*)::BIGINT AS n_docs, " +
+        "cast(sum(n_chars) as bigint) AS chars_packed, " +
+        Det.oRN("cast(sum(n_chars) as bigint)::DOUBLE / 4000.0", 6) + " AS fill_ratio " +
+        "FROM (SELECT lang, n_chars, " +
+        "cast(floor((sum(n_chars) OVER (PARTITION BY lang ORDER BY " +
+        s"${oHkey("doc_id")}, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars)::DOUBLE / 4000.0) as bigint) " +
+        "AS pack_id FROM documents) GROUP BY lang, pack_id ORDER BY lang, pack_id"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window
+        .partitionBy(col("lang"))
+        .orderBy(hkey(col("doc_id")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables
+        .documents(spark, dir)
+        .withColumn("start_off", sum(col("n_chars")).over(w) - col("n_chars"))
+        .withColumn("pack_id", floor(col("start_off").cast("double") / 4000.0).cast("long"))
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("chars_packed"),
+          Det.rN(sum(col("n_chars")).cast("long").cast("double") / 4000.0, 6).as("fill_ratio")
+        )
+        .orderBy(col("lang"), col("pack_id"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     sampleHashPct, sampleStratified, interleaveSources, joinRangeEvents,
-    mixReport, sampleQualityWeighted
+    mixReport, sampleQualityWeighted, pipelinePack
   )
 }
