@@ -1,0 +1,205 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Pipeline-maintenance operators: incremental aggregate upkeep,
+  * data-quality auditing, and partition-layout-aware join pruning —
+  * the jobs that keep a 100 TB warehouse correct and cheap BETWEEN
+  * queries, not just the queries themselves.
+  */
+object Maintenance {
+
+  /** Incremental materialized-view maintenance. At 100 TB the
+    * anti-pattern is re-aggregating the whole fact table every time a
+    * batch lands; the fix is keeping the MV as mergeable PARTIAL state
+    * (count + exact decimal sum — commutative monoids) and folding each
+    * delta batch in with one tiny aggregate over (|MV| + |delta
+    * groups|) rows. Derived metrics (avg) are computed at read time
+    * from the merged partials, never maintained directly (avg is not a
+    * monoid). Here the "standing MV" is orders before a cutoff and the
+    * delta is the rest; the oracle is the full recompute over all of
+    * orders, so the hash match IS the proof that merge == recompute.
+    * Decimal partials keep the merge exact and order-independent
+    * (SURVEY §2.9.2) — with IEEE double partials, MV + delta would
+    * drift from the recompute by summation order.
+    */
+  val maintIncrementalAgg: Q = Q(
+    "maint_incremental_agg",
+    Some(
+      // revenue is rounded to 2 dp BEFORE the avg derivation on both
+      // sides: the raw decimal-sum→double conversion differs by 1 ulp
+      // between engines (DuckDB rounds int128→double then /1e8; Spark's
+      // BigDecimal converts in one correctly-rounded step)
+      "SELECT o_orderpriority, count(*) AS n_orders, " +
+        s"${Det.oRN(Det.oSum("o_totalprice"), 2)} AS revenue, " +
+        Det.oRN(s"(${Det.oRN(Det.oSum("o_totalprice"), 2)}) / count(*)", 4) + " AS avg_price " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    (spark, dir) => {
+      val orders = Tables
+        .orders(spark, dir)
+        .select(col("o_orderpriority"), col("o_orderdate"), col("o_totalprice"))
+      // partial state: one row per group, metrics still mergeable
+      def partials(df: DataFrame): DataFrame =
+        df.groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(30, 8))).as("rev")
+          )
+      val mv    = partials(orders.filter(col("o_orderdate") < lit("1997-06-01")))
+      val delta = partials(orders.filter(col("o_orderdate") >= lit("1997-06-01")))
+      mv.unionByName(delta)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(col("n")).cast("long").as("n_orders"),
+          Det.rN(sum(col("rev")).cast("double"), 2).as("revenue")
+        )
+        .withColumn("avg_price", Det.rN(col("revenue") / col("n_orders"), 4))
+        .orderBy(col("o_orderpriority"))
+    }
+  )
+
+  /** Data-quality audit: the constraint checks a curation pipeline runs
+    * before trusting a batch — null/empty rates, value-range
+    * violations, key uniqueness, and referential integrity between
+    * fact and dimension. Shape matters at 100 TB: all per-row checks
+    * on one table share ONE scan (a single aggregate computing every
+    * violation counter, unpivoted to report rows with `stack`), and
+    * the referential checks are anti-joins on the join key — never a
+    * row-by-row lookup. Every counter is an exact integer, so the
+    * report is trivially cross-engine deterministic.
+    */
+  val dqAudit: Q = Q(
+    "dq_audit",
+    Some(
+      "SELECT * FROM (" +
+        "SELECT 'customer_null_segment' AS check_name, " +
+        "(SELECT cast(sum(CASE WHEN c_mktsegment IS NULL OR c_mktsegment = '' THEN 1 ELSE 0 END) as bigint) FROM customer) AS n_bad, " +
+        "(SELECT count(*) FROM customer) AS n_checked " +
+        "UNION ALL SELECT 'lineitem_disc_range', " +
+        "(SELECT cast(sum(CASE WHEN l_discount < cast(0 as double) OR l_discount > cast(0.1 as double) THEN 1 ELSE 0 END) as bigint) FROM lineitem), " +
+        "(SELECT count(*) FROM lineitem) " +
+        "UNION ALL SELECT 'lineitem_orphan_order', " +
+        "(SELECT count(*) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)), " +
+        "(SELECT count(*) FROM lineitem) " +
+        "UNION ALL SELECT 'lineitem_qty_range', " +
+        "(SELECT cast(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) as bigint) FROM lineitem), " +
+        "(SELECT count(*) FROM lineitem) " +
+        "UNION ALL SELECT 'order_orphan_customer', " +
+        "(SELECT count(*) FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)), " +
+        "(SELECT count(*) FROM orders) " +
+        "UNION ALL SELECT 'part_dup_key', " +
+        "(SELECT count(*) - count(DISTINCT p_partkey) FROM part), " +
+        "(SELECT count(*) FROM part)" +
+        ") ORDER BY check_name"
+    ),
+    (spark, dir) => {
+      val cust = Tables.customer(spark, dir)
+      val li   = Tables.lineitem(spark, dir)
+      val ord  = Tables.orders(spark, dir)
+      val prt  = Tables.part(spark, dir)
+      // one scan of lineitem covers BOTH range checks
+      val liRanges = li
+        .agg(
+          sum(
+            when(col("l_discount") < lit(0.0) || col("l_discount") > lit(0.1), 1L).otherwise(0L)
+          ).as("disc_bad"),
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)).as("qty_bad"),
+          count(lit(1)).as("n")
+        )
+        .select(
+          expr(
+            "stack(2, 'lineitem_disc_range', disc_bad, n, 'lineitem_qty_range', qty_bad, n) " +
+              "AS (check_name, n_bad, n_checked)"
+          )
+        )
+      val nullSegment = cust
+        .agg(
+          sum(when(col("c_mktsegment").isNull || col("c_mktsegment") === "", 1L).otherwise(0L))
+            .as("n_bad"),
+          count(lit(1)).as("n_checked")
+        )
+        .select(lit("customer_null_segment").as("check_name"), col("n_bad"), col("n_checked"))
+      def orphans(name: String, fact: DataFrame, factKey: String, dimKeys: DataFrame): DataFrame =
+        fact
+          .join(dimKeys, col(factKey) === dimKeys.columns.map(col).head, "left_anti")
+          .agg(count(lit(1)).as("n_bad"))
+          .crossJoin(fact.agg(count(lit(1)).as("n_checked"))) // 1 row × 1 row
+          .select(lit(name).as("check_name"), col("n_bad"), col("n_checked"))
+      val liOrphans =
+        orphans("lineitem_orphan_order", li.select(col("l_orderkey")), "l_orderkey",
+          ord.select(col("o_orderkey")))
+      val ordOrphans =
+        orphans("order_orphan_customer", ord.select(col("o_custkey")), "o_custkey",
+          cust.select(col("c_custkey")))
+      val dupKeys = prt
+        .agg(
+          (count(lit(1)) - countDistinct(col("p_partkey"))).as("n_bad"),
+          count(lit(1)).as("n_checked")
+        )
+        .select(lit("part_dup_key").as("check_name"), col("n_bad"), col("n_checked"))
+      nullSegment
+        .unionByName(liRanges)
+        .unionByName(liOrphans)
+        .unionByName(ordOrphans)
+        .unionByName(dupKeys)
+        .orderBy(col("check_name"))
+    }
+  )
+
+  /** Dynamic partition pruning through a partitioned layout: the fact
+    * table is laid out partitioned by its join key, the dimension side
+    * carries the selective filter, and the scan of the fact must read
+    * ONLY the partitions the filtered dimension can match — Spark
+    * injects the dim-side values into the fact scan's partition filters
+    * at runtime (DPP). This is THE 100 TB pattern for star-schema
+    * filters: the predicate lives on the small table, yet the big scan
+    * skips whole directories. MaintenanceSpec asserts the executed plan
+    * carries a `dynamicpruning` partition filter; the oracle is the
+    * equivalent static filter over the unpartitioned original, so the
+    * values prove the pruned read is lossless.
+    */
+  val joinDppPrune: Q = Q(
+    "join_dpp_prune",
+    Some(
+      "SELECT o_orderpriority, count(*) AS n_orders, " +
+        Det.oRN(Det.oSum("o_totalprice"), 2) + " AS revenue " +
+        "FROM orders WHERE substr(o_orderpriority, 1, 1) IN ('1', '2') " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    (spark, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_dpp"
+      Tables
+        .orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write
+        .mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(s"$base/fact")
+      Tables
+        .orders(spark, dir)
+        .select(col("o_orderpriority").as("pri"))
+        .distinct()
+        .write
+        .mode("overwrite")
+        .parquet(s"$base/dim")
+      val fact = spark.read.parquet(s"$base/fact")
+      val dim = spark.read
+        .parquet(s"$base/dim")
+        .filter(substring(col("pri"), 1, 1).isin("1", "2"))
+      fact
+        .join(dim, col("o_orderpriority") === col("pri"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          Det.rN(Det.dsum(col("o_totalprice")), 2).as("revenue")
+        )
+        .orderBy(col("o_orderpriority"))
+    }
+  )
+
+  def qs: Seq[Q] = Seq(maintIncrementalAgg, dqAudit, joinDppPrune)
+}
