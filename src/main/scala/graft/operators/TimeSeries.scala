@@ -278,6 +278,80 @@ object TimeSeries {
         .orderBy(col("user_id")),
   )
 
+  /** Linear gap interpolation — the numeric sibling of
+    * [[tsFillForward]]'s LOCF: a masked reading is reconstructed from
+    * its nearest known neighbors on the SAME user's timeline, weighted
+    * by where its timestamp falls between theirs. Edges degrade
+    * gracefully (leading gap → backfill, trailing gap → carry
+    * forward). All four neighbor lookups are IGNORE NULLS window
+    * functions over ONE user-hash shuffle (two frame directions share
+    * the partitioning, so Catalyst reuses the exchange) — linear and
+    * partition-parallel at 100 TB, no self-join. Determinism: the
+    * interpolation fraction divides identical epoch-µs longs (both
+    * engines truncate the parquet NANOS column ns→µs, SURVEY §1.3),
+    * and the arithmetic is pure IEEE on identical doubles, rounded at
+    * 6 dp for the usual half-point safety.
+    */
+  val tsInterpolate: Q = Q(
+    "ts_interpolate",
+    Some(
+      "WITH m AS (SELECT event_id, user_id, ts, epoch_us(ts) AS tu, " +
+        "CASE WHEN value < 20 THEN NULL ELSE value END AS v FROM events), " +
+        "w AS (SELECT event_id, user_id, ts, tu, v, " +
+        "last_value(v IGNORE NULLS) OVER pb AS pv, " +
+        "last_value(CASE WHEN v IS NOT NULL THEN tu END IGNORE NULLS) OVER pb AS pt, " +
+        "first_value(v IGNORE NULLS) OVER fb AS nv, " +
+        "first_value(CASE WHEN v IS NOT NULL THEN tu END IGNORE NULLS) OVER fb AS nt " +
+        "FROM m WINDOW " +
+        "pb AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "fb AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT event_id, user_id, ts, v, " +
+        Det.oRN(
+          "CASE WHEN v IS NOT NULL THEN v " +
+            "WHEN pv IS NOT NULL AND nv IS NOT NULL THEN " +
+            "pv + (nv - pv) * ((tu - pt)::DOUBLE / (nt - pt)::DOUBLE) " +
+            "WHEN pv IS NOT NULL THEN pv ELSE nv END",
+          6
+        ) + " AS vi FROM w ORDER BY event_id"
+    ),
+    (spark, dir) => {
+      val pb = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fb = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      Tables
+        .events(spark, dir)
+        .withColumn("v", when(col("value") < 20, lit(null)).otherwise(col("value")))
+        .withColumn("tu", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(pb))
+        .withColumn("pt", last(when(col("v").isNotNull, col("tu")), ignoreNulls = true).over(pb))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(fb))
+        .withColumn("nt", first(when(col("v").isNotNull, col("tu")), ignoreNulls = true).over(fb))
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("ts"),
+          col("v"),
+          Det.rN(
+            when(col("v").isNotNull, col("v"))
+              .when(
+                col("pv").isNotNull && col("nv").isNotNull,
+                col("pv") + (col("nv") - col("pv")) *
+                  ((col("tu") - col("pt")).cast("double") / (col("nt") - col("pt")).cast("double"))
+              )
+              .when(col("pv").isNotNull, col("pv"))
+              .otherwise(col("nv")),
+            6
+          ).as("vi")
+        )
+        .orderBy(col("event_id"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(tsTumbling1h, tsSliding15m5m, tsSession30m, tsSessionWindowBatch,
-    tsFillForward, tsResampleHourly, tsEwma)
+    tsFillForward, tsResampleHourly, tsEwma, tsInterpolate)
 }
