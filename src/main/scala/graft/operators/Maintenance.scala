@@ -201,5 +201,70 @@ object Maintenance {
     }
   )
 
-  def qs: Seq[Q] = Seq(maintIncrementalAgg, dqAudit, joinDppPrune)
+  /** Snapshot reconciliation: classify every key across two table
+    * versions as added / removed / changed / unchanged — the audit a
+    * pipeline runs after a CDC apply or a backfill to prove the delta
+    * it shipped is the delta that landed. One full-outer join on the
+    * primary key and a 4-row aggregate; at 100 TB both snapshots
+    * shuffle once on the key (or not at all when the table is bucketed
+    * by it — the [[Extras.snkBucketed]] layout). The "today" snapshot
+    * is derived deterministically from the base table (drop keys
+    * ≡0 mod 97, perturb prices on ≡0 mod 101, inject re-keyed rows for
+    * ≡0 mod 103), so both engines reconstruct bit-identical inputs and
+    * the class counts are exact.
+    */
+  val maintSnapshotDiff: Q = Q(
+    "maint_snapshot_diff",
+    Some(
+      "WITH a AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders), " +
+        "b AS (SELECT o_orderkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice " +
+        "FROM orders WHERE o_orderkey % 97 <> 0 " +
+        "UNION ALL SELECT -o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 103 = 0) " +
+        "SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added' " +
+        "WHEN b.o_orderkey IS NULL THEN 'removed' " +
+        "WHEN a.o_totalprice <> b.o_totalprice OR a.o_orderstatus <> b.o_orderstatus THEN 'changed' " +
+        "ELSE 'unchanged' END AS diff_class, count(*) AS n " +
+        "FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey " +
+        "GROUP BY diff_class ORDER BY diff_class"
+    ),
+    (spark, dir) => {
+      val base = Tables
+        .orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val a = base.select(
+        col("o_orderkey").as("ak"),
+        col("o_orderstatus").as("as_"),
+        col("o_totalprice").as("ap")
+      )
+      val b = base
+        .filter(col("o_orderkey") % 97 =!= 0)
+        .select(
+          col("o_orderkey").as("bk"),
+          col("o_orderstatus").as("bs"),
+          when(col("o_orderkey") % 101 === 0, col("o_totalprice") + 100.0)
+            .otherwise(col("o_totalprice"))
+            .as("bp")
+        )
+        .unionByName(
+          base
+            .filter(col("o_orderkey") % 103 === 0)
+            .select((-col("o_orderkey")).as("bk"), col("o_orderstatus").as("bs"),
+              col("o_totalprice").as("bp"))
+        )
+      a.join(b, col("ak") === col("bk"), "full_outer")
+        .select(
+          when(col("ak").isNull, "added")
+            .when(col("bk").isNull, "removed")
+            .when(col("ap") =!= col("bp") || col("as_") =!= col("bs"), "changed")
+            .otherwise("unchanged")
+            .as("diff_class")
+        )
+        .groupBy(col("diff_class"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("diff_class"))
+    }
+  )
+
+  def qs: Seq[Q] = Seq(maintIncrementalAgg, dqAudit, joinDppPrune, maintSnapshotDiff)
 }

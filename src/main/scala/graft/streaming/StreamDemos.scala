@@ -211,6 +211,58 @@ object StreamDemos {
       .dropDuplicates("lang", "text_sha")
       .select(col("doc_id"), col("lang"), col("text_sha"), col("n_chars"))
 
+  /** Streaming twin of `maint_incremental_agg`: a standing aggregate
+    * (the MV) maintained by folding each micro-batch's PARTIALS into
+    * merge-friendly state — count + exact decimal sum per group —
+    * instead of re-aggregating history. Each batch pays one distributed
+    * aggregate over its own rows; the driver-side fold touches ≤
+    * |groups| rows per batch (5 words here), never batch rows, so the
+    * collect is group-cardinality-bounded — at 100 TB the fold target
+    * is a table MERGEd BY KEY (idempotent on batchId for exactly-once
+    * under replay; this demo's map stands in for that table). Input is
+    * the engine's own DSv2 micro-batch source, whose batch read is the
+    * recompute oracle: StreamingSpec asserts the final MV equals the
+    * one-shot batch aggregate bit-for-bit (exact decimal merge ⇒ no
+    * summation-order drift).
+    */
+  def incrementalMv(spark: SparkSession, rows: Long = 40000, perTrigger: Long = 7000): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val mv = scala.collection.mutable.HashMap.empty[String, (Long, java.math.BigDecimal)]
+    val stream = spark.readStream
+      .format("graft.sources.SyntheticSource")
+      .option("rows", rows)
+      .option("rowsPerTrigger", perTrigger)
+      .load()
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val partials = batch
+          .groupBy(col("word"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("v").cast(DecimalType(30, 8))).as("sv")
+          )
+          .collect() // bounded by |groups|, never by batch size
+        mv.synchronized {
+          partials.foreach { r =>
+            val (n0, s0) = mv.getOrElse(r.getString(0), (0L, java.math.BigDecimal.ZERO))
+            mv.update(r.getString(0), (n0 + r.getLong(1), s0.add(r.getDecimal(2))))
+          }
+        }
+      }
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      def seen: Long = mv.synchronized(mv.values.iterator.map(_._1).sum)
+      while (seen < rows && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    } finally q.stop()
+    import spark.implicits._
+    mv.toSeq
+      .map { case (w, (n, s)) => (w, n, s.doubleValue) }
+      .toDF("word", "n", "sum_v")
+      .withColumn("sum_v", graft.Det.rN(col("sum_v"), 6))
+      .orderBy(col("word"))
+  }
+
   /** Drive a streaming DF to completion against a finite file source:
     * write every micro-batch to an in-memory table, process all
     * available input, stop. Returns the memory sink's final contents. */

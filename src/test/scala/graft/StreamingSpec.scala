@@ -170,6 +170,21 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
   }
 
+  test("incremental MV fold equals the one-shot batch recompute") {
+    import org.apache.spark.sql.functions._
+    val mv = streaming.StreamDemos.incrementalMv(spark, rows = 40000, perTrigger = 7000)
+    val batch = spark.read
+      .format("graft.sources.SyntheticSource")
+      .option("rows", 40000)
+      .load()
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"), Det.rN(Det.dsum(col("v")), 6).as("sum_v"))
+      .orderBy(col("word"))
+    val got = mv.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = batch.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want) // bit-identical: exact decimal partials merge without drift
+  }
+
   test("streamed session windows cover all non-trailing events") {
     val result = streaming.StreamDemos.runToCompletion(
       spark,
