@@ -242,8 +242,43 @@ object Sampling {
     }
   )
 
+  /** Deterministic stratified train/test split — the assignment every
+    * training pipeline needs to be reproducible across reruns, engines,
+    * and cluster sizes: membership is a pure function of the document
+    * key (md5 bucket mod 10 → 10% test), never of row order, partition
+    * count, or a seeded RNG. The report shows per-language counts and
+    * realized shares (a skew check on the strata). Map-side assignment
+    * + one small aggregate; at 100 TB the split column is computed in
+    * the same scan that reads the corpus — no extra pass, and any
+    * worker can re-derive membership without coordination.
+    */
+  val sampleTrainTestSplit: Q = Q(
+    "sample_train_test_split",
+    Some(
+      "WITH s AS (SELECT lang, CASE WHEN " + oHkey("doc_id") + " % 10 = 0 " +
+        "THEN 'test' ELSE 'train' END AS split FROM documents) " +
+        "SELECT lang, split, count(*) AS n_docs, " +
+        Det.oRN("count(*)::DOUBLE / (sum(count(*)) OVER (PARTITION BY lang))::DOUBLE", 6) +
+        " AS share FROM s GROUP BY lang, split ORDER BY lang, split"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+      Tables
+        .documents(spark, dir)
+        .withColumn("split", when(hkey(col("doc_id")) % 10 === 0, "test").otherwise("train"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn(
+          "share",
+          Det.rN(col("n_docs").cast("double") / sum(col("n_docs")).over(w).cast("double"), 6)
+        )
+        .orderBy(col("lang"), col("split"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     sampleHashPct, sampleStratified, interleaveSources, joinRangeEvents,
-    mixReport, sampleQualityWeighted, pipelinePack
+    mixReport, sampleQualityWeighted, pipelinePack, sampleTrainTestSplit
   )
 }

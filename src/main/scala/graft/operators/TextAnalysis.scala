@@ -722,9 +722,48 @@ object TextAnalysis {
     }
   )
 
+  /** Dataset manifest — the "dataset card" numbers a published corpus
+    * ships with, per language plus a TOTAL rollup row in one pass:
+    * doc count, exact distinct-content count, total characters, and an
+    * order-independent corpus checksum (the SUM of a 40-bit prefix of
+    * each doc's sha256 — commutative, so any partitioning/merge order
+    * yields the same fingerprint, and two corpora can be compared for
+    * drift without row alignment; 40 bits × 10⁶ docs stays far from
+    * int64 overflow). Everything is an exact integer, so the manifest
+    * is bit-stable across engines and cluster layouts.
+    */
+  val pipelineManifest: Q = Q(
+    "pipeline_manifest",
+    Some(
+      "SELECT coalesce(lang, 'TOTAL') AS lang, count(*) AS n_docs, " +
+        "cast(count(DISTINCT sha256(text)) as bigint) AS n_distinct, " +
+        "cast(sum(n_chars) as bigint) AS total_chars, " +
+        "cast(sum(('0x' || substr(sha256(text), 1, 10))::BIGINT) as bigint) AS checksum " +
+        "FROM documents GROUP BY ROLLUP (lang) ORDER BY lang"
+    ),
+    (spark, dir) =>
+      Tables
+        .documents(spark, dir)
+        .select(
+          col("lang"),
+          col("n_chars"),
+          sha2(col("text"), 256).as("sha")
+        )
+        .rollup(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("sha")).as("n_distinct"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          sum(conv(substring(col("sha"), 1, 10), 16, 10).cast("long")).cast("long").as("checksum")
+        )
+        .withColumn("lang", coalesce(col("lang"), lit("TOTAL")))
+        .select(col("lang"), col("n_docs"), col("n_distinct"), col("total_chars"), col("checksum"))
+        .orderBy(col("lang"))
+  )
+
   def qs: Seq[Q] = Seq(
     textStats, textTfidfTop, textLangid, textQuality, textTokens, textFingerprint,
     textPiiRedact, reportScores, textBigramLm, textChunk, textVocab, pipelineCurate,
-    textContamination, textHeavyHitters, pipelineFunnel
+    textContamination, textHeavyHitters, pipelineFunnel, pipelineManifest
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, Tables}
+import graft.{Det, Q, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -296,8 +296,55 @@ object Windows {
     }
   )
 
+  /** Moving median over a bounded row frame — an operator Spark's
+    * window library lacks (median is not a built-in window function),
+    * composed from built-ins instead of a UDF: collect the ≤4-row frame
+    * into an array, sort it, index the middle (averaging the two
+    * middles on even counts). The frame bound caps per-row state at 4
+    * values, so the WindowExec stays O(frame) per row — at 100 TB the
+    * cost is one user-hash shuffle + per-partition sort, same as any
+    * window. Determinism: odd medians are raw input doubles; even
+    * medians are one IEEE add + a halving; 6-dp rounding absorbs the
+    * engines' interpolation-formula ulp (DuckDB interpolates, we
+    * average).
+    */
+  val winMovingMedian: Q = Q(
+    "win_moving_median",
+    Some(
+      "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        Det.oRN(
+          "median(o_totalprice) OVER (PARTITION BY o_custkey " +
+            "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)",
+          6
+        ) + " AS moving_median " +
+        "FROM orders ORDER BY o_custkey, o_orderkey"
+    ),
+    (spark, dir) => {
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-3, Window.currentRow)
+      val a = sort_array(collect_list(col("o_totalprice")).over(w))
+      val n = size(a)
+      // Column `/` is float division — cast back for the array index
+      val med = when(n % 2 === 1, element_at(a, ((n + 1) / 2).cast("int")))
+        .otherwise(
+          (element_at(a, (n / 2).cast("int")) + element_at(a, (n / 2).cast("int") + 1)) / 2.0
+        )
+      Tables
+        .orders(spark, dir)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          col("o_totalprice"),
+          Det.rN(med, 6).as("moving_median")
+        )
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     winRanking, winTop3PerGroup, winTop3TopK, winLagLead, winRunningSum, winRangeFrame, winFirstLast, winGapsIslands,
-    winCumeDist
+    winCumeDist, winMovingMedian
   )
 }
