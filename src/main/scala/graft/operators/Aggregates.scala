@@ -486,9 +486,75 @@ object Aggregates {
     }
   )
 
+  /** Per-group mode (most frequent value) with a deterministic
+    * tie-break — Spark's `mode()` breaks ties arbitrarily (and
+    * cross-engine modes NEVER agree on ties), so the portable spelling
+    * is count-then-argmax with a total order: (count DESC, value ASC).
+    * The argmax runs through the engine's TopKPerGroup operator (k=1),
+    * pruning to one candidate per group map-side instead of
+    * window-sorting every (group, value) pair — at 100 TB the shuffle
+    * carries |groups|×|partitions| rows, not the whole count table.
+    */
+  val aggMode: Q = Q(
+    "agg_mode",
+    Some(
+      "WITH t AS (SELECT c_mktsegment, o_orderpriority, count(*) AS n " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment " +
+        "ORDER BY n DESC, o_orderpriority) AS rn FROM t) " +
+        "SELECT c_mktsegment, o_orderpriority AS mode_value, n " +
+        "FROM r WHERE rn = 1 ORDER BY c_mktsegment"
+    ),
+    (spark, dir) => {
+      val counts = Tables
+        .orders(spark, dir)
+        .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      org.apache.spark.sql.graftx
+        .TopKPerGroup(counts, Seq("c_mktsegment"), Seq("n" -> true, "o_orderpriority" -> false), 1)
+        .select(col("c_mktsegment"), col("o_orderpriority").as("mode_value"), col("n"))
+        .orderBy(col("c_mktsegment"))
+    }
+  )
+
+  /** Exact distinct counting via a segmented bitmap — the technique a
+    * 100 TB engine uses when `count(DISTINCT key)` must be exact AND
+    * rolled up incrementally (HLL is approximate; count-distinct
+    * doesn't merge): keys are sliced into 63-bit segments, each
+    * (group, segment) aggregates a `bit_or` mask (commutative —
+    * partition/merge order free, partial-aggregatable map-side), and
+    * the distinct count is the sum of popcounts. Memory is
+    * O(key-range/63) per group, the masks are themselves mergeable
+    * partials (an MV can maintain them under inserts), and no shuffle
+    * carries raw keys. Bits 0..62 only — the sign bit stays clear so
+    * the mask semantics never touch two's-complement. The oracle is a
+    * plain `count(DISTINCT …)`, proving the bitmap path exact.
+    */
+  val aggBitmapDistinct: Q = Q(
+    "agg_bitmap_distinct",
+    Some(
+      "SELECT event_type, count(DISTINCT user_id) AS n_users " +
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    (spark, dir) =>
+      Tables
+        .events(spark, dir)
+        .select(
+          col("event_type"),
+          expr("user_id div 63").as("seg"),
+          expr("shiftleft(cast(1 as bigint), cast(user_id % 63 as int))").as("bit")
+        )
+        .groupBy(col("event_type"), col("seg"))
+        .agg(expr("bit_or(bit)").as("mask"))
+        .groupBy(col("event_type"))
+        .agg(sum(expr("bit_count(mask)")).cast("long").as("n_users"))
+        .orderBy(col("event_type"))
+  )
+
   def qs: Seq[Q] = Seq(
     aggGroupPricing, aggDecimalPricing, aggHistogram, aggHllMerge, aggGlobal, aggDistinct, aggRollup, aggCube,
     aggGroupingSets, aggStats, aggMinMaxBy, aggCollectSorted, aggApproxDistinct,
-    aggPredicates, aggCohortRetention
+    aggPredicates, aggCohortRetention, aggMode, aggBitmapDistinct
   )
 }
