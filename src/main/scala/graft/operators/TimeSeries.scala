@@ -352,6 +352,69 @@ object TimeSeries {
     }
   )
 
+  /** Last-touch attribution in ONE pass over the interleaved event
+    * stream: each purchase is attributed to the same user's most
+    * recent preceding view via a conditional IGNORE NULLS window —
+    * no purchases×views self-join, no as-of join, just one user-hash
+    * shuffle and a per-user sort, then a 4-row bucket report
+    * (conversion-lag histogram + mean minutes-to-convert). This is
+    * the shape that survives 100 TB of events: the window state is
+    * one timestamp per user, and attribution for EVERY funnel stage
+    * could share the same single pass (one conditional last() per
+    * stage). Determinism: both engines sort on the identical
+    * truncated epoch-µs key, lags are exact long differences, and the
+    * mean goes through the decimal-sum rule.
+    */
+  val tsAttribution: Q = Q(
+    "ts_attribution",
+    Some(
+      "WITH m AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tu FROM events), " +
+        "w AS (SELECT *, last_value(CASE WHEN event_type = 'view' THEN tu END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY tu, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv FROM m), " +
+        "p AS (SELECT tu - lv AS lag_us FROM w WHERE event_type = 'purchase') " +
+        "SELECT CASE WHEN lag_us IS NULL THEN 'unattributed' " +
+        "WHEN lag_us <= 3600000000 THEN 'within_1h' " +
+        "WHEN lag_us <= 86400000000 THEN 'within_24h' " +
+        "ELSE 'older' END AS bucket, count(*) AS n_purchases, " +
+        Det.oRN(s"${Det.oSum("lag_us / 60000000.0")} / count(*)", 4) + " AS avg_minutes " +
+        "FROM p GROUP BY bucket ORDER BY bucket"
+    ),
+    (spark, dir) => {
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("tu"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables
+        .events(spark, dir)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("tu")
+        )
+        .withColumn(
+          "lv",
+          last(when(col("event_type") === "view", col("tu")), ignoreNulls = true).over(w)
+        )
+        .filter(col("event_type") === "purchase")
+        .withColumn("lag_us", col("tu") - col("lv"))
+        .withColumn(
+          "bucket",
+          when(col("lag_us").isNull, "unattributed")
+            .when(col("lag_us") <= 3600000000L, "within_1h")
+            .when(col("lag_us") <= 86400000000L, "within_24h")
+            .otherwise("older")
+        )
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          Det.rN(Det.dsum(col("lag_us") / 60000000.0) / count(lit(1)), 4).as("avg_minutes")
+        )
+        .orderBy(col("bucket"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(tsTumbling1h, tsSliding15m5m, tsSession30m, tsSessionWindowBatch,
-    tsFillForward, tsResampleHourly, tsEwma, tsInterpolate)
+    tsFillForward, tsResampleHourly, tsEwma, tsInterpolate, tsAttribution)
 }
