@@ -700,9 +700,77 @@ object Dedup {
     }
   )
 
+  /** Incremental dedup — the shape the daily job actually runs: a NEW
+    * batch (10% of docs by key hash here) screened against the
+    * EXISTING corpus, never corpus×corpus. Same (lang, token-count
+    * band) blocked equi-join and codegen'd sorted-merge intersection
+    * as [[dedupNearJaccard]], but asymmetric: only the small batch
+    * side explodes its count band (~1.5×), the corpus side streams
+    * once keyed by its own count. Per new doc: how many corpus
+    * near-dups (jac ≥ 0.8), the best score, and the admit verdict.
+    * At 100 TB the corpus side of this join is further replaced by a
+    * persisted signature table (write once, probe daily) — same plan,
+    * the scan just hits precomputed (lang, count, sorted-hash) rows.
+    */
+  val dedupIncremental: Q = Q(
+    "dedup_incremental",
+    Some(
+      "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t FROM documents), " +
+        "nb AS (SELECT * FROM d WHERE doc_id % 10 = 0), " +
+        "corp AS (SELECT * FROM d WHERE doc_id % 10 <> 0), " +
+        "p AS (SELECT nb.doc_id, " +
+        "len(list_intersect(nb.t, corp.t))::DOUBLE / len(list_distinct(nb.t || corp.t)) AS jac " +
+        "FROM nb JOIN corp ON nb.lang = corp.lang " +
+        "AND 5 * least(len(nb.t), len(corp.t)) >= 4 * greatest(len(nb.t), len(corp.t))), " +
+        "m AS (SELECT doc_id, cast(sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) as bigint) AS n_dups, " +
+        Det.oRN("max(jac)", 6) + " AS best_jac FROM p GROUP BY doc_id) " +
+        "SELECT nb.doc_id, coalesce(n_dups, 0) AS n_dup_corpus, " +
+        "coalesce(best_jac, 0.0) AS best_jac, coalesce(n_dups, 0) = 0 AS admitted " +
+        "FROM nb LEFT JOIN m ON nb.doc_id = m.doc_id ORDER BY nb.doc_id"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.graftx.SortedLongIntersectCount
+      val hs = sort_array(transform(toks(col("text")), x =>
+        conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
+      val d = Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), col("lang"), hs.as("t"), size(hs).as("nt"))
+      val batch = d.filter(col("doc_id") % 10 === 0)
+      val corpus = d.filter(col("doc_id") % 10 =!= 0)
+      // batch side explodes its compatible-count band; corpus streams once
+      val probe = batch.select(
+        col("doc_id"),
+        col("lang"),
+        col("t").as("ta"),
+        col("nt").as("na"),
+        explode(sequence(expr("(4 * nt + 4) div 5"), expr("(5 * nt) div 4"))).as("pn")
+      )
+      val base = corpus.select(col("lang"), col("t").as("tb"), col("nt").as("pn"))
+      val matches = probe
+        .join(base, Seq("lang", "pn"))
+        .withColumn("inter", SortedLongIntersectCount.count(col("ta"), col("tb")))
+        .withColumn("jac", col("inter").cast("double") / (col("na") + col("pn") - col("inter")))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(when(col("jac") >= 0.8, 1L).otherwise(0L)).as("n_dups"),
+          Det.rN(max(col("jac")), 6).as("best")
+        )
+      batch
+        .select(col("doc_id"))
+        .join(matches, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dup_corpus"),
+          coalesce(col("best"), lit(0.0)).as("best_jac"),
+          (coalesce(col("n_dups"), lit(0L)) === 0).as("admitted")
+        )
+        .orderBy(col("doc_id"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     dedupExact, dedupNearJaccard, dedupEmbedCosine, dedupNgramJaccard, dedupSimhash,
     dedupMinhashLsh, dedupClusters, dedupReport, dedupThresholdCurve, dedupBestOfCluster,
-    dedupContainment
+    dedupContainment, dedupIncremental
   )
 }
