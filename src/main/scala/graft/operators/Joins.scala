@@ -383,8 +383,78 @@ object Joins {
     }
   )
 
+  /** Nearest as-of: for each purchase, the click closest in time in
+    * EITHER direction (ties go to the earlier click) — completes the
+    * as-of family (backward [[asOf]], forward [[asOfForward]],
+    * nearest). Composition: both directional window passes over ONE
+    * user-hash partitioning (two sorts, one exchange), then an exact
+    * epoch-µs distance compare picks the nearer side. DuckDB's native
+    * ASOF has no "nearest" mode either, so the oracle mirrors the
+    * same two-window construction — both engines run the identical
+    * algorithm, which is the point: nearest-as-of reduces to two
+    * linear passes, never a range join.
+    */
+  val asOfNearest: Q = Q(
+    "join_asof_nearest",
+    Some(
+      "WITH ev AS (SELECT event_id, user_id, ts, event_type FROM events " +
+        "WHERE event_type IN ('click', 'purchase')), " +
+        "t AS (SELECT *, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tb_, " +
+        "CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tf_ FROM ev), " +
+        "w AS (SELECT *, " +
+        "last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, tb_, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts, " +
+        "first_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, tf_, event_id " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts FROM t) " +
+        "SELECT event_id, user_id, ts, " +
+        "CASE WHEN prev_ts IS NULL THEN next_ts WHEN next_ts IS NULL THEN prev_ts " +
+        "WHEN epoch_us(ts) - epoch_us(prev_ts) <= epoch_us(next_ts) - epoch_us(ts) " +
+        "THEN prev_ts ELSE next_ts END AS nearest_click_ts " +
+        "FROM w WHERE event_type = 'purchase' ORDER BY event_id"
+    ),
+    (spark, dir) => {
+      val ev = Tables
+        .events(spark, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .withColumn("tb_", when(col("event_type") === "click", 0).otherwise(1))
+        .withColumn("tf_", when(col("event_type") === "purchase", 0).otherwise(1))
+      val back = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tb_"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tf_"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val clickTs = when(col("event_type") === "click", col("ts"))
+      def us(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        unix_micros(c.cast("timestamp"))
+      ev
+        .withColumn("prev_ts", last(clickTs, ignoreNulls = true).over(back))
+        .withColumn("next_ts", first(clickTs, ignoreNulls = true).over(fwd))
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("ts"),
+          when(col("prev_ts").isNull, col("next_ts"))
+            .when(col("next_ts").isNull, col("prev_ts"))
+            .when(
+              us(col("ts")) - us(col("prev_ts")) <= us(col("next_ts")) - us(col("ts")),
+              col("prev_ts")
+            )
+            .otherwise(col("next_ts"))
+            .as("nearest_click_ts")
+        )
+        .orderBy(col("event_id"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     innerHash, broadcastDims, leftOuter, fullOuter, leftSemi, leftAnti,
-    crossSmall, thetaRange, intervalOverlap, asOf, asOfForward, skewSalted
+    crossSmall, thetaRange, intervalOverlap, asOf, asOfForward, asOfNearest, skewSalted
   )
 }
