@@ -552,9 +552,63 @@ object Aggregates {
         .orderBy(col("event_type"))
   )
 
+  /** Per-group OLS trend (slope + intercept of price over time) from
+    * the closed-form moment sums — the portable spelling of
+    * regr_slope/regr_intercept, whose native implementations sum IEEE
+    * doubles in engine-specific order and therefore never cross-match.
+    * Here every moment (Σx, Σy, Σxy, Σx²) goes through the decimal
+    * order-independent sum: per-row products are identical doubles in
+    * both engines, their decimal casts round identically, the sums are
+    * exact, and the final slope/intercept arithmetic is pure IEEE on
+    * identical inputs. One scan, one 5-group aggregate — and the
+    * moments are mergeable partials, so this trend is incrementally
+    * maintainable the same way as [[graft.operators.Maintenance]]'s MV.
+    */
+  val aggRegression: Q = Q(
+    "agg_regression",
+    Some(
+      "WITH b AS (SELECT o_orderpriority, " +
+        "date_diff('day', DATE '1995-01-01', o_orderdate::DATE)::DOUBLE AS x, " +
+        "o_totalprice AS y FROM orders), " +
+        "m AS (SELECT o_orderpriority, count(*)::DOUBLE AS n, " +
+        s"${Det.oSum("x")} AS sx, ${Det.oSum("y")} AS sy, " +
+        s"${Det.oSum("x * y")} AS sxy, ${Det.oSum("x * x")} AS sxx FROM b GROUP BY 1) " +
+        "SELECT o_orderpriority, cast(n as bigint) AS n_orders, " +
+        Det.oRN("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6) + " AS slope, " +
+        Det.oRN("(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n", 4) +
+        " AS intercept FROM m ORDER BY o_orderpriority"
+    ),
+    (spark, dir) => {
+      val b = Tables
+        .orders(spark, dir)
+        .select(
+          col("o_orderpriority"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).cast("double").as("x"),
+          col("o_totalprice").as("y")
+        )
+      val m = b
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          Det.dsum(col("x")).as("sx"),
+          Det.dsum(col("y")).as("sy"),
+          Det.dsum(col("x") * col("y")).as("sxy"),
+          Det.dsum(col("x") * col("x")).as("sxx")
+        )
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      m.select(
+        col("o_orderpriority"),
+        col("n").cast("long").as("n_orders"),
+        Det.rN(slope, 6).as("slope"),
+        Det.rN((col("sy") - slope * col("sx")) / col("n"), 4).as("intercept")
+      ).orderBy(col("o_orderpriority"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     aggGroupPricing, aggDecimalPricing, aggHistogram, aggHllMerge, aggGlobal, aggDistinct, aggRollup, aggCube,
     aggGroupingSets, aggStats, aggMinMaxBy, aggCollectSorted, aggApproxDistinct,
-    aggPredicates, aggCohortRetention, aggMode, aggBitmapDistinct
+    aggPredicates, aggCohortRetention, aggMode, aggBitmapDistinct, aggRegression
   )
 }
