@@ -453,8 +453,48 @@ object Joins {
     }
   )
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the
+    * semantic corner where plain equi-joins silently drop rows — NULL
+    * join keys never equal anything under `=`, but a curation pipeline
+    * routinely needs "route unknown keys to the unknown bucket", i.e.
+    * NULL must match NULL. Dim side: nation keys 0..19 plus ONE
+    * distinct NULL row (the unknown bucket); fact side: customers with
+    * keys nulled for every 7th custkey. Spark plans `<=>` as a regular
+    * hash-join key (internally coalesced), so this broadcasts and
+    * scales exactly like [[broadcastDims]] — no fallback to a
+    * condition-only nested loop.
+    */
+  val nullSafeEq: Q = Q(
+    "join_null_safe_eq",
+    Some(
+      "WITH a AS (SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS k " +
+        "FROM customer), " +
+        "b AS (SELECT DISTINCT CASE WHEN n_nationkey >= 20 THEN NULL ELSE n_nationkey END AS k " +
+        "FROM nation) " +
+        "SELECT coalesce(cast(b.k as varchar), 'unknown') AS bucket, count(*) AS n_customers " +
+        "FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k " +
+        "GROUP BY bucket ORDER BY bucket"
+    ),
+    (spark, dir) => {
+      val a = Tables
+        .customer(spark, dir)
+        .select(
+          when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_nationkey")).as("ka")
+        )
+      val b = Tables
+        .nation(spark, dir)
+        .select(when(col("n_nationkey") >= 20, lit(null)).otherwise(col("n_nationkey")).as("kb"))
+        .distinct()
+      a.join(broadcast(b), col("ka") <=> col("kb"))
+        .groupBy(coalesce(col("kb").cast("string"), lit("unknown")).as("bucket"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("bucket"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     innerHash, broadcastDims, leftOuter, fullOuter, leftSemi, leftAnti,
-    crossSmall, thetaRange, intervalOverlap, asOf, asOfForward, asOfNearest, skewSalted
+    crossSmall, thetaRange, intervalOverlap, asOf, asOfForward, asOfNearest, skewSalted,
+    nullSafeEq
   )
 }

@@ -343,8 +343,56 @@ object Windows {
     }
   )
 
+  /** Rolling DISTINCT count over a bounded frame — Spark rejects
+    * `count(DISTINCT …) OVER`, so the portable composition is
+    * collect_list over the frame → array_distinct → size (exact
+    * because the frame bounds the state at 5 values; an unbounded
+    * frame would instead call for the running-set pattern or a sketch).
+    * DuckDB supports the native spelling, so the oracle uses it — the
+    * hash match proves the composition IS windowed distinct-count.
+    * Rolling distinct suppliers over a customer's last 5 line items:
+    * a repeat-supplier concentration signal.
+    */
+  val winRollingDistinct: Q = Q(
+    "win_rolling_distinct",
+    Some(
+      "SELECT o_custkey, l_orderkey, l_linenumber, " +
+        "count(DISTINCT l_suppkey) OVER (PARTITION BY o_custkey " +
+        "ORDER BY l_orderkey, l_linenumber, l_suppkey ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) " +
+        "AS distinct_supps " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_custkey < 500 ORDER BY o_custkey, l_orderkey, l_linenumber"
+    ),
+    (spark, dir) => {
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        // (l_orderkey, l_linenumber) is NOT unique in this synthetic
+        // lineitem (118k dup pairs at sf0.1); l_suppkey completes a
+        // total-enough order: rows still tied are identical in every
+        // frame-relevant column, so the suppkey sequence — and every
+        // frame's distinct count — is uniquely determined.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+        .rowsBetween(-4, Window.currentRow)
+      Tables
+        .lineitem(spark, dir)
+        .join(
+          broadcast(Tables.orders(spark, dir).filter(col("o_custkey") < 500)),
+          col("l_orderkey") === col("o_orderkey")
+        )
+        .select(
+          col("o_custkey"),
+          col("l_orderkey"),
+          col("l_linenumber"),
+          size(array_distinct(collect_list(col("l_suppkey")).over(w)))
+            .cast("long")
+            .as("distinct_supps")
+        )
+        .orderBy(col("o_custkey"), col("l_orderkey"), col("l_linenumber"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     winRanking, winTop3PerGroup, winTop3TopK, winLagLead, winRunningSum, winRangeFrame, winFirstLast, winGapsIslands,
-    winCumeDist, winMovingMedian
+    winCumeDist, winMovingMedian, winRollingDistinct
   )
 }
