@@ -606,9 +606,56 @@ object Aggregates {
     }
   )
 
+  /** Per-group Pearson correlation from the same exact decimal moment
+    * sums as [[aggRegression]] — the portable corr(): native
+    * implementations stream IEEE doubles in engine order and drift; the
+    * moment spelling is order-free, mergeable, and the final
+    * arithmetic (two multiplies, a sqrt, a divide) is IEEE on identical
+    * inputs — sqrt is correctly rounded by spec, so even it is
+    * bit-stable cross-engine. Quantity-vs-discount per return flag.
+    */
+  val aggCorr: Q = Q(
+    "agg_corr",
+    Some(
+      "WITH b AS (SELECT l_returnflag, l_quantity AS x, l_discount AS y FROM lineitem), " +
+        "m AS (SELECT l_returnflag, count(*)::DOUBLE AS n, " +
+        s"${Det.oSum("x")} AS sx, ${Det.oSum("y")} AS sy, ${Det.oSum("x * y")} AS sxy, " +
+        s"${Det.oSum("x * x")} AS sxx, ${Det.oSum("y * y")} AS syy FROM b GROUP BY 1) " +
+        "SELECT l_returnflag, cast(n as bigint) AS n_rows, " +
+        Det.oRN(
+          "(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))",
+          6
+        ) + " AS corr_qty_disc FROM m ORDER BY l_returnflag"
+    ),
+    (spark, dir) => {
+      val m = Tables
+        .lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_quantity").as("x"), col("l_discount").as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          Det.dsum(col("x")).as("sx"),
+          Det.dsum(col("y")).as("sy"),
+          Det.dsum(col("x") * col("y")).as("sxy"),
+          Det.dsum(col("x") * col("x")).as("sxx"),
+          Det.dsum(col("y") * col("y")).as("syy")
+        )
+      m.select(
+        col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        Det.rN(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))),
+          6
+        ).as("corr_qty_disc")
+      ).orderBy(col("l_returnflag"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     aggGroupPricing, aggDecimalPricing, aggHistogram, aggHllMerge, aggGlobal, aggDistinct, aggRollup, aggCube,
     aggGroupingSets, aggStats, aggMinMaxBy, aggCollectSorted, aggApproxDistinct,
-    aggPredicates, aggCohortRetention, aggMode, aggBitmapDistinct, aggRegression
+    aggPredicates, aggCohortRetention, aggMode, aggBitmapDistinct, aggRegression, aggCorr
   )
 }
