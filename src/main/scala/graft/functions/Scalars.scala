@@ -452,8 +452,38 @@ object Scalars {
         .orderBy(col("p_partkey"))
   )
 
+  /** OUTER explode — the generator semantic corner: a doc whose
+    * filtered token list is EMPTY must survive with a NULL token
+    * (plain explode silently drops it — a curation pipeline loses the
+    * doc from downstream counts). Spark spells it `explode_outer`;
+    * DuckDB has no outer unnest, so the oracle reconstructs it with a
+    * LEFT JOIN against the unnested rows. ~21% of docs have no >6-char
+    * token, so the outer path is genuinely exercised. Explicit
+    * NULLS FIRST — the engines' default null sort order differs.
+    */
+  val genExplodeOuter: Q = Q(
+    "gen_explode_outer",
+    Some(
+      "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 6) AS lt " +
+        "FROM documents WHERE doc_id < 500), " +
+        "u AS (SELECT doc_id, unnest(lt) AS tok FROM d) " +
+        "SELECT d.doc_id, u.tok FROM d LEFT JOIN u ON d.doc_id = u.doc_id " +
+        "ORDER BY d.doc_id, u.tok NULLS FIRST"
+    ),
+    (spark, dir) =>
+      Tables
+        .documents(spark, dir)
+        .filter(col("doc_id") < 500)
+        .select(
+          col("doc_id"),
+          explode_outer(filter(split(col("text"), " "), t => length(t) > 6)).as("tok")
+        )
+        .orderBy(col("doc_id"), col("tok").asc_nulls_first)
+  )
+
   def qs: Seq[Q] = Seq(
     fnString, fnMath, fnDate, fnCondCast, fnArrayTokens, fnArrayVec,
-    fnJson, fnHash, genExplodeTokens, fnMap, fnRegexp, fnNull, fnFuzzyMatch, fnTrySafe
+    fnJson, fnHash, genExplodeTokens, genExplodeOuter, fnMap, fnRegexp, fnNull, fnFuzzyMatch,
+    fnTrySafe
   )
 }
