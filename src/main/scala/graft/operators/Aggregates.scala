@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -653,9 +654,54 @@ object Aggregates {
     }
   )
 
+  /** Weighted median — smallest price whose cumulative weight reaches
+    * half the group's total. Neither engine has a weighted-median
+    * aggregate, and this composition is deliberately tie-proof: the
+    * cumulative weight uses a RANGE frame over the price ordering, so
+    * every row of a tied price sees the SAME cumulative total (a ROWS
+    * frame over a non-unique order would be ambiguous cross-engine —
+    * the lineitem "keys" are not unique, see win_rolling_distinct).
+    * Weights are integer-valued doubles and every partial sum stays
+    * below 2^53, so the window sums are exact in any order. One window
+    * pass + a 3-row argmin — at 100 TB this is a per-group sort, the
+    * same cost envelope as any percentile.
+    */
+  val aggWeightedMedian: Q = Q(
+    "agg_weighted_median",
+    Some(
+      "WITH b AS (SELECT l_returnflag, l_extendedprice AS price, l_quantity AS w FROM lineitem), " +
+        "c AS (SELECT *, sum(w) OVER (PARTITION BY l_returnflag ORDER BY price " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw, " +
+        "sum(w) OVER (PARTITION BY l_returnflag) AS tot FROM b) " +
+        "SELECT l_returnflag, min(price) AS weighted_median, " +
+        "cast(min(tot) as bigint) AS total_weight " +
+        "FROM c WHERE cw >= tot / 2 GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    (spark, dir) => {
+      val byPrice = Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("price"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy(col("l_returnflag"))
+      Tables
+        .lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_extendedprice").as("price"), col("l_quantity").as("w"))
+        .withColumn("cw", sum(col("w")).over(byPrice))
+        .withColumn("tot", sum(col("w")).over(whole))
+        .filter(col("cw") >= col("tot") / 2)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          min(col("price")).as("weighted_median"),
+          min(col("tot")).cast("long").as("total_weight")
+        )
+        .orderBy(col("l_returnflag"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     aggGroupPricing, aggDecimalPricing, aggHistogram, aggHllMerge, aggGlobal, aggDistinct, aggRollup, aggCube,
     aggGroupingSets, aggStats, aggMinMaxBy, aggCollectSorted, aggApproxDistinct,
-    aggPredicates, aggCohortRetention, aggMode, aggBitmapDistinct, aggRegression, aggCorr
+    aggPredicates, aggCohortRetention, aggMode, aggBitmapDistinct, aggRegression, aggCorr,
+    aggWeightedMedian
   )
 }
