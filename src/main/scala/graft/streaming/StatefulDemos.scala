@@ -62,6 +62,68 @@ object StatefulDemos {
       }
   }
 
+  /** Emitted closed session. */
+  case class Sess(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+  // not `private`: the state encoder's generated code needs public access
+  case class OpenSess(start_us: Long, last_us: Long, n: Long)
+
+  /** Session tracking as an explicit state machine with EVENT-TIME
+    * TIMEOUTS — the state-API capability `session_window` hides: one
+    * OpenSess per user in the state store, sessions closed by a
+    * later-arriving event emit immediately, and sessions closed by
+    * SILENCE emit when the watermark passes last_event + gap
+    * (`GroupStateTimeout.EventTimeTimeout` + `setTimeoutTimestamp`) —
+    * no unbounded wait on a key that went quiet, which is exactly what
+    * a per-user stream needs at 100 TB: state is O(active users) and
+    * the timeout sweep is the state store's own eviction scan, not a
+    * query. StatefulSpec pins the semantics against batch
+    * sessionization: on a single-batch finite source the emitted set
+    * is precisely every batch session EXCEPT each user's last (still
+    * open; no later watermark advance fires its timeout).
+    */
+  def sessionTracker(spark: SparkSession, events: DataFrame, gapMin: Int = 30): Dataset[Sess] = {
+    import spark.implicits._
+    val gapUs = gapMin * 60L * 1000000L
+    events
+      .withWatermark("ts", "1 hour")
+      // the watermark-TAGGED ts column must survive the projection or
+      // the analyzer rejects the event-time timeout
+      .selectExpr("user_id", "ts", "unix_micros(cast(ts as timestamp)) AS tu", "event_id")
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long)],
+         state: GroupState[OpenSess]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Sess(user, s.start_us, s.last_us, s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._3, r._4))
+            var open = state.getOption
+            val closed = Seq.newBuilder[Sess]
+            for ((_, _, tu, _) <- sorted) {
+              open match {
+                case Some(o) if tu - o.last_us <= gapUs =>
+                  open = Some(o.copy(last_us = tu, n = o.n + 1))
+                case Some(o) =>
+                  closed += Sess(user, o.start_us, o.last_us, o.n)
+                  open = Some(OpenSess(tu, tu, 1))
+                case None =>
+                  open = Some(OpenSess(tu, tu, 1))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              // timeout is in EVENT-TIME ms: fires once the watermark
+              // passes the session's gap horizon
+              state.setTimeoutTimestamp(o.last_us / 1000 + gapMin * 60L * 1000 + 1)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   def userTotals(spark: SparkSession, events: DataFrame): Dataset[UserAgg] = {
     import spark.implicits._
     events

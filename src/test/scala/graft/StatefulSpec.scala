@@ -102,4 +102,54 @@ class StatefulSpec extends SparkSuite {
       .toMap
     assert(finalPerUser == batch)
   }
+
+  test("event-time-timeout session tracker matches batch sessionization") {
+    import org.apache.spark.sql.expressions.Window
+    val tmp = Files.createTempDirectory("graft_sess_stream").toString + "/in"
+    val ev = Tables
+      .events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id"))
+    ev.coalesce(1).write.mode("overwrite").parquet(tmp) // ONE file = ONE batch
+    val stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(tmp)
+    val q = streaming.StatefulDemos
+      .sessionTracker(spark, stream, gapMin = 30)
+      .writeStream
+      .format("memory")
+      .queryName("t_sess")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("t_sess").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // batch ground truth: gaps-and-islands sessionization. A session
+    // emits either because a later same-user event closed it IN batch,
+    // or because AvailableNow's final watermark advance (max ts − 1 h)
+    // fired its event-time timeout. Only sessions whose timeout sits
+    // within the boundary jitter of the final watermark are excluded
+    // from the exact compare (off-by-one watermark semantics).
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+    val sess = Tables
+      .events(spark, sf)
+      .selectExpr("user_id", "event_id", "unix_micros(cast(ts as timestamp)) AS tu")
+      .withColumn("gap", (col("tu") - lag(col("tu"), 1).over(w)) > 30L * 60 * 1000000)
+      .withColumn("sid", sum(when(coalesce(col("gap"), lit(false)), 1).otherwise(0)).over(w))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("tu")).as("s"), max(col("tu")).as("e"), count(lit(1)).as("n"))
+    val lastSid = sess.groupBy(col("user_id")).agg(max(col("sid")).as("last_sid"))
+    val all = sess
+      .join(lastSid, Seq("user_id"))
+      .select(col("user_id"), col("s"), col("e"), col("n"), (col("sid") === col("last_sid")).as("isLast"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val wmMs = all.map(_._3).max / 1000 - 3600L * 1000 // final watermark: max ts − 1 h
+    val gapMs = 30L * 60 * 1000
+    def timeoutMs(e: Long): Long = e / 1000 + gapMs + 1
+    val mustEmit = all.filter(s => !s._5 || timeoutMs(s._3) < wmMs - 1000).map(t => (t._1, t._2, t._3, t._4)).toSet
+    val mayEmit = all.filter(s => s._5 && math.abs(timeoutMs(s._3) - wmMs) <= 1000).map(t => (t._1, t._2, t._3, t._4)).toSet
+    assert(mustEmit.nonEmpty)
+    assert(mustEmit.subsetOf(got), s"${(mustEmit -- got).size} expected sessions missing")
+    assert((got -- mustEmit -- mayEmit).isEmpty, s"${(got -- mustEmit -- mayEmit).size} unexpected emissions")
+  }
 }
