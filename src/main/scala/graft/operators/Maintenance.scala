@@ -266,5 +266,78 @@ object Maintenance {
     }
   )
 
-  def qs: Seq[Q] = Seq(maintIncrementalAgg, dqAudit, joinDppPrune, maintSnapshotDiff)
+  /** Column-statistics collection — the ANALYZE TABLE job that feeds a
+    * cost-based optimizer: exact NDV, null count, and min/max per
+    * column, ALL from one scan (a single aggregate computing every
+    * column's stats, unpivoted to long form with stack — the same
+    * one-pass shape as [[dqAudit]]). At 100 TB this runs after each
+    * ingest batch and the results drive join-order and broadcast
+    * decisions; NDV would move to HLL partials for re-mergeability
+    * (exact here, proving the plumbing). Values are stringified for
+    * the long-form schema: integer and date renderings are identical
+    * cross-engine (doubles would not be — excluded by design).
+    */
+  val maintColumnStats: Q = Q(
+    "maint_column_stats",
+    Some(
+      "SELECT * FROM (" +
+        "SELECT 'o_custkey' AS column_name, count(DISTINCT o_custkey) AS n_distinct, " +
+        "cast(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) as bigint) AS n_nulls, " +
+        "min(o_custkey)::VARCHAR AS min_val, max(o_custkey)::VARCHAR AS max_val FROM orders " +
+        "UNION ALL SELECT 'o_orderdate', count(DISTINCT o_orderdate), " +
+        "cast(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) as bigint), " +
+        "min(o_orderdate)::DATE::VARCHAR, max(o_orderdate)::DATE::VARCHAR FROM orders " +
+        "UNION ALL SELECT 'o_orderkey', count(DISTINCT o_orderkey), " +
+        "cast(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) as bigint), " +
+        "min(o_orderkey)::VARCHAR, max(o_orderkey)::VARCHAR FROM orders " +
+        "UNION ALL SELECT 'o_orderpriority', count(DISTINCT o_orderpriority), " +
+        "cast(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) as bigint), " +
+        "min(o_orderpriority), max(o_orderpriority) FROM orders " +
+        "UNION ALL SELECT 'o_orderstatus', count(DISTINCT o_orderstatus), " +
+        "cast(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) as bigint), " +
+        "min(o_orderstatus), max(o_orderstatus) FROM orders" +
+        ") ORDER BY column_name"
+    ),
+    (spark, dir) => {
+      def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")
+      val one = Tables
+        .orders(spark, dir)
+        .agg(
+          countDistinct(col("o_custkey")).as("o_custkey_ndv"),
+          nulls("o_custkey"),
+          min(col("o_custkey")).cast("string").as("o_custkey_min"),
+          max(col("o_custkey")).cast("string").as("o_custkey_max"),
+          countDistinct(col("o_orderdate")).as("o_orderdate_ndv"),
+          nulls("o_orderdate"),
+          min(col("o_orderdate").cast("date")).cast("string").as("o_orderdate_min"),
+          max(col("o_orderdate").cast("date")).cast("string").as("o_orderdate_max"),
+          countDistinct(col("o_orderkey")).as("o_orderkey_ndv"),
+          nulls("o_orderkey"),
+          min(col("o_orderkey")).cast("string").as("o_orderkey_min"),
+          max(col("o_orderkey")).cast("string").as("o_orderkey_max"),
+          countDistinct(col("o_orderpriority")).as("o_orderpriority_ndv"),
+          nulls("o_orderpriority"),
+          min(col("o_orderpriority")).as("o_orderpriority_min"),
+          max(col("o_orderpriority")).as("o_orderpriority_max"),
+          countDistinct(col("o_orderstatus")).as("o_orderstatus_ndv"),
+          nulls("o_orderstatus"),
+          min(col("o_orderstatus")).as("o_orderstatus_min"),
+          max(col("o_orderstatus")).as("o_orderstatus_max")
+        )
+      val cols = Seq("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority", "o_orderstatus")
+      val stackArgs = cols
+        .map(c => s"'$c', ${c}_ndv, ${c}_nulls, ${c}_min, ${c}_max")
+        .mkString(", ")
+      one
+        .select(
+          expr(
+            s"stack(${cols.size}, $stackArgs) AS (column_name, n_distinct, n_nulls, min_val, max_val)"
+          )
+        )
+        .orderBy(col("column_name"))
+    }
+  )
+
+  def qs: Seq[Q] =
+    Seq(maintIncrementalAgg, dqAudit, joinDppPrune, maintSnapshotDiff, maintColumnStats)
 }
