@@ -277,8 +277,54 @@ object Sampling {
     }
   )
 
+  /** Rendezvous (highest-random-weight) shard assignment — consistent
+    * hashing without a ring: each doc goes to the shard whose
+    * per-(doc, shard) hash is largest, so growing the fleet from 4 to
+    * 5 shards moves only the docs the NEW shard now wins (~1/5),
+    * where mod-N hashing would reshuffle ~4/5 of the corpus. The
+    * report quantifies exactly that: per final shard, how many docs it
+    * holds and how many moved in the 4→5 transition. Pure map-side
+    * math (explode over candidate shards + per-doc argmax with a
+    * deterministic (hash, shard) tie-break) — any worker computes any
+    * doc's shard with no coordination, the property that makes this
+    * THE placement function for distributed caches and shard maps.
+    */
+  val sampleRendezvousShards: Q = Q(
+    "sample_rendezvous_shards",
+    Some(
+      "WITH e AS (SELECT doc_id, i, " +
+        "('0x' || substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR), 1, 8))::BIGINT AS h " +
+        "FROM documents, (SELECT unnest(range(0, 5)) AS i)), " +
+        "a AS (SELECT doc_id, " +
+        "first(i ORDER BY h DESC, i DESC) AS s5, " +
+        "first(i ORDER BY h DESC, i DESC) FILTER (i < 4) AS s4 FROM e GROUP BY doc_id) " +
+        "SELECT s5 AS shard, count(*) AS n_docs, " +
+        "cast(sum(CASE WHEN s4 <> s5 THEN 1 ELSE 0 END) as bigint) AS n_moved " +
+        "FROM a GROUP BY s5 ORDER BY shard"
+    ),
+    (spark, dir) => {
+      val e = Tables
+        .documents(spark, dir)
+        .select(col("doc_id"))
+        .withColumn("i", explode(sequence(lit(0L), lit(4L))))
+        .withColumn("h", hkey(concat(col("doc_id").cast("string"), lit(":"), col("i").cast("string"))))
+      e.groupBy(col("doc_id"))
+        .agg(
+          max(struct(col("h"), col("i"))).getField("i").as("s5"),
+          max(when(col("i") < 4, struct(col("h"), col("i")))).getField("i").as("s4")
+        )
+        .groupBy(col("s5").as("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("s4") =!= col("s5"), 1L).otherwise(0L)).as("n_moved")
+        )
+        .orderBy(col("shard"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     sampleHashPct, sampleStratified, interleaveSources, joinRangeEvents,
-    mixReport, sampleQualityWeighted, pipelinePack, sampleTrainTestSplit
+    mixReport, sampleQualityWeighted, pipelinePack, sampleTrainTestSplit,
+    sampleRendezvousShards
   )
 }
