@@ -299,41 +299,30 @@ object Maintenance {
         ") ORDER BY column_name"
     ),
     (spark, dir) => {
-      def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")
-      val one = Tables
-        .orders(spark, dir)
-        .agg(
-          countDistinct(col("o_custkey")).as("o_custkey_ndv"),
-          nulls("o_custkey"),
-          min(col("o_custkey")).cast("string").as("o_custkey_min"),
-          max(col("o_custkey")).cast("string").as("o_custkey_max"),
-          countDistinct(col("o_orderdate")).as("o_orderdate_ndv"),
-          nulls("o_orderdate"),
-          min(col("o_orderdate").cast("date")).cast("string").as("o_orderdate_min"),
-          max(col("o_orderdate").cast("date")).cast("string").as("o_orderdate_max"),
-          countDistinct(col("o_orderkey")).as("o_orderkey_ndv"),
-          nulls("o_orderkey"),
-          min(col("o_orderkey")).cast("string").as("o_orderkey_min"),
-          max(col("o_orderkey")).cast("string").as("o_orderkey_max"),
-          countDistinct(col("o_orderpriority")).as("o_orderpriority_ndv"),
-          nulls("o_orderpriority"),
-          min(col("o_orderpriority")).as("o_orderpriority_min"),
-          max(col("o_orderpriority")).as("o_orderpriority_max"),
-          countDistinct(col("o_orderstatus")).as("o_orderstatus_ndv"),
-          nulls("o_orderstatus"),
-          min(col("o_orderstatus")).as("o_orderstatus_min"),
-          max(col("o_orderstatus")).as("o_orderstatus_max")
-        )
-      val cols = Seq("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority", "o_orderstatus")
-      val stackArgs = cols
-        .map(c => s"'$c', ${c}_ndv, ${c}_nulls, ${c}_min, ${c}_max")
-        .mkString(", ")
-      one
-        .select(
-          expr(
-            s"stack(${cols.size}, $stackArgs) AS (column_name, n_distinct, n_nulls, min_val, max_val)"
+      // one pruned single-column scan per column: N count(DISTINCT)s in
+      // ONE aggregate would instead plan an Expand that multiplies every
+      // row N-fold (measured 4.4 s vs 0.6 s at sf0.1). Each branch is a
+      // two-phase partial-distinct aggregate over one columnar read.
+      // render applies to the NATIVE min/max results (min over rendered
+      // strings would be lexicographic — wrong for numeric columns)
+      type C = org.apache.spark.sql.Column
+      def stats(c: String, render: C => C): DataFrame =
+        Tables
+          .orders(spark, dir)
+          .select(col(c))
+          .agg(
+            countDistinct(col(c)).as("n_distinct"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+            render(min(col(c))).as("min_val"),
+            render(max(col(c))).as("max_val")
           )
-        )
+          .select(lit(c).as("column_name"), col("n_distinct"), col("n_nulls"),
+            col("min_val"), col("max_val"))
+      stats("o_custkey", _.cast("string"))
+        .unionByName(stats("o_orderdate", _.cast("date").cast("string")))
+        .unionByName(stats("o_orderkey", _.cast("string")))
+        .unionByName(stats("o_orderpriority", identity))
+        .unionByName(stats("o_orderstatus", identity))
         .orderBy(col("column_name"))
     }
   )
