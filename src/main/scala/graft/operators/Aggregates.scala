@@ -698,10 +698,56 @@ object Aggregates {
     }
   )
 
+  /** Population skewness from exact raw moments — completes the
+    * portable-moments family ([[aggRegression]], [[aggCorr]]): native
+    * skewness() streams doubles in engine order; here Σx, Σx², Σx³ go
+    * through decimal-exact sums (per-row x·x and x·x·x are identical
+    * IEEE products in both engines — spelled as multiplication, never
+    * pow(), which has no correct-rounding guarantee), and the closing
+    * m₃/m₂^1.5 uses m₂·sqrt(m₂) — sqrt IS correctly rounded by spec.
+    */
+  val aggSkewness: Q = Q(
+    "agg_skewness",
+    Some(
+      "WITH m AS (SELECT l_returnflag, count(*)::DOUBLE AS n, " +
+        s"${Det.oSum("l_quantity")} AS s1, " +
+        s"${Det.oSum("l_quantity * l_quantity")} AS s2, " +
+        s"${Det.oSum("l_quantity * l_quantity * l_quantity")} AS s3 FROM lineitem GROUP BY 1) " +
+        "SELECT l_returnflag, cast(n as bigint) AS n_rows, " +
+        Det.oRN("s1 / n", 6) + " AS mean_qty, " +
+        Det.oRN(
+          "(s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n)) / " +
+            "((s2 / n - (s1 / n) * (s1 / n)) * sqrt(s2 / n - (s1 / n) * (s1 / n)))",
+          6
+        ) + " AS skewness FROM m ORDER BY l_returnflag"
+    ),
+    (spark, dir) => {
+      val x = col("l_quantity")
+      val m = Tables
+        .lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          Det.dsum(x).as("s1"),
+          Det.dsum(x * x).as("s2"),
+          Det.dsum(x * x * x).as("s3")
+        )
+      val mu = col("s1") / col("n")
+      val m2 = col("s2") / col("n") - mu * mu
+      val m3 = col("s3") / col("n") - lit(3) * mu * (col("s2") / col("n")) + lit(2) * mu * mu * mu
+      m.select(
+        col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        Det.rN(mu, 6).as("mean_qty"),
+        Det.rN(m3 / (m2 * sqrt(m2)), 6).as("skewness")
+      ).orderBy(col("l_returnflag"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     aggGroupPricing, aggDecimalPricing, aggHistogram, aggHllMerge, aggGlobal, aggDistinct, aggRollup, aggCube,
     aggGroupingSets, aggStats, aggMinMaxBy, aggCollectSorted, aggApproxDistinct,
     aggPredicates, aggCohortRetention, aggMode, aggBitmapDistinct, aggRegression, aggCorr,
-    aggWeightedMedian
+    aggWeightedMedian, aggSkewness
   )
 }
