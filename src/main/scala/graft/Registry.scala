@@ -36,6 +36,7 @@ object Registry {
       operators.TextAnalysis.qs ++
       operators.Multimodal.qs ++
       operators.Extras.qs ++
+      operators.Graph.qs ++
       operators.Maintenance.qs ++
       operators.Sampling.qs ++
       operators.SqlSurface.qs ++

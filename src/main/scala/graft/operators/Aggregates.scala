@@ -744,10 +744,59 @@ object Aggregates {
     }
   )
 
+  /** Excess kurtosis from exact raw moments — the fourth and last of
+    * the portable-moments family ([[aggRegression]], [[aggCorr]],
+    * [[aggSkewness]]): Σx…Σx⁴ through decimal-exact sums (powers
+    * spelled as chained multiplication — identical IEEE products in
+    * both engines, unlike pow()), closed with the raw-moment identity
+    * m₄ = s₄/n − 4μ·s₃/n + 6μ²·s₂/n − 3μ⁴ and m₄/m₂² − 3. Tail
+    * heaviness per return flag; one scan, mergeable partials.
+    */
+  val aggKurtosis: Q = Q(
+    "agg_kurtosis",
+    Some(
+      "WITH m AS (SELECT l_returnflag, count(*)::DOUBLE AS n, " +
+        s"${Det.oSum("l_quantity")} AS s1, " +
+        s"${Det.oSum("l_quantity * l_quantity")} AS s2, " +
+        s"${Det.oSum("l_quantity * l_quantity * l_quantity")} AS s3, " +
+        s"${Det.oSum("l_quantity * l_quantity * l_quantity * l_quantity")} AS s4 " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT l_returnflag, cast(n as bigint) AS n_rows, " +
+        Det.oRN(
+          "(s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n) " +
+            "- 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)) / " +
+            "((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3",
+          6
+        ) + " AS excess_kurtosis FROM m ORDER BY l_returnflag"
+    ),
+    (spark, dir) => {
+      val x = col("l_quantity")
+      val m = Tables
+        .lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          Det.dsum(x).as("s1"),
+          Det.dsum(x * x).as("s2"),
+          Det.dsum(x * x * x).as("s3"),
+          Det.dsum(x * x * x * x).as("s4")
+        )
+      val mu = col("s1") / col("n")
+      val m2 = col("s2") / col("n") - mu * mu
+      val m4 = col("s4") / col("n") - lit(4) * mu * (col("s3") / col("n")) +
+        lit(6) * mu * mu * (col("s2") / col("n")) - lit(3) * mu * mu * mu * mu
+      m.select(
+        col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        Det.rN(m4 / (m2 * m2) - lit(3), 6).as("excess_kurtosis")
+      ).orderBy(col("l_returnflag"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     aggGroupPricing, aggDecimalPricing, aggHistogram, aggHllMerge, aggGlobal, aggDistinct, aggRollup, aggCube,
     aggGroupingSets, aggStats, aggMinMaxBy, aggCollectSorted, aggApproxDistinct,
     aggPredicates, aggCohortRetention, aggMode, aggBitmapDistinct, aggRegression, aggCorr,
-    aggWeightedMedian, aggSkewness
+    aggWeightedMedian, aggSkewness, aggKurtosis
   )
 }

@@ -1,0 +1,290 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Det, Q, Tables}
+
+/** Graph analytics over relationally-modeled graphs.
+  *
+  * Two graphs derived from the fixture tables, both cited patterns from
+  * classic large-scale analytics:
+  *
+  *  - the CO-PURCHASE graph on `part`: an undirected edge joins two
+  *    parts that appear in the same order (market-basket co-occurrence).
+  *    Built with one self-join of lineitem on the order key — at 100 TB
+  *    this is a single shuffle on `l_orderkey`, and per-order pair
+  *    fan-out is bounded by the basket size squared.
+  *  - the NEAR-DUP graph on `documents`: edges are the token-Jaccard
+  *    ≥ 0.8 pairs from [[Dedup.nearJaccardPairs]] (same blocked join,
+  *    same probe-scope discipline as the clustering family).
+  *
+  * Everything here is deterministic by construction: degrees, wedge and
+  * triangle counts are exact integers, and PageRank runs in FIXED-POINT
+  * integer arithmetic (see [[graphPagerank]]) so no floating-point sum
+  * order can leak into the output — long sums are exact and
+  * order-independent in both engines, which is what makes an ITERATIVE
+  * numeric algorithm hash-verifiable cross-engine at all.
+  */
+object Graph {
+
+  /** (order, part) incidence list the co-purchase projection is built
+    * from. NOT pre-deduplicated: the rare same-part-twice-in-an-order
+    * rows only fan the pair join out marginally, and the edge-level
+    * DISTINCT subsumes them — one less shuffle than dedup-then-join. */
+  private def orderParts(spark: SparkSession, dir: String, orderFilter: Column): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .filter(orderFilter)
+      .select(col("l_orderkey"), col("l_partkey"))
+
+  /** Undirected co-purchase edges (pa < pb). `dedup=true` collapses
+    * multi-order repeats to simple-graph edges (one extra shuffle);
+    * `dedup=false` keeps multiplicity — the multigraph whose edge
+    * weights are co-purchase frequencies. */
+  private def coPurchaseEdges(
+      spark: SparkSession,
+      dir: String,
+      orderFilter: Column,
+      dedup: Boolean
+  ): DataFrame = {
+    val li = orderParts(spark, dir, orderFilter)
+    val raw = li
+      .as("a")
+      .join(
+        li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") && col("a.l_partkey") < col("b.l_partkey")
+      )
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    if (dedup) raw.distinct() else raw
+  }
+
+  /** Degree distribution of the full co-purchase graph: for every part
+    * (including the never-co-ordered ones at degree 0), its number of
+    * distinct co-purchase partners, rolled up into a degree → n_parts
+    * histogram. One orderkey self-join + two hash aggregates; the
+    * histogram output is tiny at any scale, so this is the safe
+    * "describe the graph" primitive to run before anything iterative.
+    */
+  val graphDegree: Q = Q(
+    "graph_degree",
+    Some(
+      "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "e AS (SELECT DISTINCT a.l_partkey pa, b.l_partkey pb FROM li a JOIN li b " +
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "sym AS (SELECT pa p FROM e UNION ALL SELECT pb FROM e), " +
+        "deg AS (SELECT p, count(*) AS dg FROM sym GROUP BY 1), " +
+        "alln AS (SELECT part.p_partkey, coalesce(deg.dg, 0) AS degree " +
+        "FROM part LEFT JOIN deg ON part.p_partkey = deg.p) " +
+        "SELECT degree, count(*) AS n_parts FROM alln GROUP BY degree ORDER BY degree"
+    ),
+    (spark, dir) => {
+      val e = coPurchaseEdges(spark, dir, lit(true), dedup = true)
+      val sym = e.select(col("pa").as("p")).unionAll(e.select(col("pb").as("p")))
+      val deg = sym.groupBy(col("p")).agg(count(lit(1)).as("dg"))
+      Tables
+        .part(spark, dir)
+        .select(col("p_partkey"))
+        .join(deg, col("p_partkey") === col("p"), "left")
+        .select(coalesce(col("dg"), lit(0L)).as("degree"))
+        .groupBy(col("degree"))
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy(col("degree"))
+    }
+  )
+
+  /** Fixed-point scale for PageRank: probabilities in units of 10⁻¹⁵.
+    * Worst-case intermediate is 85 · Σpr ≤ 85 · 10¹⁵ ≪ 2⁶³. */
+  private val PrScale = 1000000000000000L
+  private val PrBase  = PrScale * 15 / 100 // the (1-d) teleport numerator
+
+  /** 3-iteration PageRank over the WEIGHTED co-purchase multigraph
+    * (edge multiplicity = number of co-orders; a pair ordered together
+    * twice passes twice the rank mass) — in INTEGER fixed-point
+    * arithmetic. Floating-point PageRank is unverifiable cross-engine
+    * (the per-node Σ contrib is an order-dependent double sum, and
+    * rounding between iterations only shrinks, never removes, the
+    * divergence), so pr is carried in units of 10⁻¹⁵: pr₀ = S/N,
+    * contrib = pr div deg, pr' = (0.15·S) div N + (85·Σcontrib) div 100 —
+    * every operation exact integer, every sum order-independent, the
+    * output hash-stable by construction. The deliberate floor-division
+    * mass leak (< N·10⁻¹⁵) is the price of determinism and is
+    * irrelevant to the ranking. The multigraph form is also one shuffle
+    * cheaper than a simple graph (no pair-dedup pass): contrib uses the
+    * WEIGHTED degree, so duplicate edge rows are the weights.
+    *
+    * Plan shape — the 100 TB-honest iteration: the symmetric edge list
+    * is persisted PRE-PARTITIONED on the source key, so every
+    * iteration's edge⋈rank join reuses that partitioning from the cache
+    * (only the small (node, deg, pr) side exchanges — it scales with
+    * nodes, the edge list with edges, and neither is broadcast because
+    * at graph scale neither fits an executor). The one unavoidable
+    * shuffle per iteration is the contribution re-key from src to dst —
+    * PageRank's inherent transpose. Production would checkpoint between
+    * iterations exactly like the clustering loop in [[Dedup]]; Bench
+    * clears persisted blocks between queries. Orders are 10%-sampled by
+    * key (deterministic, same filter in the oracle) to bound the
+    * contract query; the operator itself is scale-free.
+    */
+  val graphPagerank: Q = Q(
+    "graph_pagerank",
+    Some(
+      "WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0), " +
+        "e AS (SELECT a.l_partkey pa, b.l_partkey pb FROM li a JOIN li b " +
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "sym AS (SELECT pa s, pb d FROM e UNION ALL SELECT pb, pa FROM e), " +
+        "deg AS (SELECT s AS node, count(*) AS deg FROM sym GROUP BY 1), " +
+        "nn AS (SELECT count(*) AS n FROM deg), " +
+        s"p0 AS (SELECT node, $PrScale // n AS pr FROM deg, nn), " +
+        s"p1 AS (SELECT sym.d AS node, (SELECT $PrBase // n FROM nn) + " +
+        "(85 * cast(sum(p0.pr // deg.deg) as bigint)) // 100 AS pr " +
+        "FROM sym JOIN p0 ON sym.s = p0.node JOIN deg ON sym.s = deg.node GROUP BY sym.d), " +
+        s"p2 AS (SELECT sym.d AS node, (SELECT $PrBase // n FROM nn) + " +
+        "(85 * cast(sum(p1.pr // deg.deg) as bigint)) // 100 AS pr " +
+        "FROM sym JOIN p1 ON sym.s = p1.node JOIN deg ON sym.s = deg.node GROUP BY sym.d), " +
+        s"p3 AS (SELECT sym.d AS node, (SELECT $PrBase // n FROM nn) + " +
+        "(85 * cast(sum(p2.pr // deg.deg) as bigint)) // 100 AS pr " +
+        "FROM sym JOIN p2 ON sym.s = p2.node JOIN deg ON sym.s = deg.node GROUP BY sym.d) " +
+        "SELECT deg.node AS p_partkey, deg.deg AS degree, p3.pr AS pr_fx " +
+        "FROM p3 JOIN deg ON p3.node = deg.node ORDER BY p3.pr DESC, deg.node LIMIT 20"
+    ),
+    (spark, dir) => {
+      // e is referenced 4× while materializing the enriched edge list
+      // (two union branches × {degree agg, edge rows}) — cache it or the
+      // pair self-join runs four times.
+      val e = coPurchaseEdges(spark, dir, col("l_orderkey") % 10 === 0, dedup = false).persist()
+      val sym0 = e
+        .select(col("pa").as("s"), col("pb").as("d"))
+        .unionAll(e.select(col("pb").as("s"), col("pa").as("d")))
+      // Edge list enriched ONCE with both endpoint degrees (window
+      // counts — stays inside the main job, no separate broadcast-build
+      // jobs) and the node count, so each iteration is exactly one join
+      // + one aggregate — the rank table stays a bare (node, pr) pair.
+      val wS = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+      val wD = org.apache.spark.sql.expressions.Window.partitionBy(col("d"))
+      val sym = sym0
+        .withColumn("degd", count(lit(1)).over(wD))
+        .withColumn("degs", count(lit(1)).over(wS))
+        .persist() // the window leaves sym hash-partitioned on s — reused by every iteration's join
+      val deg = sym.groupBy(col("s")).agg(min(col("degs")).as("deg"))
+      val nn  = deg.agg(count(lit(1)).as("n"))
+      // The node count rides along in the rank frame (node, pr, n) so
+      // the cached edge list needs no cross-join against it.
+      val pr0 = deg
+        .crossJoin(broadcast(nn))
+        .select(col("s").as("node"), expr(s"$PrScale div n").as("pr"), col("n"))
+      def step(pr: DataFrame): DataFrame =
+        sym
+          .join(pr, sym("s") === pr("node"))
+          .groupBy(sym("d"), sym("degd")) // degd constant per d
+          .agg(sum(expr("pr div degs")).as("cs"), min(col("n")).as("n"))
+          .select(
+            col("d").as("node"),
+            (expr(s"$PrBase div n") + expr("(85 * cs) div 100")).as("pr"),
+            col("n")
+          )
+      val p3 = step(step(step(pr0)))
+      p3.join(deg, p3("node") === deg("s"))
+        .select(col("node").as("p_partkey"), col("deg").as("degree"), col("pr").as("pr_fx"))
+        .orderBy(col("pr_fx").desc, col("p_partkey"))
+        .limit(20)
+    }
+  )
+
+  /** Triangle probe scope for [[graphTriangles]]: at sf0.01 this covers
+    * the whole documents table; at larger SFs it bounds the contract
+    * query the same way [[Dedup.ClusterProbeScope]] bounds clustering
+    * (the near-dup graph is near-clique dense by construction, so the
+    * triangle COUNT itself grows cubically with cluster size — a real
+    * corpus would not, see SCALING.md). */
+  private val TriangleProbeScope = 500L
+
+  /** Per-language transitivity of the near-dup graph: nodes, edges,
+    * wedges (open 2-paths), closed triangles, and the global clustering
+    * coefficient 3·triangles/wedges. High transitivity is the signal
+    * that a Jaccard threshold yields stable clusters (near-cliques)
+    * rather than accidental chains — the structural health check for
+    * threshold-based dedup.
+    *
+    * The count uses the oriented-wedge formulation: edges are stored
+    * a < b, a wedge is e₁(a,b) ⋈ e₂(b,c), and a LEFT-SEMI join against
+    * the edge list closes it — each triangle counted exactly once, no
+    * DISTINCT pass. All counts are exact integers; the one ratio is a
+    * division of identical doubles.
+    */
+  val graphTriangles: Q = Q(
+    "graph_triangles",
+    Some(
+      "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t " +
+        s"FROM documents WHERE doc_id < $TriangleProbeScope), " +
+        "p AS (SELECT a.doc_id ida, b.doc_id idb, a.lang, " +
+        "len(list_intersect(a.t, b.t))::DOUBLE / len(list_distinct(a.t || b.t)) AS jac " +
+        "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+        "AND 5 * least(len(a.t), len(b.t)) >= 4 * greatest(len(a.t), len(b.t))), " +
+        "e AS (SELECT ida, idb, lang FROM p WHERE jac >= 0.8), " +
+        "sym AS (SELECT ida nd, lang FROM e UNION ALL SELECT idb, lang FROM e), " +
+        "deg AS (SELECT nd, lang, count(*) AS dg FROM sym GROUP BY 1, 2), " +
+        "ns AS (SELECT lang, count(*) AS n_nodes, cast(sum(dg) as bigint) // 2 AS n_edges, " +
+        "cast(sum(dg * (dg - 1) // 2) as bigint) AS n_wedges FROM deg GROUP BY 1), " +
+        "tri AS (SELECT e1.lang, count(*) AS n_tri FROM e e1 " +
+        "JOIN e e2 ON e1.idb = e2.ida JOIN e e3 ON e3.ida = e1.ida AND e3.idb = e2.idb " +
+        "GROUP BY 1) " +
+        "SELECT ns.lang, ns.n_nodes, ns.n_edges, ns.n_wedges, " +
+        "coalesce(tri.n_tri, 0) AS n_triangles, " +
+        "CASE WHEN ns.n_wedges > 0 THEN " +
+        Det.oRN("(3.0 * coalesce(tri.n_tri, 0)) / ns.n_wedges", 6) +
+        " ELSE cast(0 as double) END AS transitivity " +
+        "FROM ns LEFT JOIN tri ON ns.lang = tri.lang ORDER BY ns.lang"
+    ),
+    (spark, dir) => {
+      val edges = Dedup
+        .nearJaccardPairs(spark, dir, col("doc_id") < TriangleProbeScope)
+        .select(col("ida"), col("idb"))
+      val lang = Tables
+        .documents(spark, dir)
+        .filter(col("doc_id") < TriangleProbeScope)
+        .select(col("doc_id"), col("lang"))
+      val withLang = edges.join(broadcast(lang), edges("ida") === lang("doc_id"))
+      val sym = withLang
+        .select(col("ida").as("nd"), col("lang"))
+        .unionAll(withLang.select(col("idb").as("nd"), col("lang")))
+      val deg = sym.groupBy(col("nd"), col("lang")).agg(count(lit(1)).as("dg"))
+      val ns = deg
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_nodes"),
+          expr("sum(dg) div 2").as("n_edges"),
+          expr("sum(dg * (dg - 1) div 2)").as("n_wedges")
+        )
+      val wedges = edges
+        .as("e1")
+        .join(edges.as("e2"), col("e1.idb") === col("e2.ida"))
+        .select(col("e1.ida").as("ta"), col("e1.idb").as("tb"), col("e2.idb").as("tc"))
+      val closed = wedges.join(
+        edges.as("e3"),
+        col("ta") === col("e3.ida") && col("tc") === col("e3.idb"),
+        "left_semi"
+      )
+      val tri = closed
+        .join(broadcast(lang), col("ta") === lang("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tri"))
+      ns.as("ns")
+        .join(tri.as("tri"), Seq("lang"), "left")
+        .select(
+          col("lang"),
+          col("n_nodes"),
+          col("n_edges"),
+          col("n_wedges"),
+          coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+          when(
+            col("n_wedges") > 0,
+            Det.rN((lit(3.0) * coalesce(col("n_tri"), lit(0L))) / col("n_wedges"), 6)
+          ).otherwise(lit(0.0)).as("transitivity")
+        )
+        .orderBy(col("lang"))
+    }
+  )
+
+  def qs: Seq[Q] = Seq(graphDegree, graphPagerank, graphTriangles)
+}

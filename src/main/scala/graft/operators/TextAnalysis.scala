@@ -761,9 +761,55 @@ object TextAnalysis {
         .orderBy(col("lang"))
   )
 
+  /** Per-language Shannon entropy of the token distribution — the
+    * vocabulary-diversity signal of a corpus slice (low entropy =
+    * repetitive/templated text, a standard training-data quality
+    * dimension next to [[textQuality]]'s per-doc ratios). Computed as
+    * H = ln(N) − (Σ c·ln c)/N from exact token counts: the counts are
+    * integers, each c·ln(c) is the same IEEE double in both engines,
+    * and the sum goes through the decimal-exact path (ln precedent:
+    * [[textBigramLm]]). Normalized entropy divides by the maximum
+    * ln(vocab). One explode + two aggregates — embarrassingly parallel
+    * at any scale, with the token-count aggregate map-side combinable.
+    */
+  val textEntropy: Q = Q(
+    "text_entropy",
+    Some(
+      "WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "c AS (SELECT lang, tok, count(*)::DOUBLE AS c FROM t GROUP BY 1, 2), " +
+        "m AS (SELECT lang, cast(sum(c) as bigint) AS n_tokens, count(*) AS vocab, " +
+        s"${Det.oSum("c * ln(c)")} AS sclnc FROM c GROUP BY 1) " +
+        "SELECT lang, n_tokens, vocab, " +
+        Det.oRN("ln(n_tokens) - sclnc / n_tokens", 6) + " AS entropy, " +
+        Det.oRN("(ln(n_tokens) - sclnc / n_tokens) / ln(vocab)", 6) + " AS norm_entropy " +
+        "FROM m ORDER BY lang"
+    ),
+    (spark, dir) => {
+      val m = Tables
+        .documents(spark, dir)
+        .select(col("lang"), explode(toks(col("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).cast("double").as("c"))
+        .groupBy(col("lang"))
+        .agg(
+          sum(col("c")).cast("long").as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          Det.dsum(col("c") * log(col("c"))).as("sclnc")
+        )
+      val h = log(col("n_tokens")) - col("sclnc") / col("n_tokens")
+      m.select(
+        col("lang"),
+        col("n_tokens"),
+        col("vocab"),
+        Det.rN(h, 6).as("entropy"),
+        Det.rN(h / log(col("vocab")), 6).as("norm_entropy")
+      ).orderBy(col("lang"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     textStats, textTfidfTop, textLangid, textQuality, textTokens, textFingerprint,
     textPiiRedact, reportScores, textBigramLm, textChunk, textVocab, pipelineCurate,
-    textContamination, textHeavyHitters, pipelineFunnel, pipelineManifest
+    textContamination, textHeavyHitters, pipelineFunnel, pipelineManifest, textEntropy
   )
 }

@@ -415,6 +415,62 @@ object TimeSeries {
     }
   )
 
+  /** Per-user lag-1 autocorrelation of the event value series — the
+    * "is this signal trending or noise" screen run before any
+    * heavier-weight time-series modeling. One lag window over the
+    * (user, time) partitioning forms the (xₜ, xₜ₊₁) pairs, then
+    * Pearson r comes from the same exact decimal moment sums as
+    * `agg_corr` (order-free, mergeable partials). Window order is
+    * (ts, event_id) — event_id breaks µs-timestamp ties so the pairing
+    * is cross-engine unambiguous. Users need ≥ 10 pairs and non-zero
+    * variance on both legs (moment comparisons on identical doubles
+    * select identical rows).
+    */
+  val tsAutocorr: Q = Q(
+    "ts_autocorr",
+    Some(
+      "WITH p AS (SELECT user_id, lag(value) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS x, value AS y FROM events), " +
+        "m AS (SELECT user_id, count(*)::DOUBLE AS n, " +
+        s"${Det.oSum("x")} AS sx, ${Det.oSum("y")} AS sy, ${Det.oSum("x * y")} AS sxy, " +
+        s"${Det.oSum("x * x")} AS sxx, ${Det.oSum("y * y")} AS syy " +
+        "FROM p WHERE x IS NOT NULL GROUP BY 1) " +
+        "SELECT user_id, cast(n as bigint) AS n_pairs, " +
+        Det.oRN(
+          "(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))",
+          6
+        ) + " AS autocorr FROM m " +
+        "WHERE n >= 10 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 " +
+        "ORDER BY user_id"
+    ),
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val m = Tables
+        .events(spark, dir)
+        .select(col("user_id"), lag(col("value"), 1).over(w).as("x"), col("value").as("y"))
+        .filter(col("x").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          Det.dsum(col("x")).as("sx"),
+          Det.dsum(col("y")).as("sy"),
+          Det.dsum(col("x") * col("y")).as("sxy"),
+          Det.dsum(col("x") * col("x")).as("sxx"),
+          Det.dsum(col("y") * col("y")).as("syy")
+        )
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      m.filter(col("n") >= 10 && vx > 0 && vy > 0)
+        .select(
+          col("user_id"),
+          col("n").cast("long").as("n_pairs"),
+          Det.rN((col("n") * col("sxy") - col("sx") * col("sy")) / sqrt(vx * vy), 6)
+            .as("autocorr")
+        )
+        .orderBy(col("user_id"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(tsTumbling1h, tsSliding15m5m, tsSession30m, tsSessionWindowBatch,
-    tsFillForward, tsResampleHourly, tsEwma, tsInterpolate, tsAttribution)
+    tsFillForward, tsResampleHourly, tsEwma, tsInterpolate, tsAttribution, tsAutocorr)
 }
