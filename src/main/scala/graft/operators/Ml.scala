@@ -122,5 +122,100 @@ object Ml {
     }
   )
 
-  def qs: Seq[Q] = Seq(mlKmeans)
+  /** Multinomial Naive Bayes language classifier, trained and scored
+    * entirely in the engine — counts in, argmax out, no RNG, no
+    * gradient: NB is the one classical classifier whose training IS a
+    * groupBy (token counts per class) and whose scoring IS a join +
+    * sum, which makes it both hash-verifiable cross-engine and
+    * embarrassingly scalable (the model — class priors, per-class token
+    * counts, vocab size — is a broadcastable table; scoring touches
+    * each test token once).
+    *
+    * Split: the md5 bucket of [[Sampling.hkey]] (same boundary as
+    * `sample_train_test_split`), 90% train / 10% test. Laplace +1
+    * smoothing over the train vocabulary. Score(c,d) = ln P(c) +
+    * Σ_tok tf·ln((cnt+1)/(tot_c+V)); every log argument is an identical
+    * small rational in both engines, the per-doc sum goes through the
+    * decimal-exact path, and the argmax tie-breaks on class name — so
+    * the prediction, not just the score, is deterministic.
+    */
+  val mlNaiveBayes: Q = Q(
+    "ml_naive_bayes",
+    Some {
+      val h = Sampling.oHkey("doc_id")
+      "WITH tr AS (SELECT doc_id, lang, text FROM documents WHERE " + h + " % 10 <> 0), " +
+        "te AS (SELECT doc_id, lang, text FROM documents WHERE " + h + " % 10 = 0), " +
+        "trt AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM tr), " +
+        "cnt AS (SELECT lang, tok, count(*)::DOUBLE AS c FROM trt GROUP BY 1, 2), " +
+        "tot AS (SELECT lang, count(*)::DOUBLE AS t FROM trt GROUP BY 1), " +
+        "voc AS (SELECT count(DISTINCT tok)::DOUBLE AS v FROM trt), " +
+        "pri AS (SELECT lang, ln(count(*)::DOUBLE / (SELECT count(*) FROM tr)::DOUBLE) AS lp " +
+        "FROM tr GROUP BY 1), " +
+        "tet AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM te) GROUP BY 1, 2), " +
+        "sc AS (SELECT tet.doc_id, tot.lang, min(pri.lp) + " +
+        Det.oSum("tet.tf * ln((coalesce(cnt.c, 0) + 1) / (tot.t + (SELECT v FROM voc)))") +
+        " AS s FROM tet CROSS JOIN tot " +
+        "LEFT JOIN cnt ON cnt.lang = tot.lang AND cnt.tok = tet.tok " +
+        "JOIN pri ON pri.lang = tot.lang GROUP BY 1, 2), " +
+        "rk AS (SELECT doc_id, lang AS predicted, s, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) AS rn FROM sc) " +
+        "SELECT rk.doc_id, te.lang AS actual, rk.predicted, " +
+        "(rk.predicted = te.lang) AS correct, " + Det.oRN("rk.s", 6) + " AS log_score " +
+        "FROM rk JOIN te ON te.doc_id = rk.doc_id WHERE rn = 1 ORDER BY rk.doc_id"
+    },
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs  = Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("text"))
+      val isTest = Sampling.hkey(col("doc_id")) % 10 === 0
+      val tr = docs.filter(!isTest)
+      val te = docs.filter(isTest)
+      val trt = tr.select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      val cnt = trt.groupBy(col("lang"), col("tok")).agg(count(lit(1)).cast("double").as("c"))
+      val tot = trt.groupBy(col("lang")).agg(count(lit(1)).cast("double").as("t"))
+      val voc = trt.agg(countDistinct(col("tok")).cast("double").as("v"))
+      val pri = tr
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("double").as("nc"))
+        .crossJoin(broadcast(tr.agg(count(lit(1)).cast("double").as("nall"))))
+        .select(col("lang"), log(col("nc") / col("nall")).as("lp"))
+      val tet = te
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      // model tables are all broadcastable: classes × vocab
+      val sc = tet
+        .as("tet")
+        .crossJoin(broadcast(tot.withColumnRenamed("lang", "clang")))
+        .join(
+          broadcast(cnt.as("cnt")),
+          col("cnt.lang") === col("clang") && col("cnt.tok") === col("tet.tok"),
+          "left"
+        )
+        .crossJoin(broadcast(voc))
+        .select(
+          col("doc_id"),
+          col("clang"),
+          (col("tf") * log((coalesce(col("c"), lit(0.0)) + 1) / (col("t") + col("v"))))
+            .as("addend")
+        )
+        .groupBy(col("doc_id"), col("clang"))
+        .agg(Det.dsum(col("addend")).as("partial"))
+        .join(broadcast(pri), col("clang") === pri("lang"))
+        .select(col("doc_id"), col("clang"), (col("lp") + col("partial")).as("s"))
+      val w  = Window.partitionBy(col("doc_id")).orderBy(col("s").desc, col("clang"))
+      val rk = sc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      rk.join(te.select(col("doc_id"), col("lang").as("actual")), "doc_id")
+        .select(
+          col("doc_id"),
+          col("actual"),
+          col("clang").as("predicted"),
+          (col("clang") === col("actual")).as("correct"),
+          Det.rN(col("s"), 6).as("log_score")
+        )
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  def qs: Seq[Q] = Seq(mlKmeans, mlNaiveBayes)
 }

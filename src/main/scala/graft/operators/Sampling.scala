@@ -20,11 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** 32-bit md5-derived sampling key — identical in both engines. */
-  private def hkey(c: Column): Column =
+  /** 32-bit md5-derived sampling key — identical in both engines.
+    * Shared with [[Ml.mlNaiveBayes]] so every train/test split in the
+    * engine cuts the corpus on the same deterministic boundary. */
+  private[operators] def hkey(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
 
-  private def oHkey(e: String): String =
+  private[operators] def oHkey(e: String): String =
     s"('0x' || substr(md5(cast($e as varchar)), 1, 8))::BIGINT"
 
   /** ~10% deterministic sample: keep docs whose hash bucket is 0. */

@@ -1,0 +1,41 @@
+package graft
+
+/** Structural invariants of the graph family — checked on sf0.001 so a
+  * formula slip (handshake imbalance, wedge undercount, rank-mass blow-
+  * up) fails fast without waiting for the oracle round.
+  */
+class GraphSpec extends SparkSuite {
+
+  test("degree histogram covers every part and the handshake sum is even") {
+    val rows = operators.Graph.graphDegree.run(spark, sf).collect()
+    val nParts = spark.read.parquet(s"$sf/part.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == nParts, "histogram must cover all parts")
+    val handshake = rows.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(handshake % 2 == 0, s"sum of degrees must be 2|E|, got $handshake")
+  }
+
+  test("pagerank mass stays bounded and the ranking is run-to-run identical") {
+    def top() = operators.Graph.graphPagerank.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val t = top()
+    assert(t.nonEmpty && t.size <= 20)
+    // every fixed-point rank is positive and below the total mass unit
+    assert(t.forall { case (_, _, pr) => pr > 0 && pr < 1000000000000000L })
+    // sorted by (pr desc, node asc)
+    val keys = t.map { case (n, _, pr) => (-pr, n) }
+    assert(keys == keys.sorted, "output must be ordered by rank desc, node asc")
+    assert(top() == t, "iterative plan must be deterministic across runs")
+  }
+
+  test("triangle counts respect the wedge bound and transitivity is a ratio") {
+    val rows = operators.Graph.graphTriangles.run(spark, sf).collect()
+    for (r <- rows) {
+      val (nodes, edges, wedges, tris) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val trans = r.getDouble(5)
+      assert(edges <= nodes * (nodes - 1) / 2, s"$r: more edges than node pairs")
+      assert(3 * tris <= wedges, s"$r: each triangle closes exactly 3 wedges")
+      assert(trans >= 0.0 && trans <= 1.0, s"$r: transitivity out of [0,1]")
+    }
+  }
+}
