@@ -272,5 +272,62 @@ object Similarity {
     }
   )
 
-  def qs: Seq[Q] = Seq(simCosineTopk, simKnnClassify, simAnnLsh, simAnnMultiprobe, simQuantizedTopk)
+  /** Coarse-to-fine retrieval on dimension PREFIXES (the matryoshka-
+    * embedding serving pattern): stage 1 scores every candidate on only
+    * the first 16 of 64 dims and keeps 50 per query map-side, stage 2
+    * re-ranks the survivors with the exact full-width dot and keeps 10.
+    * At 100 TB the win is bandwidth and FLOPs on the streamed base side
+    * — 4× fewer multiply-adds per scanned vector, with the exact score
+    * paid only for 50 rows per query — while the plan stays the same
+    * broadcast-probe × streamed-base shape as [[simCosineTopk]] (no
+    * shuffle of the base). Unlike the LSH/IVF variants this cascade is
+    * fully deterministic, so it is ORACLE-checked, not merely
+    * recall-tested: both stages round scores to 6 dp and tiebreak on
+    * neighbor_id, making the candidate CUT itself reproducible
+    * cross-engine.
+    */
+  val simCoarseRerank: Q = Q(
+    "sim_coarse_rerank",
+    Some(
+      "WITH c AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        "a.embedding AS ae, b.embedding AS be, " +
+        Det.oRS(
+          "list_dot_product((a.embedding[1:16])::DOUBLE[], (b.embedding[1:16])::DOUBLE[])",
+          6
+        ) + " AS coarse " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < 100 AND a.vec_id != b.vec_id), " +
+        "r1 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY coarse DESC, neighbor_id) AS cr FROM c), " +
+        "x AS (SELECT query_id, neighbor_id, coarse, " +
+        Det.oRS("list_dot_product(ae::DOUBLE[], be::DOUBLE[])", 6) + " AS cos " +
+        "FROM r1 WHERE cr <= 50), " +
+        "r2 AS (SELECT query_id, neighbor_id, cos, coarse, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM x) " +
+        "SELECT query_id, rank, neighbor_id, cos, coarse FROM r2 WHERE rank <= 10 " +
+        "ORDER BY query_id, rank"
+    ),
+    (spark, dir) => {
+      val e = Tables.embeddings(spark, dir)
+      val probe = e
+        .filter(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          slice(col("embedding"), 1, 16).as("qc"))
+      val base = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+        slice(col("embedding"), 1, 16).as("nc"))
+      val scored = base
+        .join(broadcast(probe), col("query_id") =!= col("neighbor_id"))
+        .withColumn("coarse", Det.rS(fdot(col("qc"), col("nc")), 6))
+        .select(col("query_id"), col("neighbor_id"), col("qe"), col("ne"), col("coarse"))
+      val cand = org.apache.spark.sql.graftx
+        .TopKPerGroup(scored, Seq("query_id"), Seq("coarse" -> true, "neighbor_id" -> false), 50, rnName = "cr")
+      val exact = cand.withColumn("cos", Det.rS(fdot(col("qe"), col("ne")), 6))
+      org.apache.spark.sql.graftx
+        .TopKPerGroup(exact, Seq("query_id"), Seq("cos" -> true, "neighbor_id" -> false), 10, rnName = "rank")
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+          col("cos"), col("coarse"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+  )
+
+  def qs: Seq[Q] = Seq(simCosineTopk, simKnnClassify, simAnnLsh, simAnnMultiprobe,
+    simQuantizedTopk, simCoarseRerank)
 }

@@ -81,4 +81,18 @@ class SimilaritySpec extends SparkSuite {
     assert(knn.length == 50)
     for (r <- knn) assert(r.getLong(2) >= 1 && r.getLong(2) <= 5)
   }
+
+  test("coarse-prefix rerank beats the random-candidate recall baseline") {
+    import org.apache.spark.sql.functions.col
+    val exact = operators.Similarity.simCosineTopk.run(spark, sf)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cascade = operators.Similarity.simCoarseRerank.run(spark, sf)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & cascade).size.toDouble / exact.size
+    // candidates are 50 of ~200 base vectors → random cut recalls ~0.25;
+    // the 16-dim prefix is deterministic, measured 0.468 on this fixture
+    assert(recall >= 0.4, s"prefix-cascade recall@10 too low: $recall")
+  }
 }
