@@ -793,10 +793,56 @@ object Aggregates {
     }
   )
 
+  /** Gini coefficient of quantity concentration per return flag, from
+    * the rank-weighted Lorenz identity G = 2·Σᵢ i·xᵢ/(n·Σx) − (n+1)/n.
+    * The subtlety is ties: row_number assigns tied x's DIFFERENT ranks
+    * in engine-specific order, but Σ i·x over a tied block is x·Σi —
+    * invariant under any permutation of the block — so the aggregate is
+    * deterministic even though the per-row ranks are not. Both sums are
+    * exact integers (quantities are integer-valued, i·x < 2⁵³), summed
+    * as BIGINT — no decimal path needed. One sort per group + one
+    * aggregate; at scale this is the same cost envelope as any
+    * percentile.
+    */
+  val aggGini: Q = Q(
+    "agg_gini",
+    Some(
+      "WITH r AS (SELECT l_returnflag, l_quantity AS x, " +
+        "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS i FROM lineitem), " +
+        "m AS (SELECT l_returnflag, count(*)::DOUBLE AS n, " +
+        "cast(sum(cast(i * x as bigint)) as bigint)::DOUBLE AS swx, " +
+        "cast(sum(cast(x as bigint)) as bigint)::DOUBLE AS sx FROM r GROUP BY 1) " +
+        "SELECT l_returnflag, cast(n as bigint) AS n_rows, " +
+        Det.oRN("(2.0 * swx) / (n * sx) - (n + 1) / n", 6) + " AS gini " +
+        "FROM m ORDER BY l_returnflag"
+    ),
+    (spark, dir) => {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("x"))
+      val m = Tables
+        .lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_quantity").as("x"))
+        .withColumn("i", row_number().over(w))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum((col("i") * col("x")).cast("long")).cast("double").as("swx"),
+          sum(col("x").cast("long")).cast("double").as("sx")
+        )
+      m.select(
+        col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        Det.rN(
+          (lit(2.0) * col("swx")) / (col("n") * col("sx")) - (col("n") + 1) / col("n"),
+          6
+        ).as("gini")
+      ).orderBy(col("l_returnflag"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     aggGroupPricing, aggDecimalPricing, aggHistogram, aggHllMerge, aggGlobal, aggDistinct, aggRollup, aggCube,
     aggGroupingSets, aggStats, aggMinMaxBy, aggCollectSorted, aggApproxDistinct,
     aggPredicates, aggCohortRetention, aggMode, aggBitmapDistinct, aggRegression, aggCorr,
-    aggWeightedMedian, aggSkewness, aggKurtosis
+    aggWeightedMedian, aggSkewness, aggKurtosis, aggGini
   )
 }

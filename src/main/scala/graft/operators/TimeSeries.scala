@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Det, Q, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Batch time-series operators (SURVEY §2.7): tumbling windows, sliding
   * windows, sessionization. These are the oracle-checked twins of the
@@ -471,6 +472,79 @@ object TimeSeries {
     }
   )
 
+  /** CUSUM change-point screen per user: cumulative sum of deviations
+    * from the user mean, reported as the walk's range (max−min, the
+    * CUSUM statistic) and the timestamp where the walk peaks — the
+    * standard "did this series shift level, and when" detector.
+    *
+    * Determinism is the interesting part. The naive S_k = Σ(x − μ)
+    * double fold is NOT portable twice over: engines bracket window
+    * sums differently (DuckDB segment trees vs Spark's running fold),
+    * and even casting x − μ to decimal per-row straddles rounding
+    * boundaries an ulp apart (measured: one flipped 6-dp digit at
+    * sf0.01). So the walk is computed EXACTLY, scaled by n:
+    * n·S_k = n·P_k − k·T with P_k the decimal prefix sum, T the decimal
+    * total, k the row index — every term an exact decimal, no double
+    * enters until ONE division by n at the output. The peak row
+    * tie-breaks on (ts, event_id). Two window passes over one
+    * (user, time) partitioning; linear at any scale. Decimal widths are
+    * sized for |Σx| ≤ 10¹² per entity — far beyond the fixture and
+    * still exact at cluster scale.
+    */
+  val tsChangepoint: Q = Q(
+    "ts_changepoint",
+    Some(
+      "WITH s AS (SELECT user_id, ts, event_id, " +
+        "cast(sum(cast(value as decimal(20,8))) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as decimal(20,8)) AS p, " +
+        "cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) as decimal(10,0)) AS k, " +
+        "cast(sum(cast(value as decimal(20,8))) OVER (PARTITION BY user_id) as decimal(20,8)) AS t, " +
+        "count(*) OVER (PARTITION BY user_id) AS n_events FROM events), " +
+        "w AS (SELECT user_id, ts, event_id, n_events, " +
+        "p * cast(n_events as decimal(10,0)) - k * t AS ns FROM s), " +
+        "r AS (SELECT user_id, ts, n_events, " +
+        "max(ns) OVER (PARTITION BY user_id) AS nmax, " +
+        "min(ns) OVER (PARTITION BY user_id) AS nmin, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ns DESC, ts, event_id) AS rk " +
+        "FROM w) " +
+        "SELECT user_id, n_events, " +
+        Det.oRN("cast(nmax - nmin as double) / n_events", 6) + " AS cusum_range, " +
+        "ts AS peak_ts FROM r WHERE rk = 1 ORDER BY user_id"
+    ),
+    (spark, dir) => {
+      val byUser  = Window.partitionBy(col("user_id"))
+      val order   = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ordered = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dx      = col("value").cast(DecimalType(20, 8))
+      val s = Tables
+        .events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("p", sum(dx).over(ordered).cast(DecimalType(20, 8)))
+        .withColumn("k", row_number().over(order).cast(DecimalType(10, 0)))
+        .withColumn("t", sum(dx).over(byUser).cast(DecimalType(20, 8)))
+        .withColumn("n_events", count(lit(1)).over(byUser))
+        .withColumn(
+          "ns",
+          col("p") * col("n_events").cast(DecimalType(10, 0)) - col("k") * col("t")
+        )
+      val rk = Window.partitionBy(col("user_id")).orderBy(col("ns").desc, col("ts"), col("event_id"))
+      s.withColumn("nmax", max(col("ns")).over(byUser))
+        .withColumn("nmin", min(col("ns")).over(byUser))
+        .withColumn("rk", row_number().over(rk))
+        .filter(col("rk") === 1)
+        .select(
+          col("user_id"),
+          col("n_events"),
+          Det.rN((col("nmax") - col("nmin")).cast("double") / col("n_events"), 6)
+            .as("cusum_range"),
+          col("ts").as("peak_ts")
+        )
+        .orderBy(col("user_id"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(tsTumbling1h, tsSliding15m5m, tsSession30m, tsSessionWindowBatch,
-    tsFillForward, tsResampleHourly, tsEwma, tsInterpolate, tsAttribution, tsAutocorr)
+    tsFillForward, tsResampleHourly, tsEwma, tsInterpolate, tsAttribution, tsAutocorr,
+    tsChangepoint)
 }
