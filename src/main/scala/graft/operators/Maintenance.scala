@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Det, Q, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -327,6 +327,76 @@ object Maintenance {
     }
   )
 
+  /** Z-order bit-interleave of (partkey, suppkey) — 10 low bits of each
+    * interleaved, remaining partkey bits above. Pure integer bit ops,
+    * identical in both engines. */
+  private def zTermsSql: String =
+    (0 until 10)
+      .map(i => s"((((p >> $i) & 1) << ${2 * i + 1}) + (((s >> $i) & 1) << ${2 * i}))")
+      .mkString(" + ") + " + ((p >> 10) << 20)"
+
+  private def zCol: Column =
+    (0 until 10)
+      .map(i =>
+        shiftleft(shiftright(col("p"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
+          shiftleft(shiftright(col("s"), i).bitwiseAND(lit(1L)), 2 * i))
+      .reduce(_ + _) + shiftleft(shiftright(col("p"), 10), 20)
+
+  /** Why multi-dimensional layout matters at 100 TB: a table clustered
+    * on partkey alone prunes partkey predicates but every file spans
+    * the full suppkey range — suppkey predicates scan everything.
+    * Z-ORDER interleaves the bits of both keys, so equal-width z-ranges
+    * (the "files") bound BOTH dimensions at once. This operator
+    * quantifies exactly that: bucket lineitem by the top z bits vs by
+    * equal-width partkey ranges, and report the average per-bucket span
+    * of each dimension — the z layout's suppkey span collapses by ~an
+    * order of magnitude while its partkey span stays usable, which is
+    * the min/max-pruning win a real lakehouse gets from Z-ordering.
+    * All arithmetic is integer until the final span averages (exact
+    * sums ÷ counts). Companion to `join_dpp_prune` (partition pruning)
+    * and `snk_partitioned` (layout writing).
+    */
+  val maintZorder: Q = Q(
+    "maint_zorder",
+    Some(
+      "WITH b AS (SELECT l_partkey AS p, l_suppkey AS s FROM lineitem), " +
+        s"z AS (SELECT p, s, ($zTermsSql) AS zv FROM b), " +
+        "zb AS (SELECT zv >> 16 AS bucket, max(p) - min(p) + 1 AS pspan, " +
+        "max(s) - min(s) + 1 AS sspan FROM z GROUP BY 1), " +
+        "pb AS (SELECT p >> 6 AS bucket, max(p) - min(p) + 1 AS pspan, " +
+        "max(s) - min(s) + 1 AS sspan FROM b GROUP BY 1), " +
+        "m AS (SELECT 'pkey_sort' AS layout, count(*) AS n_buckets, " +
+        Det.oRN("cast(sum(pspan) as bigint)::DOUBLE / count(*)", 2) + " AS avg_p_span, " +
+        Det.oRN("cast(sum(sspan) as bigint)::DOUBLE / count(*)", 2) + " AS avg_s_span FROM pb " +
+        "UNION ALL SELECT 'zorder', count(*), " +
+        Det.oRN("cast(sum(pspan) as bigint)::DOUBLE / count(*)", 2) + ", " +
+        Det.oRN("cast(sum(sspan) as bigint)::DOUBLE / count(*)", 2) + " FROM zb) " +
+        "SELECT layout, n_buckets, avg_p_span, avg_s_span FROM m ORDER BY layout"
+    ),
+    (spark, dir) => {
+      val b = Tables
+        .lineitem(spark, dir)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      def layout(name: String, bucket: Column, src: DataFrame): DataFrame =
+        src
+          .groupBy(bucket.as("bucket"))
+          .agg(
+            (max(col("p")) - min(col("p")) + 1).as("pspan"),
+            (max(col("s")) - min(col("s")) + 1).as("sspan")
+          )
+          .agg(
+            count(lit(1)).as("n_buckets"),
+            Det.rN(sum(col("pspan")).cast("double") / count(lit(1)), 2).as("avg_p_span"),
+            Det.rN(sum(col("sspan")).cast("double") / count(lit(1)), 2).as("avg_s_span")
+          )
+          .select(lit(name).as("layout"), col("n_buckets"), col("avg_p_span"), col("avg_s_span"))
+      layout("pkey_sort", shiftright(col("p"), 6), b)
+        .unionAll(layout("zorder", shiftright(zCol, 16), b))
+        .orderBy(col("layout"))
+    }
+  )
+
   def qs: Seq[Q] =
-    Seq(maintIncrementalAgg, dqAudit, joinDppPrune, maintSnapshotDiff, maintColumnStats)
+    Seq(maintIncrementalAgg, dqAudit, joinDppPrune, maintSnapshotDiff, maintColumnStats,
+      maintZorder)
 }

@@ -324,9 +324,56 @@ object Sampling {
     }
   )
 
+  /** Deterministic per-epoch global shuffle — the dataloader primitive
+    * a training pipeline runs over the curated corpus every epoch: the
+    * permutation for epoch e orders docs by md5(e ∥ doc_id), so it is
+    * (a) a full reshuffle between epochs, (b) reproducible across runs
+    * and engines with no RNG state, and (c) computable as one sort —
+    * at 100 TB this is exactly one range-partitioned exchange per
+    * epoch, and workers slice their shard by position. The report
+    * proves both properties with exact checksums: per-(epoch, shard)
+    * doc counts and id sums show the CONTENT rebalances across shards
+    * between epochs, while the position-weighted checksum differing
+    * between epochs shows the ORDER changed too.
+    */
+  val pipelineEpochShuffle: Q = Q(
+    "pipeline_epoch_shuffle",
+    Some(
+      "WITH e AS (SELECT doc_id, epoch, " +
+        "md5(cast(epoch as varchar) || '_' || cast(doc_id as varchar)) AS k " +
+        "FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch)), " +
+        "r AS (SELECT doc_id, epoch, " +
+        "row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS pos FROM e) " +
+        "SELECT epoch, (pos - 1) % 4 AS shard, count(*) AS n_docs, " +
+        "cast(sum(doc_id) as bigint) AS id_sum, " +
+        "cast(sum(doc_id * pos) as bigint) AS pos_checksum " +
+        "FROM r GROUP BY 1, 2 ORDER BY epoch, shard"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("epoch")).orderBy(col("k"), col("doc_id"))
+      Tables
+        .documents(spark, dir)
+        .select(col("doc_id"))
+        .withColumn("epoch", explode(array(lit(0), lit(1))))
+        .withColumn(
+          "k",
+          md5(concat(col("epoch").cast("string"), lit("_"), col("doc_id").cast("string")))
+        )
+        .withColumn("pos", row_number().over(w))
+        .groupBy(col("epoch"), ((col("pos") - 1) % 4).cast("long").as("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("doc_id") * col("pos")).as("pos_checksum")
+        )
+        .orderBy(col("epoch"), col("shard"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     sampleHashPct, sampleStratified, interleaveSources, joinRangeEvents,
     mixReport, sampleQualityWeighted, pipelinePack, sampleTrainTestSplit,
-    sampleRendezvousShards
+    sampleRendezvousShards, pipelineEpochShuffle
   )
 }
