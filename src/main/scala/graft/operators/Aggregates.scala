@@ -839,10 +839,62 @@ object Aggregates {
     }
   )
 
+  /** Audience overlap via THETA sketches — the set-operation sketch HLL
+    * cannot be ([[aggHllMerge]] can only union): sketch each event
+    * type's user set once, then answer every pairwise "users who did
+    * BOTH" / "users who did EITHER" / Jaccard question from the
+    * kilobyte sketches alone — at 100 TB that replaces 10 self-joins of
+    * the fact table with one scan plus sketch algebra. The custom
+    * [[org.apache.spark.sql.graftx.ThetaSketchAgg]] is a mergeable
+    * TypedImperativeAggregate (partition- and order-independent by the
+    * theta structure itself). At test cardinalities (≤1.5k users <
+    * 4096-entry nominal) the sketches retain every hash and the
+    * estimates are EXACT, so this query is hash-checked against the
+    * exact-join oracle — the same positioning as `agg_bitmap_distinct`;
+    * past the nominal size it degrades gracefully to ±ε estimates
+    * (SketchSpec pins exactness here and partition invariance).
+    */
+  val aggThetaOverlap: Q = Q(
+    "agg_theta_overlap",
+    Some(
+      "WITH s AS (SELECT DISTINCT event_type, user_id FROM events), " +
+        "c AS (SELECT a.event_type ta, b.event_type tb, count(*) AS nc FROM s a " +
+        "JOIN s b ON a.user_id = b.user_id AND a.event_type < b.event_type GROUP BY 1, 2), " +
+        "n AS (SELECT event_type, count(*) AS nn FROM s GROUP BY 1) " +
+        "SELECT c.ta AS type_a, c.tb AS type_b, na.nn AS n_a, nb.nn AS n_b, " +
+        "c.nc AS n_common, na.nn + nb.nn - c.nc AS n_either, " +
+        Det.oRN("c.nc::DOUBLE / (na.nn + nb.nn - c.nc)", 6) + " AS jaccard " +
+        "FROM c JOIN n na ON na.event_type = c.ta JOIN n nb ON nb.event_type = c.tb " +
+        "ORDER BY type_a, type_b"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.graftx.ThetaSketchAgg
+      val sk = Tables
+        .events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(ThetaSketchAgg.sketch(col("user_id")).as("sk"))
+      val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+      val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+      val inter = ThetaSketchAgg.pairEstimate(col("ska"), col("skb"), "intersect")
+      val uni   = ThetaSketchAgg.pairEstimate(col("ska"), col("skb"), "union")
+      a.join(b, col("type_a") < col("type_b"))
+        .select(
+          col("type_a"),
+          col("type_b"),
+          ThetaSketchAgg.estimate(col("ska")).cast("long").as("n_a"),
+          ThetaSketchAgg.estimate(col("skb")).cast("long").as("n_b"),
+          inter.cast("long").as("n_common"),
+          uni.cast("long").as("n_either"),
+          Det.rN(inter / uni, 6).as("jaccard")
+        )
+        .orderBy(col("type_a"), col("type_b"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     aggGroupPricing, aggDecimalPricing, aggHistogram, aggHllMerge, aggGlobal, aggDistinct, aggRollup, aggCube,
     aggGroupingSets, aggStats, aggMinMaxBy, aggCollectSorted, aggApproxDistinct,
     aggPredicates, aggCohortRetention, aggMode, aggBitmapDistinct, aggRegression, aggCorr,
-    aggWeightedMedian, aggSkewness, aggKurtosis, aggGini
+    aggWeightedMedian, aggSkewness, aggKurtosis, aggGini, aggThetaOverlap
   )
 }

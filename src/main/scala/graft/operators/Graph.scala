@@ -286,5 +286,68 @@ object Graph {
     }
   )
 
-  def qs: Seq[Q] = Seq(graphDegree, graphPagerank, graphTriangles)
+  /** Power-law fit of the co-purchase degree distribution: OLS of
+    * ln(n_parts) on ln(degree) over the nonzero histogram — the
+    * log-log slope is the (negative) scale-free exponent, and r² says
+    * whether a power law describes the graph at all. This is the
+    * "should I worry about hubs" diagnostic run before sizing any
+    * skew-sensitive graph job (a steep slope with high r² means the
+    * salting / hub-splitting machinery of agg_salted is needed; a flat
+    * or poorly-fit tail means degrees are benign). Composes the
+    * [[graphDegree]] histogram (tiny at any scale) with the exact
+    * decimal moment sums of `agg_regression`.
+    */
+  val graphPowerlawFit: Q = Q(
+    "graph_powerlaw_fit",
+    Some(
+      "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "e AS (SELECT DISTINCT a.l_partkey pa, b.l_partkey pb FROM li a JOIN li b " +
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "sym AS (SELECT pa p FROM e UNION ALL SELECT pb FROM e), " +
+        "deg AS (SELECT p, count(*) AS dg FROM sym GROUP BY 1), " +
+        "hist AS (SELECT dg AS degree, count(*) AS n_parts FROM deg GROUP BY 1), " +
+        "pts AS (SELECT ln(degree::DOUBLE) AS x, ln(n_parts::DOUBLE) AS y FROM hist), " +
+        "m AS (SELECT count(*)::DOUBLE AS n, " +
+        s"${Det.oSum("x")} AS sx, ${Det.oSum("y")} AS sy, ${Det.oSum("x * y")} AS sxy, " +
+        s"${Det.oSum("x * x")} AS sxx, ${Det.oSum("y * y")} AS syy FROM pts) " +
+        "SELECT cast(n as bigint) AS n_points, " +
+        Det.oRN("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6) + " AS slope, " +
+        Det.oRN("(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n", 6) +
+        " AS intercept, " +
+        Det.oRN(
+          "((n * sxy - sx * sy) * (n * sxy - sx * sy)) / " +
+            "((n * sxx - sx * sx) * (n * syy - sy * sy))",
+          6
+        ) + " AS r2 FROM m"
+    ),
+    (spark, dir) => {
+      val e   = coPurchaseEdges(spark, dir, lit(true), dedup = true)
+      val sym = e.select(col("pa").as("p")).unionAll(e.select(col("pb").as("p")))
+      val m = sym
+        .groupBy(col("p"))
+        .agg(count(lit(1)).as("dg"))
+        .groupBy(col("dg"))
+        .agg(count(lit(1)).as("n_parts"))
+        .select(log(col("dg").cast("double")).as("x"), log(col("n_parts").cast("double")).as("y"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          Det.dsum(col("x")).as("sx"),
+          Det.dsum(col("y")).as("sy"),
+          Det.dsum(col("x") * col("y")).as("sxy"),
+          Det.dsum(col("x") * col("x")).as("sxx"),
+          Det.dsum(col("y") * col("y")).as("syy")
+        )
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val vx  = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy  = col("n") * col("syy") - col("sy") * col("sy")
+      m.select(
+        col("n").cast("long").as("n_points"),
+        Det.rN(cov / vx, 6).as("slope"),
+        Det.rN((col("sy") - cov / vx * col("sx")) / col("n"), 6).as("intercept"),
+        Det.rN((cov * cov) / (vx * vy), 6).as("r2")
+      )
+    }
+  )
+
+  def qs: Seq[Q] = Seq(graphDegree, graphPagerank, graphTriangles, graphPowerlawFit)
 }

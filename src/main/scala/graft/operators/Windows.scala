@@ -391,8 +391,48 @@ object Windows {
     }
   )
 
+  /** Strict-adjacency event-sequence match — the MATCH_RECOGNIZE shape
+    * neither engine has natively, composed from lead() chains: find
+    * every view→click→purchase run of three CONSECUTIVE events in a
+    * user's stream (funnel_vcp's subsequence semantics, tightened to
+    * adjacency) and report where it started and how long the run took.
+    * One window pass over the (user, time) partitioning; the pattern
+    * predicate is evaluated per row, so this scales like any lag/lead
+    * query. Ties in the µs-truncated timestamps are broken by event_id
+    * so "consecutive" is cross-engine unambiguous.
+    */
+  val winPattern3Seq: Q = Q(
+    "win_pattern_3seq",
+    Some(
+      "WITH s AS (SELECT user_id, event_id, ts, event_type, " +
+        "lead(event_type, 1) OVER w AS t1, lead(event_type, 2) OVER w AS t2, " +
+        "date_diff('microsecond', ts, lead(ts, 2) OVER w) AS span_us " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "SELECT user_id, event_id AS start_event_id, span_us FROM s " +
+        "WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase' " +
+        "ORDER BY user_id, start_event_id"
+    ),
+    (spark, dir) => {
+      val over = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+      val w    = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables
+        .events(spark, dir)
+        .select(
+          col("user_id"),
+          col("event_id").as("start_event_id"),
+          col("event_type"),
+          lead(col("event_type"), 1).over(w).as("t1"),
+          lead(col("event_type"), 2).over(w).as("t2"),
+          expr(s"timestampdiff(MICROSECOND, ts, lead(ts, 2) $over)").as("span_us")
+        )
+        .filter(col("event_type") === "view" && col("t1") === "click" && col("t2") === "purchase")
+        .select(col("user_id"), col("start_event_id"), col("span_us"))
+        .orderBy(col("user_id"), col("start_event_id"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     winRanking, winTop3PerGroup, winTop3TopK, winLagLead, winRunningSum, winRangeFrame, winFirstLast, winGapsIslands,
-    winCumeDist, winMovingMedian, winRollingDistinct
+    winCumeDist, winMovingMedian, winRollingDistinct, winPattern3Seq
   )
 }

@@ -74,4 +74,29 @@ class SketchSpec extends SparkSuite {
     val many = sketchTop(tokens.repartition(13), 10)
     assert(one == many, "sketch result depends on partitioning")
   }
+
+  test("theta sketch estimates are exact below nominal size and partition-invariant") {
+    import org.apache.spark.sql.graftx.ThetaSketchAgg
+    val ev = Tables.events(spark, sf).select(col("event_type"), col("user_id"))
+    def est(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("event_type"))
+      .agg(ThetaSketchAgg.sketch(col("user_id")).as("sk"))
+      .select(col("event_type"), ThetaSketchAgg.estimate(col("sk")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(est(ev) == exact, "theta must be exact in sparse mode")
+    assert(est(ev.repartition(13)) == est(ev.repartition(1)), "theta depends on partitioning")
+  }
+
+  test("theta intersection + union obey inclusion-exclusion on exact-mode sketches") {
+    val rows = operators.Aggregates.aggThetaOverlap.run(spark, sf).collect()
+    assert(rows.length == 10) // C(5,2) event-type pairs
+    for (r <- rows) {
+      val (na, nb, common, either) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(common <= math.min(na, nb))
+      assert(either == na + nb - common, s"inclusion-exclusion violated: $r")
+    }
+  }
 }
