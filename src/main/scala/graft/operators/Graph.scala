@@ -39,9 +39,17 @@ object Graph {
       .select(col("l_orderkey"), col("l_partkey"))
 
   /** Undirected co-purchase edges (pa < pb). `dedup=true` collapses
-    * multi-order repeats to simple-graph edges (one extra shuffle);
-    * `dedup=false` keeps multiplicity — the multigraph whose edge
-    * weights are co-purchase frequencies. */
+    * multi-order repeats to simple-graph edges; `dedup=false` keeps
+    * multiplicity — the multigraph whose edge weights are co-purchase
+    * frequencies.
+    *
+    * The simple-graph path generates each basket's pairs IN-ROW from
+    * the sorted distinct part set (collect_set → sort_array → nested
+    * transform), so the whole build is one groupBy shuffle + one
+    * distinct — the orderkey self-join formulation costs an extra
+    * exchange and sort for the same edge set. The multigraph path keeps
+    * the join: positional pair generation over a list WITH duplicates
+    * would also emit (x,x) self-pairs the value-< join excludes. */
   private def coPurchaseEdges(
       spark: SparkSession,
       dir: String,
@@ -49,14 +57,28 @@ object Graph {
       dedup: Boolean
   ): DataFrame = {
     val li = orderParts(spark, dir, orderFilter)
-    val raw = li
-      .as("a")
-      .join(
-        li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") && col("a.l_partkey") < col("b.l_partkey")
-      )
-      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-    if (dedup) raw.distinct() else raw
+    if (dedup) {
+      li.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(
+          explode(
+            flatten(
+              expr(
+                "transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb)))"
+              )
+            )
+          ).as("e")
+        )
+        .select(col("e.pa"), col("e.pb"))
+        .distinct()
+    } else {
+      li.as("a")
+        .join(
+          li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") && col("a.l_partkey") < col("b.l_partkey")
+        )
+        .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    }
   }
 
   /** Degree distribution of the full co-purchase graph: for every part
