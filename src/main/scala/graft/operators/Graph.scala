@@ -135,18 +135,21 @@ object Graph {
     * cheaper than a simple graph (no pair-dedup pass): contrib uses the
     * WEIGHTED degree, so duplicate edge rows are the weights.
     *
-    * Plan shape — the 100 TB-honest iteration: the symmetric edge list
-    * is persisted PRE-PARTITIONED on the source key, so every
-    * iteration's edge⋈rank join reuses that partitioning from the cache
-    * (only the small (node, deg, pr) side exchanges — it scales with
-    * nodes, the edge list with edges, and neither is broadcast because
-    * at graph scale neither fits an executor). The one unavoidable
-    * shuffle per iteration is the contribution re-key from src to dst —
-    * PageRank's inherent transpose. Production would checkpoint between
-    * iterations exactly like the clustering loop in [[Dedup]]; Bench
-    * clears persisted blocks between queries. Orders are 10%-sampled by
-    * key (deterministic, same filter in the oracle) to bound the
-    * contract query; the operator itself is scale-free.
+    * Plan shape: the enriched symmetric edge list is built once and
+    * PERSISTED — each iteration is then one edge⋈rank join plus the
+    * contribution re-key from src to dst (PageRank's inherent
+    * transpose shuffle). Neither side is broadcast: at graph scale the
+    * rank table scales with nodes and the edge list with edges, and
+    * neither fits an executor. One honest caveat, visible in PLANS.md:
+    * an InMemoryRelation wrapping an ADAPTIVE subplan reports unknown
+    * outputPartitioning, so the cached edge scan re-exchanges into each
+    * iteration's join rather than reusing its cache-time partitioning —
+    * cheap here, but a real 100 TB deployment would instead CHECKPOINT
+    * the edge list hash-bucketed on src (the [[Dedup]] clustering-loop
+    * pattern) so iterations pay only the transpose. Bench clears
+    * persisted blocks between queries. Orders are 10%-sampled by key
+    * (deterministic, same filter in the oracle) to bound the contract
+    * query; the operator itself is scale-free.
     */
   val graphPagerank: Q = Q(
     "graph_pagerank",
@@ -187,7 +190,7 @@ object Graph {
       val sym = sym0
         .withColumn("degd", count(lit(1)).over(wD))
         .withColumn("degs", count(lit(1)).over(wS))
-        .persist() // the window leaves sym hash-partitioned on s — reused by every iteration's join
+        .persist() // built once; see the scaladoc caveat on cached-plan partitioning
       val deg = sym.groupBy(col("s")).agg(min(col("degs")).as("deg"))
       val nn  = deg.agg(count(lit(1)).as("n"))
       // The node count rides along in the rank frame (node, pr, n) so
