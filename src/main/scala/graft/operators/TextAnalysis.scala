@@ -807,9 +807,58 @@ object TextAnalysis {
     }
   )
 
+  /** Curriculum phases: order the corpus by a deterministic difficulty
+    * proxy (mean token length — longer words ≈ harder text) and cut it
+    * into 10 equal phases with ntile, reporting each phase's size and
+    * profile. This is the curriculum-learning data prep step: training
+    * consumes phases in order, so the CUT must be reproducible —
+    * ntile's order tie-breaks on doc_id, making phase membership
+    * hash-stable across engines and runs. One window pass over a
+    * per-doc projection + a 10-row aggregate. The ntile here is a
+    * global-order window — correct at contract scale; a 100 TB
+    * curriculum cut would instead broadcast approximate decile
+    * BOUNDARIES (one aggregate) and assign phases map-side, trading
+    * the global sort for a quantile sketch.
+    */
+  val pipelineCurriculum: Q = Q(
+    "pipeline_curriculum",
+    Some(
+      "WITH d AS (SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n_tokens, " +
+        "n_chars::DOUBLE / len(string_split(text, ' ')) AS difficulty FROM documents), " +
+        "p AS (SELECT *, ntile(10) OVER (ORDER BY difficulty, doc_id) AS phase FROM d) " +
+        "SELECT phase, count(*) AS n_docs, " +
+        Det.oRN(Det.oSum("difficulty") + " / count(*)", 6) + " AS avg_difficulty, " +
+        Det.oRN(Det.oSum("n_chars") + " / count(*)", 2) + " AS avg_chars, " +
+        Det.oRN(Det.oSum("n_tokens") + " / count(*)", 2) + " AS avg_tokens " +
+        "FROM p GROUP BY phase ORDER BY phase"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables
+        .documents(spark, dir)
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          size(toks(col("text"))).as("n_tokens"),
+          (col("n_chars").cast("double") / size(toks(col("text")))).as("difficulty")
+        )
+      val w = Window.orderBy(col("difficulty"), col("doc_id"))
+      d.withColumn("phase", ntile(10).over(w).cast("long"))
+        .groupBy(col("phase"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          Det.rN(Det.dsum(col("difficulty")) / count(lit(1)), 6).as("avg_difficulty"),
+          Det.rN(Det.dsum(col("n_chars")) / count(lit(1)), 2).as("avg_chars"),
+          Det.rN(Det.dsum(col("n_tokens")) / count(lit(1)), 2).as("avg_tokens")
+        )
+        .orderBy(col("phase"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     textStats, textTfidfTop, textLangid, textQuality, textTokens, textFingerprint,
     textPiiRedact, reportScores, textBigramLm, textChunk, textVocab, pipelineCurate,
-    textContamination, textHeavyHitters, pipelineFunnel, pipelineManifest, textEntropy
+    textContamination, textHeavyHitters, pipelineFunnel, pipelineManifest, textEntropy,
+    pipelineCurriculum
   )
 }

@@ -544,7 +544,91 @@ object TimeSeries {
     }
   )
 
+  /** Hour-of-day seasonal profile per event type: event share and mean
+    * value for each of the 24 clock hours — the "when does this signal
+    * happen" profile computed before any anomaly threshold is set (a
+    * spike at 3am matters; the same count at noon is baseline). One
+    * groupBy on a derived (type, hour) key — map-side combinable,
+    * embarrassingly parallel; the share denominator comes from a
+    * window over the 120-row aggregate, not a second scan.
+    */
+  val tsSeasonalProfile: Q = Q(
+    "ts_seasonal_profile",
+    Some(
+      "WITH h AS (SELECT event_type, hour(ts) AS hr, count(*) AS n_events, " +
+        s"${Det.oSum("value")} AS sv FROM events GROUP BY 1, 2) " +
+        "SELECT event_type, hr, n_events, " +
+        Det.oRN("sv / n_events", 6) + " AS avg_value, " +
+        Det.oRN("n_events::DOUBLE / sum(n_events) OVER (PARTITION BY event_type)", 6) +
+        " AS share FROM h ORDER BY event_type, hr"
+    ),
+    (spark, dir) => {
+      val byType = Window.partitionBy(col("event_type"))
+      Tables
+        .events(spark, dir)
+        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sv"))
+        .select(
+          col("event_type"),
+          col("hr"),
+          col("n_events"),
+          Det.rN(col("sv") / col("n_events"), 6).as("avg_value"),
+          Det.rN(col("n_events").cast("double") / sum(col("n_events")).over(byType), 6)
+            .as("share")
+        )
+        .orderBy(col("event_type"), col("hr"))
+    }
+  )
+
+  /** M4 downsampling — the published min/max/first/last-per-bucket
+    * reduction that visualization and monitoring pipelines use to
+    * shrink a series while preserving its rendered envelope exactly.
+    * Per (event_type, hour) bucket: the first and last values in time
+    * order plus the bucket extremes. First/last are selected by
+    * row_number over the (ts, event_id) order (event_id breaks µs
+    * ties; DuckDB 1.0's arg_min/arg_max cannot take a composite key),
+    * then folded in the same aggregate as min/max — one window pass +
+    * one groupBy, linear at any scale.
+    */
+  val tsDownsampleM4: Q = Q(
+    "ts_downsample_m4",
+    Some(
+      "WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket, value, " +
+        "row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts) " +
+        "ORDER BY ts, event_id) AS rn, " +
+        "row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts) " +
+        "ORDER BY ts DESC, event_id DESC) AS rnd FROM events) " +
+        "SELECT event_type, bucket, count(*) AS n_points, " +
+        "max(CASE WHEN rn = 1 THEN value END) AS v_first, " +
+        "max(CASE WHEN rnd = 1 THEN value END) AS v_last, " +
+        "min(value) AS v_min, max(value) AS v_max " +
+        "FROM b GROUP BY 1, 2 ORDER BY event_type, bucket"
+    ),
+    (spark, dir) => {
+      val bucket = date_trunc("hour", col("ts"))
+      val asc = Window
+        .partitionBy(col("event_type"), bucket)
+        .orderBy(col("ts"), col("event_id"))
+      val desc = Window
+        .partitionBy(col("event_type"), bucket)
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables
+        .events(spark, dir)
+        .select(col("event_type"), bucket.as("bucket"), col("value"),
+          row_number().over(asc).as("rn"), row_number().over(desc).as("rnd"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(
+          count(lit(1)).as("n_points"),
+          max(when(col("rn") === 1, col("value"))).as("v_first"),
+          max(when(col("rnd") === 1, col("value"))).as("v_last"),
+          min(col("value")).as("v_min"),
+          max(col("value")).as("v_max")
+        )
+        .orderBy(col("event_type"), col("bucket"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(tsTumbling1h, tsSliding15m5m, tsSession30m, tsSessionWindowBatch,
     tsFillForward, tsResampleHourly, tsEwma, tsInterpolate, tsAttribution, tsAutocorr,
-    tsChangepoint)
+    tsChangepoint, tsSeasonalProfile, tsDownsampleM4)
 }
