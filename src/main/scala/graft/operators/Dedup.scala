@@ -768,9 +768,141 @@ object Dedup {
     }
   )
 
+  /** Positional k-token shingles ("spans") of the token stream, empty
+    * when the doc is shorter than k. The size guard matters: Spark's
+    * `sequence(1, n)` generates a DESCENDING [1, 0] when n = 0, where
+    * DuckDB's generate_series returns empty — the `when` keeps both
+    * engines at zero spans for short docs. */
+  private def spans(t: Column, k: Int): Column =
+    when(
+      size(t) >= k,
+      transform(sequence(lit(1), size(t) - (k - 1)), i => array_join(slice(t, i, lit(k)), " "))
+    ).otherwise(array().cast("array<string>"))
+
+  /** Per-document duplicated-span coverage — the line-level/boilerplate
+    * dedup signal of web-corpus pipelines (CCNet, RefinedWeb drop
+    * LINES seen in many docs; this corpus has no newlines, so the unit
+    * is a 5-token span): fraction of a doc's span positions whose
+    * exact span also appears in ≥ 2 distinct documents. High coverage
+    * → the doc is mostly template/clone material even when no single
+    * whole-doc near-dup pair fires.
+    *
+    * 100 TB: one explode (corpus × ~doc_len rows), one span-keyed
+    * aggregate for df (partial aggregation applies), one shuffle join
+    * back on the span key, one doc-keyed aggregate — every step is
+    * key-partitioned with bounded fanout; no all-pairs anywhere. The
+    * df table is vocabulary-of-spans-sized; at corpus scale it stays a
+    * shuffle join (too big to broadcast) and that is what's planned
+    * here. */
+  val dedupSpanCoverage: Q = Q(
+    "dedup_span_coverage",
+    Some(
+      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, unnest(generate_series(1, len(toks)-4)) AS pos, toks FROM t WHERE len(toks) >= 5), " +
+        "sh AS (SELECT doc_id, pos, array_to_string(toks[pos:pos+4], ' ') AS s FROM g), " +
+        "df AS (SELECT s, count(DISTINCT doc_id) AS df FROM sh GROUP BY s) " +
+        "SELECT sh.doc_id, count(*) AS n_spans, " +
+        "cast(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) as bigint) AS n_dup_spans, " +
+        Det.oRN("sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*)", 6) +
+        " AS dup_ratio " +
+        "FROM sh JOIN df USING (s) GROUP BY sh.doc_id ORDER BY sh.doc_id"
+    ),
+    (spark, dir) => {
+      // span strings never leave the map side: the df aggregate and the
+      // join back both key on xxhash64(span) — an 8-byte shuffle key
+      // instead of a ~50-char string (deterministic; a collision would
+      // merge two span types identically in every run and is excluded
+      // by the oracle compare at both test SFs). Only df ≥ 2 spans
+      // (the small minority) join back; per-doc span totals come
+      // map-side from the token count, so clean docs never shuffle.
+      val t = split(col("text"), " ")
+      val docs = Tables.documents(spark, dir)
+      val d = docs
+        .select(col("doc_id"), explode(spans(t, 5)).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      val dupSpans = d
+        .groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2)
+        .select(col("h"))
+      val dup = d
+        .join(dupSpans, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_spans"))
+      docs
+        .select(col("doc_id"), greatest(size(t) - 4, lit(0)).cast("long").as("n_spans"))
+        .filter(col("n_spans") > 0)
+        .join(dup, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          col("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          Det.rN(coalesce(col("n_dup_spans"), lit(0L)).cast("double") / col("n_spans"), 6)
+            .as("dup_ratio")
+        )
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  /** Exact substring-duplication screen (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): document pairs that
+    * share at least one EXACT 8-token n-gram, with the count of shared
+    * n-gram types as the evidence weight. The suffix-array approach of
+    * the paper is single-machine; the distributed shape is this one —
+    * shingle, then equi-join docs through the shingle key.
+    *
+    * 100 TB: the join is keyed on the shingle (never doc×doc), and the
+    * df ∈ [2, 8] candidate gate is the scale valve — an n-gram seen in
+    * more than 8 docs is template/boilerplate (dedup_span_coverage's
+    * job, not pairing evidence) and would blow the self-join up
+    * quadratically; capping df bounds per-key fanout at C(8,2) = 28
+    * pairs. Dedup at corpus scale always carries such a hot-key cap
+    * (spark.ml's MinHashLSH has the same issue uncapped — measured
+    * degenerate in round 3). */
+  val dedupNgramExact: Q = Q(
+    "dedup_ngram_exact",
+    Some(
+      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, unnest(generate_series(1, len(toks)-7)) AS pos, toks FROM t WHERE len(toks) >= 8), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(toks[pos:pos+7], ' ') AS s FROM g), " +
+        "df AS (SELECT s, count(*) AS df FROM sh GROUP BY s), " +
+        "cand AS (SELECT s FROM df WHERE df BETWEEN 2 AND 8) " +
+        "SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS n_shared " +
+        "FROM sh a JOIN cand USING (s) JOIN sh b USING (s) " +
+        "WHERE a.doc_id < b.doc_id GROUP BY 1, 2 ORDER BY ida, idb"
+    ),
+    (spark, dir) => {
+      // no self-join: ONE shuffle on the 8-byte shingle hash builds the
+      // per-shingle sorted doc set (collect_set dedups repeat positions),
+      // the df ∈ [2, 8] gate drops singletons and hot shingles, and the
+      // ≤ C(8,2) pairs per survivor are generated IN-ROW by a nested
+      // transform — the string self-join formulation costs two more
+      // exchanges and shuffles ~50-char keys for the same pair set.
+      val t = split(col("text"), " ")
+      Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), explode(spans(t, 8)).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("h"))
+        .groupBy(col("h"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, 8))
+        .select(
+          explode(
+            flatten(
+              expr("transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), y -> struct(x AS ida, y AS idb)))")
+            )
+          ).as("p")
+        )
+        .select(col("p.ida"), col("p.idb"))
+        .groupBy(col("ida"), col("idb"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("ida"), col("idb"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     dedupExact, dedupNearJaccard, dedupEmbedCosine, dedupNgramJaccard, dedupSimhash,
     dedupMinhashLsh, dedupClusters, dedupReport, dedupThresholdCurve, dedupBestOfCluster,
-    dedupContainment, dedupIncremental
+    dedupContainment, dedupIncremental, dedupSpanCoverage, dedupNgramExact
   )
 }

@@ -855,10 +855,75 @@ object TextAnalysis {
     }
   )
 
+  /** BM25 retrieval (Robertson/Spärck Jones, k1 = 1.2, b = 0.75): score
+    * every document against a fixed 4-token query, return the top 20.
+    * The lexical-retrieval baseline next to [[graft.operators.Similarity]]'s
+    * dense ANN family — a curation pipeline uses exactly this to mine
+    * topic-targeted subsets from a web corpus.
+    *
+    * Determinism: tf, df, dl, N are exact ints; avgdl is ONE division
+    * of exact longs; each per-(doc, term) score is then a fixed chain
+    * of IEEE double ops on identical inputs (bit-identical across
+    * engines — the operation ORDER is written identically in both
+    * formulations); the per-doc sum over ≤ 4 terms goes through the
+    * decimal-cast order-independent sum, trunc-rounded at 6 dp.
+    *
+    * 100 TB: tokens are pruned to the query's terms BEFORE the tf
+    * aggregate (a 4-row broadcast semi-join on the exploded stream),
+    * so the shuffled volume is per-doc×per-query-term, not the corpus
+    * vocabulary; df and (N, avgdl) are tiny aggregates broadcast back;
+    * top-20 is TakeOrderedAndProject — no global sort materialized. */
+  val textBm25Topk: Q = Q(
+    "text_bm25_topk",
+    Some(
+      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "dl AS (SELECT doc_id, len(toks) AS dl FROM t), " +
+        "stats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl), " +
+        "q AS (SELECT unnest(['spark','join','fast','window']) AS tok), " +
+        "tok AS (SELECT doc_id, unnest(toks) AS tok FROM t), " +
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok JOIN q USING (tok) GROUP BY doc_id, tok), " +
+        "df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok JOIN q USING (tok) GROUP BY tok), " +
+        "sc AS (SELECT tf.doc_id, " +
+        "ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * " +
+        "(tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score " +
+        "FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats) " +
+        "SELECT doc_id, " + Det.oRN(Det.oSum("term_score"), 6) + " AS bm25 " +
+        "FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"
+    ),
+    (spark, dir) => {
+      val queryToks = Seq("spark", "join", "fast", "window")
+      val d = Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), toks(col("text")).as("toks"))
+      val dl = d.select(col("doc_id"), size(col("toks")).as("dl"))
+      val stats = dl.agg(
+        count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")
+      )
+      val tok = d
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(queryToks: _*)) // codegen'd IN, no join needed for 4 terms
+      val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df_ = tok.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      // identical op order to the oracle: idf * (tf*2.2) / (tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+      val termScore =
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * 2.2) / (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
+      tf.join(broadcast(df_), Seq("tok"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), termScore.as("term_score"))
+        .groupBy(col("doc_id"))
+        .agg(Det.rN(Det.dsum(col("term_score")), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     textStats, textTfidfTop, textLangid, textQuality, textTokens, textFingerprint,
     textPiiRedact, reportScores, textBigramLm, textChunk, textVocab, pipelineCurate,
     textContamination, textHeavyHitters, pipelineFunnel, pipelineManifest, textEntropy,
-    pipelineCurriculum
+    pipelineCurriculum, textBm25Topk
   )
 }

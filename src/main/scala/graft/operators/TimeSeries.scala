@@ -628,7 +628,62 @@ object TimeSeries {
     }
   )
 
+  /** Robust anomaly screen: flag events whose |value − median| exceeds
+    * 3× the median-absolute-deviation of their event_type. Median/MAD
+    * are the robust location/scale pair — unlike mean ± 3σ they don't
+    * let the outliers being hunted inflate the threshold that should
+    * catch them.
+    *
+    * Determinism: both engines linear-interpolate exact percentiles
+    * over identical doubles (the agg_percentile parity result); the
+    * flag compares 6-dp trunc-ROUNDED deviation against the 6-dp
+    * trunc-rounded threshold so a last-ulp interpolation wobble cannot
+    * flip a row.
+    *
+    * 100 TB: two grouped exact percentiles (event_type keyed — low
+    * cardinality, and exact percentile shuffles only (type, value)
+    * pairs) with the tiny per-type tables broadcast back across the
+    * event stream; the flagging pass is map-side. At petabyte row
+    * counts the exact percentile is swapped for a t-digest/KLL sketch
+    * (mergeable, bounded memory) — same plan shape, sketch agg. */
+  val tsAnomalyMad: Q = Q(
+    "ts_anomaly_mad",
+    Some(
+      "WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type), " +
+        "dev AS (SELECT e.event_id, e.event_type, e.value, abs(e.value - m.med) AS dev " +
+        "FROM events e JOIN med m USING (event_type)), " +
+        "mads AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY event_type) " +
+        "SELECT d.event_id, d.event_type, " +
+        Det.oRS("d.value", 6) + " AS value, " + Det.oRN("d.dev", 6) + " AS dev " +
+        "FROM dev d JOIN mads m USING (event_type) " +
+        "WHERE " + Det.oRN("d.dev", 6) + " > " + Det.oRN("3.0 * m.mad", 6) + " " +
+        "ORDER BY d.event_id"
+    ),
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir).select(col("event_id"), col("event_type"), col("value"))
+      val med = ev
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = ev
+        .join(broadcast(med), Seq("event_type"))
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mads = dev
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev
+        .join(broadcast(mads), Seq("event_type"))
+        .filter(Det.rN(col("dev"), 6) > Det.rN(lit(3.0) * col("mad"), 6))
+        .select(
+          col("event_id"),
+          col("event_type"),
+          Det.rS(col("value"), 6).as("value"),
+          Det.rN(col("dev"), 6).as("dev")
+        )
+        .orderBy(col("event_id"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(tsTumbling1h, tsSliding15m5m, tsSession30m, tsSessionWindowBatch,
     tsFillForward, tsResampleHourly, tsEwma, tsInterpolate, tsAttribution, tsAutocorr,
-    tsChangepoint, tsSeasonalProfile, tsDownsampleM4)
+    tsChangepoint, tsSeasonalProfile, tsDownsampleM4, tsAnomalyMad)
 }

@@ -78,6 +78,50 @@ class DedupSpec extends SparkSuite {
       assert(hamNear <= 30, s"near-dup hamming $hamNear")
     }
   }
+  test("span coverage: bounds hold and n_spans matches token count per doc") {
+    val rows = operators.Dedup.dedupSpanCoverage.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nToks = Tables
+      .documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    for (r <- rows) {
+      val (doc, nSpans, nDup, ratio) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nSpans == math.max(nToks(doc) - 4, 0).toLong, s"doc $doc span count")
+      assert(nDup >= 0 && nDup <= nSpans, s"doc $doc dup bound")
+      assert(ratio >= 0.0 && ratio <= 1.0, s"doc $doc ratio $ratio")
+    }
+    assert(rows.exists(_.getLong(2) > 0), "no duplicated spans found in the fixture")
+  }
+
+  test("exact 8-gram pairs share exactly n_shared distinct 8-grams (driver recheck)") {
+    def shingles(text: String): Set[String] = {
+      val t = text.split(" ")
+      if (t.length < 8) Set.empty
+      else (0 to t.length - 8).map(i => t.slice(i, i + 8).mkString(" ")).toSet
+    }
+    val texts = Tables
+      .documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> shingles(r.getString(1)))
+      .toMap
+    // the df <= 8 candidate cap: shingles in > 8 docs carry no pair evidence
+    val hot = texts.values.toSeq.flatten
+      .groupBy(identity).collect { case (s, occ) if occ.size > 8 => s }.toSet
+    val pairs = operators.Dedup.dedupNgramExact.run(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    for (r <- pairs) {
+      val (ida, idb, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(ida < idb)
+      val shared = (texts(ida) & texts(idb)) -- hot
+      assert(shared.size.toLong == n, s"pair ($ida,$idb): ${shared.size} vs $n")
+      assert(n >= 1)
+    }
+  }
+
   test("cluster labels are consistent: edges intra-cluster, survivors minimal") {
     val labels = operators.Dedup.dedupClusters.run(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

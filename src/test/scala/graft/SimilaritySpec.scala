@@ -95,4 +95,41 @@ class SimilaritySpec extends SparkSuite {
     // the 16-dim prefix is deterministic, measured 0.468 on this fixture
     assert(recall >= 0.4, s"prefix-cascade recall@10 too low: $recall")
   }
+
+  test("bm25 top-k matches a driver-side recomputation of the full ranking") {
+    import org.apache.spark.sql.functions.col
+    val query = Seq("spark", "join", "fast", "window")
+    val docs = Tables
+      .documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val n = docs.length
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n
+    val df = query.map(t => t -> docs.count(_._2.contains(t))).toMap
+    val scores = docs.map { case (id, toks) =>
+      val score = query.map { t =>
+        val tf = toks.count(_ == t)
+        if (tf == 0) 0.0
+        else
+          math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0) *
+            (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * toks.length / avgdl))
+      }.sum
+      (id, score)
+    }
+    val expectedScore = scores.toMap
+    val expected = scores.filter(_._2 > 0).sortBy { case (id, s) => (-s, id) }.take(20)
+    val got = operators.TextAnalysis.textBm25Topk.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == math.min(20, expected.length))
+    // returned list is score-descending and each score matches the recompute
+    for (Seq((_, s1), (_, s2)) <- got.toSeq.sliding(2)) assert(s1 >= s2 - 1e-9)
+    for ((gid, gs) <- got) {
+      val es = expectedScore.getOrElse(gid, 0.0)
+      assert(math.abs(es - gs) < 1e-4, s"doc $gid score $es vs $gs")
+    }
+    // the sets agree except possibly at 6-dp rounding ties on the cut line
+    val overlap = (expected.map(_._1).toSet & got.map(_._1).toSet).size
+    assert(overlap >= got.length - 2, s"top-20 overlap only $overlap")
+  }
 }
