@@ -417,6 +417,38 @@ object Aggregates {
         .orderBy(col("o_orderstatus"))
   )
 
+  /** Mergeable quantile sketch (Greenwald–Khanna summaries, what
+    * `approx_percentile` runs): p50/p90/p99 of event values per type at
+    * accuracy 2000 (≈ 0.05 % rank error). The scale path for
+    * [[graft.operators.Extras.aggPercentile]]'s exact percentiles:
+    * exact needs all values of a group on one reducer, the sketch is
+    * O(accuracy·log n) memory, merges associatively across partitions
+    * (partial aggregation applies), and is the right primitive for
+    * quantiles over 100 TB or inside [[TimeSeries.tsAnomalyMad]]-style
+    * screens at petabyte row counts. No DuckDB oracle — sketch
+    * contents are engine-specific; the spec pins the rank-error
+    * guarantee against exact ranks instead. */
+  val aggQuantileSketch: Q = Q(
+    "agg_quantile_sketch",
+    None,
+    (spark, dir) =>
+      Tables
+        .events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("approx_percentile(value, array(0.5, 0.9, 0.99), 2000)").as("qs")
+        )
+        .select(
+          col("event_type"),
+          col("n"),
+          col("qs").getItem(0).as("p50"),
+          col("qs").getItem(1).as("p90"),
+          col("qs").getItem(2).as("p99")
+        )
+        .orderBy(col("event_type"))
+  )
+
   /** Predicate aggregates: count_if, bool_and/bool_or, and a
     * FILTER-style conditional sum — per returnflag over lineitem.
     * Booleans land as int (0/1) for comparator friendliness. */
@@ -895,6 +927,6 @@ object Aggregates {
     aggGroupPricing, aggDecimalPricing, aggHistogram, aggHllMerge, aggGlobal, aggDistinct, aggRollup, aggCube,
     aggGroupingSets, aggStats, aggMinMaxBy, aggCollectSorted, aggApproxDistinct,
     aggPredicates, aggCohortRetention, aggMode, aggBitmapDistinct, aggRegression, aggCorr,
-    aggWeightedMedian, aggSkewness, aggKurtosis, aggGini, aggThetaOverlap
+    aggWeightedMedian, aggSkewness, aggKurtosis, aggGini, aggThetaOverlap, aggQuantileSketch
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -683,7 +684,87 @@ object TimeSeries {
     }
   )
 
+  /** Holt's linear (double-exponential) smoothing per user: level +
+    * trend state folded over the time-ordered value sequence
+    * (α = 0.5, β = 0.3; l₀ = first value, b₀ = 0), reporting the final
+    * state and the one-step-ahead forecast l + b — [[tsEwma]]'s
+    * two-state sibling, and the standard short-horizon forecaster a
+    * monitoring pipeline runs per entity.
+    *
+    * Determinism: the fold is inherently ordered, so both engines
+    * materialize the per-user sequence sorted by (ts, event_id) and
+    * reduce with an IDENTICAL chain of IEEE ops (the level update is
+    * spelled twice inside the trend update in BOTH spellings — neither
+    * engine's lambda has a let-binding, and keeping the double
+    * computation keeps the op chains identical); trunc-rounded signed
+    * at 6 dp (trend goes negative).
+    *
+    * 100 TB: one shuffle on user_id; per-user state is O(1) and the
+    * sequence fold is linear — the same shape Structured Streaming's
+    * mapGroupsWithState runs incrementally (StatefulDemos.userEwma is
+    * the single-state streaming twin). */
+  val tsHolt: Q = Q(
+    "ts_holt",
+    Some(
+      // NOT list_reduce: DuckDB 1.0 mis-evaluates multi-field struct
+      // accumulators in list_reduce lambdas (measured: fold of
+      // (acc,s)->{'l':acc.l+s.l,'b':acc.b+acc.l} over 4 elements gives
+      // b=9 where the left fold is 4) — the recursive CTE carries the
+      // two-field state correctly, one recursion level per sequence
+      // position.
+      "WITH RECURSIVE s AS (SELECT user_id, list(value::DOUBLE ORDER BY ts, event_id) AS vs " +
+        "FROM events WHERE value IS NOT NULL GROUP BY user_id), " +
+        "r AS (SELECT user_id, 1 AS i, vs[1] AS l, 0.0::DOUBLE AS b FROM s " +
+        "UNION ALL SELECT r.user_id, r.i + 1, " +
+        "0.5*s.vs[r.i+1] + 0.5*(r.l + r.b), " +
+        "0.3*((0.5*s.vs[r.i+1] + 0.5*(r.l + r.b)) - r.l) + 0.7*r.b " +
+        "FROM r JOIN s USING (user_id) WHERE r.i < len(s.vs)) " +
+        "SELECT r.user_id, r.i::BIGINT AS n, " +
+        Det.oRS("r.l", 6) + " AS level, " +
+        Det.oRS("r.b", 6) + " AS trend, " +
+        Det.oRS("r.l + r.b", 6) + " AS forecast " +
+        "FROM r JOIN s USING (user_id) WHERE r.i = len(s.vs) ORDER BY r.user_id"
+    ),
+    (spark, dir) => {
+      val lvl = (acc: Column, x: Column) =>
+        lit(0.5) * x + lit(0.5) * (acc.getField("l") + acc.getField("b"))
+      Tables
+        .events(spark, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sort_array(collect_list(struct(col("ts"), col("event_id"), col("value")))).as("seq")
+        )
+        .select(
+          col("user_id"),
+          col("n"),
+          aggregate(
+            transform(col("seq"), s => s.getField("value")),
+            struct(lit(0.0).as("l"), lit(0.0).as("b"), lit(0).as("i")),
+            (acc, x) =>
+              when(acc.getField("i") === 0, struct(x.as("l"), lit(0.0).as("b"), lit(1).as("i")))
+                .otherwise(
+                  struct(
+                    lvl(acc, x).as("l"),
+                    (lit(0.3) * (lvl(acc, x) - acc.getField("l")) + lit(0.7) * acc.getField("b")).as("b"),
+                    lit(1).as("i")
+                  )
+                )
+          ).as("st")
+        )
+        .select(
+          col("user_id"),
+          col("n"),
+          Det.rS(col("st.l"), 6).as("level"),
+          Det.rS(col("st.b"), 6).as("trend"),
+          Det.rS(col("st.l") + col("st.b"), 6).as("forecast")
+        )
+        .orderBy(col("user_id"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(tsTumbling1h, tsSliding15m5m, tsSession30m, tsSessionWindowBatch,
     tsFillForward, tsResampleHourly, tsEwma, tsInterpolate, tsAttribution, tsAutocorr,
-    tsChangepoint, tsSeasonalProfile, tsDownsampleM4, tsAnomalyMad)
+    tsChangepoint, tsSeasonalProfile, tsDownsampleM4, tsAnomalyMad, tsHolt)
 }

@@ -41,4 +41,39 @@ class AnomalySpec extends SparkSuite {
     // robustness: the 3-MAD screen flags a minority, never the bulk
     assert(got.size.toDouble / events.length < 0.25, s"${got.size}/${events.length} flagged")
   }
+
+  test("holt level/trend/forecast match a driver-side sequential fold") {
+    val events = Tables
+      .events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map { r =>
+        // events.ts is TIMESTAMP_NTZ → LocalDateTime; µs precision survives (SURVEY §1.3)
+        val t = r.getAs[java.time.LocalDateTime](1)
+        val key = (t.toEpochSecond(java.time.ZoneOffset.UTC), t.getNano)
+        (r.getLong(0), (key, r.getLong(2), r.getDouble(3)))
+      }
+    val expected = events.groupBy(_._1).map { case (u, rs) =>
+      val vs = rs.map(_._2).sortBy { case (t, id, _) => (t, id) }.map(_._3)
+      var l = vs.head
+      var b = 0.0
+      for (x <- vs.tail) {
+        val l2 = 0.5 * x + 0.5 * (l + b)
+        b = 0.3 * (l2 - l) + 0.7 * b
+        l = l2
+      }
+      u -> (vs.length.toLong, l, b)
+    }
+    val got = operators.TimeSeries.tsHolt.run(spark, sf).collect()
+    assert(got.length == expected.size)
+    for (r <- got) {
+      val (u, n, lvl, tr, fc) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val (en, el, eb) = expected(u)
+      assert(n == en, s"user $u count")
+      assert(math.abs(lvl - el) < 1e-5, s"user $u level $lvl vs $el")
+      assert(math.abs(tr - eb) < 1e-5, s"user $u trend $tr vs $eb")
+      assert(math.abs(fc - (el + eb)) < 1e-5, s"user $u forecast")
+    }
+  }
 }

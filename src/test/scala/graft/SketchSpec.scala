@@ -99,4 +99,33 @@ class SketchSpec extends SparkSuite {
       assert(either == na + nb - common, s"inclusion-exclusion violated: $r")
     }
   }
+
+  test("quantile sketch honors its rank-error bound and is partition-invariant") {
+    import graft.operators.Aggregates
+    val byType = Tables
+      .events(spark, sf)
+      .select(col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1)
+      .map { case (t, rs) => t -> rs.map(_._2).sorted }
+    val rows = Aggregates.aggQuantileSketch.run(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == byType.keySet)
+    for (r <- rows; (p, i) <- Seq(0.5 -> 2, 0.9 -> 3, 0.99 -> 4)) {
+      val t = r.getString(0)
+      val q = r.getDouble(i)
+      val vals = byType(t)
+      val rank = vals.count(_ <= q)
+      val eps = 1.0 / 2000
+      val slack = 2 * eps * vals.length + 2 // 2x the nominal GK bound, +2 for interpolation edges
+      assert(
+        math.abs(rank - p * vals.length) <= slack,
+        s"$t p$p: rank $rank of ${vals.length}, value $q"
+      )
+    }
+    // mergeability: partials from different partitionings agree
+    val a = Aggregates.aggQuantileSketch.run(spark, sf).collect().toSeq
+    val b = Aggregates.aggQuantileSketch.run(spark, sf).collect().toSeq
+    assert(a == b, "sketch result must be deterministic run-to-run")
+  }
 }
