@@ -920,10 +920,88 @@ object TextAnalysis {
     }
   )
 
+  /** Held-out language-model evaluation — the eval discipline
+    * [[textBigramLm]] lacks: an add-1-smoothed bigram LM is TRAINED on
+    * the ~90 % md5-bucket split (the same split contract as
+    * `sample_train_test_split` / `ml_naive_bayes`) and scored on the
+    * held-out 10 % as per-doc cross-entropy
+    * −(Σ ln p̂(w₂|w₁))/n — log-perplexity, the number a curation
+    * pipeline tracks to compare corpus slices against a reference
+    * model. Unseen history (c₁ = 0) degrades to the uniform 1/V via
+    * the same smoothing formula, no special case.
+    *
+    * Determinism: counts and V are exact ints; each ln() input is ONE
+    * division of identical doubles; the per-doc sum is decimal-exact;
+    * ce is one division rounded at 6 dp (ln precedent:
+    * [[textTfidfTop]]/[[textBigramLm]]).
+    *
+    * 100 TB: the model tables (bigram counts, history counts, scalar
+    * V) are vocab²-bounded and broadcast; the test stream is scored in
+    * one pass — train and score are each a single grouped aggregate. */
+  val textPerplexity: Q = Q(
+    "text_perplexity",
+    Some {
+      val h = Sampling.oHkey("doc_id")
+      val bgs = "list_filter(list_transform(" +
+        "list_zip(string_split(text, ' '), string_split(text, ' ')[2:]), " +
+        "x -> x[1] || ' ' || x[2]), v -> v IS NOT NULL)"
+      "WITH sp AS (SELECT doc_id, lang, text, " + h + " % 10 = 0 AS is_test FROM documents), " +
+        "tre AS (SELECT unnest(" + bgs + ") AS bg FROM sp WHERE NOT is_test), " +
+        "c2 AS (SELECT bg, count(*)::BIGINT AS c2 FROM tre GROUP BY bg), " +
+        "c1 AS (SELECT string_split(bg, ' ')[1] AS w1, count(*)::BIGINT AS c1 FROM tre GROUP BY 1), " +
+        "voc AS (SELECT count(DISTINCT tok)::BIGINT AS v FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS tok FROM sp WHERE NOT is_test)), " +
+        "tee AS (SELECT doc_id, lang, unnest(" + bgs + ") AS bg FROM sp WHERE is_test), " +
+        "lp AS (SELECT tee.doc_id, tee.lang, " +
+        "ln((coalesce(c2.c2, 0) + 1)::DOUBLE / (coalesce(c1.c1, 0) + voc.v)) AS lp " +
+        "FROM tee LEFT JOIN c2 USING (bg) " +
+        "LEFT JOIN c1 ON string_split(tee.bg, ' ')[1] = c1.w1 CROSS JOIN voc) " +
+        "SELECT doc_id, lang, count(*) AS n_bigrams, " +
+        Det.oRN("-(" + Det.oSum("lp") + ") / count(*)", 6) + " AS ce " +
+        "FROM lp GROUP BY doc_id, lang ORDER BY doc_id"
+    },
+    (spark, dir) => {
+      val t = split(col("text"), " ")
+      val bgCol = filter(
+        zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))), (x, y) => concat(x, lit(" "), y)),
+        v => v.isNotNull
+      )
+      val docs = Tables.documents(spark, dir)
+      val isTest = Sampling.hkey(col("doc_id")) % 10 === 0
+      val tre = docs.filter(!isTest).select(explode(bgCol).as("bg"))
+      val c2 = tre.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      val c1 = tre
+        .select(split(col("bg"), " ").getItem(0).as("w1"))
+        .groupBy(col("w1"))
+        .agg(count(lit(1)).as("c1"))
+      val voc = docs
+        .filter(!isTest)
+        .select(explode(t).as("tok"))
+        .agg(countDistinct(col("tok")).as("v"))
+      docs
+        .filter(isTest)
+        .select(col("doc_id"), col("lang"), explode(bgCol).as("bg"))
+        .join(broadcast(c2), Seq("bg"), "left")
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .join(broadcast(c1), Seq("w1"), "left")
+        .crossJoin(broadcast(voc))
+        .withColumn(
+          "lp",
+          log((coalesce(col("c2"), lit(0L)) + 1).cast("double") / (coalesce(col("c1"), lit(0L)) + col("v")))
+        )
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          Det.rN(-Det.dsum(col("lp")) / count(lit(1)), 6).as("ce")
+        )
+        .orderBy(col("doc_id"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     textStats, textTfidfTop, textLangid, textQuality, textTokens, textFingerprint,
     textPiiRedact, reportScores, textBigramLm, textChunk, textVocab, pipelineCurate,
     textContamination, textHeavyHitters, pipelineFunnel, pipelineManifest, textEntropy,
-    pipelineCurriculum, textBm25Topk
+    pipelineCurriculum, textBm25Topk, textPerplexity
   )
 }
