@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.graftx.{GraftFunctions, TopKPerGroupStrategy, WindowTopKRewrite}
+import org.apache.spark.sql.graftx.{AsOfJoinStrategy, GraftFunctions, TopKPerGroupStrategy, WindowTopKRewrite}
 
 /** Session-extension entry point for cluster deployments:
   *
@@ -18,6 +18,7 @@ import org.apache.spark.sql.graftx.{GraftFunctions, TopKPerGroupStrategy, Window
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => WindowTopKRewrite)
     GraftFunctions.functions.foreach(ext.injectFunction)
   }

@@ -492,9 +492,49 @@ object Joins {
     }
   )
 
+  /** The backward as-of again, through the engine's NATIVE merge
+    * operator ([[org.apache.spark.sql.graftx.AsOfJoinNative]]:
+    * LogicalPlan + Strategy + co-partitioned ordered-merge SparkPlan)
+    * instead of [[asOf]]'s union-window trick. Same oracle, same
+    * result — AsOfSpec asserts row equality between the two
+    * formulations and the plan shape (no Window, an AsOfJoinMerge
+    * node, one exchange per side). The union-window form shuffles
+    * |purchases| + |clicks| rows in a padded union schema and sorts
+    * them together; the native form shuffles each side once in its own
+    * schema and resolves matches with an O(n + m) forward merge
+    * holding one candidate row — at 100 TB that halves the shuffled
+    * bytes and removes the post-union filter. */
+  val asOfNative: Q = Q(
+    "join_asof_native",
+    Some(
+      "SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND p.ts >= c.ts " +
+        "ORDER BY p.event_id"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.graftx.AsOfJoinNative
+      val ev = Tables
+        .events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      AsOfJoinNative(
+        purchases, clicks,
+        keyCol = "user_id", leftTimeCol = "ts", rightTimeCol = "ts",
+        carried = Seq("last_click_ts" -> "ts")
+      )
+        .select(col("event_id"), col("user_id"), col("ts"), col("last_click_ts"))
+        .orderBy(col("event_id"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     innerHash, broadcastDims, leftOuter, fullOuter, leftSemi, leftAnti,
     crossSmall, thetaRange, intervalOverlap, asOf, asOfForward, asOfNearest, skewSalted,
-    nullSafeEq
+    nullSafeEq, asOfNative
   )
 }

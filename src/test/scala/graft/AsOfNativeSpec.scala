@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.AsOfJoinNative
+
+/** The native ordered-merge as-of operator: equality with the
+  * union-window formulation, plan shape, partition invariance, and the
+  * self-join aliasing path.
+  */
+class AsOfNativeSpec extends SparkSuite {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Any, Any)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.get(2), r.get(3))).toSeq
+
+  test("native as-of equals the union-window formulation row for row") {
+    val native = rows(operators.Joins.asOfNative.run(spark, sf))
+    val window = rows(operators.Joins.asOf.run(spark, sf))
+    assert(native.nonEmpty)
+    assert(native == window)
+  }
+
+  test("plan: AsOfJoinMerge node, no Window, both sides exchanged once") {
+    val df = operators.Joins.asOfNative.run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoinMerge"), plan.take(2000))
+    assert(!plan.contains("Window"), "native form must not fall back to a window")
+    // one shuffle per side for the co-partitioning, and nothing else
+    // between the scans and the merge
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges >= 2, s"expected co-partitioning exchanges, got $exchanges\n${plan.take(2000)}")
+  }
+
+  test("result is invariant to input partitioning") {
+    val ev = Tables
+      .events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    def run(p: Int): Seq[(Long, Long, Any, Any)] = {
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .repartition(p)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .repartition(p + 1)
+        .select(col("user_id"), col("ts"))
+      rows(
+        AsOfJoinNative(purchases, clicks, "user_id", "ts", "ts", Seq("last_click_ts" -> "ts"))
+          .orderBy(col("event_id"))
+          .select(col("event_id"), col("user_id"), col("ts"), col("last_click_ts"))
+      )
+    }
+    assert(run(1) == run(7))
+  }
+
+  test("unmatched left rows carry nulls; matches never post-date the left time") {
+    val out = operators.Joins.asOfNative.run(spark, sf).collect()
+    val matched = out.filter(!_.isNullAt(3))
+    assert(matched.nonEmpty, "fixture has no click-before-purchase pairs")
+    for (r <- matched) {
+      val lt = r.getAs[java.time.LocalDateTime](2)
+      val ct = r.getAs[java.time.LocalDateTime](3)
+      assert(!ct.isAfter(lt), s"match post-dates purchase: $r")
+    }
+    // users with no clicks at all must still appear, with null
+    val users = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "click", 1).otherwise(0)).as("clicks"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purch"))
+      .filter(col("clicks") === 0 && col("purch") > 0)
+      .collect().map(_.getLong(0)).toSet
+    if (users.nonEmpty) {
+      val byUser = out.filter(r => users.contains(r.getLong(1)))
+      assert(byUser.nonEmpty && byUser.forall(_.isNullAt(3)))
+    }
+  }
+}
