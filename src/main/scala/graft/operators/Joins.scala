@@ -532,9 +532,43 @@ object Joins {
     }
   )
 
+  /** Forward direction through the same native operator — proof the
+    * merge generalizes: "earliest at-or-after" is the identical scan
+    * over time-REVERSED streams (sort descending, flip the
+    * comparator), so the exec node parameterizes direction instead of
+    * duplicating the algorithm. Twin of [[asOfForward]], same oracle. */
+  val asOfNativeForward: Q = Q(
+    "join_asof_native_fwd",
+    Some(
+      "SELECT p.event_id, p.user_id, p.ts, c.ts AS next_click_ts " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND p.ts <= c.ts " +
+        "ORDER BY p.event_id"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.graftx.AsOfJoinNative
+      val ev = Tables
+        .events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      AsOfJoinNative(
+        purchases, clicks,
+        keyCol = "user_id", leftTimeCol = "ts", rightTimeCol = "ts",
+        carried = Seq("next_click_ts" -> "ts"),
+        forward = true
+      )
+        .select(col("event_id"), col("user_id"), col("ts"), col("next_click_ts"))
+        .orderBy(col("event_id"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     innerHash, broadcastDims, leftOuter, fullOuter, leftSemi, leftAnti,
     crossSmall, thetaRange, intervalOverlap, asOf, asOfForward, asOfNearest, skewSalted,
-    nullSafeEq, asOfNative
+    nullSafeEq, asOfNative, asOfNativeForward
   )
 }

@@ -6,8 +6,8 @@ package org.apache.spark.sql.graftx
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, Expression,
-  GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection
+  Alias, Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, Descending,
+  Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection
 }
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
@@ -46,7 +46,8 @@ case class AsOfJoinNode(
     leftTime: Expression,
     rightTime: Expression,
     matched: Seq[AttributeReference],
-    rightValues: Seq[Expression]
+    rightValues: Seq[Expression],
+    forward: Boolean
 ) extends BinaryNode {
   require(matched.length == rightValues.length, "matched/rightValues must be parallel")
   override def output: Seq[Attribute] = left.output ++ matched
@@ -76,6 +77,7 @@ case class AsOfJoinExec(
     rightTime: Expression,
     matched: Seq[AttributeReference],
     rightValues: Seq[Expression],
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan
 ) extends BinaryExecNode {
@@ -87,10 +89,16 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
 
+  // forward direction ("earliest at-or-after") is the SAME merge on
+  // time-REVERSED streams: sort time descending and flip the time
+  // comparator — the last right row consumed at-or-"before" in
+  // reversed order is the smallest rt >= lt
+  private def timeDir = if (forward) Descending else Ascending
+
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(
-      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending))
+      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, timeDir)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, timeDir))
     )
 
   // the merge emits left rows in their incoming order
@@ -125,6 +133,9 @@ case class AsOfJoinExec(
     val matchedRows = longMetric("numMatched")
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    // backward: consume right while rt <= lt; forward (time-reversed
+    // streams): consume while rt >= lt — one sign flip
+    val dirSign = if (forward) -1 else 1
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       val matchedProj = UnsafeProjection.create(rVals, rOut)
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
@@ -148,7 +159,7 @@ case class AsOfJoinExec(
             else {
               val kc = keyOrd.compare(rkv, lkv)
               if (kc < 0) { rBuf.next(); cand = null; candKey = null }
-              else if (kc == 0 && timeOrd.compare(rtv, ltv) <= 0) {
+              else if (kc == 0 && dirSign * timeOrd.compare(rtv, ltv) <= 0) {
                 cand = matchedProj(rBuf.next()).copy()
                 candKey = rkv
               } else advance = false
@@ -170,7 +181,7 @@ object AsOfJoinStrategy extends SparkStrategy {
     case n: AsOfJoinNode =>
       AsOfJoinExec(
         n.leftKey, n.rightKey, n.leftTime, n.rightTime,
-        n.matched, n.rightValues,
+        n.matched, n.rightValues, n.forward,
         planLater(n.left), planLater(n.right)
       ) :: Nil
     case _ => Nil
@@ -204,7 +215,8 @@ object AsOfJoinNative {
       keyCol: String,
       leftTimeCol: String,
       rightTimeCol: String,
-      carried: Seq[(String, String)]
+      carried: Seq[(String, String)],
+      forward: Boolean = false
   ): DataFrame = {
     val cdf = left.asInstanceOf[ClassicDataset[Row]]
     val spark = cdf.sparkSession
@@ -239,7 +251,8 @@ object AsOfJoinNative {
       attr(lp, leftTimeCol),
       rTimeAlias.toAttribute,
       matched,
-      carryAliases.map(_.toAttribute)
+      carryAliases.map(_.toAttribute),
+      forward
     )
     ClassicDataset.ofRows(spark, node)
   }

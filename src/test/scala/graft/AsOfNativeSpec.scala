@@ -19,6 +19,13 @@ class AsOfNativeSpec extends SparkSuite {
     assert(native == window)
   }
 
+  test("forward direction equals the forward union-window formulation") {
+    val native = rows(operators.Joins.asOfNativeForward.run(spark, sf))
+    val window = rows(operators.Joins.asOfForward.run(spark, sf))
+    assert(native.nonEmpty)
+    assert(native == window)
+  }
+
   test("plan: AsOfJoinMerge node, no Window, both sides exchanged once") {
     val df = operators.Joins.asOfNative.run(spark, sf)
     df.collect()
