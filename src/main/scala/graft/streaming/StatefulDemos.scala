@@ -124,6 +124,46 @@ object StatefulDemos {
       }
   }
 
+  /** Emitted enriched purchase. */
+  case class AsOfEnriched(event_id: Long, user_id: Long, ts_us: Long, last_click_us: Option[Long])
+  // not `private`: the state encoder's generated code needs public access
+  case class LastClick(us: Long)
+
+  /** Streaming as-of enrichment — the INCREMENTAL form of the backward
+    * as-of join (batch twins: `join_asof`'s union-window and
+    * `join_asof_native`'s ordered merge): every purchase is stamped
+    * with the user's latest click at-or-before it, from ONE long of
+    * state per user. Within a micro-batch rows fold in
+    * (time, click-before-purchase, event_id) order, so an equal-time
+    * click is visible to its purchase — the same inclusive tie rule as
+    * DuckDB `ASOF ... ON p.ts >= c.ts` and both batch forms; on a
+    * time-ordered source the emitted set equals the batch join exactly
+    * (StatefulSpec). At 100 TB this is the enrichment shape that
+    * replaces re-joining the full click history every batch: state is
+    * O(users) — add a `GroupStateTimeout` TTL to evict idle users when
+    * the key space is unbounded. */
+  def lastClickEnrich(spark: SparkSession, events: DataFrame): Dataset[AsOfEnriched] = {
+    import spark.implicits._
+    events
+      .filter(col("event_type").isin("click", "purchase"))
+      .selectExpr("user_id", "unix_micros(cast(ts as timestamp)) AS tu", "event_id", "event_type")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)], state: GroupState[LastClick]) =>
+          var last = state.getOption.map(_.us)
+          val out = Seq.newBuilder[AsOfEnriched]
+          rows.toSeq
+            .sortBy(r => (r._2, if (r._4 == "click") 0 else 1, r._3))
+            .foreach { r =>
+              if (r._4 == "click") last = Some(r._2)
+              else out += AsOfEnriched(r._3, user, r._2, last)
+            }
+          last.foreach(us => state.update(LastClick(us)))
+          out.result().iterator
+      }
+  }
+
   def userTotals(spark: SparkSession, events: DataFrame): Dataset[UserAgg] = {
     import spark.implicits._
     events

@@ -152,4 +152,40 @@ class StatefulSpec extends SparkSuite {
     assert(mustEmit.subsetOf(got), s"${(mustEmit -- got).size} expected sessions missing")
     assert((got -- mustEmit -- mayEmit).isEmpty, s"${(got -- mustEmit -- mayEmit).size} unexpected emissions")
   }
+
+  test("streaming as-of enrichment equals the batch as-of join") {
+    val tmp = Files.createTempDirectory("graft_asof_stream").toString + "/in"
+    val ev = Tables
+      .events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"))
+    ev.coalesce(1).write.mode("overwrite").parquet(tmp) // ONE file = ONE batch
+    val stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(tmp)
+    val q = streaming.StatefulDemos
+      .lastClickEnrich(spark, stream)
+      .writeStream
+      .format("memory")
+      .queryName("t_asof")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("t_asof").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toSet
+    val batch = operators.Joins.asOf.run(spark, sf).collect()
+      .map { r =>
+        def us(i: Int): Option[Long] =
+          if (r.isNullAt(i)) None
+          else {
+            val t = r.getAs[java.time.LocalDateTime](i)
+            Some(t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L)
+          }
+        (r.getLong(0), r.getLong(1), us(2).get, us(3))
+      }
+      .toSet
+    assert(got.nonEmpty && got == batch,
+      s"${(got diff batch).size} extra, ${(batch diff got).size} missing")
+  }
 }
