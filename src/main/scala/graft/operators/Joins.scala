@@ -566,9 +566,69 @@ object Joins {
     }
   )
 
+  /** Nearest-click as-of by CHAINING the two native directions: the
+    * backward join's output (already hash-partitioned on user_id) is
+    * the forward join's left input, so EnsureRequirements reuses the
+    * exchange — the chain costs one extra right-side shuffle and a
+    * per-partition re-sort, never a second left shuffle. The per-row
+    * CASE picks the closer timestamp (ties to the backward match, like
+    * [[asOfNearest]]). Same oracle as the window formulation. */
+  val asOfNativeNearest: Q = Q(
+    "join_asof_native_nearest",
+    Some(
+      "WITH ev AS (SELECT event_id, user_id, ts, event_type FROM events " +
+        "WHERE event_type IN ('click', 'purchase')), " +
+        "t AS (SELECT *, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tb_, " +
+        "CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tf_ FROM ev), " +
+        "w AS (SELECT *, " +
+        "last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, tb_, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts, " +
+        "first_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, tf_, event_id " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts FROM t) " +
+        "SELECT event_id, user_id, ts, " +
+        "CASE WHEN prev_ts IS NULL THEN next_ts WHEN next_ts IS NULL THEN prev_ts " +
+        "WHEN epoch_us(ts) - epoch_us(prev_ts) <= epoch_us(next_ts) - epoch_us(ts) " +
+        "THEN prev_ts ELSE next_ts END AS nearest_click_ts " +
+        "FROM w WHERE event_type = 'purchase' ORDER BY event_id"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.graftx.AsOfJoinNative
+      val ev = Tables
+        .events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      val back = AsOfJoinNative(
+        purchases, clicks, "user_id", "ts", "ts", Seq("prev_ts" -> "ts"))
+      val both = AsOfJoinNative(
+        back, clicks, "user_id", "ts", "ts", Seq("next_ts" -> "ts"), forward = true)
+      def us(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        unix_micros(c.cast("timestamp"))
+      both
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("ts"),
+          when(col("prev_ts").isNull, col("next_ts"))
+            .when(col("next_ts").isNull, col("prev_ts"))
+            .when(
+              us(col("ts")) - us(col("prev_ts")) <= us(col("next_ts")) - us(col("ts")),
+              col("prev_ts")
+            )
+            .otherwise(col("next_ts"))
+            .as("nearest_click_ts")
+        )
+        .orderBy(col("event_id"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     innerHash, broadcastDims, leftOuter, fullOuter, leftSemi, leftAnti,
     crossSmall, thetaRange, intervalOverlap, asOf, asOfForward, asOfNearest, skewSalted,
-    nullSafeEq, asOfNative, asOfNativeForward
+    nullSafeEq, asOfNative, asOfNativeForward, asOfNativeNearest
   )
 }

@@ -38,6 +38,29 @@ class AsOfNativeSpec extends SparkSuite {
     assert(exchanges >= 2, s"expected co-partitioning exchanges, got $exchanges\n${plan.take(2000)}")
   }
 
+  test("chained nearest equals the window formulation and reuses the left exchange") {
+    val native = rows(operators.Joins.asOfNativeNearest.run(spark, sf))
+    val window = rows(operators.Joins.asOfNearest.run(spark, sf))
+    assert(native.nonEmpty && native == window)
+    val df = operators.Joins.asOfNativeNearest.run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the chain shuffles exactly twice: purchases once (the second
+    // join's left side reuses the first join's partitioning — only a
+    // direction re-sort between the merges) and clicks once (both
+    // directions need the same hash exchange, so the second is a
+    // ReusedExchange with its own per-direction sort downstream).
+    // (the AQE string appends the pre-execution "== Initial Plan ==",
+    // whose exchanges carry different plan ids — inspect the final
+    // section only)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = """Exchange hashpartitioning[^\n]*plan_id=(\d+)""".r
+      .findAllMatchIn(finalPlan).map(_.group(1)).toSet
+    assert(exchanges.size == 2,
+      s"chain should shuffle each input once: ${exchanges.size} hash exchanges\n${finalPlan.take(3000)}")
+    assert(finalPlan.contains("ReusedExchange"), "clicks exchange should be shared across directions")
+  }
+
   test("result is invariant to input partitioning") {
     val ev = Tables
       .events(spark, sf)
