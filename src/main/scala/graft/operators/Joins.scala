@@ -626,9 +626,46 @@ object Joins {
     }
   )
 
+  /** Tolerance-bounded as-of through the native operator: the latest
+    * click still loses if it is older than 24 h — pandas
+    * `merge_asof(tolerance=...)` semantics, the knob that keeps stale
+    * context out of an enrichment. Free at execution time: the merge
+    * already holds the candidate's time, the tolerance is one extra
+    * comparison at emit. Oracle spells it as ASOF + a gap CASE. */
+  val asOfNativeTol: Q = Q(
+    "join_asof_native_tol",
+    Some(
+      "SELECT p.event_id, p.user_id, p.ts, " +
+        "CASE WHEN c.ts IS NOT NULL AND epoch_us(p.ts) - epoch_us(c.ts) <= 86400000000 " +
+        "THEN c.ts END AS recent_click_ts " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND p.ts >= c.ts " +
+        "ORDER BY p.event_id"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.graftx.AsOfJoinNative
+      val ev = Tables
+        .events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      AsOfJoinNative(
+        purchases, clicks,
+        keyCol = "user_id", leftTimeCol = "ts", rightTimeCol = "ts",
+        carried = Seq("recent_click_ts" -> "ts"),
+        toleranceUs = Some(86400000000L) // 24 h
+      )
+        .select(col("event_id"), col("user_id"), col("ts"), col("recent_click_ts"))
+        .orderBy(col("event_id"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     innerHash, broadcastDims, leftOuter, fullOuter, leftSemi, leftAnti,
     crossSmall, thetaRange, intervalOverlap, asOf, asOfForward, asOfNearest, skewSalted,
-    nullSafeEq, asOfNative, asOfNativeForward, asOfNativeNearest
+    nullSafeEq, asOfNative, asOfNativeForward, asOfNativeNearest, asOfNativeTol
   )
 }

@@ -47,7 +47,8 @@ case class AsOfJoinNode(
     rightTime: Expression,
     matched: Seq[AttributeReference],
     rightValues: Seq[Expression],
-    forward: Boolean
+    forward: Boolean,
+    toleranceUs: Option[Long]
 ) extends BinaryNode {
   require(matched.length == rightValues.length, "matched/rightValues must be parallel")
   override def output: Seq[Attribute] = left.output ++ matched
@@ -78,9 +79,16 @@ case class AsOfJoinExec(
     matched: Seq[AttributeReference],
     rightValues: Seq[Expression],
     forward: Boolean,
+    toleranceUs: Option[Long],
     left: SparkPlan,
     right: SparkPlan
 ) extends BinaryExecNode {
+  require(
+    toleranceUs.isEmpty || leftTime.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType] ||
+      leftTime.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+      leftTime.dataType.isInstanceOf[org.apache.spark.sql.types.LongType],
+    "tolerance needs a micros-backed time column (timestamp or long)"
+  )
 
   override def output: Seq[Attribute] = left.output ++ matched
 
@@ -136,6 +144,7 @@ case class AsOfJoinExec(
     // backward: consume right while rt <= lt; forward (time-reversed
     // streams): consume while rt >= lt — one sign flip
     val dirSign = if (forward) -1 else 1
+    val tolUs = toleranceUs
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       val matchedProj = UnsafeProjection.create(rVals, rOut)
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
@@ -146,6 +155,8 @@ case class AsOfJoinExec(
       // key equals candKey; stale once the left key moves past it
       var candKey: Any = null
       var cand: InternalRow = null
+      var candTime: Long = 0L
+      val tol = tolUs.getOrElse(Long.MaxValue)
       li.map { l =>
         val lkv = lk.eval(l)
         val ltv = lt.eval(l)
@@ -160,13 +171,20 @@ case class AsOfJoinExec(
               val kc = keyOrd.compare(rkv, lkv)
               if (kc < 0) { rBuf.next(); cand = null; candKey = null }
               else if (kc == 0 && dirSign * timeOrd.compare(rtv, ltv) <= 0) {
+                candTime = rtv match { case x: java.lang.Long => x.longValue(); case _ => 0L }
                 cand = matchedProj(rBuf.next()).copy()
                 candKey = rkv
               } else advance = false
             }
           }
         }
-        val hit = cand != null && lkv != null && keyOrd.compare(candKey, lkv) == 0
+        // tolerance: the (unique) as-of match still loses if it sits
+        // further than the gap budget — pandas merge_asof semantics
+        def inTol: Boolean = tolUs.isEmpty || (ltv match {
+          case x: java.lang.Long => dirSign.toLong * (x.longValue() - candTime) <= tol
+          case _                 => true
+        })
+        val hit = cand != null && lkv != null && keyOrd.compare(candKey, lkv) == 0 && inTol
         if (hit) matchedRows += 1
         outRows += 1
         resultProj(joined(l, if (hit) cand else nullRow))
@@ -181,7 +199,7 @@ object AsOfJoinStrategy extends SparkStrategy {
     case n: AsOfJoinNode =>
       AsOfJoinExec(
         n.leftKey, n.rightKey, n.leftTime, n.rightTime,
-        n.matched, n.rightValues, n.forward,
+        n.matched, n.rightValues, n.forward, n.toleranceUs,
         planLater(n.left), planLater(n.right)
       ) :: Nil
     case _ => Nil
@@ -216,7 +234,8 @@ object AsOfJoinNative {
       leftTimeCol: String,
       rightTimeCol: String,
       carried: Seq[(String, String)],
-      forward: Boolean = false
+      forward: Boolean = false,
+      toleranceUs: Option[Long] = None
   ): DataFrame = {
     val cdf = left.asInstanceOf[ClassicDataset[Row]]
     val spark = cdf.sparkSession
@@ -252,7 +271,8 @@ object AsOfJoinNative {
       rTimeAlias.toAttribute,
       matched,
       carryAliases.map(_.toAttribute),
-      forward
+      forward,
+      toleranceUs
     )
     ClassicDataset.ofRows(spark, node)
   }

@@ -61,6 +61,28 @@ class AsOfNativeSpec extends SparkSuite {
     assert(finalPlan.contains("ReusedExchange"), "clicks exchange should be shared across directions")
   }
 
+  test("tolerance filters exactly the matches older than the gap budget") {
+    val base = operators.Joins.asOfNative.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None
+        else Some((r.getAs[java.time.LocalDateTime](2), r.getAs[java.time.LocalDateTime](3)))))
+      .toMap
+    val tol = operators.Joins.asOfNativeTol.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> !r.isNullAt(3)).toMap
+    assert(tol.keySet == base.keySet)
+    var dropped = 0
+    for ((id, hasMatch) <- tol) {
+      base(id) match {
+        case None => assert(!hasMatch, s"event $id matched under tolerance but not without")
+        case Some((lt, ct)) =>
+          val gapUs = java.time.Duration.between(ct, lt).toNanos / 1000
+          val within = gapUs <= 86400000000L
+          assert(hasMatch == within, s"event $id gap ${gapUs}us, tolerated=$hasMatch")
+          if (!within) dropped += 1
+      }
+    }
+    assert(dropped > 0, "fixture exercises no out-of-tolerance matches")
+  }
+
   test("result is invariant to input partitioning") {
     val ev = Tables
       .events(spark, sf)
