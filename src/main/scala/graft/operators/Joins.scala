@@ -663,9 +663,59 @@ object Joins {
     }
   )
 
+  /** Runtime bloom-filter join pruning — the row-level cousin of
+    * `join_dpp_prune`: a bloom filter is built over the join keys of a
+    * SELECTIVE supplier subset (one pass over the small side, ~100 keys),
+    * embedded in the plan as a binary literal, and probed by the native
+    * codegen'd expression [[org.apache.spark.sql.graftx.LongBloomMightContain]]
+    * directly above the lineitem scan — so ~97 % of the fact side dies
+    * map-side in the scan's fused loop and never reaches the join.
+    * False positives survive the probe but are removed by the join, so
+    * results are exact (oracle = the plain join); the bloom only
+    * shrinks the shuffled/broadcast-probed volume.
+    *
+    * 100 TB: this is the shape Spark's own InjectRuntimeFilter plans as
+    * a bloom-aggregate subquery. The build side is the SMALL side; the
+    * fact is touched once, map-side, zero extra shuffle. BloomPruneSpec
+    * asserts the probe's pruning power and codegen/interpreted parity. */
+  val bloomPrune: Q = Q(
+    "join_bloom_prune",
+    Some(
+      "SELECT s_suppkey, s_name, count(*) AS n_items, " +
+        s"round(${Det.oSum("l_extendedprice * (1 - l_discount)")}, 2) AS revenue " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE s_suppkey % 10 = 0 " +
+        "GROUP BY s_suppkey, s_name ORDER BY s_suppkey"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.graftx.LongBloomMightContain
+      // the 10 %-of-keys dim subset is scale-independent (an acctbal
+      // threshold selects ZERO suppliers at sf0.001 — max is 6035)
+      val dim = Tables
+        .supplier(spark, dir)
+        .filter(col("s_suppkey") % 10 === 0)
+        .select(col("s_suppkey"), col("s_name"))
+      // one job over the small side builds the filter (the runtime-filter
+      // build step); 10k expected keys / 1% fpp → ~12 KB plan literal
+      val bf = dim.stat.bloomFilter("s_suppkey", 10000L, 0.01)
+      val bytes = LongBloomMightContain.serialize(bf)
+      Tables
+        .lineitem(spark, dir)
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        .filter(LongBloomMightContain.probe(bytes, col("l_suppkey")))
+        .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue")
+        )
+        .orderBy(col("s_suppkey"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     innerHash, broadcastDims, leftOuter, fullOuter, leftSemi, leftAnti,
     crossSmall, thetaRange, intervalOverlap, asOf, asOfForward, asOfNearest, skewSalted,
-    nullSafeEq, asOfNative, asOfNativeForward, asOfNativeNearest, asOfNativeTol
+    nullSafeEq, asOfNative, asOfNativeForward, asOfNativeNearest, asOfNativeTol, bloomPrune
   )
 }

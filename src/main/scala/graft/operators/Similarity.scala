@@ -328,6 +328,97 @@ object Similarity {
     }
   )
 
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al.):
+    * the lexical BM25 ranking over `documents` and the dense cosine
+    * ranking over the aligned `embeddings` row (vec_id ≡ doc_id,
+    * FIXTURES.md) are each cut to their top 60, then fused as
+    * rrf = 1/(60+lex_rank) + 1/(60+dense_rank) (absent list ⇒ 0 term)
+    * and the fused top 20 returned. This is the standard RAG/curation
+    * retrieval stack — sparse and dense recall failures are largely
+    * disjoint, so the fusion beats either list alone.
+    *
+    * Determinism: both input ranks come from 6-dp-trunc-rounded scores
+    * with doc_id tiebreaks; each RRF term is ONE double division of
+    * exact ints and the two-term add is written in the same order in
+    * both engines — bit-identical; fused order ties break on doc_id.
+    *
+    * 100 TB: each list is already scale-shaped (BM25: query-term-pruned
+    * token stream, see [[TextAnalysis.textBm25Topk]]; dense: broadcast
+    * probe over the streamed base, map-side top-k). The fusion itself
+    * joins two k-row lists — constant-size work regardless of corpus
+    * scale. */
+  val simHybridRrf: Q = Q(
+    "sim_hybrid_rrf",
+    Some(
+      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "dl AS (SELECT doc_id, len(toks) AS dl FROM t), " +
+        "stats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl), " +
+        "q AS (SELECT unnest(['spark','join','fast','window']) AS tok), " +
+        "tok AS (SELECT doc_id, unnest(toks) AS tok FROM t), " +
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok JOIN q USING (tok) GROUP BY doc_id, tok), " +
+        "df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok JOIN q USING (tok) GROUP BY tok), " +
+        "sc AS (SELECT tf.doc_id, " +
+        "ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * " +
+        "(tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score " +
+        "FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats), " +
+        "lex AS (SELECT doc_id, " + Det.oRN(Det.oSum("term_score"), 6) + " AS bm25 " +
+        "FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 60), " +
+        "lexr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank FROM lex), " +
+        "qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0), " +
+        "dn AS (SELECT b.vec_id AS doc_id, " +
+        Det.oRS("list_dot_product(qv.embedding::DOUBLE[], b.embedding::DOUBLE[])", 6) + " AS cos " +
+        "FROM embeddings b CROSS JOIN qv WHERE b.vec_id != 0 ORDER BY cos DESC, doc_id LIMIT 60), " +
+        "dnr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS dense_rank FROM dn), " +
+        "fused AS (SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.dense_rank, " +
+        "coalesce(1.0 / (60 + l.lex_rank), 0.0) + coalesce(1.0 / (60 + d.dense_rank), 0.0) AS rrf " +
+        "FROM lexr l FULL OUTER JOIN dnr d ON l.doc_id = d.doc_id) " +
+        "SELECT doc_id, lex_rank, dense_rank, " + Det.oRN("rrf", 8) + " AS rrf " +
+        "FROM fused ORDER BY rrf DESC, doc_id LIMIT 20"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // lexical list: top-60 BM25 (TakeOrderedAndProject cut, then a
+      // 60-row window assigns ranks — the global window runs on k rows,
+      // never the corpus)
+      val lex = TextAnalysis
+        .bm25Frame(spark, dir, Seq("spark", "join", "fast", "window"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(60)
+      val lexr = lex
+        .withColumn("lex_rank", row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("doc_id"), col("lex_rank").cast("long").as("lex_rank"))
+      // dense list: broadcast the single query vector over the streamed
+      // base, exact cosine, top-60 cut, k-row rank window
+      val e = Tables.embeddings(spark, dir)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val dn = e
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"), Det.rS(fdot(col("qe"), col("embedding")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id"))
+        .limit(60)
+      val dnr = dn
+        .withColumn("dense_rank", row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+        .select(col("doc_id"), col("dense_rank").cast("long").as("dense_rank"))
+      // fusion: two k-row lists, constant-size full outer join; the RRF
+      // add is written lex-term-first to match the oracle bit-for-bit
+      lexr
+        .join(dnr, Seq("doc_id"), "full_outer")
+        .select(
+          col("doc_id"),
+          col("lex_rank"),
+          col("dense_rank"),
+          Det.rN(
+            coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)),
+            8
+          ).as("rrf")
+        )
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
+    }
+  )
+
   def qs: Seq[Q] = Seq(simCosineTopk, simKnnClassify, simAnnLsh, simAnnMultiprobe,
-    simQuantizedTopk, simCoarseRerank)
+    simQuantizedTopk, simCoarseRerank, simHybridRrf)
 }

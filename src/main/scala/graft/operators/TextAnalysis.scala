@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Det, Q, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: corpus stats, tf-idf,
@@ -890,35 +890,44 @@ object TextAnalysis {
         "SELECT doc_id, " + Det.oRN(Det.oSum("term_score"), 6) + " AS bm25 " +
         "FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"
     ),
-    (spark, dir) => {
-      val queryToks = Seq("spark", "join", "fast", "window")
-      val d = Tables
-        .documents(spark, dir)
-        .select(col("doc_id"), toks(col("text")).as("toks"))
-      val dl = d.select(col("doc_id"), size(col("toks")).as("dl"))
-      val stats = dl.agg(
-        count(lit(1)).as("n"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")
-      )
-      val tok = d
-        .select(col("doc_id"), explode(col("toks")).as("tok"))
-        .filter(col("tok").isin(queryToks: _*)) // codegen'd IN, no join needed for 4 terms
-      val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val df_ = tok.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
-      // identical op order to the oracle: idf * (tf*2.2) / (tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
-      val termScore =
-        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
-          (col("tf") * 2.2) / (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
-      tf.join(broadcast(df_), Seq("tok"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), termScore.as("term_score"))
-        .groupBy(col("doc_id"))
-        .agg(Det.rN(Det.dsum(col("term_score")), 6).as("bm25"))
+    (spark, dir) =>
+      bm25Frame(spark, dir, Seq("spark", "join", "fast", "window"))
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(20)
-    }
   )
+
+  /** Per-doc BM25 score frame (doc_id, bm25) for a fixed query — the
+    * scored core of [[textBm25Topk]], shared with the hybrid RRF fusion
+    * in [[graft.operators.Similarity]]. Scale/determinism notes on
+    * [[textBm25Topk]]. */
+  private[operators] def bm25Frame(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queryToks: Seq[String]): DataFrame = {
+    val d = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+    val dl = d.select(col("doc_id"), size(col("toks")).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")
+    )
+    val tok = d
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(queryToks: _*)) // codegen'd IN, no join needed for 4 terms
+    val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df_ = tok.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    // identical op order to the oracle: idf * (tf*2.2) / (tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+    val termScore =
+      log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+        (col("tf") * 2.2) / (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
+    tf.join(broadcast(df_), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), termScore.as("term_score"))
+      .groupBy(col("doc_id"))
+      .agg(Det.rN(Det.dsum(col("term_score")), 6).as("bm25"))
+  }
 
   /** Held-out language-model evaluation — the eval discipline
     * [[textBigramLm]] lacks: an add-1-smoothed bigram LM is TRAINED on

@@ -39,6 +39,12 @@ object GraftFunctions {
       "sorted_intersect_count(a, b) - intersection size of two sorted distinct long arrays",
       SortedLongIntersectCount(_, _)
     ),
+    two(
+      "long_bloom_might_contain",
+      "long_bloom_might_contain(bloomBytes, key) - probe a long key against a " +
+        "serialized spark BloomFilter held in a foldable binary literal",
+      LongBloomMightContain(_, _)
+    ),
     (
       FunctionIdentifier("count_min_topk"),
       new ExpressionInfo(
