@@ -374,5 +374,77 @@ object Graph {
     }
   )
 
-  def qs: Seq[Q] = Seq(graphDegree, graphPagerank, graphTriangles, graphPowerlawFit)
+  /** Association rules over the order/part baskets: for every
+    * co-purchased part pair with support ≥ 3 baskets, the classic
+    * market-basket metrics — support, both directional confidences,
+    * and lift — top 50 by lift. The affinity signal a curation or
+    * recommendation pipeline mines from co-occurrence (same shape as
+    * query-document co-click mining).
+    *
+    * Determinism: basket counts (N, n_a, n_b, n_ab) are exact longs;
+    * each metric is ONE IEEE division (lift: one divide of exact
+    * products), trunc-rounded 6 dp; ordering ties break on (pa, pb).
+    *
+    * 100 TB: pair support is the simple-graph in-row pair generation
+    * ([[coPurchaseEdges]]) WITHOUT the distinct — grouped instead, so
+    * pair counting is one groupBy-shuffle over basket-bounded pair
+    * lists; item supports and the scalar N are small aggregates
+    * broadcast back onto the (bounded, support-filtered) pair set. */
+  val graphLift: Q = Q(
+    "graph_lift",
+    Some(
+      "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "n AS (SELECT cast(count(DISTINCT l_orderkey) as bigint) AS nb FROM li), " +
+        "ia AS (SELECT l_partkey, cast(count(*) as bigint) AS na FROM li GROUP BY 1), " +
+        "pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, cast(count(*) as bigint) AS nab " +
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 3) " +
+        "SELECT pa, pb, nab, " +
+        Det.oRN("nab::DOUBLE / n.nb", 6) + " AS support, " +
+        Det.oRN("nab::DOUBLE / ia.na", 6) + " AS conf_a_b, " +
+        Det.oRN("nab::DOUBLE / ib.na", 6) + " AS conf_b_a, " +
+        Det.oRN("(nab * n.nb)::DOUBLE / (ia.na * ib.na)", 6) + " AS lift " +
+        "FROM pr JOIN ia ON pr.pa = ia.l_partkey JOIN ia ib ON pr.pb = ib.l_partkey " +
+        "CROSS JOIN n ORDER BY lift DESC, pa, pb LIMIT 50"
+    ),
+    (spark, dir) => {
+      val li = orderParts(spark, dir, lit(true)).distinct()
+      val n = li.agg(countDistinct(col("l_orderkey")).as("nb"))
+      val ia = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("na"))
+      // pair support via the in-row basket pair generation (one groupBy
+      // shuffle), counted instead of distinct'd
+      val pr = li
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(
+          explode(
+            flatten(
+              expr(
+                "transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb)))"
+              )
+            )
+          ).as("e")
+        )
+        .select(col("e.pa"), col("e.pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("nab"))
+        .filter(col("nab") >= 3)
+      pr.join(broadcast(ia.select(col("l_partkey").as("pa"), col("na"))), Seq("pa"))
+        .join(broadcast(ia.select(col("l_partkey").as("pb"), col("na").as("nbq"))), Seq("pb"))
+        .crossJoin(broadcast(n))
+        .select(
+          col("pa"),
+          col("pb"),
+          col("nab"),
+          Det.rN(col("nab").cast("double") / col("nb"), 6).as("support"),
+          Det.rN(col("nab").cast("double") / col("na"), 6).as("conf_a_b"),
+          Det.rN(col("nab").cast("double") / col("nbq"), 6).as("conf_b_a"),
+          Det.rN((col("nab") * col("nb")).cast("double") / (col("na") * col("nbq")), 6).as("lift")
+        )
+        .orderBy(col("lift").desc, col("pa"), col("pb"))
+        .limit(50)
+    }
+  )
+
+  def qs: Seq[Q] = Seq(graphDegree, graphPagerank, graphTriangles, graphPowerlawFit, graphLift)
 }

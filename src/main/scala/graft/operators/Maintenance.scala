@@ -396,7 +396,77 @@ object Maintenance {
     }
   )
 
+  /** Slowly-changing-dimension (Type 2) build: collapse each customer's
+    * order-status history into versioned validity intervals —
+    * (version, status, valid_from, valid_to, is_current) — the standard
+    * warehouse dimension-versioning shape (Kimball SCD2), built here
+    * from the raw fact stream in one pass: change-flag via lag, run id
+    * via a running sum, one grouped aggregate per run, valid_to closed
+    * by lead over the runs.
+    *
+    * Determinism: runs are segmented on the total (o_orderdate,
+    * o_orderkey) order, so version numbering is unique; all outputs are
+    * exact (dates, longs, booleans).
+    *
+    * 100 TB: both windows and the aggregate share ONE partitioning on
+    * the dimension key (custkey) — a single shuffle; per-key history
+    * length bounds the window state, not corpus size. */
+  val maintScd2: Q = Q(
+    "maint_scd2",
+    Some(
+      "WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus, " +
+        "CASE WHEN lag(o_orderstatus) OVER w IS NULL " +
+        "OR o_orderstatus != lag(o_orderstatus) OVER w THEN 1 ELSE 0 END AS chg " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)), " +
+        "r AS (SELECT *, cast(sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS UNBOUNDED PRECEDING) as bigint) AS version FROM o), " +
+        "v AS (SELECT o_custkey, version, min(o_orderstatus) AS status, " +
+        "min(o_orderdate) AS valid_from, cast(count(*) as bigint) AS n_orders " +
+        "FROM r GROUP BY o_custkey, version) " +
+        "SELECT o_custkey, version, status, valid_from, " +
+        "lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version) AS valid_to, " +
+        "lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version) IS NULL AS is_current, " +
+        "n_orders FROM v ORDER BY o_custkey, version"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val chg = when(
+        lag(col("o_orderstatus"), 1).over(w).isNull ||
+          col("o_orderstatus") =!= lag(col("o_orderstatus"), 1).over(w),
+        1
+      ).otherwise(0)
+      val runs = Tables
+        .orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"))
+        .withColumn(
+          "version",
+          sum(chg).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        )
+      val versions = runs
+        .groupBy(col("o_custkey"), col("version"))
+        .agg(
+          min(col("o_orderstatus")).as("status"), // constant within a run
+          min(col("o_orderdate")).as("valid_from"),
+          count(lit(1)).as("n_orders")
+        )
+      val wv = Window.partitionBy(col("o_custkey")).orderBy(col("version"))
+      versions
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+        .select(
+          col("o_custkey"),
+          col("version"),
+          col("status"),
+          col("valid_from"),
+          col("valid_to"),
+          col("valid_to").isNull.as("is_current"),
+          col("n_orders")
+        )
+        .orderBy(col("o_custkey"), col("version"))
+    }
+  )
+
   def qs: Seq[Q] =
     Seq(maintIncrementalAgg, dqAudit, joinDppPrune, maintSnapshotDiff, maintColumnStats,
-      maintZorder)
+      maintZorder, maintScd2)
 }

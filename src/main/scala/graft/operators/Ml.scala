@@ -217,5 +217,66 @@ object Ml {
     }
   )
 
-  def qs: Seq[Q] = Seq(mlKmeans, mlNaiveBayes)
+  /** Two-sample Kolmogorov–Smirnov statistic between the order-value
+    * distributions of the URGENT and LOW priority classes — the
+    * standard distribution-drift test a pipeline runs between a new
+    * data slice and a reference slice before mixing them.
+    *
+    * Determinism: D = max |F₁ − F₂| is computed over the pooled value
+    * grid ENTIRELY in integer arithmetic — max |cum₁·n₂ − cum₂·n₁| —
+    * and divided by n₁·n₂ exactly once at output (§2.9 playbook: exact
+    * algebra first, one IEEE op last). No per-row doubles are summed,
+    * so no ordering sensitivity exists at all.
+    *
+    * 100 TB: per-value counts partial-aggregate; the CDF scan is a
+    * window over the DISTINCT value grid (≪ row count). At extreme
+    * cardinality the grid itself would be bucketed (equi-width value
+    * bins give a D lower bound with bin-width error) or fed from the
+    * mergeable quantile sketch (`agg_quantile_sketch`). */
+  val mlKsTest: Q = Q(
+    "ml_ks_test",
+    Some(
+      "WITH s AS (SELECT o_totalprice AS v, " +
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1 " +
+        "FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')), " +
+        "pv AS (SELECT v, cast(sum(g1) as bigint) AS c1, cast(sum(1 - g1) as bigint) AS c2 " +
+        "FROM s GROUP BY v), " +
+        "n AS (SELECT cast(sum(g1) as bigint) AS n1, cast(sum(1 - g1) as bigint) AS n2 FROM s), " +
+        "c AS (SELECT cast(sum(c1) OVER w as bigint) AS cum1, " +
+        "cast(sum(c2) OVER w as bigint) AS cum2 FROM pv " +
+        "WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)), " +
+        "d AS (SELECT max(abs(cum1 * n.n2 - cum2 * n.n1)) AS dnum, " +
+        "max(n.n1) AS n1, max(n.n2) AS n2 FROM c CROSS JOIN n) " +
+        "SELECT n1, n2, " + Det.oRN("dnum::DOUBLE / (n1 * n2)", 6) + " AS d_stat FROM d"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val s = Tables
+        .orders(spark, dir)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+          col("o_totalprice").as("v"),
+          when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0).as("g1")
+        )
+      val pv = s
+        .groupBy(col("v"))
+        .agg(sum(col("g1")).as("c1"), sum(lit(1) - col("g1")).as("c2"))
+      val n = s.agg(sum(col("g1")).as("n1"), sum(lit(1) - col("g1")).as("n2"))
+      val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pv.select(sum(col("c1")).over(w).as("cum1"), sum(col("c2")).over(w).as("cum2"))
+        .crossJoin(broadcast(n))
+        .agg(
+          max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("dnum"),
+          max(col("n1")).as("n1"),
+          max(col("n2")).as("n2")
+        )
+        .select(
+          col("n1"),
+          col("n2"),
+          Det.rN(col("dnum").cast("double") / (col("n1") * col("n2")), 6).as("d_stat")
+        )
+    }
+  )
+
+  def qs: Seq[Q] = Seq(mlKmeans, mlNaiveBayes, mlKsTest)
 }

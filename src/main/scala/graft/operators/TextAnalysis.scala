@@ -1007,10 +1007,86 @@ object TextAnalysis {
     }
   )
 
+  /** Within-document repetition signals (the Gopher/MassiveText
+    * repetition family): duplicate-trigram fraction and the mass of the
+    * single most frequent token. High values flag boilerplate, keyword
+    * stuffing, and generation loops — the quality axis [[textQuality]]'s
+    * surface ratios don't see, applied per doc before any corpus-level
+    * dedup.
+    *
+    * Determinism: every input to the two ratios is an exact count; each
+    * ratio is ONE IEEE division of identical longs, trunc-rounded 6 dp.
+    *
+    * 100 TB: the trigram stats are per-row array ops (no shuffle); the
+    * token-mode stats are one (doc, token) aggregate + one per-doc
+    * aggregate — both partial-aggregating, keyed on doc so skew equals
+    * document size, which [[textChunk]] bounds upstream. */
+  val textRepetition: Q = Q(
+    "text_repetition",
+    Some(
+      "WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents), " +
+        "tri AS (SELECT doc_id, list_filter(list_transform(" +
+        "list_zip(t, t[2:], t[3:]), x -> x[1] || ' ' || x[2] || ' ' || x[3]), " +
+        "v -> v IS NOT NULL) AS tg FROM d), " +
+        "ts AS (SELECT doc_id, len(tg) AS n_tri, len(list_distinct(tg)) AS n_tri_d FROM tri), " +
+        "tokc AS (SELECT doc_id, tok, count(*) AS c FROM " +
+        "(SELECT doc_id, unnest(t) AS tok FROM d) GROUP BY doc_id, tok), " +
+        "tc AS (SELECT doc_id, cast(max(c) as bigint) AS maxc, cast(sum(c) as bigint) AS n_tokens " +
+        "FROM tokc GROUP BY doc_id) " +
+        "SELECT d.doc_id, d.lang, tc.n_tokens, " +
+        "CASE WHEN ts.n_tri = 0 THEN 0.0 ELSE " +
+        Det.oRN("(ts.n_tri - ts.n_tri_d)::DOUBLE / ts.n_tri", 6) + " END AS dup_trigram_frac, " +
+        Det.oRN("tc.maxc::DOUBLE / tc.n_tokens", 6) + " AS top_tok_ratio " +
+        "FROM d JOIN ts USING (doc_id) JOIN tc USING (doc_id) ORDER BY doc_id"
+    ),
+    (spark, dir) => {
+      val d = Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
+      // trigrams via two zips (null-padded like DuckDB list_zip; concat
+      // with a null operand is null and is filtered)
+      val tg = filter(
+        zip_with(
+          zip_with(
+            col("t"),
+            slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+            (a, b) => concat(a, lit(" "), b)
+          ),
+          slice(col("t"), lit(3), greatest(size(col("t")) - 2, lit(0))),
+          (ab, c) => concat(ab, lit(" "), c)
+        ),
+        v => v.isNotNull
+      )
+      val ts = d.select(
+        col("doc_id"),
+        col("lang"),
+        size(tg).as("n_tri"),
+        size(array_distinct(tg)).as("n_tri_d")
+      )
+      val tc = d
+        .select(col("doc_id"), explode(col("t")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("maxc"), sum(col("c")).as("n_tokens"))
+      ts.join(tc, Seq("doc_id"))
+        .select(
+          col("doc_id"),
+          col("lang"),
+          col("n_tokens"),
+          when(col("n_tri") === 0, lit(0.0))
+            .otherwise(Det.rN((col("n_tri") - col("n_tri_d")).cast("double") / col("n_tri"), 6))
+            .as("dup_trigram_frac"),
+          Det.rN(col("maxc").cast("double") / col("n_tokens"), 6).as("top_tok_ratio")
+        )
+        .orderBy(col("doc_id"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     textStats, textTfidfTop, textLangid, textQuality, textTokens, textFingerprint,
     textPiiRedact, reportScores, textBigramLm, textChunk, textVocab, pipelineCurate,
     textContamination, textHeavyHitters, pipelineFunnel, pipelineManifest, textEntropy,
-    pipelineCurriculum, textBm25Topk, textPerplexity
+    pipelineCurriculum, textBm25Topk, textPerplexity, textRepetition
   )
 }
