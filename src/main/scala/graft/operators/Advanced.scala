@@ -166,6 +166,87 @@ object Advanced {
     }
   )
 
+  /** SemDeDup (Abbas et al.): semantic dedup scoped to coarse embedding
+    * clusters. Every vector is assigned to its nearest centroid list
+    * (the same map-side argmax quantization as [[simAnnIvf]]); WITHIN
+    * each cluster, vectors with a lower-id neighbor at cosine ≥ 0.3 are
+    * marked dropped (the pair-screen approximation of greedy
+    * keep-one-representative); the output is the per-cluster curation
+    * report. This is the embedding-space member of the dedup family —
+    * it catches semantic duplicates that share no tokens, which the
+    * Jaccard/minhash/simhash screens cannot see.
+    *
+    * Determinism: centroids are decimal-sum means; both the assignment
+    * dot and the pair cosine are sequential element-order folds
+    * (bit-identical to DuckDB's list_dot_product); the pair cosine is
+    * 6-dp trunc-rounded before the threshold; counts are exact.
+    *
+    * 100 TB: this is exactly why SemDeDup clusters first — the
+    * quadratic pair join runs per cluster, so cost is Σ|cluster|², not
+    * |corpus|²; with k clusters sized |corpus|/k the work drops by k×,
+    * and k scales with the corpus (here k = the 10-label quantizer;
+    * production uses k ~ 10⁵ so clusters stay bounded). Assignment is
+    * map-side against the broadcast centroid table. */
+  val dedupSemantic: Q = Q(
+    "dedup_semantic",
+    Some(
+      "WITH u AS (SELECT label, unnest(embedding) AS v, unnest(range(1, 65)) AS dim " +
+        "FROM embeddings), " +
+        "cm AS (SELECT label, dim, " +
+        "cast(sum(cast(v::DOUBLE as decimal(30,8))) as double) / count(*) AS c " +
+        "FROM u GROUP BY label, dim), " +
+        "cl AS (SELECT label AS list_id, list(c ORDER BY dim) AS centroid FROM cm GROUP BY label), " +
+        "ad AS (SELECT e.vec_id, e.embedding, cl.list_id, " +
+        "list_dot_product(e.embedding::DOUBLE[], cl.centroid) AS d " +
+        "FROM embeddings e CROSS JOIN cl), " +
+        "asg AS (SELECT vec_id, embedding, list_id FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, list_id) AS r FROM ad) " +
+        "WHERE r = 1), " +
+        "pr AS (SELECT a.list_id, a.vec_id AS ia, b.vec_id AS ib " +
+        "FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id " +
+        "WHERE " + Det.oRS("list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])", 6) +
+        " >= 0.3), " +
+        "nv AS (SELECT list_id, cast(count(*) as bigint) AS n_vecs FROM asg GROUP BY list_id), " +
+        "dp AS (SELECT list_id, cast(count(DISTINCT ib) as bigint) AS n_dropped, " +
+        "cast(count(*) as bigint) AS n_dup_pairs FROM pr GROUP BY list_id) " +
+        "SELECT nv.list_id, nv.n_vecs, coalesce(dp.n_dropped, 0) AS n_dropped, " +
+        "nv.n_vecs - coalesce(dp.n_dropped, 0) AS n_kept, " +
+        "coalesce(dp.n_dup_pairs, 0) AS n_dup_pairs " +
+        "FROM nv LEFT JOIN dp ON nv.list_id = dp.list_id ORDER BY nv.list_id"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.graftx.TopKPerGroup
+      val e = Tables.embeddings(spark, dir)
+      val cent = centroidTable(spark, dir)
+      val assigned = TopKPerGroup(withDist(e, cent), Seq("vec_id"), Seq("d" -> true, "list_id" -> false), 1)
+        .select(col("vec_id"), col("embedding"), col("list_id"))
+      val pr = assigned
+        .select(col("list_id"), col("vec_id").as("ia"), col("embedding").as("ea"))
+        .join(
+          assigned.select(col("list_id"), col("vec_id").as("ib"), col("embedding").as("eb")),
+          Seq("list_id")
+        )
+        .filter(col("ia") < col("ib"))
+        .filter(
+          Det.rS(org.apache.spark.sql.graftx.FloatDot.dot(col("ea"), col("eb")), 6) >= 0.3
+        )
+        .select(col("list_id"), col("ia"), col("ib"))
+      val nv = assigned.groupBy(col("list_id")).agg(count(lit(1)).as("n_vecs"))
+      val dp = pr
+        .groupBy(col("list_id"))
+        .agg(countDistinct(col("ib")).as("n_dropped"), count(lit(1)).as("n_dup_pairs"))
+      nv.join(dp, Seq("list_id"), "left")
+        .select(
+          col("list_id"),
+          col("n_vecs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"),
+          coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs")
+        )
+        .orderBy(col("list_id"))
+    }
+  )
+
   /** View → click → purchase funnel per user: first view, first click
     * at-or-after it, first purchase at-or-after that; all min()s, so
     * every emitted timestamp is deterministic. */
@@ -206,5 +287,5 @@ object Advanced {
     }
   )
 
-  def qs: Seq[Q] = Seq(ivfCentroids, simAnnIvf, simAnnIvfPersisted, funnelVcp)
+  def qs: Seq[Q] = Seq(ivfCentroids, simAnnIvf, simAnnIvfPersisted, funnelVcp, dedupSemantic)
 }

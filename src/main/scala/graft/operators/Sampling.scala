@@ -371,9 +371,57 @@ object Sampling {
     }
   )
 
+  /** Temperature-scaled source mixing (the multilingual/multi-source
+    * reweighting of mBERT/XLM-R and data-mixture tuning): raw source
+    * shares p_s are flattened to w_s ∝ p_s^α (α = 0.5 — sqrt, chosen
+    * because IEEE sqrt is correctly rounded, so the power is
+    * bit-identical cross-engine), then a 10k-doc budget is allotted as
+    * ⌊w_s·10000⌉. Upweights tail sources a proportional sample would
+    * starve.
+    *
+    * Determinism: n_s and N exact; p_s one division; sqrt exact; the
+    * normalizer Σ√p̅ is the order-independent decimal sum; w_s one
+    * division trunc-rounded 6 dp; the allotment is the same
+    * floor(x·10⁴+0.5) in both engines.
+    *
+    * 100 TB: one tiny per-source aggregate (partial map-side) + scalar
+    * broadcasts — nothing scales with corpus size except the first
+    * count. */
+  val sampleTemperature: Q = Q(
+    "sample_temperature",
+    Some(
+      "WITH s AS (SELECT source, cast(count(*) as bigint) AS n_docs FROM documents GROUP BY source), " +
+        "n AS (SELECT cast(sum(n_docs) as bigint) AS n FROM s), " +
+        "q AS (SELECT source, n_docs, sqrt(n_docs::DOUBLE / n.n) AS sq FROM s CROSS JOIN n), " +
+        "t AS (SELECT cast(sum(cast(sq as decimal(30,8))) as double) AS tot FROM q) " +
+        "SELECT source, n_docs, " + Det.oRN("sq / t.tot", 6) + " AS weight, " +
+        "cast(floor(" + Det.oRN("sq / t.tot", 6) + " * 10000 + 0.5) as bigint) AS alloted_docs " +
+        "FROM q CROSS JOIN t ORDER BY source"
+    ),
+    (spark, dir) => {
+      val s = Tables
+        .documents(spark, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val n = s.agg(sum(col("n_docs")).as("n"))
+      val q = s
+        .crossJoin(broadcast(n))
+        .withColumn("sq", sqrt(col("n_docs").cast("double") / col("n")))
+      val t = q.agg(Det.dsum(col("sq")).as("tot"))
+      q.crossJoin(broadcast(t))
+        .select(
+          col("source"),
+          col("n_docs"),
+          Det.rN(col("sq") / col("tot"), 6).as("weight"),
+          floor(Det.rN(col("sq") / col("tot"), 6) * 10000 + lit(0.5)).cast("long").as("alloted_docs")
+        )
+        .orderBy(col("source"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     sampleHashPct, sampleStratified, interleaveSources, joinRangeEvents,
     mixReport, sampleQualityWeighted, pipelinePack, sampleTrainTestSplit,
-    sampleRendezvousShards, pipelineEpochShuffle
+    sampleRendezvousShards, pipelineEpochShuffle, sampleTemperature
   )
 }

@@ -1083,10 +1083,46 @@ object TextAnalysis {
     }
   )
 
+  /** Inverted-index build: token → document frequency + the head of
+    * its sorted posting list. The index [[textBm25Topk]] would serve
+    * from in production — materialized as a table, the BM25 query's
+    * token-stream scan becomes an index lookup.
+    *
+    * Determinism: postings are sorted doc_id lists cut to 8; df is an
+    * exact count over the DISTINCT (token, doc) incidence.
+    *
+    * 100 TB: one distinct + one groupBy on token (both
+    * partial-aggregating); posting lists are value-bounded by the head
+    * cut — full lists would instead be doc_id-range-bucketed (one
+    * posting shard per range) to bound row width. */
+  val textInvertedIndex: Q = Q(
+    "text_inverted_index",
+    Some(
+      "WITH td AS (SELECT DISTINCT tok, doc_id FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS tok, doc_id FROM documents)), " +
+        "p AS (SELECT tok, cast(count(*) as bigint) AS df, " +
+        "list_sort(list(doc_id))[1:8] AS postings_head FROM td GROUP BY tok) " +
+        "SELECT tok, df, postings_head FROM p WHERE df >= 50 ORDER BY tok"
+    ),
+    (spark, dir) => {
+      Tables
+        .documents(spark, dir)
+        .select(explode(toks(col("text"))).as("tok"), col("doc_id"))
+        .distinct()
+        .groupBy(col("tok"))
+        .agg(
+          count(lit(1)).as("df"),
+          slice(sort_array(collect_list(col("doc_id"))), 1, 8).as("postings_head")
+        )
+        .filter(col("df") >= 50)
+        .orderBy(col("tok"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     textStats, textTfidfTop, textLangid, textQuality, textTokens, textFingerprint,
     textPiiRedact, reportScores, textBigramLm, textChunk, textVocab, pipelineCurate,
     textContamination, textHeavyHitters, pipelineFunnel, pipelineManifest, textEntropy,
-    pipelineCurriculum, textBm25Topk, textPerplexity, textRepetition
+    pipelineCurriculum, textBm25Topk, textPerplexity, textRepetition, textInvertedIndex
   )
 }
