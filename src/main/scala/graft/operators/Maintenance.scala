@@ -466,7 +466,61 @@ object Maintenance {
     }
   )
 
+  /** Benford first-digit screen over the money column — the classic
+    * fabricated-data / wrong-unit detector a DQ suite runs next to
+    * [[dqAudit]]'s structural checks. Emits the observed digit
+    * distribution, Benford's expectation log₁₀(1+1/d), and the per-digit
+    * χ² contribution. (Synthetic uniform prices deliberately FAIL
+    * Benford — the screen's job is to say so, deterministically.)
+    *
+    * Determinism: the first digit comes from integer-cents string
+    * formatting (exact in both engines — no float log10 bucketing, which
+    * can ulp-flip at powers of ten); counts exact; the χ² chain is
+    * written in one fixed op order and trunc-rounded 6 dp.
+    *
+    * 100 TB: one map-side digit extraction + a 9-group aggregate. */
+  val dqBenford: Q = Q(
+    "dq_benford",
+    Some(
+      "WITH c AS (SELECT cast(substr(cast(cast(floor(o_totalprice * 100 + 0.5) as bigint) " +
+        "as varchar), 1, 1) as bigint) AS digit FROM orders WHERE o_totalprice > 0), " +
+        "d AS (SELECT digit, cast(count(*) as bigint) AS n FROM c GROUP BY digit), " +
+        "t AS (SELECT cast(sum(n) as bigint) AS total FROM d) " +
+        "SELECT digit, n, " +
+        Det.oRN("n::DOUBLE / t.total", 6) + " AS obs_frac, " +
+        Det.oRN("log10(1.0 + 1.0 / digit)", 6) + " AS benford_p, " +
+        Det.oRN(
+          "(n - t.total * log10(1.0 + 1.0 / digit)) * (n - t.total * log10(1.0 + 1.0 / digit)) " +
+            "/ (t.total * log10(1.0 + 1.0 / digit))",
+          4
+        ) + " AS chi2_part " +
+        "FROM d CROSS JOIN t ORDER BY digit"
+    ),
+    (spark, dir) => {
+      val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+      val c = Tables
+        .orders(spark, dir)
+        .filter(col("o_totalprice") > 0)
+        .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+      val d = c.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val t = d.agg(sum(col("n")).as("total"))
+      val p = log10(lit(1.0) + lit(1.0) / col("digit"))
+      d.crossJoin(broadcast(t))
+        .select(
+          col("digit"),
+          col("n"),
+          Det.rN(col("n").cast("double") / col("total"), 6).as("obs_frac"),
+          Det.rN(p, 6).as("benford_p"),
+          Det.rN(
+            (col("n") - col("total") * p) * (col("n") - col("total") * p) / (col("total") * p),
+            4
+          ).as("chi2_part")
+        )
+        .orderBy(col("digit"))
+    }
+  )
+
   def qs: Seq[Q] =
     Seq(maintIncrementalAgg, dqAudit, joinDppPrune, maintSnapshotDiff, maintColumnStats,
-      maintZorder, maintScd2)
+      maintZorder, maintScd2, dqBenford)
 }

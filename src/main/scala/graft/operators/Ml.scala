@@ -278,5 +278,38 @@ object Ml {
     }
   )
 
-  def qs: Seq[Q] = Seq(mlKmeans, mlNaiveBayes, mlKsTest)
+  /** Equal-frequency feature binning (decile bucketing of the order
+    * value): ntile(10) over the total (value, key) order, reported as
+    * per-bin count + value range — the discretization step before
+    * categorical models or drift dashboards.
+    *
+    * Determinism: ntile over a TOTAL order (ties broken by o_orderkey)
+    * is engine-independent by definition; outputs are exact.
+    *
+    * 100 TB: the demo ntile is a global-order window — at scale the
+    * boundaries would come from the mergeable quantile sketch
+    * (`agg_quantile_sketch`) broadcast back as a 9-value cut list,
+    * turning binning into a map-side lookup; the per-bin report shape
+    * is unchanged. */
+  val mlFeatureBins: Q = Q(
+    "ml_feature_bins",
+    Some(
+      "WITH b AS (SELECT o_totalprice AS v, " +
+        "ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin FROM orders) " +
+        "SELECT bin, cast(count(*) as bigint) AS n, min(v) AS min_v, max(v) AS max_v " +
+        "FROM b GROUP BY bin ORDER BY bin"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables
+        .orders(spark, dir)
+        .select(col("o_totalprice").as("v"), ntile(10).over(w).cast("long").as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .orderBy(col("bin"))
+    }
+  )
+
+  def qs: Seq[Q] = Seq(mlKmeans, mlNaiveBayes, mlKsTest, mlFeatureBins)
 }

@@ -115,6 +115,29 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("join_bloom_prune probes the explicit bloom above the fact scan, before the join") {
+    val p = plan("join_bloom_prune")
+    val probeLine = p.linesIterator.indexWhere(_.contains("long_bloom_might_contain"))
+    val joinLine = p.linesIterator.indexWhere(_.contains("BroadcastHashJoin"))
+    assert(probeLine >= 0, "native bloom probe missing from the plan\n" + p.take(2000))
+    assert(joinLine >= 0, p.take(2000))
+    // deeper in the tree = later in toString: the filter must sit BELOW
+    // the join (between scan and join), not above it
+    assert(probeLine > joinLine, s"probe at $probeLine not below join at $joinLine\n" + p.take(3000))
+  }
+
+  test("sim_hybrid_rrf cuts both lists with TakeOrderedAndProject, never a global sort") {
+    val p = plan("sim_hybrid_rrf")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("maint_scd2 shares one custkey exchange across both windows and the aggregate") {
+    val p = plan("maint_scd2")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    // one hashpartitioning(o_custkey) + the final output range sort
+    assert(exchanges <= 2, s"$exchanges exchanges — the SCD2 chain re-shuffled\n" + p.take(3000))
+  }
+
   test("no unplanned cartesian product anywhere in the registry") {
     // CartesianProduct is the one physical operator that cannot survive
     // a 100x scale-up. Whitelist: the contract's deliberate small-table
