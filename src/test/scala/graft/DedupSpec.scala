@@ -122,6 +122,30 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("geometric-bucket blocking finds the identical pair set as the unblocked join") {
+    import org.apache.spark.sql.functions._
+    // the bucket grid is a pure candidate-generation optimization: the
+    // exact count band + jac threshold decide membership, so the pair
+    // set must be bit-identical to a blocking-free quadratic join
+    val blocked = operators.Dedup.dedupNearJaccard.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSet))
+    val naive = for {
+      (a, la, ta) <- docs.toSeq
+      (b, lb, tb) <- docs.toSeq
+      if a < b && la == lb
+      inter = (ta & tb).size
+      jac = inter.toDouble / (ta.size + tb.size - inter)
+      if jac >= 0.8
+    } yield (a, b, math.floor(jac * 1e6 + 0.5) / 1e6)
+    // driver-side jac uses distinct token SETS; the engine hashes and
+    // counts distinct hashes — md5 collisions would break this, which
+    // is part of what the equality asserts
+    assert(blocked == naive.toSet, s"blocked ${blocked.size} vs naive ${naive.size}")
+  }
+
   test("cluster labels are consistent: edges intra-cluster, survivors minimal") {
     val labels = operators.Dedup.dedupClusters.run(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
