@@ -1088,8 +1088,10 @@ object TextAnalysis {
     * from in production — materialized as a table, the BM25 query's
     * token-stream scan becomes an index lookup.
     *
-    * Determinism: postings are sorted doc_id lists cut to 8; df is an
-    * exact count over the DISTINCT (token, doc) incidence.
+    * Determinism: postings are sorted doc_id lists cut to 8 and
+    * comma-serialized (SURVEY §2.9.3 — the driver comparator rejects
+    * top-level arrays); df is an exact count over the DISTINCT
+    * (token, doc) incidence.
     *
     * 100 TB: one distinct + one groupBy on token (both
     * partial-aggregating); posting lists are value-bounded by the head
@@ -1101,7 +1103,8 @@ object TextAnalysis {
       "WITH td AS (SELECT DISTINCT tok, doc_id FROM " +
         "(SELECT unnest(string_split(text, ' ')) AS tok, doc_id FROM documents)), " +
         "p AS (SELECT tok, cast(count(*) as bigint) AS df, " +
-        "list_sort(list(doc_id))[1:8] AS postings_head FROM td GROUP BY tok) " +
+        "array_to_string(list_transform(list_sort(list(doc_id))[1:8], v -> v::VARCHAR), ',') " +
+        "AS postings_head FROM td GROUP BY tok) " +
         "SELECT tok, df, postings_head FROM p WHERE df >= 50 ORDER BY tok"
     ),
     (spark, dir) => {
@@ -1112,7 +1115,7 @@ object TextAnalysis {
         .groupBy(col("tok"))
         .agg(
           count(lit(1)).as("df"),
-          slice(sort_array(collect_list(col("doc_id"))), 1, 8).as("postings_head")
+          array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 8), ",").as("postings_head")
         )
         .filter(col("df") >= 50)
         .orderBy(col("tok"))
