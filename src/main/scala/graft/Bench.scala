@@ -24,6 +24,11 @@ object Bench {
     def dropDeadBlocks(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // NOT a per-query System.gc(): measured (this round) it improves
+      // a few broadcast-heavy stragglers (text_bigram_lm 6.3→1.6 s)
+      // but regresses others far more (ml_kmeans 2.7→13.7 s, total
+      // 154→203 s) — the full GC evicts hot JIT/code-cache state the
+      // next query re-pays. The ContextCleaner's natural cadence wins.
     }
 
     val only = args.toSet // optional local-profiling filter; driver passes no args

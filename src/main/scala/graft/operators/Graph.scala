@@ -429,11 +429,14 @@ object Graph {
         .groupBy(col("pa"), col("pb"))
         .agg(count(lit(1)).as("nab"))
         .filter(col("nab") >= 3)
-      // item supports: no broadcast hint — auto-broadcast fires at test
-      // scale, while at catalog scale (|items| ~ 10^8) the planner
-      // correctly shuffle-joins the (already support-filtered) pair set
-      pr.join(ia.select(col("l_partkey").as("pa"), col("na")), Seq("pa"))
-        .join(ia.select(col("l_partkey").as("pb"), col("na").as("nbq")), Seq("pb"))
+      // item supports are hint-broadcast: the table is bounded by the
+      // part CATALOG (a dimension, not the fact), and the planner has
+      // no stats for a derived aggregate — without the hint it plans
+      // SMJ + re-sorts and re-scans the incidence per join (measured
+      // 2.4 s → 5.0 s isolated, worse in-suite). An unbounded item
+      // universe would drop the hint and accept the shuffle join.
+      pr.join(broadcast(ia.select(col("l_partkey").as("pa"), col("na"))), Seq("pa"))
+        .join(broadcast(ia.select(col("l_partkey").as("pb"), col("na").as("nbq"))), Seq("pb"))
         .crossJoin(broadcast(n))
         .select(
           col("pa"),
