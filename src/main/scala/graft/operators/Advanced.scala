@@ -85,17 +85,48 @@ object Advanced {
       .withColumn("cos", Det.rS(org.apache.spark.sql.graftx.FloatDot.dot(col("qe"), col("ne")), 6))
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("list_id"))
     TopKPerGroup(cands, Seq("query_id"), Seq("cos" -> true, "neighbor_id" -> false), 3, rnName = "rank")
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"), col("list_id"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+        col("cos"), col("list_id"))
       .orderBy(col("query_id"), col("rank"))
   }
 
   /** IVF ANN: assign each vector to its nearest label-centroid list
     * (map-side argmin over the broadcast centroid table), then search
-    * the probe's nearest 2 lists only. No oracle — recall vs brute
-    * force is asserted in AdvancedSpec. */
+    * the probe's nearest 2 lists only. ORACLE-checked (upgraded from
+    * no-oracle): every stage is deterministic — decimal-sum centroids,
+    * sequential-fold assignment dots (bit-identical to DuckDB
+    * list_dot_product, the same equivalence [[dedupSemantic]]'s oracle
+    * rests on), 6-dp-rounded candidate cosine with neighbor_id
+    * tiebreaks — so the full quantize→probe→re-rank cascade
+    * hash-matches SQL; recall vs brute force stays property-tested in
+    * AdvancedSpec. */
+  private val ivfOracleSql: String =
+      "WITH u AS (SELECT label, unnest(embedding) AS v, unnest(range(1, 65)) AS dim " +
+        "FROM embeddings), " +
+        "cm AS (SELECT label, dim, " +
+        "cast(sum(cast(v::DOUBLE as decimal(30,8))) as double) / count(*) AS c " +
+        "FROM u GROUP BY label, dim), " +
+        "cl AS (SELECT label AS list_id, list(c ORDER BY dim) AS centroid FROM cm GROUP BY label), " +
+        "ad AS (SELECT e.vec_id, e.embedding, cl.list_id, " +
+        "list_dot_product(e.embedding::DOUBLE[], cl.centroid) AS d " +
+        "FROM embeddings e CROSS JOIN cl), " +
+        "asg AS (SELECT vec_id, embedding, list_id FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, list_id) AS r FROM ad) " +
+        "WHERE r = 1), " +
+        "pro AS (SELECT vec_id AS query_id, embedding AS qe, list_id FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, list_id) AS r " +
+        "FROM ad WHERE vec_id < 100) WHERE r <= 2), " +
+        "cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
+        Det.oRS("list_dot_product(p.qe::DOUBLE[], a.embedding::DOUBLE[])", 6) + " AS cos, " +
+        "a.list_id FROM pro p JOIN asg a USING (list_id) WHERE p.query_id != a.vec_id), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) " +
+        "AS rank FROM cand) " +
+        "SELECT query_id, rank, neighbor_id, cos, list_id FROM r WHERE rank <= 3 " +
+        "ORDER BY query_id, rank"
+
   val simAnnIvf: Q = Q(
     "sim_ann_ivf",
-    None,
+    Some(ivfOracleSql),
     (spark, dir) => {
       val e = Tables.embeddings(spark, dir)
       val cent = centroidTable(spark, dir)
@@ -149,10 +180,12 @@ object Advanced {
     * vectors are quantized at query time; the base table is never
     * re-scanned. AdvancedSpec asserts (a) result equality with the
     * recomputing sim_ann_ivf and (b) that this plan's base side is a
-    * parquet scan of the index path, not an aggregate. */
+    * parquet scan of the index path, not an aggregate. Shares
+    * [[ivfOracleSql]]: index persistence must be result-invisible, so
+    * the oracle is the same recomputing SQL. */
   val simAnnIvfPersisted: Q = Q(
     "sim_ann_ivf_persisted",
-    None,
+    Some(ivfOracleSql),
     (spark, dir) => {
       val base = ivfIndexPath(spark, dir)
       val cent = spark.read.parquet(s"$base/centroids")
