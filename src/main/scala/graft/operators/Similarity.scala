@@ -119,13 +119,44 @@ object Similarity {
     }
   }
 
+  /** The 8 hyperplanes as DuckDB DOUBLE[] literals (shortest-repr
+    * doubles round-trip exactly through SQL parsing), and the 8-bit
+    * sign bucket over them — the SQL twin of the Spark `bucket`
+    * expression below: list_dot_product is the same sequential fold as
+    * the zip_with/aggregate chain, so the signs (and hence buckets)
+    * are bit-identical cross-engine. */
+  private def planeLit(j: Int): String =
+    hyperplane(j, 64).map(_.toString).mkString("[", ",", "]::DOUBLE[]")
+
+  private def bucketSql: String =
+    (0 until 8)
+      .map(j =>
+        s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${planeLit(j)}) > 0 " +
+          s"THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+
   /** ANN via 8-plane random-hyperplane LSH: one 8-bit bucket per
     * vector, candidates = same-bucket pairs, exact cosine re-rank
-    * top-3 within bucket. No oracle (bucket recall is property-tested
-    * against brute force in SimilaritySpec). */
+    * top-3 within bucket. ORACLE-checked (upgraded from no-oracle):
+    * the planes are deterministic md5-derived constants inlined into
+    * the SQL, the sign buckets are bit-identical (see [[bucketSql]]),
+    * and the re-rank uses the rounded-cos/neighbor-id total order —
+    * so the whole hash→bucket-join→re-rank cascade hash-matches.
+    * Bucket recall vs brute force stays property-tested in
+    * SimilaritySpec. */
   val simAnnLsh: Q = Q(
     "sim_ann_lsh",
-    None,
+    Some(
+      "WITH s AS (SELECT vec_id, embedding, " + bucketSql + " AS bucket FROM embeddings), " +
+        "c AS (SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        Det.oRS("list_dot_product(p.embedding::DOUBLE[], b.embedding::DOUBLE[])", 6) + " AS cos, " +
+        "b.bucket AS bucket FROM s p JOIN s b ON p.bucket = b.bucket " +
+        "AND p.vec_id < 100 AND p.vec_id != b.vec_id), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) " +
+        "AS rank FROM c) " +
+        "SELECT query_id, rank, neighbor_id, cos, bucket FROM r WHERE rank <= 3 " +
+        "ORDER BY query_id, rank"
+    ),
     (spark, dir) => {
       val nPlanes = 8
       val planes = (0 until nPlanes).map(j => hyperplane(j, 64))
@@ -162,7 +193,8 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("bucket"))
       org.apache.spark.sql.graftx
         .TopKPerGroup(cands, Seq("query_id"), Seq("cos" -> true, "neighbor_id" -> false), 3, rnName = "rank")
-        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"), col("bucket"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+          col("cos"), col("bucket"))
         .orderBy(col("query_id"), col("rank"))
     }
   )
@@ -174,11 +206,25 @@ object Similarity {
     * the equi-join; the base side — the 100 TB side — is untouched, so
     * the plan cost scales with probes, not data. Exact cosine re-rank
     * top-3 over the union of candidate buckets via TopKPerGroup.
-    * No oracle (bucket internals); SimilaritySpec proves recall
+    * ORACLE-checked like [[simAnnLsh]] (inlined plane constants,
+    * bit-identical buckets; the probe fanout is a 9-element unnest
+    * with xor bit flips); SimilaritySpec additionally proves recall
     * DOMINATES single-probe LSH on the same corpus. */
   val simAnnMultiprobe: Q = Q(
     "sim_ann_multiprobe",
-    None,
+    Some(
+      "WITH s AS (SELECT vec_id, embedding, " + bucketSql + " AS bucket FROM embeddings), " +
+        "pro AS (SELECT vec_id AS query_id, embedding AS qe, " +
+        "unnest([bucket" + (0 until 8).map(j => s", xor(bucket, ${1 << j})").mkString + "]) " +
+        "AS bucket FROM s WHERE vec_id < 100), " +
+        "c AS (SELECT DISTINCT pro.query_id, b.vec_id AS neighbor_id, " +
+        Det.oRS("list_dot_product(pro.qe::DOUBLE[], b.embedding::DOUBLE[])", 6) + " AS cos " +
+        "FROM pro JOIN s b USING (bucket) WHERE pro.query_id != b.vec_id), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) " +
+        "AS rank FROM c) " +
+        "SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 3 " +
+        "ORDER BY query_id, rank"
+    ),
     (spark, dir) => {
       val nPlanes = 8
       val planes = (0 until nPlanes).map(j => hyperplane(j, 64))
@@ -214,7 +260,7 @@ object Similarity {
         .dropDuplicates("query_id", "neighbor_id") // a neighbor can match via several probes
       org.apache.spark.sql.graftx
         .TopKPerGroup(cands, Seq("query_id"), Seq("cos" -> true, "neighbor_id" -> false), 3, rnName = "rank")
-        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("cos"))
         .orderBy(col("query_id"), col("rank"))
     }
   )
