@@ -99,7 +99,14 @@ object Extras {
     * pruned plan reads a single partition. */
   val snkPartitioned: Q = Q(
     "snk_partitioned",
-    None,
+    // oracle = the same aggregate on the parquet original: the
+    // partitioned write/pruned read must be value-invisible (the plan
+    // assertion stays in ExtrasSpec)
+    Some(
+      "SELECT l_returnflag, cast(count(*) as bigint) AS n, " +
+        graft.Det.oRN(graft.Det.oSum("l_quantity"), 2) + " AS qty " +
+        "FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
     (spark, dir) => {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_snk_part"
       Tables
@@ -126,7 +133,14 @@ object Extras {
     * joins: pay the partitioning once at write time, never at read. */
   val snkBucketed: Q = Q(
     "snk_bucketed",
-    None,
+    // oracle = the join+aggregate on the parquet originals: bucketing
+    // changes the plan (no-exchange SMJ, ExtrasSpec), never the values
+    Some(
+      "SELECT l_orderkey, cast(count(*) as bigint) AS n_lines, " +
+        graft.Det.oRN(graft.Det.oSum("l_quantity"), 2) + " AS qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 1000"
+    ),
     (spark, dir) => {
       val nBuckets = 8
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"

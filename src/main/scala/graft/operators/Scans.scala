@@ -52,7 +52,13 @@ object Scans {
     */
   val snkCsvJson: Q = Q(
     "snk_csv_json",
-    None,
+    // oracle = the parquet original: the text round-trips must be
+    // lossless (ints + strings only; the read schema pins INTEGER, so
+    // the oracle casts to int32 to match)
+    Some(
+      "SELECT cast(n_nationkey as integer) AS n_nationkey, n_name, n_name AS j_name, " +
+        "cast(n_regionkey as integer) AS n_regionkey FROM nation ORDER BY n_nationkey"
+    ),
     (spark, dir) => {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_snk"
       val n = Tables.nation(spark, dir)
@@ -234,7 +240,15 @@ object Scans {
     * for the evolved column. */
   val srcSchemaEvolution: Q = Q(
     "src_schema_evolution",
-    None,
+    // oracle recomputes the generation split from orders: gen 1 (even
+    // keys) predates the o_bucket column, so every row reads it as
+    // NULL under mergeSchema; gen 2 fills it
+    Some(
+      "SELECT gen, cast(count(*) as bigint) AS n_rows, " +
+        "cast(sum(CASE WHEN gen = 1 THEN 1 ELSE 0 END) as bigint) AS n_null_bucket " +
+        "FROM (SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS gen FROM orders) " +
+        "GROUP BY gen ORDER BY gen"
+    ),
     (spark, dir) => {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_schema_evo"
       val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
