@@ -106,13 +106,47 @@ object Ml {
     (assigned, wcss.toSeq)
   }
 
+  /** The SQL twin of one [[assign]]+[[recompute]] round, unrolled
+    * [[Iters]] times. Parity rests on three equivalences: (1) the d2
+    * fold — DuckDB `list_reduce` is a left fold seeded with the first
+    * element, and Spark's `aggregate(…, 0.0, +)` seeds with 0.0; for
+    * the non-negative squared terms 0.0+v ≡ v bitwise, so every
+    * partial sum matches; (2) argmin ties break on cid in both; (3)
+    * centroid means go through the decimal-exact sum in both. */
+  private def kmeansOracle: String = {
+    def d2(x: String, c: String): String =
+      s"list_reduce(list_transform(list_zip($x, $c), p -> (p[1] - p[2]) * (p[1] - p[2])), " +
+        "(a, b) -> a + b)"
+    def assignCte(i: Int, cents: String): String =
+      s"a$i AS (SELECT vec_id, x, cid, d2 FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM (" +
+        s"SELECT v.vec_id, v.x, c.cid, ${d2("v.x", "c.c")} AS d2 " +
+        s"FROM v CROSS JOIN $cents c)) WHERE rn = 1)"
+    def recomputeCte(i: Int): String =
+      s"m$i AS (SELECT cid, p, cast(sum(cast(v as decimal(30,8))) as double) / count(*) AS m " +
+        s"FROM (SELECT cid, unnest(x) AS v, unnest(range(0, 64)) AS p FROM a$i) " +
+        "GROUP BY cid, p), " +
+        s"c${i + 1} AS (SELECT cid, list(m ORDER BY p) AS c FROM m$i GROUP BY cid)"
+    val iterations = (1 until Iters)
+      .map(i => assignCte(i, s"c$i") + ", " + recomputeCte(i) + ", ")
+      .mkString
+    "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings), " +
+      s"c1 AS (SELECT cast(vec_id as integer) AS cid, embedding::DOUBLE[] AS c " +
+      s"FROM embeddings WHERE vec_id < $K), " +
+      iterations +
+      assignCte(Iters, s"c$Iters") + " " +
+      s"SELECT cid, cast(count(*) as bigint) AS n_members, " +
+      Det.oRN(Det.oSum("d2"), 6) + s" AS wcss FROM a$Iters GROUP BY cid ORDER BY cid"
+  }
+
   /** Cluster profile after 3 deterministic Lloyd's iterations:
-    * (cid, n_members, wcss). No oracle — unrolled k-means iterations
-    * are not reasonably expressible in one SQL statement; MlSpec
-    * asserts determinism and the monotone-WCSS invariant instead. */
+    * (cid, n_members, wcss). ORACLE-checked (upgraded from no-oracle)
+    * by unrolling the iterations into one SQL statement — see
+    * [[kmeansOracle]] for the cross-engine parity argument; MlSpec
+    * keeps the determinism and monotone-WCSS invariants. */
   val mlKmeans: Q = Q(
     "ml_kmeans",
-    None,
+    Some(kmeansOracle),
     (spark, dir) => {
       val (assigned, _) = lloyd(spark, dir)
       assigned
