@@ -164,6 +164,67 @@ object StatefulDemos {
       }
   }
 
+  /** Streaming SCD2 — the incremental form of `maint_scd2`'s batch
+    * dimension build: per customer the state is ONE open version
+    * (version, status, valid_from-as-epoch-days, n_orders). Each
+    * micro-batch folds its rows in (date, orderkey) order: a same-
+    * status row bumps the open run's count; a status change EMITS the
+    * closed interval (valid_to = the new valid_from, is_current=false)
+    * and opens the next version; the open version is re-emitted each
+    * batch with valid_to=None so downstream upsert sinks always hold
+    * the current row. On an ordered replay the emission set (latest
+    * per (cust, version)) equals the batch build exactly —
+    * StatefulSpec.
+    *
+    * 100 TB: this replaces re-running the full-history window build
+    * every batch; state is O(dimension keys) — one small row each —
+    * and only changed versions are written downstream (CDC-style). */
+  case class Scd2Ver(
+      o_custkey: Long,
+      version: Long,
+      status: String,
+      valid_from_days: Long,
+      valid_to_days: Option[Long],
+      is_current: Boolean,
+      n_orders: Long
+  )
+  case class Scd2State(version: Long, status: String, fromDays: Long, n: Long)
+
+  def scd2Stream(spark: SparkSession, orders: DataFrame): Dataset[Scd2Ver] = {
+    import spark.implicits._
+    orders
+      .selectExpr(
+        "o_custkey",
+        "o_orderkey",
+        "datediff(o_orderdate, DATE '1970-01-01') AS days",
+        "o_orderstatus"
+      )
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (cust: Long, rows: Iterator[(Long, Long, Long, String)], state: GroupState[Scd2State]) =>
+          var cur = state.getOption
+          val out = Seq.newBuilder[Scd2Ver]
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, _, days, status) =>
+            cur match {
+              case None =>
+                cur = Some(Scd2State(1L, status, days, 1L))
+              case Some(s) if s.status == status =>
+                cur = Some(s.copy(n = s.n + 1))
+              case Some(s) =>
+                out += Scd2Ver(cust, s.version, s.status, s.fromDays, Some(days), is_current = false, s.n)
+                cur = Some(Scd2State(s.version + 1, status, days, 1L))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            // re-emit the open version: Update-mode upsert of the current row
+            out += Scd2Ver(cust, s.version, s.status, s.fromDays, None, is_current = true, s.n)
+          }
+          out.result().iterator
+      }
+  }
+
   def userTotals(spark: SparkSession, events: DataFrame): Dataset[UserAgg] = {
     import spark.implicits._
     events

@@ -188,4 +188,41 @@ class StatefulSpec extends SparkSuite {
     assert(got.nonEmpty && got == batch,
       s"${(got diff batch).size} extra, ${(batch diff got).size} missing")
   }
+
+  test("streaming SCD2 state machine equals the batch dimension build") {
+    val tmp = Files.createTempDirectory("graft_scd2_stream").toString + "/in"
+    val o = Tables
+      .orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"))
+    o.coalesce(1).write.mode("overwrite").parquet(tmp) // ordered replay: one batch
+    val stream = spark.readStream.schema(o.schema).option("maxFilesPerTrigger", 1).parquet(tmp)
+    val q = streaming.StatefulDemos
+      .scd2Stream(spark, stream)
+      .writeStream
+      .format("memory")
+      .queryName("t_scd2")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // Update-mode upsert semantics: a version's CLOSED emission
+    // supersedes its open re-emissions; among open rows the largest
+    // n_orders is the latest (the run count only grows)
+    val got = spark.table("t_scd2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5), r.getLong(6)))
+      .groupBy(t => (t._1, t._2))
+      .map { case (_, vs) => vs.find(!_._6).getOrElse(vs.maxBy(_._7)) }
+      .toSet
+    val batch = operators.Maintenance.maintScd2.run(spark, sf)
+      .selectExpr("o_custkey", "version", "status",
+        "datediff(valid_from, DATE '1970-01-01') AS f",
+        "datediff(valid_to, DATE '1970-01-01') AS t", "is_current", "n_orders")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3).toLong,
+        if (r.isNullAt(4)) None else Some(r.getInt(4).toLong), r.getBoolean(5), r.getLong(6)))
+      .toSet
+    assert(got.nonEmpty && got == batch,
+      s"${(got diff batch).size} extra, ${(batch diff got).size} missing of ${batch.size}")
+  }
 }
