@@ -452,5 +452,72 @@ object Graph {
     }
   )
 
-  def qs: Seq[Q] = Seq(graphDegree, graphPagerank, graphTriangles, graphPowerlawFit, graphLift)
+  /** Neighbor-overlap link prediction: for scoped part pairs, the
+    * Jaccard of their co-purchase neighbor sets — wedges (shared
+    * neighbors) counted by one self-join on the shared endpoint, then
+    * |N(a) ∪ N(b)| = deg(a) + deg(b) − common. The classic "customers
+    * also bought" / similar-item screen, ranked by structural
+    * similarity rather than direct co-occurrence ([[graphLift]]).
+    *
+    * Determinism: all counts exact; one division trunc-rounded 6 dp;
+    * ties break on (pa, pb).
+    *
+    * 100 TB: the wedge join shuffles on the shared-neighbor id — hub
+    * neighbors are the skew (each contributes deg² wedges), handled in
+    * production by a degree cap on the JOIN side (drop hubs above a
+    * percentile: a part co-bought with everything predicts nothing);
+    * the probe scope here bounds the demo pair set the same way the
+    * triangle count does. */
+  val graphJaccardNeighbors: Q = Q(
+    "graph_jaccard_neighbors",
+    Some(
+      "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "e AS (SELECT DISTINCT a.l_partkey pa, b.l_partkey pb FROM li a JOIN li b " +
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "sym AS (SELECT pa AS p, pb AS n FROM e UNION ALL SELECT pb, pa FROM e), " +
+        "deg AS (SELECT p, cast(count(*) as bigint) AS dg FROM sym GROUP BY p), " +
+        "w AS (SELECT a.p AS pa, b.p AS pb, cast(count(*) as bigint) AS common " +
+        s"FROM sym a JOIN sym b ON a.n = b.n AND a.p < b.p " +
+        s"WHERE a.p < $TriangleProbeScope AND b.p < $TriangleProbeScope " +
+        "GROUP BY a.p, b.p HAVING count(*) >= 2) " +
+        "SELECT w.pa, w.pb, w.common, da.dg AS deg_a, db.dg AS deg_b, " +
+        Det.oRN("w.common::DOUBLE / (da.dg + db.dg - w.common)", 6) + " AS jac " +
+        "FROM w JOIN deg da ON w.pa = da.p JOIN deg db ON w.pb = db.p " +
+        "ORDER BY jac DESC, w.pa, w.pb LIMIT 50"
+    ),
+    (spark, dir) => {
+      val e = coPurchaseEdges(spark, dir, lit(true), dedup = true)
+      val sym = e
+        .select(col("pa").as("p"), col("pb").as("n"))
+        .unionAll(e.select(col("pb").as("p"), col("pa").as("n")))
+      val deg = sym.groupBy(col("p")).agg(count(lit(1)).as("dg"))
+      val w = sym
+        .filter(col("p") < TriangleProbeScope)
+        .select(col("p").as("pa"), col("n"))
+        .join(
+          sym.filter(col("p") < TriangleProbeScope).select(col("p").as("pb"), col("n")),
+          Seq("n")
+        )
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("common"))
+        .filter(col("common") >= 2)
+      w.join(broadcast(deg.select(col("p").as("pa"), col("dg").as("deg_a"))), Seq("pa"))
+        .join(broadcast(deg.select(col("p").as("pb"), col("dg").as("deg_b"))), Seq("pb"))
+        .select(
+          col("pa"),
+          col("pb"),
+          col("common"),
+          col("deg_a"),
+          col("deg_b"),
+          Det.rN(col("common").cast("double") / (col("deg_a") + col("deg_b") - col("common")), 6)
+            .as("jac")
+        )
+        .orderBy(col("jac").desc, col("pa"), col("pb"))
+        .limit(50)
+    }
+  )
+
+  def qs: Seq[Q] = Seq(graphDegree, graphPagerank, graphTriangles, graphPowerlawFit, graphLift,
+    graphJaccardNeighbors)
 }

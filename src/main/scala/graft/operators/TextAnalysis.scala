@@ -1122,10 +1122,60 @@ object TextAnalysis {
     }
   )
 
+  /** BPE merge-pair counting — the inner step of byte-pair-encoding
+    * tokenizer training: over every corpus token occurrence, count
+    * adjacent character pairs; the top pair is the next merge a BPE
+    * trainer would apply. Emitted as the top 30 candidate merges.
+    * Complements [[textBigramLm]] (token-level) at the character
+    * level, where tokenizers actually operate.
+    *
+    * Determinism: chars come from the same regexp in both engines;
+    * counts are exact; ties in the top-30 break on the pair string.
+    *
+    * 100 TB: explode + one pair-keyed aggregate (partial map-side;
+    * the pair key space is |alphabet|² — tiny); top-30 is
+    * TakeOrderedAndProject. This is exactly how distributed BPE
+    * training computes each round's merge. */
+  val textBpePairs: Q = Q(
+    "text_bpe_pairs",
+    Some(
+      "WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "ch AS (SELECT regexp_extract_all(tok, '.') AS c FROM t), " +
+        "pr AS (SELECT unnest(list_filter(list_transform(list_zip(c, c[2:]), " +
+        "x -> x[1] || x[2]), v -> v IS NOT NULL)) AS pair FROM ch) " +
+        "SELECT pair, cast(count(*) as bigint) AS n FROM pr GROUP BY pair " +
+        "ORDER BY n DESC, pair LIMIT 30"
+    ),
+    (spark, dir) => {
+      val c = regexp_extract_all(col("tok"), lit("."), lit(0))
+      Tables
+        .documents(spark, dir)
+        .select(explode(toks(col("text"))).as("tok"))
+        .select(c.as("c"))
+        .select(
+          explode(
+            filter(
+              zip_with(
+                col("c"),
+                slice(col("c"), lit(2), greatest(size(col("c")) - 1, lit(0))),
+                (a, b) => concat(a, b)
+              ),
+              v => v.isNotNull
+            )
+          ).as("pair")
+        )
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(30)
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     textStats, textTfidfTop, textLangid, textQuality, textTokens, textFingerprint,
     textPiiRedact, reportScores, textBigramLm, textChunk, textVocab, pipelineCurate,
     textContamination, textHeavyHitters, pipelineFunnel, pipelineManifest, textEntropy,
-    pipelineCurriculum, textBm25Topk, textPerplexity, textRepetition, textInvertedIndex
+    pipelineCurriculum, textBm25Topk, textPerplexity, textRepetition, textInvertedIndex,
+    textBpePairs
   )
 }
