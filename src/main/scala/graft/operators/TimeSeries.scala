@@ -764,7 +764,92 @@ object TimeSeries {
     }
   )
 
+  /** Lagged cross-correlation between the hourly view and purchase
+    * series: Pearson r between views(t) and purchases(t+k) for
+    * k = 0..6 hours — the lead–lag screen that answers "does view
+    * traffic predict purchases, and at what delay" before anyone
+    * fits a forecasting model on the pair.
+    *
+    * Determinism (§2.9 playbook): per-hour counts are exact longs; all
+    * five moment sums (Σx, Σy, Σxy, Σx², Σy²) are exact integer sums;
+    * the Pearson numerator n·Σxy − Σx·Σy is exact integer algebra; the
+    * two variance terms are cast to double only for the final
+    * multiply/sqrt/divide (their product can exceed 2⁶³, and doubles
+    * are exact below 2⁵³ where the terms live) — a fixed three-op IEEE
+    * chain, identical in both engines, trunc-rounded 6 dp.
+    *
+    * 100 TB: one hour-keyed count aggregate (partial map-side), a
+    * 7-lag self-join on the tiny hourly grid, and a 7-group moment
+    * aggregate — everything after the first count is grid-sized. */
+  val tsCrossCorrelation: Q = Q(
+    "ts_cross_correlation",
+    Some(
+      "WITH h AS (SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS t, " +
+        "cast(count(*) FILTER (event_type = 'view') as bigint) AS x, " +
+        "cast(count(*) FILTER (event_type = 'purchase') as bigint) AS y " +
+        "FROM events GROUP BY 1), " +
+        "lg AS (SELECT unnest(range(0, 7)) AS lag), " +
+        "p AS (SELECT lg.lag, a.x, b.y FROM lg, h a " +
+        "JOIN h b ON b.t = a.t + lg.lag), " +
+        "m AS (SELECT lag, cast(count(*) as bigint) AS n, " +
+        "cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy, " +
+        "cast(sum(x * y) as bigint) AS sxy, " +
+        "cast(sum(x * x) as bigint) AS sxx, cast(sum(y * y) as bigint) AS syy " +
+        "FROM p GROUP BY lag) " +
+        "SELECT lag, n, CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 " +
+        "THEN NULL ELSE " +
+        Det.oRS(
+          "(n * sxy - sx * sy)::DOUBLE / " +
+            "sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE)",
+          6
+        ) + " END AS r FROM m ORDER BY lag"
+    ),
+    (spark, dir) => {
+      val h = Tables
+        .events(spark, dir)
+        .groupBy(expr("unix_micros(cast(date_trunc('hour', ts) as timestamp)) div 3600000000").as("t"))
+        .agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y")
+        )
+      val lags = spark.range(0, 7).select(col("id").as("lag"))
+      val pairs = lags
+        .crossJoin(broadcast(h.select(col("t"), col("x"))))
+        .join(
+          h.select(col("t").as("tb"), col("y")),
+          col("tb") === col("t") + col("lag"),
+          "inner"
+        )
+      val m = pairs
+        .groupBy(col("lag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy")
+        )
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      m.select(
+        col("lag"),
+        col("n"),
+        when(vx === 0 || vy === 0, lit(null))
+          .otherwise(
+            Det.rS(
+              (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                sqrt(vx.cast("double") * vy.cast("double")),
+              6
+            )
+          )
+          .as("r")
+      ).orderBy(col("lag"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(tsTumbling1h, tsSliding15m5m, tsSession30m, tsSessionWindowBatch,
     tsFillForward, tsResampleHourly, tsEwma, tsInterpolate, tsAttribution, tsAutocorr,
-    tsChangepoint, tsSeasonalProfile, tsDownsampleM4, tsAnomalyMad, tsHolt)
+    tsChangepoint, tsSeasonalProfile, tsDownsampleM4, tsAnomalyMad, tsHolt,
+    tsCrossCorrelation)
 }
