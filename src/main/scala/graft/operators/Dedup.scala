@@ -289,6 +289,73 @@ object Dedup {
         .orderBy(col("doc_id"))
   )
 
+  /** Banded SimHash pair screen — the pair-level member the signature
+    * query above feeds: 60-bit simhashes split into 4 × 15-bit bands,
+    * candidates = pairs agreeing on ANY band (equi-join, never
+    * quadratic), then the EXACT Hamming ≤ 3 filter via
+    * bit_count(xor). The banding is LOSSLESS here by pigeonhole — a
+    * pair within Hamming 3 differs in ≤ 3 bands, so at least one of
+    * the 4 matches exactly — which is why this query is hash-checkable
+    * while the minhash screen below is not: nothing about it is
+    * approximate.
+    *
+    * Determinism: signatures are exact integer majorities
+    * ([[dedupSimhash]]); band keys, xor, and popcount are integer ops.
+    *
+    * 100 TB: one shuffle on the band key; bucket skew mirrors
+    * signature clustering (a saturated bucket means the corpus IS a
+    * near-clique at that prefix — cap-and-report like the minhash
+    * banding if it bites). */
+  val dedupSimhashPairs: Q = Q(
+    "dedup_simhash_pairs",
+    Some(
+      "WITH tok AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h " +
+        "FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents)), " +
+        "bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s " +
+        "FROM tok CROSS JOIN (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b), " +
+        "sg AS (SELECT doc_id, cast(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) as bigint) " +
+        "AS simhash FROM bits GROUP BY doc_id), " +
+        "k AS (SELECT doc_id, simhash, bi, (simhash >> (15 * bi)) & 32767 AS bv " +
+        "FROM sg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bi)), " +
+        "p AS (SELECT DISTINCT a.doc_id AS ida, a.simhash AS sa, c.doc_id AS idb, c.simhash AS sb " +
+        "FROM k a JOIN k c ON a.bi = c.bi AND a.bv = c.bv AND a.doc_id < c.doc_id) " +
+        "SELECT ida, idb, cast(bit_count(xor(sa, sb)) as bigint) AS hamming " +
+        "FROM p WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY ida, idb"
+    ),
+    (spark, dir) => {
+      val sg = Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+        .select(col("doc_id"), conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("b"))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(sum(when(expr("(h >> b) & 1") === 1, 1).otherwise(-1)).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L))
+            .cast("long")
+            .as("simhash")
+        )
+      val k = sg
+        .select(col("doc_id"), col("simhash"), explode(array((0 until 4).map(lit): _*)).as("bi"))
+        .withColumn("bv", expr("(simhash >> (15 * bi)) & 32767"))
+      val pairs = k
+        .select(col("bi"), col("bv"), col("doc_id").as("ida"), col("simhash").as("sa"))
+        .join(
+          k.select(col("bi"), col("bv"), col("doc_id").as("idb"), col("simhash").as("sb")),
+          Seq("bi", "bv")
+        )
+        .filter(col("ida") < col("idb"))
+        .select(col("ida"), col("sa"), col("idb"), col("sb"))
+        .distinct()
+      pairs
+        .withColumn("hamming", bit_count(expr("sa ^ sb")).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("ida"), col("idb"), col("hamming"))
+        .orderBy(col("ida"), col("idb"))
+    }
+  )
+
   /** MinHash-LSH near-dup candidates (no oracle — sketch internals are
     * engine-specific; recall vs exact Jaccard is property-tested in
     * DedupSpec). This is the 100 TB near-dup path: 8 minhash values per
@@ -927,7 +994,7 @@ object Dedup {
 
   def qs: Seq[Q] = Seq(
     dedupExact, dedupNearJaccard, dedupEmbedCosine, dedupNgramJaccard, dedupSimhash,
-    dedupMinhashLsh, dedupClusters, dedupReport, dedupThresholdCurve, dedupBestOfCluster,
-    dedupContainment, dedupIncremental, dedupSpanCoverage, dedupNgramExact
+    dedupSimhashPairs, dedupMinhashLsh, dedupClusters, dedupReport, dedupThresholdCurve,
+    dedupBestOfCluster, dedupContainment, dedupIncremental, dedupSpanCoverage, dedupNgramExact
   )
 }

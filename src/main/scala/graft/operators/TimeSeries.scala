@@ -848,8 +848,47 @@ object TimeSeries {
     }
   )
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next event type | current), from lead() pairs on the
+    * (ts, event_id) total order — the behavioral n-gram model behind
+    * next-action prediction and funnel diagnosis ([[graft.operators
+    * .Advanced.funnelVcp]] measures one path; this measures them all).
+    *
+    * Determinism: pair counts and row totals are exact; p is ONE
+    * division trunc-rounded 6 dp; output ordered (cur, next).
+    *
+    * 100 TB: one shuffle on user_id for the lead window, then a
+    * |types|²-bounded aggregate — the transition table is tiny at any
+    * scale. */
+  val eventsMarkovTransition: Q = Q(
+    "events_markov_transition",
+    Some(
+      "WITH s AS (SELECT user_id, event_type AS cur, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events), " +
+        "c AS (SELECT cur, nxt, cast(count(*) as bigint) AS n FROM s WHERE nxt IS NOT NULL " +
+        "GROUP BY cur, nxt), " +
+        "t AS (SELECT cur, cast(sum(n) as bigint) AS tot FROM c GROUP BY cur) " +
+        "SELECT c.cur, c.nxt, c.n, " + Det.oRN("c.n::DOUBLE / t.tot", 6) + " AS p " +
+        "FROM c JOIN t USING (cur) ORDER BY c.cur, c.nxt"
+    ),
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val c = Tables
+        .events(spark, dir)
+        .select(col("user_id"), col("event_type").as("cur"), col("ts"), col("event_id"))
+        .withColumn("nxt", lead(col("cur"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("cur"), col("nxt"))
+        .agg(count(lit(1)).as("n"))
+      val t = c.groupBy(col("cur")).agg(sum(col("n")).as("tot"))
+      c.join(broadcast(t), Seq("cur"))
+        .select(col("cur"), col("nxt"), col("n"), Det.rN(col("n").cast("double") / col("tot"), 6).as("p"))
+        .orderBy(col("cur"), col("nxt"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(tsTumbling1h, tsSliding15m5m, tsSession30m, tsSessionWindowBatch,
     tsFillForward, tsResampleHourly, tsEwma, tsInterpolate, tsAttribution, tsAutocorr,
     tsChangepoint, tsSeasonalProfile, tsDownsampleM4, tsAnomalyMad, tsHolt,
-    tsCrossCorrelation)
+    tsCrossCorrelation, eventsMarkovTransition)
 }
