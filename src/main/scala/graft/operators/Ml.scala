@@ -173,9 +173,7 @@ object Ml {
     * decimal-exact path, and the argmax tie-breaks on class name — so
     * the prediction, not just the score, is deterministic.
     */
-  val mlNaiveBayes: Q = Q(
-    "ml_naive_bayes",
-    Some {
+  private val nbOracleSql: String = {
       val h = Sampling.oHkey("doc_id")
       "WITH tr AS (SELECT doc_id, lang, text FROM documents WHERE " + h + " % 10 <> 0), " +
         "te AS (SELECT doc_id, lang, text FROM documents WHERE " + h + " % 10 = 0), " +
@@ -197,7 +195,11 @@ object Ml {
         "SELECT rk.doc_id, te.lang AS actual, rk.predicted, " +
         "(rk.predicted = te.lang) AS correct, " + Det.oRN("rk.s", 6) + " AS log_score " +
         "FROM rk JOIN te ON te.doc_id = rk.doc_id WHERE rn = 1 ORDER BY rk.doc_id"
-    },
+  }
+
+  val mlNaiveBayes: Q = Q(
+    "ml_naive_bayes",
+    Some(nbOracleSql),
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs  = Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("text"))
@@ -345,5 +347,47 @@ object Ml {
     }
   )
 
-  def qs: Seq[Q] = Seq(mlKmeans, mlNaiveBayes, mlKsTest, mlFeatureBins)
+  /** Confusion matrix of the Naive Bayes classifier on its held-out
+    * split: (actual, predicted, n, row_frac) — the per-class error
+    * breakdown `ml_naive_bayes`'s flat prediction rows don't show,
+    * which is what decides whether a classifier's mistakes are benign
+    * (adjacent classes) or structural. Composes the NB query itself,
+    * so the matrix is hash-checked end-to-end through training,
+    * scoring, argmax, AND aggregation.
+    *
+    * Determinism: cell counts exact; row_frac is one division per
+    * cell over the exact per-actual total, trunc-rounded 6 dp.
+    *
+    * 100 TB: adds one |classes|²-bounded aggregate over the scored
+    * test set — free next to scoring. */
+  val mlConfusionMatrix: Q = Q(
+    "ml_confusion_matrix",
+    Some(
+      "WITH nb AS (" + nbOracleSql + ") " +
+        "SELECT actual, predicted, cast(count(*) as bigint) AS n, " +
+        Det.oRN(
+          "count(*)::DOUBLE / cast(sum(count(*)) OVER (PARTITION BY actual) as bigint)",
+          6
+        ) + " AS row_frac " +
+        "FROM nb GROUP BY actual, predicted ORDER BY actual, predicted"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = mlNaiveBayes
+        .run(spark, dir)
+        .groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("actual"))
+      cells
+        .select(
+          col("actual"),
+          col("predicted"),
+          col("n"),
+          Det.rN(col("n").cast("double") / sum(col("n")).over(w), 6).as("row_frac")
+        )
+        .orderBy(col("actual"), col("predicted"))
+    }
+  )
+
+  def qs: Seq[Q] = Seq(mlKmeans, mlNaiveBayes, mlKsTest, mlFeatureBins, mlConfusionMatrix)
 }
