@@ -465,6 +465,60 @@ object Similarity {
     }
   )
 
+  /** ANN recall report: per probe query, how many of the brute-force
+    * cosine top-3 the LSH index actually returned — recall@3, the
+    * number every ANN deployment tracks, computed IN the engine as a
+    * query (SimilaritySpec asserts the same property; this makes the
+    * evaluation itself a hash-checked pipeline artifact, composing the
+    * full LSH cascade against the exact baseline in one statement).
+    *
+    * Determinism: both arms are the already-oracle-checked rankings
+    * (rounded scores, id tiebreaks); hits are exact counts; recall is
+    * one division by the constant 3.
+    *
+    * 100 TB: the exact arm is the broadcast-probe brute-force scan —
+    * affordable precisely because the probe set is small; the report
+    * join touches 2×(100·3) rows. This is the standard offline
+    * index-quality audit run on a sampled probe set. */
+  val simAnnRecallReport: Q = Q(
+    "sim_ann_recall_report",
+    Some(
+      "WITH s AS (SELECT vec_id, embedding, " + bucketSql + " AS bucket FROM embeddings), " +
+        "lc AS (SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        Det.oRS("list_dot_product(p.embedding::DOUBLE[], b.embedding::DOUBLE[])", 6) + " AS cos " +
+        "FROM s p JOIN s b ON p.bucket = b.bucket AND p.vec_id < 100 AND p.vec_id != b.vec_id), " +
+        "lr AS (SELECT query_id, neighbor_id FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM lc) " +
+        "WHERE rank <= 3), " +
+        "bc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        Det.oRS("list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])", 6) + " AS cos " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < 100 AND a.vec_id != b.vec_id), " +
+        "br AS (SELECT query_id, neighbor_id FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM bc) " +
+        "WHERE rank <= 3) " +
+        "SELECT br.query_id, cast(count(lr.neighbor_id) as bigint) AS n_hits, " +
+        Det.oRN("count(lr.neighbor_id)::DOUBLE / 3.0", 6) + " AS recall_at_3 " +
+        "FROM br LEFT JOIN lr ON br.query_id = lr.query_id AND br.neighbor_id = lr.neighbor_id " +
+        "GROUP BY br.query_id ORDER BY br.query_id"
+    ),
+    (spark, dir) => {
+      val lsh = simAnnLsh
+        .run(spark, dir)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("m"))
+      val brute = pairsTopK(spark, dir, 100, 3).select(col("query_id"), col("neighbor_id"))
+      brute
+        .join(lsh, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("m"), lit(0))).cast("long").as("n_hits"))
+        .select(
+          col("query_id"),
+          col("n_hits"),
+          Det.rN(col("n_hits").cast("double") / 3.0, 6).as("recall_at_3")
+        )
+        .orderBy(col("query_id"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(simCosineTopk, simKnnClassify, simAnnLsh, simAnnMultiprobe,
-    simQuantizedTopk, simCoarseRerank, simHybridRrf)
+    simQuantizedTopk, simCoarseRerank, simHybridRrf, simAnnRecallReport)
 }
