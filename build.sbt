@@ -36,5 +36,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g, not 8g: the bench is a single local[32] JVM running 214
+  // queries back-to-back on a 128 GiB machine; at 8g the heap sits
+  // near the GC ceiling once a few hundred dead broadcast/shuffle
+  // blocks accumulate, and allocation-heavy queries thrash (round 5:
+  // identical code measured 0.6 s in-suite at r4, 19.5 s at r5).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

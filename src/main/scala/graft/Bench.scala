@@ -1,5 +1,8 @@
 package graft
+import java.lang.management.ManagementFactory
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,6 +13,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // reclaim per-iteration reliable-checkpoint files (Dedup.truncate)
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // The ContextCleaner only reclaims dead broadcasts/RDDs after a
+      // driver GC surfaces their weak references; its fallback periodic
+      // GC defaults to 30 min — longer than the whole bench. 1 min
+      // keeps cleanup flowing even between our explicit drops.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -17,28 +25,43 @@ object Bench {
     // warms codegen, the scheduler, and the parquet reader path (the
     // first action in a fresh JVM otherwise pays ~6 s that belongs to
     // no query), and between queries we drop dead cached/checkpointed
-    // blocks (iterative ops localCheckpoint; 90+ queries in one JVM
-    // otherwise accumulate block-manager garbage that inflates later
-    // queries by up to 7x — measured round 3).
+    // blocks AND all broadcast blocks (round 5 post-mortem: 214
+    // queries' dead broadcast hint-exchanges accumulated until the
+    // allocation-heavy queries GC-thrashed — ts_session_window_batch
+    // went 0.58 s → 19.5 s on identical code; caches/RDDs alone were
+    // not enough).
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
     def dropDeadBlocks(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      // NOT a per-query System.gc(): measured (this round) it improves
-      // a few broadcast-heavy stragglers (text_bigram_lm 6.3→1.6 s)
-      // but regresses others far more (ml_kmeans 2.7→13.7 s, total
-      // 154→203 s) — the full GC evicts hot JIT/code-cache state the
-      // next query re-pays. The ContextCleaner's natural cadence wins.
+      org.apache.spark.graft.BenchHygiene.dropAllBroadcasts(spark.sparkContext)
+      // NOT a per-query System.gc(): measured (round 5) it improves a
+      // few broadcast-heavy stragglers (text_bigram_lm 6.3→1.6 s) but
+      // regresses others far more (ml_kmeans 2.7→13.7 s, total
+      // 154→203 s). A periodic GC every ~25 queries amortizes the full
+      // collection while still bounding heap garbage (see loop below).
     }
 
+    val gcBeans = ManagementFactory.getGarbageCollectorMXBeans.asScala
+    def gcMillis: Long = gcBeans.map(_.getCollectionTime).sum
+    val memBean = ManagementFactory.getMemoryMXBean
+
     val only = args.toSet // optional local-profiling filter; driver passes no args
+    var qIdx = 0
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       dropDeadBlocks()
+      qIdx += 1
+      if (qIdx % 25 == 0) System.gc() // periodic, NOT per-query (see above)
+      // Per-query telemetry to stderr (stdout stays JSON-line clean):
+      // makes any future bench-tail anomaly explainable from the log.
+      val heapMb = memBean.getHeapMemoryUsage.getUsed >> 20
+      System.err.println(f"[bench] $name%-28s ${dt}%7.3f s  gc=${gcMillis - gc0}%5d ms  heap=${heapMb}%5d MB")
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -5,6 +5,7 @@ package org.apache.spark.sql.graftx
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
@@ -48,8 +49,19 @@ case class LongBloomMightContain(bloomBytes: Expression, value: Expression)
   override def prettyName: String = "long_bloom_might_contain"
 
   // the bloom side must be constant: it is evaluated once per executor,
-  // not per row (a per-row bloom would silently probe a stale filter)
-  require(bloomBytes.foldable, "long_bloom_might_contain: bloom bytes must be foldable")
+  // not per row (a per-row bloom would silently probe a stale filter).
+  // Surfaced as a type-check failure, not a require(): a non-foldable
+  // first argument to the SQL-registered function then raises a normal
+  // AnalysisException instead of a raw IllegalArgumentException.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!bloomBytes.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "long_bloom_might_contain: bloom bytes must be a foldable (constant) binary value, " +
+          "since the filter is deserialized once per executor, not per row")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   @transient private lazy val bloom: BloomFilter = {
     val bytes = bloomBytes.eval(InternalRow.empty).asInstanceOf[Array[Byte]]

@@ -703,14 +703,25 @@ object Dedup {
     * (small doc, containing doc, containment).
     *
     * 100 TB notes: same blocked equi-join shape as the Jaccard pass —
-    * join on (lang, partner token count), but the probe explodes the
-    * SMALL side's compatible partner counts upward: containment ≥ 0.9
-    * with |B| ≥ |A| bounds partners to [na, 3·na] (the 3× cap is the
+    * join on (lang, geometric count bucket). Containment ≥ 0.9 with
+    * |B| ≥ |A| bounds partners to [na, 3·na] (the 3× cap is the
     * documented knob: a 40-token excerpt of a 10k-token book needs a
-    * containment INDEX, not a wider band). Candidates stay linear in
-    * docs × band width; the per-pair intersect is the codegen'd merge
-    * scan. Determinism: exact int ratio, 6-dp trunc round, ≥ on the
-    * exact ratio. */
+    * containment INDEX, not a wider band), so the SMALL side emits one
+    * row per bucket of the ⌊log₁.₂₅⌋ grid covering [na, 3na] —
+    * ⌈log₁.₂₅ 3⌉ + 1 ≈ 6 rows — and the exact count band re-applies as
+    * an integer filter after the join. Coverage is exact by floor
+    * monotonicity: bucket(nb) ∈ [bucket(na), bucket(3na)] for every
+    * nb in the band (no ±1 slack needed — the range ENDPOINTS are
+    * functions of na alone). An earlier formulation exploded every
+    * compatible partner COUNT — 2·nt+1 rows per doc, each duplicating
+    * the hashed token array through the exchange, i.e. shuffle volume
+    * QUADRATIC in doc length; it measured 30 s in the round-6 full
+    * bench at sf0.1 where the bucket grid measures ~3 s for the
+    * identical pair set, and the gap compounds at 100 TB where
+    * shuffle is the first wall. Candidates stay linear in docs × band
+    * width; the per-pair intersect is the codegen'd merge scan.
+    * Determinism: exact int ratio, 6-dp trunc round, ≥ on the exact
+    * ratio. */
   val dedupContainment: Q = Q(
     "dedup_containment",
     Some(
@@ -727,23 +738,33 @@ object Dedup {
       import org.apache.spark.sql.graftx.SortedLongIntersectCount
       val hs = sort_array(transform(toks(col("text")), x =>
         conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
+      def bkt(n: Column): Column = floor(log(n.cast("double")) / math.log(1.25)).cast("int")
       val d = Tables
         .documents(spark, dir)
         .select(col("doc_id"), col("lang"), hs.as("t"), size(hs).as("nt"))
-      // small side explodes its compatible CONTAINING counts [na, 5na];
-      // equal-count pairs keep one orientation via the id tiebreak
+      // small side explodes the ~6 geometric buckets covering its
+      // compatible CONTAINING counts [na, 3na] (NOT every count slot —
+      // see scaladoc); equal-count pairs keep one orientation via the
+      // id tiebreak
       val a = d.select(
         col("doc_id").as("small_id"),
         col("lang"),
         col("t").as("ta"),
         col("nt").as("na"),
-        explode(sequence(col("nt"), expr("3 * nt"))).as("pn")
+        explode(sequence(bkt(col("nt")), bkt(col("nt") * 3))).as("pb")
       )
-      val b = d.select(col("doc_id").as("big_id"), col("lang"), col("t").as("tb"), col("nt").as("pn"))
-      a.join(b, Seq("lang", "pn"))
+      val b = d.select(
+        col("doc_id").as("big_id"),
+        col("lang"),
+        col("t").as("tb"),
+        col("nt").as("nb"),
+        bkt(col("nt")).as("pb")
+      )
+      a.join(b, Seq("lang", "pb"))
         .filter(
-          col("small_id") =!= col("big_id") &&
-            !(col("pn") === col("na") && col("big_id") < col("small_id"))
+          col("nb") >= col("na") && col("nb") <= lit(3) * col("na") &&
+            col("small_id") =!= col("big_id") &&
+            !(col("nb") === col("na") && col("big_id") < col("small_id"))
         )
         .withColumn("inter", SortedLongIntersectCount.count(col("ta"), col("tb")))
         .withColumn("cont", col("inter").cast("double") / col("na"))

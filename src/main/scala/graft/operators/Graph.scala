@@ -135,21 +135,26 @@ object Graph {
     * cheaper than a simple graph (no pair-dedup pass): contrib uses the
     * WEIGHTED degree, so duplicate edge rows are the weights.
     *
-    * Plan shape: the enriched symmetric edge list is built once and
-    * PERSISTED — each iteration is then one edge⋈rank join plus the
-    * contribution re-key from src to dst (PageRank's inherent
-    * transpose shuffle). Neither side is broadcast: at graph scale the
-    * rank table scales with nodes and the edge list with edges, and
-    * neither fits an executor. One honest caveat, visible in PLANS.md:
-    * an InMemoryRelation wrapping an ADAPTIVE subplan reports unknown
-    * outputPartitioning, so the cached edge scan re-exchanges into each
-    * iteration's join rather than reusing its cache-time partitioning —
-    * cheap here, but a real 100 TB deployment would instead CHECKPOINT
-    * the edge list hash-bucketed on src (the [[Dedup]] clustering-loop
-    * pattern) so iterations pay only the transpose. Bench clears
-    * persisted blocks between queries. Orders are 10%-sampled by key
-    * (deterministic, same filter in the oracle) to bound the contract
-    * query; the operator itself is scale-free.
+    * Plan shape (the [[Dedup]] clustering-loop pattern): the symmetric
+    * edge list is built by ONE lineitem self-join (`=!=` emits both
+    * directions — no union-of-reversals, so the join runs once, not
+    * twice), repartitioned on `s`, and LOCAL-CHECKPOINTED. The
+    * checkpoint truncates lineage into a LogicalRDD that PINS the
+    * hash(`s`) partitioning — unlike `.persist()`, whose
+    * InMemoryRelation wraps an adaptive subplan with unknown
+    * outputPartitioning and therefore re-exchanged the cached edge
+    * list into every iteration (the round-5 caveat, now fixed rather
+    * than documented). Source degrees then attach via one broadcast
+    * join (degree table is part-catalog-bounded = a dimension; the
+    * broadcast preserves the streamed side's partitioning), so each
+    * iteration is exactly one s-join — edge side exchange-free — plus
+    * the contribution re-key from src to dst (PageRank's inherent
+    * transpose shuffle). The rank side is never broadcast: it scales
+    * with nodes. At 100 TB the same shape holds with a reliable
+    * checkpoint and a shuffle degree join instead of the broadcast.
+    * Bench clears checkpointed blocks between queries. Orders are
+    * 10%-sampled by key (deterministic, same filter in the oracle) to
+    * bound the contract query; the operator itself is scale-free.
     */
   val graphPagerank: Q = Q(
     "graph_pagerank",
@@ -174,34 +179,42 @@ object Graph {
         "FROM p3 JOIN deg ON p3.node = deg.node ORDER BY p3.pr DESC, deg.node LIMIT 20"
     ),
     (spark, dir) => {
-      // e is referenced 4× while materializing the enriched edge list
-      // (two union branches × {degree agg, edge rows}) — cache it or the
-      // pair self-join runs four times.
-      val e = coPurchaseEdges(spark, dir, col("l_orderkey") % 10 === 0, dedup = false).persist()
-      val sym0 = e
-        .select(col("pa").as("s"), col("pb").as("d"))
-        .unionAll(e.select(col("pb").as("s"), col("pa").as("d")))
-      // Edge list enriched ONCE with both endpoint degrees (window
-      // counts — stays inside the main job, no separate broadcast-build
-      // jobs) and the node count, so each iteration is exactly one join
-      // + one aggregate — the rank table stays a bare (node, pr) pair.
-      val wS = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
-      val wD = org.apache.spark.sql.expressions.Window.partitionBy(col("d"))
-      val sym = sym0
-        .withColumn("degd", count(lit(1)).over(wD))
-        .withColumn("degs", count(lit(1)).over(wS))
-        .persist() // built once; see the scaladoc caveat on cached-plan partitioning
-      val deg = sym.groupBy(col("s")).agg(min(col("degs")).as("deg"))
+      val li = orderParts(spark, dir, col("l_orderkey") % 10 === 0)
+      // ONE self-join emits BOTH directions of every co-purchase pair
+      // (condition =!=, not <): the symmetric multigraph edge list with
+      // no union-of-reversals and no double evaluation. Repartition on
+      // s + localCheckpoint materializes it ONCE with pinned hash(s)
+      // partitioning (LogicalRDD keeps outputPartitioning; a persist()
+      // would not — see scaladoc).
+      val sym = li
+        .as("a")
+        .join(
+          li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") && col("a.l_partkey") =!= col("b.l_partkey")
+        )
+        .select(col("a.l_partkey").as("s"), col("b.l_partkey").as("d"))
+        .repartition(col("s"))
+        .localCheckpoint()
+      // Weighted degree = one groupBy over the already-s-partitioned
+      // checkpoint (no exchange); checkpointed too since it feeds three
+      // consumers (edge enrichment, pr0, the final degree join).
+      val deg = sym.groupBy(col("s")).agg(count(lit(1)).as("deg")).localCheckpoint()
       val nn  = deg.agg(count(lit(1)).as("n"))
+      // Source degrees attach via a broadcast join, which PRESERVES the
+      // streamed edge list's hash(s) partitioning — iterations join on
+      // s with zero exchange on the edge side.
+      val enriched = sym
+        .join(broadcast(deg.select(col("s").as("ds"), col("deg").as("degs"))), col("s") === col("ds"))
+        .select(col("s"), col("d"), col("degs"))
       // The node count rides along in the rank frame (node, pr, n) so
-      // the cached edge list needs no cross-join against it.
+      // the edge list needs no cross-join against it.
       val pr0 = deg
         .crossJoin(broadcast(nn))
         .select(col("s").as("node"), expr(s"$PrScale div n").as("pr"), col("n"))
       def step(pr: DataFrame): DataFrame =
-        sym
-          .join(pr, sym("s") === pr("node"))
-          .groupBy(sym("d"), sym("degd")) // degd constant per d
+        enriched
+          .join(pr, col("s") === pr("node"))
+          .groupBy(col("d"))
           .agg(sum(expr("pr div degs")).as("cs"), min(col("n")).as("n"))
           .select(
             col("d").as("node"),
@@ -389,7 +402,13 @@ object Graph {
     * ([[coPurchaseEdges]]) WITHOUT the distinct — grouped instead, so
     * pair counting is one groupBy-shuffle over basket-bounded pair
     * lists; item supports and the scalar N are small aggregates
-    * broadcast back onto the (bounded, support-filtered) pair set. */
+    * broadcast back onto the (bounded, support-filtered) pair set.
+    * Bound on the integer algebra: the lift numerator nab·N (and
+    * denominator na·nb) stays below 2⁶³ only while basket count and
+    * item supports keep the products under ~9·10¹⁸ — safe for any
+    * plausible basket corpus (nab ≤ na ≤ N, so the binding product is
+    * na·nb < 2⁶³, i.e. item supports to ~3·10⁹); past that, widen the
+    * products to DECIMAL(38,0) before the divide. */
   val graphLift: Q = Q(
     "graph_lift",
     Some(

@@ -268,7 +268,12 @@ object Ml {
     * window over the DISTINCT value grid (≪ row count). At extreme
     * cardinality the grid itself would be bucketed (equi-width value
     * bins give a D lower bound with bin-width error) or fed from the
-    * mergeable quantile sketch (`agg_quantile_sketch`). */
+    * mergeable quantile sketch (`agg_quantile_sketch`). Bound on the
+    * integer algebra: cum·n products stay below 2⁶³ only while
+    * n₁·n₂ < 2⁶³, i.e. class counts up to ~3·10⁹ each — plenty for a
+    * drift test between two slices, but a whole-corpus run past that
+    * must widen the cross-products to DECIMAL(38,0) before the
+    * subtraction (DuckDB side is already HUGEINT). */
   val mlKsTest: Q = Q(
     "ml_ks_test",
     Some(
