@@ -112,6 +112,14 @@ object Extras {
       Tables
         .lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+        // repartition ON the partition column before the write: without
+        // it every input task opens a file per partition VALUE it sees
+        // (~tasks × values small files — the classic 100 TB partitioned-
+        // write mistake that maint_compact then has to clean up); with
+        // it each partition directory gets one writer. At real scale a
+        // skewed value adds a salt term (repartition(col, pmod(hash, k)))
+        // and spark.sql.files.maxRecordsPerFile bounds file size.
+        .repartition(col("l_returnflag"))
         .write
         .mode("overwrite")
         .partitionBy("l_returnflag")
@@ -144,9 +152,16 @@ object Extras {
     (spark, dir) => {
       val nBuckets = 8
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+      // repartition(nBuckets, bucketCol) uses the SAME Murmur3
+      // HashPartitioning as the bucketed write, so each task holds
+      // exactly one bucket and writes exactly one file — without it
+      // every input task writes a file per bucket it sees (~tasks ×
+      // buckets small files, the bucketed flavor of the partitioned-
+      // write mistake above).
       Tables
         .lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_quantity"))
+        .repartition(nBuckets, col("l_orderkey"))
         .write
         .mode("overwrite")
         .option("path", s"$base/lineitem")
@@ -156,6 +171,7 @@ object Extras {
       Tables
         .orders(spark, dir)
         .select(col("o_orderkey"), col("o_totalprice"))
+        .repartition(nBuckets, col("o_orderkey"))
         .write
         .mode("overwrite")
         .option("path", s"$base/orders")

@@ -146,6 +146,30 @@ class DedupSpec extends SparkSuite {
     assert(blocked == naive.toSet, s"blocked ${blocked.size} vs naive ${naive.size}")
   }
 
+  test("containment bucket blocking finds the identical pair set as the unblocked join") {
+    import org.apache.spark.sql.functions._
+    // same invariant as the jaccard test, for the asymmetric screen:
+    // the [bucket(na), bucket(3na)] emit is pure candidate generation —
+    // the exact count band + containment threshold decide membership,
+    // so the pair set must match a blocking-free quadratic join
+    val blocked = operators.Dedup.dedupContainment.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSet))
+    val naive = for {
+      (a, la, ta) <- docs.toSeq
+      (b, lb, tb) <- docs.toSeq
+      if a != b && la == lb
+      na = ta.size; nb = tb.size
+      if nb >= na && nb <= 3 * na && !(nb == na && b < a)
+      cont = (ta & tb).size.toDouble / na
+      if cont >= 0.9
+    } yield (a, b, math.floor(cont * 1e6 + 0.5) / 1e6)
+    assert(blocked.nonEmpty, "fixture must produce containment pairs")
+    assert(blocked == naive.toSet, s"blocked ${blocked.size} vs naive ${naive.size}")
+  }
+
   test("cluster labels are consistent: edges intra-cluster, survivors minimal") {
     val labels = operators.Dedup.dedupClusters.run(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

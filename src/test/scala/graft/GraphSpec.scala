@@ -14,6 +14,21 @@ class GraphSpec extends SparkSuite {
     assert(handshake % 2 == 0, s"sum of degrees must be 2|E|, got $handshake")
   }
 
+  test("pagerank iterations never re-exchange the checkpointed edge list") {
+    val df = operators.Graph.graphPagerank.run(spark, sf)
+    val p  = df.queryExecution.executedPlan.toString
+    // the edge list is a localCheckpoint scan whose LogicalRDD pins
+    // hash(s) partitioning (the round-6 rework); each iteration may
+    // shuffle ONLY the transpose re-key (groupBy d) — the edge side,
+    // pr0, and the final degree join must all reuse pinned/propagated
+    // partitioning. 3 iterations => at most 3 shuffle exchanges, +1
+    // slack for planner drift; the pre-rework window+persist shape
+    // planned 8+.
+    assert(p.contains("Scan ExistingRDD"), "edge list must be a checkpoint scan\n" + p.take(2000))
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 4, s"$exchanges exchanges — the iteration chain re-shuffled\n" + p.take(4000))
+  }
+
   test("pagerank mass stays bounded and the ranking is run-to-run identical") {
     def top() = operators.Graph.graphPagerank.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
