@@ -80,7 +80,10 @@ object Bench {
     val compact = (headline ++ slowest).distinct
       .flatMap(n => results.get(n).map(v => f""""$n":$v%.3f"""))
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$compact,"sf":"$sfDir"}""")
+    // gc_sec = whole-run driver GC time: the harness-health signal that
+    // diagnoses any future bench-tail anomaly from the artifact alone
+    // (round 5's 7x regression was GC, invisible in per-query seconds).
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","gc_sec":${gcMillis / 1000.0}%.1f,"queries":$compact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
