@@ -21,6 +21,30 @@ class ExtrasSpec extends SparkSuite {
     assert(pruned.count() == exact)
   }
 
+  test("partitioned sink writes exactly one file per partition directory") {
+    operators.Extras.snkPartitioned.run(spark, sf).collect()
+    val base = new java.io.File(s"${System.getProperty("java.io.tmpdir")}/graft_snk_part")
+    val dirs = base.listFiles().filter(f => f.isDirectory && f.getName.startsWith("l_returnflag="))
+    assert(dirs.nonEmpty, s"no partition dirs under $base")
+    for (d <- dirs) {
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      // the pre-write repartition ON the partition column is what makes
+      // this 1 (without it: one file per input task per value)
+      assert(files.length == 1, s"${d.getName}: ${files.length} files, expected 1")
+    }
+  }
+
+  test("bucketed sink writes exactly one file per bucket") {
+    operators.Extras.snkBucketed.run(spark, sf).collect()
+    for (t <- Seq("lineitem", "orders")) {
+      val dir = new java.io.File(s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/$t")
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      // repartition(nBuckets, key) aligns with the write's Murmur3
+      // bucket hash, so each task owns one whole bucket
+      assert(files.length == 8, s"$t: ${files.length} bucket files, expected 8")
+    }
+  }
+
   test("compaction preserves every row and collapses the file count") {
     val report = operators.Extras.maintCompact.run(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
