@@ -32,9 +32,12 @@ object Bench {
     // not enough).
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
     def dropDeadBlocks(): Unit = {
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      org.apache.spark.graft.BenchHygiene.dropAllBroadcasts(spark.sparkContext)
+      // best-effort, never fatal: this runs OUTSIDE the per-query try,
+      // and a hygiene hiccup (e.g. an async block-removal race) must
+      // not kill the remaining queries and cost the whole artifact
+      scala.util.Try(spark.sharedState.cacheManager.clearCache())
+      scala.util.Try(spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false)))
+      scala.util.Try(org.apache.spark.graft.BenchHygiene.dropAllBroadcasts(spark.sparkContext))
       // NOT a per-query System.gc(): measured (round 5) it improves a
       // few broadcast-heavy stragglers (text_bigram_lm 6.3→1.6 s) but
       // regresses others far more (ml_kmeans 2.7→13.7 s, total
