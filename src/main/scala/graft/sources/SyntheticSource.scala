@@ -254,23 +254,44 @@ private[sources] class SyntheticMicroBatchStream(
     hi: Long,
     rowsPerTrigger: Long,
     required: StructType
-) extends streaming.MicroBatchStream {
+) extends streaming.MicroBatchStream with streaming.SupportsAdmissionControl {
   // admission control: each trigger advances the visible end by at most
-  // rowsPerTrigger — the backpressure knob of a real source.
-  // `progressed` tracks the highest offset the ENGINE has reported back
-  // (batch starts / commits): on restart from a checkpoint this stream
-  // object is fresh (visible == lo) but the engine resumes from its
-  // committed offset, and without the clamp latestOffset() could return
-  // an end below that start, yielding inverted/empty [start, end)
-  // ranges until visible caught up.
+  // rowsPerTrigger — the backpressure knob of a real source, spelled
+  // with Spark's OFFICIAL API for it (SupportsAdmissionControl), which
+  // is also the only correct way to survive a CLEAN restart: the
+  // two-arg latestOffset(start, limit) receives the checkpoint-restored
+  // start from the engine. The round-5 formulation tracked engine
+  // progress only via planInputPartitions/commit, which are never
+  // called before the first post-restart latestOffset when the last
+  // batch was committed — the no-arg latestOffset() then returned
+  // lo + rowsPerTrigger, BELOW the restored start; the engine logged
+  // that backward end as the next batch boundary and the batch after
+  // it re-delivered every row in between. Exactly-once violation,
+  // caught by the hardened SourcesSpec restart test (2400 rows from a
+  // 2000-row stream) and fixed here.
   private var visible: Long = lo
   private var progressed: Long = lo
   override def initialOffset(): streaming.Offset = SyntheticOffset(lo)
-  override def latestOffset(): streaming.Offset = {
+  override def getDefaultReadLimit: streaming.ReadLimit =
+    streaming.ReadLimit.maxRows(rowsPerTrigger)
+  override def latestOffset(start: streaming.Offset, limit: streaming.ReadLimit): streaming.Offset = {
+    // the engine-supplied start IS truth (checkpoint-restored on the
+    // first post-restart call); never advance from below it
+    progressed = math.max(progressed, start.asInstanceOf[SyntheticOffset].id)
     visible = math.min(hi, math.max(visible, progressed) + rowsPerTrigger)
     SyntheticOffset(visible)
   }
-  override def deserializeOffset(json: String): streaming.Offset = SyntheticOffset(json.toLong)
+  override def latestOffset(): streaming.Offset =
+    // unreachable for an admission-control source (the engine always
+    // calls the two-arg form); kept consistent rather than throwing
+    SyntheticOffset(math.min(hi, math.max(visible, progressed) + rowsPerTrigger))
+  override def deserializeOffset(json: String): streaming.Offset = {
+    // belt to the latestOffset(start, _) suspenders: any offset the
+    // engine hands back to parse is engine-known progress
+    val id = json.toLong
+    progressed = math.max(progressed, id)
+    SyntheticOffset(id)
+  }
   override def planInputPartitions(
       start: streaming.Offset,
       end: streaming.Offset

@@ -139,15 +139,24 @@ class SourcesSpec extends SparkSuite {
     // stream's visible-offset advance clamps to the engine-reported
     // progress, so the first post-restart batch range must not invert
     // or replay. The parquet file sink + checkpoint is the
-    // exactly-once contract under interruption.
+    // exactly-once contract across a restart.
+    //
+    // Determinism note (hardened in round 6): the first run's source is
+    // CAPPED at 900 rows, so the sink cannot overshoot no matter how
+    // fast batches complete — the earlier formulation stopped a
+    // 2000-row stream mid-flight and raced q1.stop() against the
+    // remaining batches (flaked once under full-suite load when all
+    // batches finished before the stop landed). The restart then raises
+    // the cap on the SAME checkpoint, resuming from the committed
+    // offset 900.
     val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ckpt").toString
     val out = java.nio.file.Files.createTempDirectory("graft_restart_out").toString
     def written(): Long =
       try spark.read.parquet(out).count()
       catch { case _: Throwable => 0L } // sink dir empty until first commit
-    def start() = spark.readStream
+    def start(rows: Int) = spark.readStream
       .format("graft.sources.SyntheticSource")
-      .option("rows", 2000)
+      .option("rows", rows)
       .option("rowsPerTrigger", 300)
       .load()
       .writeStream
@@ -155,14 +164,14 @@ class SourcesSpec extends SparkSuite {
       .option("path", out)
       .option("checkpointLocation", ckpt)
       .start()
-    val q1 = start()
+    val q1 = start(900)
     try {
       val deadline = System.currentTimeMillis() + 60000
-      while (written() < 300 && System.currentTimeMillis() < deadline) Thread.sleep(50)
-    } finally q1.stop() // interrupt mid-stream, ≥1 batch committed
+      while (written() < 900 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    } finally q1.stop()
     val mid = written()
-    assert(mid >= 300 && mid < 2000, s"expected a partial run, got $mid rows")
-    val q2 = start()
+    assert(mid == 900, s"expected the capped first run to commit exactly 900 rows, got $mid")
+    val q2 = start(2000)
     try {
       val deadline = System.currentTimeMillis() + 60000
       while (written() < 2000 && System.currentTimeMillis() < deadline) Thread.sleep(100)
