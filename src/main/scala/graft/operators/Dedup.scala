@@ -841,44 +841,111 @@ object Dedup {
         "coalesce(best_jac, 0.0) AS best_jac, coalesce(n_dups, 0) = 0 AS admitted " +
         "FROM nb LEFT JOIN m ON nb.doc_id = m.doc_id ORDER BY nb.doc_id"
     ),
-    (spark, dir) => {
-      import org.apache.spark.sql.graftx.SortedLongIntersectCount
-      val hs = sort_array(transform(toks(col("text")), x =>
-        conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
-      val d = Tables
-        .documents(spark, dir)
-        .select(col("doc_id"), col("lang"), hs.as("t"), size(hs).as("nt"))
-      val batch = d.filter(col("doc_id") % 10 === 0)
-      val corpus = d.filter(col("doc_id") % 10 =!= 0)
-      // batch side explodes its compatible-count band; corpus streams once
-      val probe = batch.select(
+    (spark, dir) => incrementalScreen(spark, dir, corpusSignatures(spark, dir))
+  )
+
+  /** Doc → (lang, bucket, nt, sorted hashes) signature projection —
+    * what the incremental screen needs from either side. */
+  private def signatures(spark: SparkSession, dir: String, docFilter: Column): DataFrame = {
+    val hs = sort_array(transform(toks(col("text")), x =>
+      conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
+    Tables
+      .documents(spark, dir)
+      .filter(docFilter)
+      .select(
         col("doc_id"),
         col("lang"),
-        col("t").as("ta"),
-        col("nt").as("na"),
-        explode(sequence(expr("(4 * nt + 4) div 5"), expr("(5 * nt) div 4"))).as("pn")
+        hs.as("t"),
+        size(hs).as("nt")
       )
-      val base = corpus.select(col("lang"), col("t").as("tb"), col("nt").as("pn"))
-      val matches = probe
-        .join(base, Seq("lang", "pn"))
-        .withColumn("inter", SortedLongIntersectCount.count(col("ta"), col("tb")))
-        .withColumn("jac", col("inter").cast("double") / (col("na") + col("pn") - col("inter")))
-        .groupBy(col("doc_id"))
-        .agg(
-          sum(when(col("jac") >= 0.8, 1L).otherwise(0L)).as("n_dups"),
-          Det.rN(max(col("jac")), 6).as("best")
-        )
-      batch
-        .select(col("doc_id"))
-        .join(matches, Seq("doc_id"), "left")
-        .select(
-          col("doc_id"),
-          coalesce(col("n_dups"), lit(0L)).as("n_dup_corpus"),
-          coalesce(col("best"), lit(0.0)).as("best_jac"),
-          (coalesce(col("n_dups"), lit(0L)) === 0).as("admitted")
-        )
-        .orderBy(col("doc_id"))
+      .withColumn("bkt", floor(log(col("nt").cast("double")) / math.log(1.25)).cast("int"))
+  }
+
+  private def corpusSignatures(spark: SparkSession, dir: String): DataFrame =
+    signatures(spark, dir, col("doc_id") % 10 =!= 0)
+
+  /** The shared incremental-dedup screen: the NEW batch (10% of docs)
+    * against a corpus signature frame — either recomputed
+    * ([[dedupIncremental]]) or read back from the persisted signature
+    * table ([[dedupIncrementalPersisted]]). Blocked on (lang, geometric
+    * count bucket), probe side emits ±1 bucket (jac ≥ 0.8 forces the
+    * counts within a 1.25× ratio ⇒ |Δbucket| ≤ 1, the
+    * [[nearJaccardPairs]] coverage argument), exact band re-applied
+    * after the join. An earlier formulation exploded every compatible
+    * partner COUNT (~0.45·nt rows per probe doc, each carrying the
+    * hashed-token array) — the same quadratic-exchange shape
+    * `dedup_containment` shed this round; 3 bucket rows replace it for
+    * the identical match set. */
+  private def incrementalScreen(
+      spark: SparkSession,
+      dir: String,
+      corpus: DataFrame
+  ): DataFrame = {
+    import org.apache.spark.sql.graftx.SortedLongIntersectCount
+    val batch = signatures(spark, dir, col("doc_id") % 10 === 0)
+    val probe = batch.select(
+      col("doc_id"),
+      col("lang"),
+      col("t").as("ta"),
+      col("nt").as("na"),
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("pb")
+    )
+    val base = corpus.select(col("lang"), col("t").as("tb"), col("nt").as("nb"), col("bkt").as("pb"))
+    val matches = probe
+      .join(base, Seq("lang", "pb"))
+      .filter(lit(5) * least(col("na"), col("nb")) >= lit(4) * greatest(col("na"), col("nb")))
+      .withColumn("inter", SortedLongIntersectCount.count(col("ta"), col("tb")))
+      .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("jac") >= 0.8, 1L).otherwise(0L)).as("n_dups"),
+        Det.rN(max(col("jac")), 6).as("best")
+      )
+    batch
+      .select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dup_corpus"),
+        coalesce(col("best"), lit(0.0)).as("best_jac"),
+        (coalesce(col("n_dups"), lit(0L)) === 0).as("admitted")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  private val sigTableCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), String]
+
+  /** Write the corpus signature table ONCE per (session, sf dir):
+    * (doc_id, lang, t sorted hashes, nt, bkt), partition-pruned-ready
+    * by nothing (a signature probe is an equi-join, not a scan filter)
+    * but laid out one file per shuffle partition. */
+  private[graft] def sigTablePath(spark: SparkSession, dir: String): String =
+    sigTableCache.synchronized {
+      sigTableCache.getOrElseUpdate(
+        (spark, dir), {
+          val base =
+            s"${System.getProperty("java.io.tmpdir")}/graft_dedup_sigs/${Integer.toHexString(dir.hashCode)}"
+          corpusSignatures(spark, dir).write.mode("overwrite").parquet(base)
+          base
+        }
+      )
     }
+
+  /** The incremental screen served from the PERSISTED signature table —
+    * the shape the daily job actually runs at 100 TB: tokenize/hash the
+    * corpus ONCE at ingest (write parquet), then each day's batch
+    * tokenizes only itself and equi-joins the precomputed signatures.
+    * The text column of the 100 TB corpus is never re-read. Shares
+    * [[dedupIncremental]]'s oracle: persistence must be
+    * result-invisible (DedupSpec asserts bit-equality with the
+    * recomputing variant AND that this plan's corpus side scans the
+    * signature path, not documents.parquet). */
+  val dedupIncrementalPersisted: Q = Q(
+    "dedup_incremental_persisted",
+    dedupIncremental.oracle,
+    (spark, dir) =>
+      incrementalScreen(spark, dir, spark.read.parquet(sigTablePath(spark, dir)))
   )
 
   /** Positional k-token shingles ("spans") of the token stream, empty
@@ -1016,6 +1083,7 @@ object Dedup {
   def qs: Seq[Q] = Seq(
     dedupExact, dedupNearJaccard, dedupEmbedCosine, dedupNgramJaccard, dedupSimhash,
     dedupSimhashPairs, dedupMinhashLsh, dedupClusters, dedupReport, dedupThresholdCurve,
-    dedupBestOfCluster, dedupContainment, dedupIncremental, dedupSpanCoverage, dedupNgramExact
+    dedupBestOfCluster, dedupContainment, dedupIncremental, dedupIncrementalPersisted,
+    dedupSpanCoverage, dedupNgramExact
   )
 }

@@ -170,6 +170,15 @@ class DedupSpec extends SparkSuite {
     assert(blocked == naive.toSet, s"blocked ${blocked.size} vs naive ${naive.size}")
   }
 
+  test("persisted-signature incremental screen is bit-equal and reads the signature table") {
+    val live = operators.Dedup.dedupIncremental.run(spark, sf).collect().toSeq
+    val df   = operators.Dedup.dedupIncrementalPersisted.run(spark, sf)
+    assert(df.collect().toSeq == live, "persistence must be result-invisible")
+    // corpus side must come from the signature parquet, not documents.parquet
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_dedup_sigs"), "plan must scan the persisted signature table\n" + p.take(2000))
+  }
+
   test("cluster labels are consistent: edges intra-cluster, survivors minimal") {
     val labels = operators.Dedup.dedupClusters.run(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
