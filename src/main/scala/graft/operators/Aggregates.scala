@@ -159,7 +159,7 @@ object Aggregates {
     * questions by merging them. No oracle: the estimate is exact only
     * while the sketch stays in sparse mode (true at sf0.01's 150
     * users, already off by ~1% at sf0.1's 1500), so pinning exact
-    * counts would be an SF-dependent landmine — AggSketchSpec asserts
+    * counts would be an SF-dependent landmine — SketchSpec asserts
     * the ±5% error bound and that the merged-union estimate equals a
     * direct whole-scan sketch exactly (mergeability). */
   val aggHllMerge: Q = Q(

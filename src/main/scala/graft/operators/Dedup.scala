@@ -21,32 +21,10 @@ object Dedup {
 
   private def toks(c: Column): Column = array_distinct(split(c, " "))
 
-  /** Lineage truncation for iterative ops, cluster-honest: when the
-    * session has a checkpoint dir configured (`sparkContext
-    * .setCheckpointDir` — HDFS/object store on a real cluster), use a
-    * reliable `checkpoint()` so an executor loss mid-iteration recovers
-    * from storage instead of killing the job; `localCheckpoint()`
-    * stores blocks on executors only and is kept as the fast path for
-    * single-JVM runs where executor loss equals driver loss anyway.
-    * eager=true in both paths — the point is to cut the growing plan
-    * lineage NOW, not lazily re-derive it.
-    *
-    * The reliable path persists first: `checkpoint(eager=true)` alone
-    * runs the sub-plan twice (once for the eager action, once for the
-    * checkpoint-write job); with a persist the write job reads cached
-    * blocks, and the cache is dropped right after — the checkpoint
-    * files are the durable copy. Per-iteration checkpoint files are
-    * reclaimed by the ContextCleaner only when the job is submitted
-    * with `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a
-    * static conf — set it at submit time on a cluster; Bench/Verify
-    * set it on their own fresh sessions). */
-  private[graft] def truncate(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
-      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val out = cached.checkpoint(eager = true)
-      cached.unpersist(blocking = false)
-      out
-    } else df.localCheckpoint(eager = true)
+  /** Lineage truncation for iterative ops — see [[graft.Lineage]] for
+    * the `spark.graft.checkpoint.dir` knob and the reliable-vs-local
+    * checkpoint contract. */
+  private[graft] def truncate(df: DataFrame): DataFrame = graft.Lineage.truncate(df)
 
   /** Exact-duplicate groups by sha256(text): group size + surviving
     * (minimum) doc_id per distinct text. */
@@ -512,6 +490,12 @@ object Dedup {
   private val clusterCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), Seq[(Long, Long, Boolean)]]
 
+  /** Test hook: drop the memoized labels so a spec can force the
+    * iterative path to actually re-run (CheckpointSpec re-exercises it
+    * under the reliable-checkpoint knob, which the memo would bypass). */
+  private[graft] def clearClusterCache(): Unit =
+    clusterCache.synchronized(clusterCache.clear())
+
   private[graft] def clustersFrame(spark: SparkSession, dir: String): DataFrame = {
     val labels = clusterCache.synchronized(clusterCache.get((spark, dir))) match {
       case Some(cached) => cached
@@ -919,15 +903,40 @@ object Dedup {
   /** Write the corpus signature table ONCE per (session, sf dir):
     * (doc_id, lang, t sorted hashes, nt, bkt), partition-pruned-ready
     * by nothing (a signature probe is an equi-join, not a scan filter)
-    * but laid out one file per shuffle partition. */
+    * but laid out one file per shuffle partition.
+    *
+    * The path keys on the FULL MD5 of the dir string — not 32-bit
+    * `String.hashCode`, whose collision between two data dirs in one
+    * tmpdir would silently serve the wrong signatures — and the write
+    * goes to a unique temp dir followed by a rename, so two JVMs
+    * sharing `java.io.tmpdir` race safely: one rename wins, the loser
+    * cleans up its temp and reads the winner's table (identical
+    * content — signatures are a deterministic function of the input
+    * dir). A rename that lands INSIDE an existing destination (the
+    * Hadoop rename semantic when both racers pass the exists check) is
+    * detected and the nested stray deleted. */
   private[graft] def sigTablePath(spark: SparkSession, dir: String): String =
     sigTableCache.synchronized {
       sigTableCache.getOrElseUpdate(
         (spark, dir), {
-          val base =
-            s"${System.getProperty("java.io.tmpdir")}/graft_dedup_sigs/${Integer.toHexString(dir.hashCode)}"
-          corpusSignatures(spark, dir).write.mode("overwrite").parquet(base)
-          base
+          import org.apache.hadoop.fs.Path
+          val digest = java.security.MessageDigest
+            .getInstance("MD5")
+            .digest(dir.getBytes("UTF-8"))
+            .map("%02x".format(_))
+            .mkString
+          val base = new Path(s"${System.getProperty("java.io.tmpdir")}/graft_dedup_sigs/$digest")
+          val fs   = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(base)) {
+            val tmp = new Path(base.getParent, s"${base.getName}.tmp-${java.util.UUID.randomUUID()}")
+            corpusSignatures(spark, dir).write.mode("overwrite").parquet(tmp.toString)
+            if (!fs.rename(tmp, base)) fs.delete(tmp, true) // lost the race outright
+            else {
+              val nested = new Path(base, tmp.getName)
+              if (fs.exists(nested)) fs.delete(nested, true) // tie: we moved into the winner's dir
+            }
+          }
+          base.toString
         }
       )
     }

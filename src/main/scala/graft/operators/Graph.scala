@@ -138,7 +138,9 @@ object Graph {
     * Plan shape (the [[Dedup]] clustering-loop pattern): the symmetric
     * edge list is built by ONE lineitem self-join (`=!=` emits both
     * directions — no union-of-reversals, so the join runs once, not
-    * twice), repartitioned on `s`, and LOCAL-CHECKPOINTED. The
+    * twice), repartitioned on `s`, and CHECKPOINTED via
+    * [[graft.Lineage.truncate]] (executor-local blocks by default;
+    * reliable storage when `spark.graft.checkpoint.dir` is set). The
     * checkpoint truncates lineage into a LogicalRDD that PINS the
     * hash(`s`) partitioning — unlike `.persist()`, whose
     * InMemoryRelation wraps an adaptive subplan with unknown
@@ -150,8 +152,9 @@ object Graph {
     * iteration is exactly one s-join — edge side exchange-free — plus
     * the contribution re-key from src to dst (PageRank's inherent
     * transpose shuffle). The rank side is never broadcast: it scales
-    * with nodes. At 100 TB the same shape holds with a reliable
-    * checkpoint and a shuffle degree join instead of the broadcast.
+    * with nodes. At 100 TB the same shape holds — set
+    * `spark.graft.checkpoint.dir` for the reliable checkpoint and swap
+    * the broadcast degree join for a shuffle join.
     * Bench clears checkpointed blocks between queries. Orders are
     * 10%-sampled by key (deterministic, same filter in the oracle) to
     * bound the contract query; the operator itself is scale-free.
@@ -194,11 +197,11 @@ object Graph {
         )
         .select(col("a.l_partkey").as("s"), col("b.l_partkey").as("d"))
         .repartition(col("s"))
-        .localCheckpoint()
+        .transform(graft.Lineage.truncate)
       // Weighted degree = one groupBy over the already-s-partitioned
       // checkpoint (no exchange); checkpointed too since it feeds three
       // consumers (edge enrichment, pr0, the final degree join).
-      val deg = sym.groupBy(col("s")).agg(count(lit(1)).as("deg")).localCheckpoint()
+      val deg = graft.Lineage.truncate(sym.groupBy(col("s")).agg(count(lit(1)).as("deg")))
       val nn  = deg.agg(count(lit(1)).as("n"))
       // Source degrees attach via a broadcast join, which PRESERVES the
       // streamed edge list's hash(s) partitioning — iterations join on

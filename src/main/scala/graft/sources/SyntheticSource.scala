@@ -274,11 +274,23 @@ private[sources] class SyntheticMicroBatchStream(
   override def initialOffset(): streaming.Offset = SyntheticOffset(lo)
   override def getDefaultReadLimit: streaming.ReadLimit =
     streaming.ReadLimit.maxRows(rowsPerTrigger)
+  /** Rows the engine-supplied ReadLimit admits this trigger. The
+    * default (our own maxRows from getDefaultReadLimit) is NOT the
+    * only limit the engine sends: Trigger.Once passes ReadAllAvailable
+    * and Trigger.AvailableNow may compose limits — hard-coding
+    * rowsPerTrigger would under-drain those triggers. */
+  private def admitted(limit: streaming.ReadLimit): Long = limit match {
+    case r: streaming.ReadMaxRows      => r.maxRows()
+    case _: streaming.ReadAllAvailable => hi // drain: everything available
+    case c: streaming.CompositeReadLimit =>
+      c.getReadLimits.map(admitted).min // most restrictive component wins
+    case _ => rowsPerTrigger // min-rows / files / bytes: no row cap → our default pace
+  }
   override def latestOffset(start: streaming.Offset, limit: streaming.ReadLimit): streaming.Offset = {
     // the engine-supplied start IS truth (checkpoint-restored on the
     // first post-restart call); never advance from below it
     progressed = math.max(progressed, start.asInstanceOf[SyntheticOffset].id)
-    visible = math.min(hi, math.max(visible, progressed) + rowsPerTrigger)
+    visible = math.min(hi, math.max(visible, progressed) + admitted(limit))
     SyntheticOffset(visible)
   }
   override def latestOffset(): streaming.Offset =

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -71,27 +72,33 @@ class RecoverySpec extends SparkSuite {
   }
 
   test("iterative dedup_clusters survives on reliable checkpoints when a ckpt dir is set") {
-    // Local-path result first — valid only while NO checkpoint dir is
-    // configured, so guard the premise against suite-ordering drift.
-    assert(
-      spark.sparkContext.getCheckpointDir.isEmpty,
-      "another suite set a checkpoint dir before this test; the local-path premise is void"
-    )
+    // Force BOTH runs through the real iterative path: the label memo
+    // (Dedup.clusterCache) would otherwise serve the second run from
+    // the first and this test would compare a cache to itself — and
+    // `setCheckpointDir` eagerly creates a UUID subdir, so the
+    // files-written check must demand regular FILES, not a non-empty
+    // listing. (Both held vacuously before round 7.)
+    org.apache.spark.graft.CheckpointDirAccess.clear(spark.sparkContext)
+    operators.Dedup.clearClusterCache()
     val local = operators.Dedup.dedupClusters.run(spark, sf).collect().toSet
 
     // Flip the session to reliable checkpointing — on a real cluster
     // this would be an HDFS/object-store path, making mid-iteration
-    // executor loss recoverable instead of fatal. NOTE: this flips the
-    // JVM-wide shared session permanently (there is no unsetCheckpointDir),
-    // so every later suite runs Dedup.truncate on the reliable path —
-    // acceptable here because that path is semantically identical and
-    // this is exactly the cross-suite exposure this test wants.
-    val ckptDir = Files.createTempDirectory("graft_reliable_ckpt").toString
-    spark.sparkContext.setCheckpointDir(ckptDir)
-    val reliable = operators.Dedup.dedupClusters.run(spark, sf).collect().toSet
+    // executor loss recoverable instead of fatal.
+    val ckptDir = Files.createTempDirectory("graft_reliable_ckpt")
+    try {
+      spark.sparkContext.setCheckpointDir(ckptDir.toString)
+      operators.Dedup.clearClusterCache()
+      val reliable = operators.Dedup.dedupClusters.run(spark, sf).collect().toSet
 
-    assert(reliable == local, "reliable-checkpoint path changed the clustering result")
-    val written = new java.io.File(ckptDir).listFiles()
-    assert(written != null && written.nonEmpty, "reliable path wrote nothing to the checkpoint dir")
+      assert(reliable == local, "reliable-checkpoint path changed the clustering result")
+      val wrote = Files.walk(ckptDir).iterator().asScala.exists(Files.isRegularFile(_))
+      assert(wrote, "reliable path wrote no checkpoint files")
+    } finally {
+      // restore the shared session's local-checkpoint fast path — later
+      // suites (and CheckpointSpec's knob test) assume it
+      org.apache.spark.graft.CheckpointDirAccess.clear(spark.sparkContext)
+      Files.walk(ckptDir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
   }
 }
