@@ -49,6 +49,13 @@ object Bench {
             .agg(sum(col("h"))).count()
         }
       }
+    // events needs the nanos conf (Tables.events) — the raw sweep above
+    // skips it, so warm it through the real loader
+    scala.util.Try {
+      val ev = Tables.events(spark, sfDir)
+      ev.select(xxhash64(struct(ev.columns.map(col).toIndexedSeq: _*)).as("h"))
+        .agg(sum(col("h"))).count()
+    }
     val region = spark.read.parquet(s"$sfDir/region.parquet")
     val nation = spark.read.parquet(s"$sfDir/nation.parquet")
     nation.join(broadcast(region), nation("n_regionkey") === region("r_regionkey")).count()
