@@ -91,7 +91,8 @@ object Dedup {
   private[graft] def nearJaccardPairs(
       spark: SparkSession,
       dir: String,
-      docFilter: Column = lit(true)
+      docFilter: Column = lit(true),
+      carry: Seq[String] = Nil // doc columns to ride the pair shuffle as <c>_a/<c>_b
   ): DataFrame = {
     import org.apache.spark.sql.graftx.SortedLongIntersectCount
     val hs = sort_array(transform(toks(col("text")), x =>
@@ -100,21 +101,24 @@ object Dedup {
     val d = Tables
       .documents(spark, dir)
       .filter(docFilter) // structurally below the pair join: guaranteed scan-side prune
-      .select(col("doc_id"), col("lang"), hs.as("t"), size(hs).as("nt"))
+      .select(col("doc_id") +: col("lang") +: hs.as("t") +: size(hs).as("nt") +:
+        carry.map(col): _*)
       .withColumn("bkt", bkt)
     val a = d.select(
-      col("doc_id").as("ida"),
-      col("lang"),
-      col("t").as("ta"),
-      col("nt").as("na"),
-      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("pb")
+      col("doc_id").as("ida") +:
+        col("lang") +:
+        col("t").as("ta") +:
+        col("nt").as("na") +:
+        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("pb") +:
+        carry.map(c => col(c).as(s"${c}_a")): _*
     )
     val b = d.select(
-      col("doc_id").as("idb"),
-      col("lang"),
-      col("t").as("tb"),
-      col("nt").as("nb"),
-      col("bkt").as("pb")
+      col("doc_id").as("idb") +:
+        col("lang") +:
+        col("t").as("tb") +:
+        col("nt").as("nb") +:
+        col("bkt").as("pb") +:
+        carry.map(c => col(c).as(s"${c}_b")): _*
     )
     a.join(b, Seq("lang", "pb"))
       .filter(
@@ -127,7 +131,8 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
       )
       .filter(col("jac") >= 0.8)
-      .select(col("ida"), col("idb"), Det.rN(col("jac"), 6).as("jac"))
+      .select(col("ida") +: col("idb") +: Det.rN(col("jac"), 6).as("jac") +:
+        carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
   }
 
   /** Embedding-cosine near-duplicates: pairs whose feature-vector
@@ -1089,10 +1094,53 @@ object Dedup {
     }
   )
 
+  /** Cross-source duplication matrix — the data-governance rollup of
+    * the near-dup pair stream: for every unordered pair of sources,
+    * how many jac ≥ 0.8 pairs span them and how similar those pairs
+    * are. This is the query behind "does corpus B add anything over
+    * corpus A" / "which two providers resell the same crawl": high
+    * n_pairs with mean jac near 1 between two sources means one is a
+    * re-wrap of the other, and src_a = src_b rows measure a source's
+    * internal redundancy.
+    *
+    * 100 TB: pairs come from the blocked screen (at real scale swap in
+    * the MinHash-LSH pair stream — identical downstream shape), and
+    * `source` RIDES the existing pair shuffle (the carry param of
+    * [[nearJaccardPairs]]) — a ~5-byte tag per exchanged row instead
+    * of two extra corpus-keyed equi-joins after the fact. The rollup
+    * is a |sources|²-bounded aggregate with map-side partials. Mean
+    * jac is an exact decimal sum of per-pair 1e-6-rounded values
+    * ([[Det]]) — order-independent. */
+  val dedupSourceOverlap: Q = Q(
+    "dedup_source_overlap",
+    Some(
+      "WITH d AS (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS t FROM documents), " +
+        "p AS (SELECT a.source sa, b.source sb, " + Det.oRN(
+          "len(list_intersect(a.t, b.t))::DOUBLE / len(list_distinct(a.t || b.t))", 6) + " AS jac " +
+        "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+        "AND 5 * least(len(a.t), len(b.t)) >= 4 * greatest(len(a.t), len(b.t))), " +
+        "q AS (SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b, jac FROM p WHERE jac >= 0.8) " +
+        "SELECT src_a, src_b, count(*) AS n_pairs, " +
+        Det.oRN(Det.oAvg("jac"), 6) + " AS mean_jac " +
+        "FROM q GROUP BY src_a, src_b ORDER BY src_a, src_b"
+    ),
+    (spark, dir) => {
+      nearJaccardPairs(spark, dir, carry = Seq("source"))
+        .select(
+          least(col("source_a"), col("source_b")).as("src_a"),
+          greatest(col("source_a"), col("source_b")).as("src_b"),
+          col("jac")
+        )
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"), Det.rN(Det.davg(col("jac")), 6).as("mean_jac"))
+        .orderBy(col("src_a"), col("src_b"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     dedupExact, dedupNearJaccard, dedupEmbedCosine, dedupNgramJaccard, dedupSimhash,
     dedupSimhashPairs, dedupMinhashLsh, dedupClusters, dedupReport, dedupThresholdCurve,
     dedupBestOfCluster, dedupContainment, dedupIncremental, dedupIncrementalPersisted,
-    dedupSpanCoverage, dedupNgramExact
+    dedupSpanCoverage, dedupNgramExact, dedupSourceOverlap
   )
 }

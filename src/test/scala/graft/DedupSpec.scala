@@ -179,6 +179,24 @@ class DedupSpec extends SparkSuite {
     assert(p.contains("graft_dedup_sigs"), "plan must scan the persisted signature table\n" + p.take(2000))
   }
 
+  test("source-overlap matrix partitions the pair set; carry changes nothing") {
+    val pairs = operators.Dedup.dedupNearJaccard.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // carrying extra columns through the pair shuffle must not change
+    // the pair set itself (same ids, same jac)
+    val carried = operators.Dedup.nearJaccardPairs(spark, sf, carry = Seq("source"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(carried.toSet == pairs.toSet, "carry altered the pair set")
+    // every near-dup pair lands in exactly one unordered source cell
+    val matrix = operators.Dedup.dedupSourceOverlap.run(spark, sf).collect()
+    assert(matrix.map(_.getLong(2)).sum == pairs.length, "matrix must partition the pairs")
+    for (r <- matrix) {
+      assert(r.getString(0) <= r.getString(1), "cells must be unordered (src_a <= src_b)")
+      val m = r.getDouble(3)
+      assert(m >= 0.8 && m <= 1.0, s"mean jac $m outside the screen's [0.8, 1] range")
+    }
+  }
+
   test("cluster labels are consistent: edges intra-cluster, survivors minimal") {
     val labels = operators.Dedup.dedupClusters.run(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
