@@ -1137,10 +1137,79 @@ object Dedup {
     }
   )
 
+  /** Per-source marginal uniqueness — the licensing/curation metric
+    * that pairs with [[dedupSourceOverlap]]: after a global near-dup
+    * screen, how much of each source is (a) duplicated in SOME OTHER
+    * source (paying for it adds little), (b) duplicated only
+    * internally (self-dedup recovers it), (c) fully unique (its
+    * marginal contribution). Each doc classifies by the provenance of
+    * its near-dup partners; sources roll up with exact integer counts
+    * plus one final ratio division.
+    *
+    * 100 TB: the pair stream is the same blocked screen (or its LSH
+    * replacement), with `source` carried through the pair shuffle; the
+    * per-doc classification is one doc-keyed aggregate over 2 rows per
+    * pair, the left join back to the corpus is doc-keyed (both sides
+    * shuffle on the id — no broadcast of corpus-sized tables), and
+    * the final rollup is |sources|-bounded. */
+  val dedupSourceUnique: Q = Q(
+    "dedup_source_unique",
+    Some(
+      "WITH d AS (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS t FROM documents), " +
+        "p AS (SELECT a.doc_id ida, b.doc_id idb, a.source sa, b.source sb, " +
+        "len(list_intersect(a.t, b.t))::DOUBLE / len(list_distinct(a.t || b.t)) AS jac " +
+        "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+        "AND 5 * least(len(a.t), len(b.t)) >= 4 * greatest(len(a.t), len(b.t))), " +
+        "s AS (SELECT ida AS doc_id, sa AS s, sb AS ps FROM p WHERE jac >= 0.8 " +
+        "UNION ALL SELECT idb, sb, sa FROM p WHERE jac >= 0.8), " +
+        "pd AS (SELECT doc_id, max(CASE WHEN ps <> s THEN 1 ELSE 0 END) AS x, " +
+        "max(CASE WHEN ps = s THEN 1 ELSE 0 END) AS i FROM s GROUP BY doc_id) " +
+        "SELECT doc.source AS source, count(*) AS n_docs, " +
+        "cast(sum(coalesce(pd.x, 0)) as bigint) AS n_cross_dup, " +
+        "cast(sum(CASE WHEN coalesce(pd.i, 0) = 1 AND coalesce(pd.x, 0) = 0 THEN 1 ELSE 0 END) as bigint) AS n_internal_only, " +
+        "cast(sum(CASE WHEN pd.doc_id IS NULL THEN 1 ELSE 0 END) as bigint) AS n_unique, " +
+        Det.oRN("sum(CASE WHEN pd.doc_id IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)", 6) +
+        " AS unique_pct " +
+        "FROM documents doc LEFT JOIN pd ON doc.doc_id = pd.doc_id " +
+        "GROUP BY doc.source ORDER BY doc.source"
+    ),
+    (spark, dir) => {
+      val p = nearJaccardPairs(spark, dir, carry = Seq("source"))
+      val sides = p
+        .select(col("ida").as("doc_id"), col("source_a").as("s"), col("source_b").as("ps"))
+        .unionByName(
+          p.select(col("idb").as("doc_id"), col("source_b").as("s"), col("source_a").as("ps"))
+        )
+      val perDoc = sides
+        .groupBy(col("doc_id"))
+        .agg(
+          max(when(col("ps") =!= col("s"), 1).otherwise(0)).as("x"),
+          max(when(col("ps") === col("s"), 1).otherwise(0)).as("i")
+        )
+      Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), col("source"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(coalesce(col("x"), lit(0))).cast("long").as("n_cross_dup"),
+          sum(when(coalesce(col("i"), lit(0)) === 1 && coalesce(col("x"), lit(0)) === 0, 1)
+            .otherwise(0)).cast("long").as("n_internal_only"),
+          sum(when(col("x").isNull, 1).otherwise(0)).cast("long").as("n_unique"),
+          Det.rN(
+            sum(when(col("x").isNull, 1).otherwise(0)).cast("double") / count(lit(1)),
+            6
+          ).as("unique_pct")
+        )
+        .orderBy(col("source"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     dedupExact, dedupNearJaccard, dedupEmbedCosine, dedupNgramJaccard, dedupSimhash,
     dedupSimhashPairs, dedupMinhashLsh, dedupClusters, dedupReport, dedupThresholdCurve,
     dedupBestOfCluster, dedupContainment, dedupIncremental, dedupIncrementalPersisted,
-    dedupSpanCoverage, dedupNgramExact, dedupSourceOverlap
+    dedupSpanCoverage, dedupNgramExact, dedupSourceOverlap, dedupSourceUnique
   )
 }

@@ -197,6 +197,17 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("source-uniqueness classes partition every source's documents") {
+    val rows = operators.Dedup.dedupSourceUnique.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, cross, internal, uniq) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(cross + internal + uniq == n,
+        s"${r.getString(0)}: $cross + $internal + $uniq != $n — classes must partition the source")
+      assert(math.abs(r.getDouble(5) - uniq.toDouble / n) < 1e-6, "unique_pct mismatch")
+    }
+  }
+
   test("cluster labels are consistent: edges intra-cluster, survivors minimal") {
     val labels = operators.Dedup.dedupClusters.run(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
