@@ -39,6 +39,7 @@ object Registry {
       operators.Graph.qs ++
       operators.Maintenance.qs ++
       operators.Sampling.qs ++
+      operators.Profiling.qs ++
       operators.SqlSurface.qs ++
       operators.Advanced.qs ++
       operators.Ml.qs ++
