@@ -519,6 +519,125 @@ object Similarity {
     }
   )
 
+  /** Unrolled-greedy MMR oracle: candidate CTE (top-m by cosine), a
+    * candidate-pair similarity CTE, then the k greedy steps written
+    * out as sc_n/pick_n/sel_n CTE triples — step n scores every
+    * unselected candidate as λ·rel − (1−λ)·max sim-to-selected and
+    * row_number-picks the winner with a neighbor_id tiebreak. */
+  private def mmrOracle(nProbe: Int, m: Int, k: Int): String = {
+    val lam = "0.7::DOUBLE"
+    val mu  = "0.3::DOUBLE"
+    val head =
+      "WITH p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        Det.oRS("list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])", 6) + " AS rel " +
+        s"FROM embeddings a JOIN embeddings b ON a.vec_id < $nProbe AND a.vec_id != b.vec_id), " +
+        "cand AS (SELECT query_id, neighbor_id, rel FROM (SELECT *, row_number() OVER " +
+        s"(PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rk FROM p) WHERE rk <= $m), " +
+        "ps AS (SELECT x.query_id, x.neighbor_id AS a, y.neighbor_id AS b, " +
+        Det.oRS("list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])", 6) + " AS sim " +
+        "FROM cand x JOIN cand y ON x.query_id = y.query_id AND x.neighbor_id != y.neighbor_id " +
+        "JOIN embeddings ea ON ea.vec_id = x.neighbor_id " +
+        "JOIN embeddings eb ON eb.vec_id = y.neighbor_id), " +
+        "pick1 AS (SELECT query_id, neighbor_id, rel AS score, 1 AS mmr_rank FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS r FROM cand) " +
+        "WHERE r = 1), " +
+        "sel1 AS (SELECT query_id, neighbor_id FROM pick1)"
+    val steps = (2 to k).map { n =>
+      s", sc$n AS (SELECT c.query_id, c.neighbor_id, $lam*c.rel - $mu*max(ps.sim) AS score " +
+        s"FROM cand c JOIN ps ON ps.query_id = c.query_id AND ps.a = c.neighbor_id " +
+        s"JOIN sel${n - 1} s ON s.query_id = ps.query_id AND s.neighbor_id = ps.b " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM sel${n - 1} z WHERE z.query_id = c.query_id " +
+        "AND z.neighbor_id = c.neighbor_id) " +
+        "GROUP BY c.query_id, c.neighbor_id, c.rel), " +
+        s"pick$n AS (SELECT query_id, neighbor_id, score, $n AS mmr_rank FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r " +
+        s"FROM sc$n) WHERE r = 1), " +
+        s"sel$n AS (SELECT query_id, neighbor_id FROM sel${n - 1} " +
+        s"UNION ALL SELECT query_id, neighbor_id FROM pick$n)"
+    }.mkString
+    val union = (1 to k).map(n => s"SELECT * FROM pick$n").mkString(" UNION ALL ")
+    head + steps + " SELECT query_id, cast(mmr_rank as bigint) AS mmr_rank, neighbor_id, " +
+      Det.oRS("score", 6) + s" AS score FROM ($union) ORDER BY query_id, mmr_rank"
+  }
+
+  /** Maximal-marginal-relevance re-rank: diversify the cosine top-8
+    * candidate set down to 4 results per probe (λ=0.7) — the standard
+    * post-retrieval step that stops an ANN result list being four
+    * near-copies of the same document.
+    *
+    * Scale shape: the probe side broadcasts and the base side streams
+    * (same as [[simCosineTopk]]); TopKPerGroup bounds candidates to m=8
+    * per query MAP-SIDE, so only |probes|·m candidate rows (plus their
+    * embeddings) reach the one shuffle on query_id. The greedy loop
+    * then runs per group over a constant-size m×m similarity matrix —
+    * `flatMapGroups` is the sanctioned per-group-imperative tool here
+    * because the group is k-bounded by construction, never data-sized.
+    * Determinism: rel and pair sims are trunc-rounded to 6 dp BEFORE
+    * the λ-arithmetic in both engines (identical IEEE ops on identical
+    * operands), and every pick tie-breaks on neighbor_id, so the
+    * greedy trajectory is bit-reproducible; the Scala dot is the same
+    * sequential fold as DuckDB's list_dot_product (FloatDotSpec).
+    */
+  val simMmrRerank: Q = Q(
+    "sim_mmr_rerank",
+    Some(mmrOracle(20, 8, 4)),
+    (spark, dir) => {
+      import spark.implicits._
+      val e = Tables.embeddings(spark, dir)
+      val probe = e
+        .filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val base = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      val scored = base
+        .join(broadcast(probe), col("query_id") =!= col("neighbor_id"))
+        .withColumn("rel", Det.rS(fdot(col("qe"), col("ne")), 6))
+        .select(col("query_id"), col("neighbor_id"), col("rel"), col("ne"))
+      val cand = org.apache.spark.sql.graftx
+        .TopKPerGroup(scored, Seq("query_id"), Seq("rel" -> true, "neighbor_id" -> false), 8, rnName = "rk")
+        .select(col("query_id"), col("neighbor_id"), col("rel"), col("ne"))
+        .as[(Long, Long, Double, Array[Float])]
+      cand
+        .groupByKey(_._1)
+        .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Float])]) =>
+          val cs = it.map { case (_, nid, rel, emb) => (nid, rel, emb) }.toArray
+            .sortBy(c => (-c._2, c._1))
+          def r6(x: Double): Double = math.floor(math.abs(x) * 1e6 + 0.5) / 1e6 * math.signum(x)
+          def dotd(a: Array[Float], b: Array[Float]): Double = {
+            var s = 0.0; var i = 0
+            while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+            s
+          }
+          val n   = cs.length
+          val sim = Array.tabulate(n, n)((i, j) => if (i == j) 0.0 else r6(dotd(cs(i)._3, cs(j)._3)))
+          val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+          val rows     = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+          val k        = math.min(4, n)
+          while (selected.length < k) {
+            var best      = -1
+            var bestScore = Double.NegativeInfinity
+            var i         = 0
+            while (i < n) {
+              if (!selected.contains(i)) {
+                val sc =
+                  if (selected.isEmpty) cs(i)._2
+                  else 0.7 * cs(i)._2 - 0.3 * selected.iterator.map(s => sim(i)(s)).max
+                if (sc > bestScore || (sc == bestScore && (best < 0 || cs(i)._1 < cs(best)._1))) {
+                  best = i
+                  bestScore = sc
+                }
+              }
+              i += 1
+            }
+            selected += best
+            rows += ((qid, selected.length.toLong, cs(best)._1, r6(bestScore)))
+          }
+          rows
+        }
+        .toDF("query_id", "mmr_rank", "neighbor_id", "score")
+        .orderBy(col("query_id"), col("mmr_rank"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(simCosineTopk, simKnnClassify, simAnnLsh, simAnnMultiprobe,
-    simQuantizedTopk, simCoarseRerank, simHybridRrf, simAnnRecallReport)
+    simQuantizedTopk, simCoarseRerank, simHybridRrf, simAnnRecallReport, simMmrRerank)
 }

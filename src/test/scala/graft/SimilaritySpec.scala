@@ -132,4 +132,37 @@ class SimilaritySpec extends SparkSuite {
     val overlap = (expected.map(_._1).toSet & got.map(_._1).toSet).size
     assert(overlap >= got.length - 2, s"top-20 overlap only $overlap")
   }
+
+  test("MMR rerank: rank-1 is the cosine top-1, picks diversify the top-4") {
+    val mmr = operators.Similarity.simMmrRerank.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = operators.Similarity.simCosineTopk.run(spark, sf).collect()
+      .filter(_.getLong(0) < 20)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val top1 = brute.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    val top8 = brute.filter(_._2 <= 8).groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for { a <- ids; b <- ids if a < b } yield {
+        val (ea, eb) = (emb(a), emb(b))
+        ea.indices.map(i => ea(i).toDouble * eb(i).toDouble).sum
+      }
+      ps.sum / ps.length
+    }
+    val byQuery = mmr.groupBy(_._1)
+    assert(byQuery.size == 20)
+    var diversified = 0
+    for ((q, rows) <- byQuery) {
+      val picks = rows.sortBy(_._2).map(_._3)
+      assert(picks.length == 4 && picks.distinct.length == 4)
+      assert(picks.head == top1(q), s"query $q rank-1 disagrees with brute top-1")
+      assert(picks.forall(top8(q).contains), s"query $q picked outside the top-8")
+      val plain = brute.filter(t => t._1 == q && t._2 <= 4).sortBy(_._2).map(_._3)
+      if (meanPairSim(picks) <= meanPairSim(plain) + 1e-9) diversified += 1
+    }
+    // the λ-penalty must reduce (or tie) mean pairwise similarity vs the
+    // plain top-4 on essentially every query; allow one adversarial tie
+    assert(diversified >= 19, s"only $diversified/20 queries diversified")
+  }
 }
