@@ -649,6 +649,59 @@ object Dedup {
     }
   )
 
+  /** Soft dedup: instead of DROPPING near-dup copies, DOWN-WEIGHT
+    * them — each doc's training weight is tokens/cluster_size, so a
+    * cluster of n copies contributes one doc's worth of signal spread
+    * over its members (the downweight-not-delete strategy used when
+    * removal would bias the mixture). Output per source: raw vs
+    * effective token counts and the dedup discount — the number a
+    * mixture planner feeds into its per-source sampling temperature.
+    *
+    * Scale shape: reuses the memoized cluster labels (a LocalRelation,
+    * broadcast for free) + a |clusters|-row size table; the corpus scan
+    * computes token counts map-side and the per-source rollup is one
+    * partial aggregate. Determinism: weight = one IEEE division of
+    * identical operands per doc, then Det.dsum (exact decimal sum) —
+    * never a bare double sum. */
+  val dedupSoftWeights: Q = Q(
+    "dedup_soft_weights",
+    Some {
+      val w = "len(string_split(d.text, ' '))::DOUBLE / sz.n"
+      "WITH lab AS (" + clustersOracleBody + "), " +
+        "sz AS (SELECT cluster, count(*) AS n FROM lab GROUP BY cluster) " +
+        "SELECT d.source, count(*) AS n_docs, count(DISTINCT lab.cluster) AS n_clusters, " +
+        "cast(sum(len(string_split(d.text, ' '))) as bigint) AS raw_tokens, " +
+        Det.oRS(Det.oSum(w), 6) + " AS eff_tokens, " +
+        Det.oRS(
+          Det.oSum(w) + " / cast(sum(len(string_split(d.text, ' '))) as bigint)::DOUBLE",
+          6
+        ) + " AS dedup_discount " +
+        "FROM lab JOIN documents d ON d.doc_id = lab.doc_id " +
+        "JOIN sz ON sz.cluster = lab.cluster " +
+        "GROUP BY d.source ORDER BY d.source"
+    },
+    (spark, dir) => {
+      val labels = clustersFrame(spark, dir).select(col("doc_id"), col("cluster"))
+      val sizes  = labels.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      Tables
+        .documents(spark, dir)
+        .filter(col("doc_id") < ClusterProbeScope)
+        .select(col("doc_id"), col("source"), size(split(col("text"), " ")).cast("long").as("tokens"))
+        .join(labels, Seq("doc_id"))
+        .join(broadcast(sizes), Seq("cluster"))
+        .withColumn("w", col("tokens").cast("double") / col("n"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(col("tokens")).as("raw_tokens"),
+          Det.rS(Det.dsum(col("w")), 6).as("eff_tokens"),
+          Det.rS(Det.dsum(col("w")) / sum(col("tokens")).cast("double"), 6).as("dedup_discount")
+        )
+        .orderBy(col("source"))
+    }
+  )
+
   /** Threshold-sensitivity curve: near-dup pair counts in 0.05-wide
     * Jaccard bins with the cumulative count at-or-above each bin — the
     * artifact you read before CHOOSING a dedup threshold (how many
@@ -1208,7 +1261,8 @@ object Dedup {
 
   def qs: Seq[Q] = Seq(
     dedupExact, dedupNearJaccard, dedupEmbedCosine, dedupNgramJaccard, dedupSimhash,
-    dedupSimhashPairs, dedupMinhashLsh, dedupClusters, dedupReport, dedupThresholdCurve,
+    dedupSimhashPairs, dedupMinhashLsh, dedupClusters, dedupReport, dedupSoftWeights,
+    dedupThresholdCurve,
     dedupBestOfCluster, dedupContainment, dedupIncremental, dedupIncrementalPersisted,
     dedupSpanCoverage, dedupNgramExact, dedupSourceOverlap, dedupSourceUnique
   )

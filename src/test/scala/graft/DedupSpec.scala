@@ -208,6 +208,30 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("soft-dedup weights: eff <= raw per source, global mass matches recompute") {
+    val rows = operators.Dedup.dedupSoftWeights.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nDocs, nClusters) = (r.getLong(1), r.getLong(2))
+      val (raw, eff, disc)   = (r.getLong(3), r.getDouble(4), r.getDouble(5))
+      assert(nClusters <= nDocs)
+      assert(eff <= raw + 1e-6, s"${r.getString(0)}: eff $eff > raw $raw")
+      assert(math.abs(disc - eff / raw) < 1e-5, "discount must be eff/raw")
+    }
+    // independent recompute: sum over docs of tokens/cluster_size
+    val labels = operators.Dedup.dedupClusters.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = labels.values.groupBy(identity).view.mapValues(_.size).toMap
+    val toks = Tables.documents(spark, sf)
+      .filter(col("doc_id") < operators.Dedup.ClusterProbeScope)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expected = toks.map { case (id, t) => t.toDouble / sizes(labels(id)) }.sum
+    val got = rows.map(_.getDouble(4)).sum
+    assert(math.abs(expected - got) < 1e-3, s"global eff mass $got vs recompute $expected")
+    assert(rows.map(_.getLong(1)).sum == toks.length.toLong)
+  }
+
   test("cluster labels are consistent: edges intra-cluster, survivors minimal") {
     val labels = operators.Dedup.dedupClusters.run(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
