@@ -419,9 +419,80 @@ object Sampling {
     }
   )
 
+  /** Mixture solver under a repetition cap — the planning step between
+    * [[sampleTemperature]]'s target weights and an actual training run:
+    * given each source's available token mass, a UNIFORM target mixture,
+    * and a token budget of FOUR corpus-sizes (a training run that needs
+    * more tokens than one pass supplies), how many epochs of
+    * each source do we take, which sources saturate the 4-epoch
+    * repetition cap (the "don't repeat data too often" rule), and what
+    * mixture do we actually achieve? required = budget/n_sources;
+    * epochs = min(required/avail, 4); achieved = min(required, 4·avail);
+    * achieved_share renormalizes over the capped allocations. `starved`
+    * marks sources whose uncapped demand exceeded the cap — the signal
+    * to go crawl more of that source.
+    *
+    * Determinism: avail/budget are exact longs; required and epochs are
+    * single IEEE divisions; least() on identical doubles is exact; the
+    * achieved-mass normalizer is a [[Det.dsum]] exact decimal sum;
+    * every reported double is trunc-rounded.
+    *
+    * 100 TB: one map-side-partial per-source aggregate over the corpus,
+    * then pure arithmetic on a |sources|-row table with two broadcast
+    * scalars — nothing after the first aggregate scales with data. */
+  val pipelineMixtureSolve: Q = Q(
+    "pipeline_mixture_solve",
+    Some(
+      "WITH s AS (SELECT source, cast(count(*) as bigint) AS n_docs, " +
+        "cast(sum(len(string_split(text, ' '))) as bigint) AS avail FROM documents GROUP BY 1), " +
+        "t AS (SELECT cast(4 * sum(avail) as bigint) AS budget, count(*) AS ns FROM s), " +
+        "j AS (SELECT source, n_docs, avail, budget::DOUBLE / ns AS required, " +
+        "(budget::DOUBLE / ns) / avail::DOUBLE AS epochs_raw FROM s CROSS JOIN t), " +
+        "a AS (SELECT source, n_docs, avail, " +
+        "least(epochs_raw, 4.0) AS epochs, " +
+        "least(required, avail::DOUBLE * 4.0) AS achieved, " +
+        "CASE WHEN epochs_raw > 4.0 THEN 1 ELSE 0 END AS starved FROM j), " +
+        "g AS (SELECT " + Det.oSum("achieved") + " AS tot FROM a) " +
+        "SELECT source, n_docs, avail AS avail_tokens, " +
+        Det.oRN("epochs", 6) + " AS epochs, " +
+        Det.oRN("achieved", 4) + " AS achieved_tokens, " +
+        Det.oRN("achieved / g.tot", 6) + " AS achieved_share, " +
+        "cast(starved as bigint) AS starved " +
+        "FROM a CROSS JOIN g ORDER BY source"
+    ),
+    (spark, dir) => {
+      val s = Tables
+        .documents(spark, dir)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("avail"))
+      val t = s.agg((sum(col("avail")) * 4).as("budget"), count(lit(1)).as("ns"))
+      val a = s
+        .crossJoin(broadcast(t))
+        .withColumn("required", col("budget").cast("double") / col("ns"))
+        .withColumn("epochs_raw", col("required") / col("avail").cast("double"))
+        .withColumn("epochs", least(col("epochs_raw"), lit(4.0)))
+        .withColumn("achieved", least(col("required"), col("avail").cast("double") * 4.0))
+        .withColumn("starved", when(col("epochs_raw") > 4.0, 1L).otherwise(0L))
+      val g = a.agg(Det.dsum(col("achieved")).as("tot"))
+      a.crossJoin(broadcast(g))
+        .select(
+          col("source"),
+          col("n_docs"),
+          col("avail").as("avail_tokens"),
+          Det.rN(col("epochs"), 6).as("epochs"),
+          Det.rN(col("achieved"), 4).as("achieved_tokens"),
+          Det.rN(col("achieved") / col("tot"), 6).as("achieved_share"),
+          col("starved")
+        )
+        .orderBy(col("source"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     sampleHashPct, sampleStratified, interleaveSources, joinRangeEvents,
     mixReport, sampleQualityWeighted, pipelinePack, sampleTrainTestSplit,
-    sampleRendezvousShards, pipelineEpochShuffle, sampleTemperature
+    sampleRendezvousShards, pipelineEpochShuffle, sampleTemperature,
+    pipelineMixtureSolve
   )
 }

@@ -1171,11 +1171,78 @@ object TextAnalysis {
     }
   )
 
+  /** Zipf-law fit over the corpus rank-frequency curve — the scalar
+    * companion to [[textVocab]]'s table: log-log least squares of
+    * token frequency against rank. A healthy natural-language corpus
+    * has slope ≈ −1; a flat slope flags synthetic/templated text and a
+    * cliff flags boilerplate domination — a one-row corpus-health gate
+    * a curation pipeline checks per crawl snapshot.
+    *
+    * Determinism: counts exact; the rank is a row_number with a total
+    * tie-break (freq desc, token asc); ln() is correctly rounded on
+    * identical doubles; the five regression sums are [[Det.dsum]]
+    * exact decimal sums; the closed-form slope/intercept/r² are pure
+    * IEEE arithmetic on identical aggregates, trunc-rounded 6 dp.
+    *
+    * 100 TB: one explode + one token-keyed partial aggregate (the
+    * count table is vocabulary-sized, tiny); the single-partition
+    * row_number window runs over |vocab| rows, not the corpus, and the
+    * regression is one scalar aggregate over the same tiny table. */
+  val textZipfFit: Q = Q(
+    "text_zipf_fit",
+    Some(
+      "WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "c AS (SELECT tok, count(*) AS n FROM t GROUP BY 1), " +
+        "r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rnk FROM c), " +
+        "pts AS (SELECT ln(rnk::DOUBLE) AS x, ln(n::DOUBLE) AS y FROM r), " +
+        "m AS (SELECT count(*)::DOUBLE AS n, " +
+        s"${Det.oSum("x")} AS sx, ${Det.oSum("y")} AS sy, ${Det.oSum("x * y")} AS sxy, " +
+        s"${Det.oSum("x * x")} AS sxx, ${Det.oSum("y * y")} AS syy FROM pts) " +
+        "SELECT cast(n as bigint) AS vocab_size, " +
+        Det.oRS("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6) + " AS slope, " +
+        Det.oRS("(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n", 6) +
+        " AS intercept, " +
+        Det.oRN(
+          "((n * sxy - sx * sy) * (n * sxy - sx * sy)) / " +
+            "((n * sxx - sx * sx) * (n * syy - sy * sy))",
+          6
+        ) + " AS r2 FROM m"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.orderBy(col("n").desc, col("tok"))
+      val m = Tables
+        .documents(spark, dir)
+        .select(explode(toks(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(ord))
+        .select(log(col("rnk").cast("double")).as("x"), log(col("n").cast("double")).as("y"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          Det.dsum(col("x")).as("sx"),
+          Det.dsum(col("y")).as("sy"),
+          Det.dsum(col("x") * col("y")).as("sxy"),
+          Det.dsum(col("x") * col("x")).as("sxx"),
+          Det.dsum(col("y") * col("y")).as("syy")
+        )
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val vx  = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy  = col("n") * col("syy") - col("sy") * col("sy")
+      m.select(
+        col("n").cast("long").as("vocab_size"),
+        Det.rS(cov / vx, 6).as("slope"),
+        Det.rS((col("sy") - cov / vx * col("sx")) / col("n"), 6).as("intercept"),
+        Det.rN((cov * cov) / (vx * vy), 6).as("r2")
+      )
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     textStats, textTfidfTop, textLangid, textQuality, textTokens, textFingerprint,
     textPiiRedact, reportScores, textBigramLm, textChunk, textVocab, pipelineCurate,
     textContamination, textHeavyHitters, pipelineFunnel, pipelineManifest, textEntropy,
     pipelineCurriculum, textBm25Topk, textPerplexity, textRepetition, textInvertedIndex,
-    textBpePairs
+    textBpePairs, textZipfFit
   )
 }

@@ -41,4 +41,35 @@ class SamplingSpec extends SparkSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted == direct)
   }
+
+  test("mixture solve: caps bind exactly, shares renormalize, mass conserved") {
+    val rows = operators.Sampling.pipelineMixtureSolve.run(spark, sf).collect()
+    // avail must match an independent per-source token recount
+    val avail = Tables.documents(spark, sf)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("a")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length == avail.size)
+    val budget   = 4.0 * avail.values.sum
+    val required = budget / avail.size
+    for (r <- rows) {
+      val (src, av)        = (r.getString(0), r.getLong(2))
+      val (ep, ach, share) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      val starved          = r.getLong(6)
+      assert(av == avail(src), s"$src avail")
+      assert(ep <= 4.0 + 1e-9 && ep > 0)
+      assert(ach <= required + 1e-6, s"$src achieved $ach > required $required")
+      assert(ach <= 4.0 * av + 1e-6, s"$src achieved exceeds repetition cap")
+      // starved <=> the cap is the binding constraint
+      if (starved == 1) assert(ep == 4.0, s"$src starved but epochs $ep")
+      else assert(math.abs(ach - required) < 1e-4, s"$src unstarved must get full demand")
+      assert(share > 0 && share <= 1.0)
+    }
+    // capped allocations renormalize to a full mixture
+    val shareSum = rows.map(_.getDouble(5)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"share sum $shareSum")
+    // achieved mass never exceeds the budget (cap only removes mass)
+    val achSum = rows.map(_.getDouble(4)).sum
+    assert(achSum <= budget + 1e-3, s"achieved $achSum > budget $budget")
+  }
 }

@@ -43,4 +43,28 @@ class TextEvalSpec extends SparkSuite {
       assert(ce > 0 && ce <= worst, s"doc $id ce $ce out of bounds (worst $worst)")
     }
   }
+
+  test("zipf fit matches a driver-side least-squares recomputation") {
+    val freqs = Tables
+      .documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // same total order as the query: freq desc, token asc
+    val ranked = freqs.sortBy { case (tok, n) => (-n, tok) }.zipWithIndex
+    val pts = ranked.map { case ((_, n), i) => (math.log((i + 1).toDouble), math.log(n.toDouble)) }
+    val k   = pts.length.toDouble
+    val (sx, sy)   = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val (sxy, sxx) = (pts.map(p => p._1 * p._2).sum, pts.map(p => p._1 * p._1).sum)
+    val syy        = pts.map(p => p._2 * p._2).sum
+    val slope      = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    val intercept  = (sy - slope * sx) / k
+    val r2         = math.pow(k * sxy - sx * sy, 2) / ((k * sxx - sx * sx) * (k * syy - sy * sy))
+    val row = operators.TextAnalysis.textZipfFit.run(spark, sf).collect().head
+    assert(row.getLong(0) == freqs.length.toLong, "vocab size")
+    assert(math.abs(row.getDouble(1) - slope) < 1e-5, s"slope ${row.getDouble(1)} vs $slope")
+    assert(math.abs(row.getDouble(2) - intercept) < 1e-5, "intercept")
+    assert(math.abs(row.getDouble(3) - r2) < 1e-5, "r2")
+    assert(row.getDouble(3) >= 0 && row.getDouble(3) <= 1.0)
+  }
 }
