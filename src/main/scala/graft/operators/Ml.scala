@@ -394,5 +394,121 @@ object Ml {
     }
   )
 
-  def qs: Seq[Q] = Seq(mlKmeans, mlNaiveBayes, mlKsTest, mlFeatureBins, mlConfusionMatrix)
+  /** Tie-aware ROC AUC of "order value predicts urgency" — the
+    * Mann–Whitney twin of [[mlKsTest]] over the same two classes: the
+    * probability a random URGENT order outranks a random LOW one, ties
+    * counted half. The standard threshold-free score for the binary
+    * quality classifiers a curation pipeline gates on.
+    *
+    * Determinism: like the KS statistic, the whole computation is
+    * EXACT integer algebra — 2·U = Σ_v c1_v·(2·cum2_{<v} + c2_v) over
+    * the distinct-value grid — with ONE IEEE division at output
+    * (§2.9: exact algebra first, one float op last). No double is ever
+    * summed.
+    *
+    * 100 TB: per-value counts partial-aggregate; the U scan is a
+    * window over the DISTINCT value grid (≪ row count), same shape as
+    * the KS CDF scan. Integer bound: 2U ≤ 2·n₁·n₂ must stay below 2⁶³
+    * → class counts to ~2·10⁹ each; past that widen to DECIMAL(38,0)
+    * (DuckDB side is already HUGEINT). */
+  val mlAuc: Q = Q(
+    "ml_auc",
+    Some(
+      "WITH s AS (SELECT o_totalprice AS v, " +
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1 " +
+        "FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')), " +
+        "pv AS (SELECT v, cast(sum(g1) as bigint) AS c1, cast(sum(1 - g1) as bigint) AS c2 " +
+        "FROM s GROUP BY v), " +
+        "n AS (SELECT cast(sum(g1) as bigint) AS n1, cast(sum(1 - g1) as bigint) AS n2 FROM s), " +
+        "c AS (SELECT c1, c2, cast(sum(c2) OVER w - c2 as bigint) AS cum2p FROM pv " +
+        "WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)), " +
+        "u AS (SELECT cast(sum(c1 * (2 * cum2p + c2)) as bigint) AS u2 FROM c) " +
+        "SELECT n.n1 AS n_pos, n.n2 AS n_neg, " +
+        Det.oRN("u2::DOUBLE / (2.0 * n.n1 * n.n2)", 6) + " AS auc " +
+        "FROM u CROSS JOIN n"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val s = Tables
+        .orders(spark, dir)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+          col("o_totalprice").as("v"),
+          when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0).as("g1")
+        )
+      val pv = s
+        .groupBy(col("v"))
+        .agg(sum(col("g1")).as("c1"), sum(lit(1) - col("g1")).as("c2"))
+      val n = s.agg(sum(col("g1")).as("n1"), sum(lit(1) - col("g1")).as("n2"))
+      val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pv.select(col("c1"), col("c2"), (sum(col("c2")).over(w) - col("c2")).as("cum2p"))
+        .agg(sum(col("c1") * (lit(2) * col("cum2p") + col("c2"))).as("u2"))
+        .crossJoin(broadcast(n))
+        .select(
+          col("n1").as("n_pos"),
+          col("n2").as("n_neg"),
+          Det.rN(col("u2").cast("double") / (lit(2.0) * col("n1") * col("n2")), 6).as("auc")
+        )
+    }
+  )
+
+  /** Reliability diagram (calibration bins) for a [0,1] score against
+    * the URGENT label: min-max-normalized order value in 10 equal-width
+    * score bins; per bin the count, mean predicted score, exact
+    * positive rate, and the signed calibration gap. The audit that
+    * decides whether a quality-classifier's scores can be used as
+    * sampling probabilities ([[Sampling.sampleQualityWeighted]]) or
+    * must be re-calibrated first.
+    *
+    * Determinism: min/max are exact decimals; the normalized score is
+    * IEEE ops on identical doubles; bin = floor(score·10) clamped to 9
+    * (pure arithmetic, no engine round()); mean score is a [[Det.dsum]]
+    * decimal sum over the bin; pos_rate is one division of exact longs.
+    *
+    * 100 TB: two passes — a scalar min/max aggregate broadcast back,
+    * then one bin-keyed partial aggregate; both map-side-combine
+    * friendly. The bin table is 10 rows regardless of scale. */
+  val mlCalibration: Q = Q(
+    "ml_calibration",
+    Some(
+      "WITH mm AS (SELECT min(o_totalprice)::DOUBLE AS lo, max(o_totalprice)::DOUBLE AS hi FROM orders), " +
+        "s AS (SELECT (o_totalprice::DOUBLE - mm.lo) / (mm.hi - mm.lo) AS score, " +
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y " +
+        "FROM orders CROSS JOIN mm), " +
+        "b AS (SELECT least(cast(floor(score * 10) as bigint), 9) AS bin, score, y FROM s) " +
+        "SELECT bin, cast(count(*) as bigint) AS n, " +
+        Det.oRN(Det.oSum("score") + " / count(*)", 6) + " AS mean_score, " +
+        Det.oRN("cast(sum(y) as bigint)::DOUBLE / count(*)", 6) + " AS pos_rate, " +
+        Det.oRS(
+          Det.oSum("score") + " / count(*) - cast(sum(y) as bigint)::DOUBLE / count(*)",
+          6
+        ) + " AS gap " +
+        "FROM b GROUP BY bin ORDER BY bin"
+    ),
+    (spark, dir) => {
+      val o  = Tables.orders(spark, dir)
+      val mm = o.agg(min(col("o_totalprice")).cast("double").as("lo"), max(col("o_totalprice")).cast("double").as("hi"))
+      val s = o
+        .crossJoin(broadcast(mm))
+        .select(
+          ((col("o_totalprice").cast("double") - col("lo")) / (col("hi") - col("lo"))).as("score"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("y")
+        )
+        .select(least(floor(col("score") * 10).cast("long"), lit(9L)).as("bin"), col("score"), col("y"))
+      val meanScore = Det.dsum(col("score")) / count(lit(1))
+      val posRate   = sum(col("y")).cast("double") / count(lit(1))
+      s.groupBy(col("bin"))
+        .agg(
+          count(lit(1)).as("n"),
+          Det.rN(meanScore, 6).as("mean_score"),
+          Det.rN(posRate, 6).as("pos_rate"),
+          Det.rS(meanScore - posRate, 6).as("gap")
+        )
+        .orderBy(col("bin"))
+    }
+  )
+
+  def qs: Seq[Q] = Seq(
+    mlKmeans, mlNaiveBayes, mlKsTest, mlFeatureBins, mlConfusionMatrix, mlAuc, mlCalibration
+  )
 }

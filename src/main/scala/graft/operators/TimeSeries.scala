@@ -887,8 +887,80 @@ object TimeSeries {
     }
   )
 
+  /** STL-lite decomposition of the per-type hourly event series into
+    * trend + seasonal + residual: trend = centered 25-hour moving
+    * average (defined only where the window is full), seasonal = the
+    * hour-of-day mean of the detrended series, residual = what's left.
+    * The decomposition monitoring pipelines run before alerting on a
+    * series — [[tsAnomalyMad]] on the RESIDUAL finds outliers the raw
+    * series hides inside daily rhythm.
+    *
+    * Determinism: hourly counts are exact longs; trend is one IEEE
+    * division of an exact window sum by 25; the hour-of-day mean is a
+    * decimal-cast window sum (order-independent, §2.9) over identical
+    * detrended doubles divided by an exact non-null count; residual is
+    * one IEEE subtraction. Partial windows yield NULL trend/seasonal/
+    * residual rather than a biased estimate.
+    *
+    * 100 TB: the series table is |types|×|hours| — already tiny
+    * relative to the events it aggregates (one partial-agg shuffle);
+    * both windows run inside per-type (or per-type×24) partitions, so
+    * no global single-partition window exists. The MA is over the
+    * OBSERVED hourly grid; a gappy series should be run through
+    * [[tsResampleHourly]] first. */
+  val tsStlDecompose: Q = Q(
+    "ts_stl_decompose",
+    Some(
+      "WITH hh AS (SELECT event_type, date_trunc('hour', ts) AS h, " +
+        "cast(count(*) as bigint) AS y FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT event_type, h, y, " +
+        "CASE WHEN count(*) OVER w = 25 THEN cast(sum(y) OVER w as bigint)::DOUBLE / 25 " +
+        "ELSE NULL END AS trend FROM hh " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)), " +
+        "d AS (SELECT event_type, h, y, trend, y::DOUBLE - trend AS det FROM t), " +
+        "s AS (SELECT event_type, h, y, trend, det, " +
+        "CASE WHEN det IS NULL THEN NULL ELSE " +
+        "cast(sum(cast(det as decimal(30,8))) OVER p as double) / count(det) OVER p END AS seasonal " +
+        "FROM d WINDOW p AS (PARTITION BY event_type, hour(h))) " +
+        "SELECT event_type, h, y, " + Det.oRN("trend", 6) + " AS trend, " +
+        Det.oRS("seasonal", 6) + " AS seasonal, " +
+        Det.oRS("det - seasonal", 6) + " AS residual " +
+        "FROM s ORDER BY event_type, h"
+    ),
+    (spark, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h")).rowsBetween(-12, 12)
+      val p = Window.partitionBy(col("event_type"), hour(col("h")))
+      Tables
+        .events(spark, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn(
+          "trend",
+          when(count(lit(1)).over(w) === 25, sum(col("y")).over(w).cast("double") / 25)
+        )
+        .withColumn("det", col("y").cast("double") - col("trend"))
+        .withColumn(
+          "seasonal",
+          when(
+            col("det").isNotNull,
+            sum(col("det").cast(DecimalType(30, 8))).over(p).cast("double") /
+              count(col("det")).over(p)
+          )
+        )
+        .select(
+          col("event_type"),
+          col("h"),
+          col("y"),
+          Det.rN(col("trend"), 6).as("trend"),
+          Det.rS(col("seasonal"), 6).as("seasonal"),
+          Det.rS(col("det") - col("seasonal"), 6).as("residual")
+        )
+        .orderBy(col("event_type"), col("h"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(tsTumbling1h, tsSliding15m5m, tsSession30m, tsSessionWindowBatch,
     tsFillForward, tsResampleHourly, tsEwma, tsInterpolate, tsAttribution, tsAutocorr,
     tsChangepoint, tsSeasonalProfile, tsDownsampleM4, tsAnomalyMad, tsHolt,
-    tsCrossCorrelation, eventsMarkovTransition)
+    tsCrossCorrelation, eventsMarkovTransition, tsStlDecompose)
 }

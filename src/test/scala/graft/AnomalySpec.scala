@@ -76,4 +76,46 @@ class AnomalySpec extends SparkSuite {
       assert(math.abs(fc - (el + eb)) < 1e-5, s"user $u forecast")
     }
   }
+
+  test("stl decomposition matches a driver-side MA + hour-of-day recompute") {
+    val rows = operators.TimeSeries.tsStlDecompose.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // driver-side recompute from the raw hourly series
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val byType = hourly.groupBy(_._1).view.mapValues(_.sortBy(_._2.getTime)).toMap
+    val trendMap = byType.flatMap { case (t, series) =>
+      series.indices.collect {
+        case i if i >= 12 && i + 12 < series.length =>
+          val win = (i - 12 to i + 12).map(j => series(j)._3).sum
+          (t, series(i)._2) -> win.toDouble / 25
+      }
+    }
+    val det = trendMap.map { case ((t, h), tr) =>
+      (t, h) -> (byType(t).find(_._2 == h).get._3.toDouble - tr)
+    }
+    val seasonal = det.groupBy { case ((t, h), _) =>
+      (t, h.toLocalDateTime.getHour)
+    }.view.mapValues(vs => vs.values.sum / vs.size).toMap
+    var checked = 0
+    for (r <- rows if !r.isNullAt(3)) {
+      val key = (r.getString(0), r.getTimestamp(1))
+      val (tr, se, re) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(math.abs(tr - trendMap(key)) < 1e-5, s"$key trend")
+      val es = seasonal((key._1, key._2.toLocalDateTime.getHour))
+      assert(math.abs(se - es) < 1e-4, s"$key seasonal $se vs $es")
+      assert(math.abs(re - (det(key) - es)) < 1e-4, s"$key residual")
+      checked += 1
+    }
+    assert(checked > 0, "at least one full window must exist")
+    // partial windows are NULL, never a biased estimate
+    for (r <- rows if r.isNullAt(3)) { assert(r.isNullAt(4) && r.isNullAt(5)) }
+    // per (type, hour-of-day): seasonal components sum to ~zero over
+    // the detrended rows by construction of the mean
+    val resid = rows.filter(!_.isNullAt(5)).map(_.getDouble(5))
+    assert(math.abs(resid.sum / resid.length) < 1e-2, "residual mean ~ 0")
+  }
 }

@@ -32,4 +32,44 @@ class MlSpec extends SparkSuite {
     assert(p.forall(r => r._4 == (r._2 == r._3)))
     assert(preds() == p, "prediction must be run-to-run identical")
   }
+
+  test("AUC matches a driver-side tie-aware rank recomputation") {
+    import org.apache.spark.sql.functions._
+    val pairs = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_totalprice").cast("double"), col("o_orderpriority"))
+      .collect().map(r => (r.getDouble(0), r.getString(1) == "1-URGENT"))
+    val pos = pairs.filter(_._2).map(_._1).sorted
+    val neg = pairs.filterNot(_._2).map(_._1).sorted
+    // O(n·m) exact pair count on the driver — fine at test scale
+    var wins = 0.0
+    for (p <- pos; n <- neg) wins += (if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+    val expected = wins / (pos.length.toLong * neg.length)
+    val row = operators.Ml.mlAuc.run(spark, sf).collect().head
+    assert(row.getLong(0) == pos.length.toLong && row.getLong(1) == neg.length.toLong)
+    assert(math.abs(row.getDouble(2) - expected) < 1e-5, s"auc ${row.getDouble(2)} vs $expected")
+    assert(row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0)
+  }
+
+  test("calibration bins partition all orders and bound their scores") {
+    import org.apache.spark.sql.functions._
+    val rows  = operators.Ml.mlCalibration.run(spark, sf).collect()
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total, "bins must partition the table")
+    val base = Tables.orders(spark, sf)
+      .agg(avg(when(col("o_orderpriority") === "1-URGENT", 1.0).otherwise(0.0)))
+      .collect().head.getDouble(0)
+    for (r <- rows) {
+      val (bin, ms, pr, gap) = (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(bin >= 0 && bin <= 9)
+      // mean score must lie inside the bin's score range (bin 9 includes 1.0)
+      assert(ms >= bin / 10.0 - 1e-6 && ms <= (bin + 1) / 10.0 + 1e-6, s"bin $bin mean $ms")
+      assert(pr >= 0.0 && pr <= 1.0)
+      assert(math.abs(gap - (ms - pr)) < 2e-6, s"bin $bin gap")
+    }
+    // pos rates are bin-local estimates of the same base rate; their
+    // count-weighted mean is the base rate exactly
+    val wmean = rows.map(r => r.getLong(1) * r.getDouble(3)).sum / total
+    assert(math.abs(wmean - base) < 1e-4, s"weighted pos rate $wmean vs base $base")
+  }
 }
