@@ -508,7 +508,78 @@ object Ml {
     }
   )
 
+  /** Precision/recall/F1 swept over the 10 decile thresholds of the
+    * same normalized score [[mlCalibration]] bins — the third leg of
+    * the eval kit (AUC ranks, calibration trusts, PR curve picks the
+    * operating threshold a filter actually deploys at).
+    *
+    * Determinism: per-bin (n, pos) counts are exact; the
+    * threshold-cumulative TP / predicted-positive counts are an exact
+    * integer window over the 10-row bin table scanned top-down;
+    * precision/recall/F1 are IEEE arithmetic on those exact integers
+    * (F1 from the UNROUNDED p·r), trunc-rounded 6 dp; the tp=0 edge is
+    * an explicit 0, not engine-dependent NaN.
+    *
+    * 100 TB: identical shape to [[mlCalibration]] — scalar min/max
+    * broadcast, one bin-keyed partial aggregate, then arithmetic over
+    * 10 rows. */
+  val mlPrCurve: Q = Q(
+    "ml_pr_curve",
+    Some(
+      "WITH mm AS (SELECT min(o_totalprice)::DOUBLE AS lo, max(o_totalprice)::DOUBLE AS hi FROM orders), " +
+        "s AS (SELECT least(cast(floor((o_totalprice::DOUBLE - mm.lo) / (mm.hi - mm.lo) * 10) as bigint), 9) AS bin, " +
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y " +
+        "FROM orders CROSS JOIN mm), " +
+        "b AS (SELECT bin, cast(count(*) as bigint) AS n, cast(sum(y) as bigint) AS pos FROM s GROUP BY bin), " +
+        "t AS (SELECT cast(sum(pos) as bigint) AS tpos FROM b), " +
+        "c AS (SELECT bin, cast(sum(n) OVER w as bigint) AS pred_pos, " +
+        "cast(sum(pos) OVER w as bigint) AS tp FROM b " +
+        "WINDOW w AS (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)) " +
+        "SELECT bin / 10.0 AS threshold, pred_pos, tp, " +
+        "CASE WHEN tp = 0 THEN 0.0 ELSE " + Det.oRN("tp::DOUBLE / pred_pos", 6) + " END AS precision, " +
+        "CASE WHEN tp = 0 THEN 0.0 ELSE " + Det.oRN("tp::DOUBLE / t.tpos", 6) + " END AS recall, " +
+        "CASE WHEN tp = 0 THEN 0.0 ELSE " + Det.oRN(
+          "2.0 * (tp::DOUBLE / pred_pos) * (tp::DOUBLE / t.tpos) / " +
+            "(tp::DOUBLE / pred_pos + tp::DOUBLE / t.tpos)",
+          6
+        ) + " END AS f1 " +
+        "FROM c CROSS JOIN t ORDER BY threshold"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o  = Tables.orders(spark, dir)
+      val mm = o.agg(min(col("o_totalprice")).cast("double").as("lo"), max(col("o_totalprice")).cast("double").as("hi"))
+      val b = o
+        .crossJoin(broadcast(mm))
+        .select(
+          least(
+            floor((col("o_totalprice").cast("double") - col("lo")) / (col("hi") - col("lo")) * 10).cast("long"),
+            lit(9L)
+          ).as("bin"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("y")
+        )
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val t = b.agg(sum(col("pos")).as("tpos"))
+      val w = Window.orderBy(col("bin").desc).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val p = col("tp").cast("double") / col("pred_pos")
+      val r = col("tp").cast("double") / col("tpos")
+      b.select(col("bin"), sum(col("n")).over(w).as("pred_pos"), sum(col("pos")).over(w).as("tp"))
+        .crossJoin(broadcast(t))
+        .select(
+          (col("bin") / 10.0).as("threshold"),
+          col("pred_pos"),
+          col("tp"),
+          when(col("tp") === 0, 0.0).otherwise(Det.rN(p, 6)).as("precision"),
+          when(col("tp") === 0, 0.0).otherwise(Det.rN(r, 6)).as("recall"),
+          when(col("tp") === 0, 0.0).otherwise(Det.rN(lit(2.0) * p * r / (p + r), 6)).as("f1")
+        )
+        .orderBy(col("threshold"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
-    mlKmeans, mlNaiveBayes, mlKsTest, mlFeatureBins, mlConfusionMatrix, mlAuc, mlCalibration
+    mlKmeans, mlNaiveBayes, mlKsTest, mlFeatureBins, mlConfusionMatrix, mlAuc, mlCalibration,
+    mlPrCurve
   )
 }

@@ -72,4 +72,29 @@ class MlSpec extends SparkSuite {
     val wmean = rows.map(r => r.getLong(1) * r.getDouble(3)).sum / total
     assert(math.abs(wmean - base) < 1e-4, s"weighted pos rate $wmean vs base $base")
   }
+
+  test("PR curve: recall falls with threshold, F1 is the harmonic mean, floor row is total") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Ml.mlPrCurve.run(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == 10)
+    val total = Tables.orders(spark, sf).count()
+    val tpos = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    // threshold 0 predicts everything positive: recall 1, precision = base rate
+    val floorRow = rows.head
+    assert(floorRow._1 == 0.0 && floorRow._2 == total && floorRow._3 == tpos)
+    assert(math.abs(floorRow._5 - 1.0) < 1e-6)
+    assert(math.abs(floorRow._4 - tpos.toDouble / total) < 1e-5)
+    // monotonicity in the threshold sweep: pred_pos and tp only shrink
+    for (Array(a, b) <- rows.sliding(2)) {
+      assert(a._2 >= b._2 && a._3 >= b._3, s"cumulatives must shrink: $a -> $b")
+      assert(a._5 >= b._5 - 1e-9, "recall is non-increasing")
+    }
+    for (r <- rows if r._3 > 0) {
+      val (p, rec) = (r._3.toDouble / r._2, r._3.toDouble / tpos)
+      assert(math.abs(r._4 - p) < 1e-5 && math.abs(r._5 - rec) < 1e-5)
+      assert(math.abs(r._6 - 2 * p * rec / (p + rec)) < 1e-5, "f1 harmonic identity")
+    }
+  }
 }
