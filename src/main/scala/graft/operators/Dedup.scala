@@ -1259,11 +1259,60 @@ object Dedup {
     }
   )
 
+  /** Edit-distance near-dup screen: prefix-blocked pairwise
+    * levenshtein over a fixed-length document head — the fuzzy-match
+    * flavor the token-set screens ([[dedupNearJaccard]],
+    * [[dedupNgramJaccard]]) can't express (character-level edits:
+    * typo variants, template fills, OCR noise). Blocking key =
+    * (lang, lowercased 12-char prefix); distance is computed on the
+    * 128-char head (a cheap fixed-cost proxy — full-text edit distance
+    * is O(len²) and never worth it as a screen), kept at ≤ 24.
+    *
+    * Determinism: levenshtein on identical strings is an exact
+    * integer in both engines; no floating point anywhere.
+    *
+    * 100 TB: the quadratic step is confined to prefix buckets (max
+    * bucket 78 docs at sf0.1 → ≤ ~3k comparisons per bucket, each a
+    * bounded 128×128 DP), and the exchange carries only
+    * (id, lang, 12-char prefix, 128-char head) — never full text. At
+    * real scale the same shape runs with a salted bucket cap like
+    * [[dedupMinhashLsh]]'s; a prefix key is the standard
+    * sorted-neighborhood/blocking compromise for character-level
+    * near-dups. */
+  val dedupEditDistance: Q = Q(
+    "dedup_edit_distance",
+    Some(
+      "WITH d AS (SELECT doc_id, lang, lower(substr(text, 1, 12)) AS pfx, substr(text, 1, 128) AS head " +
+        "FROM documents) " +
+        "SELECT a.doc_id AS ida, b.doc_id AS idb, cast(levenshtein(a.head, b.head) as bigint) AS dist " +
+        "FROM d a JOIN d b ON a.lang = b.lang AND a.pfx = b.pfx AND a.doc_id < b.doc_id " +
+        "WHERE levenshtein(a.head, b.head) <= 24 ORDER BY 1, 2"
+    ),
+    (spark, dir) => {
+      val d = Tables
+        .documents(spark, dir)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          lower(substring(col("text"), 1, 12)).as("pfx"),
+          substring(col("text"), 1, 128).as("head")
+        )
+      val a = d.select(col("doc_id").as("ida"), col("lang"), col("pfx"), col("head").as("ha"))
+      val b = d.select(col("doc_id").as("idb"), col("lang"), col("pfx"), col("head").as("hb"))
+      a.join(b, Seq("lang", "pfx"))
+        .filter(col("ida") < col("idb"))
+        .select(col("ida"), col("idb"), levenshtein(col("ha"), col("hb")).cast("long").as("dist"))
+        .filter(col("dist") <= 24)
+        .orderBy(col("ida"), col("idb"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     dedupExact, dedupNearJaccard, dedupEmbedCosine, dedupNgramJaccard, dedupSimhash,
     dedupSimhashPairs, dedupMinhashLsh, dedupClusters, dedupReport, dedupSoftWeights,
     dedupThresholdCurve,
     dedupBestOfCluster, dedupContainment, dedupIncremental, dedupIncrementalPersisted,
-    dedupSpanCoverage, dedupNgramExact, dedupSourceOverlap, dedupSourceUnique
+    dedupSpanCoverage, dedupNgramExact, dedupSourceOverlap, dedupSourceUnique,
+    dedupEditDistance
   )
 }

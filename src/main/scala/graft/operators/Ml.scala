@@ -578,8 +578,220 @@ object Ml {
     }
   )
 
+  /** Cumulative gains / lift table over score deciles — the business
+    * cousin of [[mlPrCurve]]: "reading the top d deciles by score, what
+    * share of all positives did we capture, and at what multiple of the
+    * base rate?" Deciles come from `ntile(10)` over a TOTAL order
+    * (score desc, key asc), so tied scores land deterministically.
+    *
+    * Determinism: decile membership is exact (total order); per-decile
+    * and cumulative counts are exact integers; gain is one double
+    * division and lift is one division of two exact integer PRODUCTS
+    * (`cum_pos·total / (cum_n·tpos)`) — a single IEEE operation each,
+    * identical in both engines, trunc-rounded 6 dp.
+    *
+    * 100 TB: a global ntile is a single-partition window — fine here
+    * (the windowed input is one row per order at demo scale, and the
+    * oracle needs the exact decile split), but at real scale the decile
+    * boundaries come from [[graft.operators.Aggregates.aggQuantileSketch]]-style
+    * cutpoints broadcast as a bin map, which turns this into the same
+    * map-side bin + tiny-aggregate shape as [[mlCalibration]]. */
+  val mlLiftGains: Q = Q(
+    "ml_lift_gains",
+    Some(
+      "WITH s AS (SELECT o_totalprice AS score, o_orderkey, " +
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y FROM orders), " +
+        "d AS (SELECT cast(ntile(10) OVER (ORDER BY score DESC, o_orderkey) as bigint) AS decile, y FROM s), " +
+        "g AS (SELECT decile, cast(count(*) as bigint) AS n, cast(sum(y) as bigint) AS pos FROM d GROUP BY 1), " +
+        "t AS (SELECT cast(sum(pos) as bigint) AS tpos, cast(sum(n) as bigint) AS total FROM g), " +
+        "c AS (SELECT decile, n, pos, cast(sum(n) OVER w as bigint) AS cum_n, " +
+        "cast(sum(pos) OVER w as bigint) AS cum_pos FROM g " +
+        "WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)) " +
+        "SELECT decile, n, pos, cum_n, cum_pos, " +
+        Det.oRN("cum_pos::DOUBLE / t.tpos", 6) + " AS gain, " +
+        Det.oRN("(cum_pos * t.total)::DOUBLE / (cum_n * t.tpos)", 6) + " AS lift " +
+        "FROM c CROSS JOIN t ORDER BY decile"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val s = Tables
+        .orders(spark, dir)
+        .select(
+          col("o_totalprice").as("score"),
+          col("o_orderkey"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("y")
+        )
+      val d = s.select(
+        ntile(10).over(Window.orderBy(col("score").desc, col("o_orderkey"))).cast("long").as("decile"),
+        col("y")
+      )
+      val g = d.groupBy(col("decile")).agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val t = g.agg(sum(col("pos")).as("tpos"), sum(col("n")).as("total"))
+      val w = Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.select(col("decile"), col("n"), col("pos"),
+          sum(col("n")).over(w).as("cum_n"), sum(col("pos")).over(w).as("cum_pos"))
+        .crossJoin(broadcast(t))
+        .select(
+          col("decile"),
+          col("n"),
+          col("pos"),
+          col("cum_n"),
+          col("cum_pos"),
+          Det.rN(col("cum_pos").cast("double") / col("tpos"), 6).as("gain"),
+          Det.rN((col("cum_pos") * col("total")).cast("double") / (col("cum_n") * col("tpos")), 6).as("lift")
+        )
+        .orderBy(col("decile"))
+    }
+  )
+
+  /** Population Stability Index between a reference period (orders
+    * through 1997) and the current period (1998+) over 10 equal-width
+    * price bins fitted on the REFERENCE period — the standard
+    * training-data drift monitor: PSI < 0.1 stable, > 0.25 retrain.
+    * Current-period values outside the reference range clamp into the
+    * edge bins, exactly as a deployed binner would.
+    *
+    * Determinism: the bin grid is `range(10)` left-joined so all 10
+    * bins always appear; counts are exact integers; shares use
+    * add-one smoothing `(n+1)/(total+10)` (ln(0)-proof) — one double
+    * division each; the per-bin term `(cs−rs)·ln(cs/rs)` is the same
+    * IEEE chain in both engines (ln precedent: [[graft.operators.TextAnalysis]]
+    * entropy/perplexity), trunc-rounded 6 dp. Per-bin rows, not a
+    * pre-summed scalar, so no cross-engine sum-order hazard; the spec
+    * asserts the total.
+    *
+    * 100 TB: scalar reference min/max broadcast, one bin-keyed partial
+    * aggregate over the union of both periods, then arithmetic on 10
+    * rows — the same fully map-side-combinable shape as
+    * [[mlCalibration]], and the natural per-source/per-day extension
+    * just adds those columns to the groupBy key. */
+  val mlPsi: Q = Q(
+    "ml_psi",
+    Some(
+      "WITH o AS (SELECT o_totalprice::DOUBLE AS v, " +
+        "CASE WHEN year(o_orderdate) <= 1997 THEN 0 ELSE 1 END AS per FROM orders), " +
+        "mm AS (SELECT min(v) AS lo, max(v) AS hi FROM o WHERE per = 0), " +
+        "b AS (SELECT per, greatest(least(cast(floor((v - mm.lo) / (mm.hi - mm.lo) * 10) as bigint), 9), 0) AS bin " +
+        "FROM o CROSS JOIN mm), " +
+        "c AS (SELECT bin, cast(sum(CASE WHEN per = 0 THEN 1 ELSE 0 END) as bigint) AS ref_n, " +
+        "cast(sum(per) as bigint) AS cur_n FROM b GROUP BY 1), " +
+        "t AS (SELECT cast(sum(ref_n) as bigint) AS rt, cast(sum(cur_n) as bigint) AS ct FROM c), " +
+        "g AS (SELECT gs.bin, coalesce(c.ref_n, 0) AS ref_n, coalesce(c.cur_n, 0) AS cur_n " +
+        "FROM (SELECT unnest(range(10)) AS bin) gs LEFT JOIN c ON gs.bin = c.bin) " +
+        "SELECT g.bin, ref_n, cur_n, " +
+        Det.oRN("(ref_n + 1)::DOUBLE / (t.rt + 10)", 6) + " AS ref_share, " +
+        Det.oRN("(cur_n + 1)::DOUBLE / (t.ct + 10)", 6) + " AS cur_share, " +
+        Det.oRN(
+          "((cur_n + 1)::DOUBLE / (t.ct + 10) - (ref_n + 1)::DOUBLE / (t.rt + 10)) * " +
+            "ln(((cur_n + 1)::DOUBLE / (t.ct + 10)) / ((ref_n + 1)::DOUBLE / (t.rt + 10)))",
+          6
+        ) + " AS psi_term " +
+        "FROM g CROSS JOIN t ORDER BY bin"
+    ),
+    (spark, dir) => {
+      val o = Tables
+        .orders(spark, dir)
+        .select(
+          col("o_totalprice").cast("double").as("v"),
+          when(year(col("o_orderdate")) <= 1997, 0L).otherwise(1L).as("per")
+        )
+      val mm = o.filter(col("per") === 0).agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      val b = o
+        .crossJoin(broadcast(mm))
+        .select(
+          col("per"),
+          greatest(
+            least(floor((col("v") - col("lo")) / (col("hi") - col("lo")) * 10).cast("long"), lit(9L)),
+            lit(0L)
+          ).as("bin")
+        )
+      val c = b
+        .groupBy(col("bin"))
+        .agg(
+          sum(when(col("per") === 0, 1L).otherwise(0L)).as("ref_n"),
+          sum(col("per")).as("cur_n")
+        )
+      val t = c.agg(sum(col("ref_n")).as("rt"), sum(col("cur_n")).as("ct"))
+      val rs = (col("ref_n") + 1).cast("double") / (col("rt") + 10)
+      val cs = (col("cur_n") + 1).cast("double") / (col("ct") + 10)
+      spark
+        .range(10)
+        .select(col("id").as("bin"))
+        .join(c, Seq("bin"), "left")
+        .na.fill(0L, Seq("ref_n", "cur_n"))
+        .crossJoin(broadcast(t))
+        .select(
+          col("bin"),
+          col("ref_n"),
+          col("cur_n"),
+          Det.rN(rs, 6).as("ref_share"),
+          Det.rN(cs, 6).as("cur_share"),
+          Det.rN((cs - rs) * log(cs / rs), 6).as("psi_term")
+        )
+        .orderBy(col("bin"))
+    }
+  )
+
+  /** Chi-square test of independence over the priority × status
+    * contingency table — per-cell observed vs expected counts and the
+    * cell's χ² contribution (feature-vs-label dependence screening; the
+    * spec asserts the summed statistic and dof = (R−1)(C−1)).
+    * The full R×C grid is emitted (margin cross join + left join), so
+    * structurally-zero cells still contribute their expected mass.
+    *
+    * Determinism: the contingency and margin counts are exact
+    * integers; expected = `rn·cn / n` is one division of exact integer
+    * products; the contribution `(obs−e)²/e` reuses that same IEEE
+    * value — identical chains in both engines, trunc-rounded 6 dp.
+    *
+    * 100 TB: one groupBy on the (low-cardinality) cell key with
+    * map-side combine; margins re-aggregate the R·C-row cell table, so
+    * nothing after the first aggregate touches the fact table. */
+  val mlChi2: Q = Q(
+    "ml_chi2",
+    Some(
+      "WITH c AS (SELECT o_orderpriority AS p, o_orderstatus AS s, cast(count(*) as bigint) AS obs " +
+        "FROM orders GROUP BY 1, 2), " +
+        "rp AS (SELECT p, cast(sum(obs) as bigint) AS rn FROM c GROUP BY 1), " +
+        "cs AS (SELECT s, cast(sum(obs) as bigint) AS cn FROM c GROUP BY 1), " +
+        "n AS (SELECT cast(sum(obs) as bigint) AS nn FROM c), " +
+        "g AS (SELECT rp.p, cs.s, coalesce(c.obs, 0) AS obs, rn, cn " +
+        "FROM rp CROSS JOIN cs LEFT JOIN c ON c.p = rp.p AND c.s = cs.s) " +
+        "SELECT p AS o_orderpriority, s AS o_orderstatus, obs, " +
+        Det.oRN("(rn * cn)::DOUBLE / n.nn", 6) + " AS expected, " +
+        Det.oRN(
+          "(obs::DOUBLE - (rn * cn)::DOUBLE / n.nn) * (obs::DOUBLE - (rn * cn)::DOUBLE / n.nn) / " +
+            "((rn * cn)::DOUBLE / n.nn)",
+          6
+        ) + " AS contrib " +
+        "FROM g CROSS JOIN n ORDER BY 1, 2"
+    ),
+    (spark, dir) => {
+      val c = Tables
+        .orders(spark, dir)
+        .groupBy(col("o_orderpriority").as("p"), col("o_orderstatus").as("s"))
+        .agg(count(lit(1)).as("obs"))
+      val rp = c.groupBy(col("p")).agg(sum(col("obs")).as("rn"))
+      val cst = c.groupBy(col("s")).agg(sum(col("obs")).as("cn"))
+      val n = c.agg(sum(col("obs")).as("nn"))
+      val e = (col("rn") * col("cn")).cast("double") / col("nn")
+      rp.crossJoin(broadcast(cst))
+        .join(c, Seq("p", "s"), "left")
+        .na.fill(0L, Seq("obs"))
+        .crossJoin(broadcast(n))
+        .select(
+          col("p").as("o_orderpriority"),
+          col("s").as("o_orderstatus"),
+          col("obs"),
+          Det.rN(e, 6).as("expected"),
+          Det.rN((col("obs").cast("double") - e) * (col("obs").cast("double") - e) / e, 6).as("contrib")
+        )
+        .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     mlKmeans, mlNaiveBayes, mlKsTest, mlFeatureBins, mlConfusionMatrix, mlAuc, mlCalibration,
-    mlPrCurve
+    mlPrCurve, mlLiftGains, mlPsi, mlChi2
   )
 }

@@ -244,4 +244,34 @@ class DedupSpec extends SparkSuite {
       assert(labels(cl) == cl, s"representative $cl not its own cluster")
     }
   }
+
+  test("edit-distance screen equals a driver-side brute-force recompute") {
+    def lev(a: String, b: String): Int = {
+      val prev = Array.range(0, b.length + 1)
+      var cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        val t = prev.clone(); Array.copy(cur, 0, prev, 0, cur.length); cur = t
+      }
+      prev(b.length)
+    }
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = (for {
+      (ida, la, ta) <- docs
+      (idb, lb, tb) <- docs
+      if ida < idb && la == lb &&
+        ta.take(12).toLowerCase == tb.take(12).toLowerCase
+      d = lev(ta.take(128), tb.take(128))
+      if d <= 24
+    } yield (ida, idb, d.toLong)).toSet
+    val got = operators.Dedup.dedupEditDistance.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty, "screen finds pairs at test scale")
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
+  }
 }

@@ -97,4 +97,65 @@ class MlSpec extends SparkSuite {
       assert(math.abs(r._6 - 2 * p * rec / (p + rec)) < 1e-5, "f1 harmonic identity")
     }
   }
+
+  test("lift/gains: deciles partition the table, cumulatives close at gain=lift=1") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Ml.mlLiftGains.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.length == 10 && rows.map(_._1).toSeq == (1L to 10L))
+    val total = Tables.orders(spark, sf).count()
+    val tpos = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(rows.map(_._2).sum == total && rows.map(_._3).sum == tpos)
+    val last = rows.last
+    assert(last._4 == total && last._5 == tpos)
+    assert(math.abs(last._6 - 1.0) < 1e-6 && math.abs(last._7 - 1.0) < 1e-6)
+    for (r <- rows) {
+      // gain and lift identities from the exact cumulative counts
+      assert(math.abs(r._6 - r._5.toDouble / tpos) < 1e-5)
+      assert(math.abs(r._7 - (r._5.toDouble / r._4) / (tpos.toDouble / total)) < 1e-5)
+    }
+    for (Array(a, b) <- rows.sliding(2)) assert(a._4 < b._4 && a._5 <= b._5, "cumulatives grow")
+  }
+
+  test("PSI: bins cover both periods exactly, terms are non-negative, shares close to 1") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Ml.mlPsi.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == 10 && rows.map(_._1).toSeq == (0L to 9L))
+    val refTotal = Tables.orders(spark, sf).filter(year(col("o_orderdate")) <= 1997).count()
+    val curTotal = Tables.orders(spark, sf).filter(year(col("o_orderdate")) > 1997).count()
+    assert(rows.map(_._2).sum == refTotal && rows.map(_._3).sum == curTotal)
+    // smoothed shares sum to exactly 1 by construction: Σ(n+1) = total+10
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4 && math.abs(rows.map(_._5).sum - 1.0) < 1e-4)
+    // (cs-rs)·ln(cs/rs) has matching signs — every term is ≥ 0
+    assert(rows.forall(_._6 >= -1e-9), "psi terms are non-negative")
+    // identity recompute from the exact counts
+    for (r <- rows) {
+      val rs = (r._2 + 1).toDouble / (refTotal + 10)
+      val cs = (r._3 + 1).toDouble / (curTotal + 10)
+      assert(math.abs(r._6 - (cs - rs) * math.log(cs / rs)) < 1e-5)
+    }
+  }
+
+  test("chi2: full contingency grid, margins reproduce, contributions match identity") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Ml.mlChi2.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val o = Tables.orders(spark, sf)
+    val nPri = o.select("o_orderpriority").distinct().count()
+    val nSt = o.select("o_orderstatus").distinct().count()
+    assert(rows.length == nPri * nSt, "full R x C grid emitted")
+    val total = o.count()
+    assert(rows.map(_._3).sum == total)
+    // expected counts reproduce the row margins: Σ_s exp(p,s) = rowTotal(p)
+    val rowTotals = o.groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((p, cells) <- rows.groupBy(_._1))
+      assert(math.abs(cells.map(_._4).sum - rowTotals(p)) < 1e-3, s"margin of $p")
+    for (r <- rows if r._4 > 0) {
+      val d = r._3.toDouble - r._4
+      assert(math.abs(r._5 - d * d / r._4) < 1e-4, "chi2 cell identity")
+    }
+    assert(rows.map(_._5).sum >= 0.0)
+  }
 }
