@@ -26,18 +26,27 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 
-  /** events.ts is parquet TIMESTAMP(NANOS,false), which Spark 4.x cannot
-    * read natively (PARQUET_TYPE_ILLEGAL). Verified recipe (SURVEY §1.3):
-    * read nanos as long, then truncate ns→µs with integer division —
-    * matching DuckDB's own ns→µs truncation — and surface the column as
-    * TIMESTAMP_NTZ so parquet output round-trips as naive timestamps in
-    * both engines. The conf is set inside the loader because the driver's
-    * Verify/Bench sessions do not set it; it is a dynamic SQLConf and only
-    * affects NANOS columns, so setting it repeatedly is safe.
+  /** events.ts has shipped in two physical encodings across driver
+    * testdata generations: parquet TIMESTAMP(NANOS,false) — which Spark
+    * 4.x cannot read natively (PARQUET_TYPE_ILLEGAL), so with
+    * `nanosAsLong` it surfaces as a BIGINT of epoch-nanos — and plain
+    * TIMESTAMP(MICROS). The loader adapts on the read schema instead of
+    * assuming one generation: a long column gets the verified ns→µs
+    * truncating division (matching DuckDB's own ns→µs truncation); a
+    * native timestamp column is only normalized to TIMESTAMP_NTZ so
+    * parquet output round-trips as naive timestamps in both engines.
+    * The conf is set inside the loader because the driver's Verify/Bench
+    * sessions do not set it; it is a dynamic SQLConf and only affects
+    * NANOS columns, so setting it repeatedly is safe.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
 }

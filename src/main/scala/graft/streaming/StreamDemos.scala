@@ -23,12 +23,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamDemos {
 
-  /** The events schema as the STREAM source sees it: ts is read as
-    * raw nanos (LongType, via nanosAsLong) and converted per batch —
-    * same recipe as the batch loader (SURVEY §1.3). */
+  /** The events schema as the STREAM source sees it: the RAW file
+    * schema (LongType nanos under nanosAsLong for the ns testdata
+    * generation, a native timestamp for the µs generation), with ts
+    * converted per batch by the same schema-adaptive recipe as the
+    * batch loader (SURVEY §1.3, [[Tables.events]]). */
   private def eventsStream(spark: SparkSession, dir: String, copies: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.events(spark, dir).schema // ts already converted here
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // The file source needs a DIRECTORY; the testdata table is a single
     // read-only file, so stage it into a temp dir (per-SF, idempotent).
     // copies > 1 stages the SAME file N times — each copy is its own
@@ -49,18 +51,17 @@ object StreamDemos {
         java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), target)
     }
     val raw = spark.readStream
-      .schema(
-        org.apache.spark.sql.types.StructType(
-          schema.map {
-            case f if f.name == "ts" =>
-              f.copy(dataType = org.apache.spark.sql.types.LongType)
-            case f => f
-          }
-        )
-      )
+      .schema(rawSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(staged.toString)
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        // watermarks need TIMESTAMP (with LTZ semantics); NTZ micros
+        // cast losslessly in the session zone (tests pin UTC)
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Tumbling 1 h counts per event_type with a 1 h watermark, append
