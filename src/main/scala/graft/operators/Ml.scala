@@ -790,8 +790,77 @@ object Ml {
     }
   )
 
+  /** Mutual information between the two categorical document
+    * dimensions (lang × source) plus both marginal entropies and the
+    * normalized MI — the information-theoretic companion to
+    * [[mlChi2]]'s frequency test (feature-selection ranking uses MI
+    * directly; NMI ∈ [0,1] is the comparable-across-features form).
+    *
+    * Determinism: all counts are exact integers; each cell term
+    * `(obs/n)·ln(obs·n/(rn·cn))` and entropy term are identical IEEE
+    * chains in both engines (products ≤ n² fit exactly in a double);
+    * the three sums go through the order-independent decimal sum, so
+    * `nmi = mi / min(h_lang, h_source)` divides identical values.
+    *
+    * 100 TB: one groupBy on the tiny (lang, source) cell key with
+    * map-side combine; everything downstream re-aggregates the
+    * |lang|·|source|-row cell table — the fact scan happens once. */
+  val mlMutualInfo: Q = Q(
+    "ml_mutual_info",
+    Some(
+      "WITH c AS (SELECT lang, source, cast(count(*) as bigint) AS obs FROM documents GROUP BY 1, 2), " +
+        "rl AS (SELECT lang, cast(sum(obs) as bigint) AS rn FROM c GROUP BY 1), " +
+        "cs AS (SELECT source, cast(sum(obs) as bigint) AS cn FROM c GROUP BY 1), " +
+        "n AS (SELECT cast(sum(obs) as bigint) AS nn FROM c), " +
+        "mi AS (SELECT " +
+        Det.oSum("(obs::DOUBLE / nn) * ln((obs::DOUBLE * nn) / (rn::DOUBLE * cn))") +
+        " AS mi FROM c JOIN rl USING (lang) JOIN cs USING (source) CROSS JOIN n), " +
+        "hl AS (SELECT " +
+        Det.oSum("-(rn::DOUBLE / nn) * ln(rn::DOUBLE / nn)") +
+        " AS h FROM rl CROSS JOIN n), " +
+        "hs AS (SELECT " +
+        Det.oSum("-(cn::DOUBLE / nn) * ln(cn::DOUBLE / nn)") +
+        " AS h FROM cs CROSS JOIN n) " +
+        "SELECT " + Det.oRS("mi.mi", 6) + " AS mi, " +
+        Det.oRN("hl.h", 6) + " AS h_lang, " +
+        Det.oRN("hs.h", 6) + " AS h_source, " +
+        Det.oRS("mi.mi / least(hl.h, hs.h)", 6) + " AS nmi " +
+        "FROM mi CROSS JOIN hl CROSS JOIN hs"
+    ),
+    (spark, dir) => {
+      val c = Tables
+        .documents(spark, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("obs"))
+      val rl = c.groupBy(col("lang")).agg(sum(col("obs")).as("rn"))
+      val cs = c.groupBy(col("source")).agg(sum(col("obs")).as("cn"))
+      val n  = c.agg(sum(col("obs")).as("nn"))
+      val term = (col("obs").cast("double") / col("nn")) *
+        log((col("obs").cast("double") * col("nn")) / (col("rn").cast("double") * col("cn")))
+      val mi = c
+        .join(broadcast(rl), Seq("lang"))
+        .join(broadcast(cs), Seq("source"))
+        .crossJoin(broadcast(n))
+        .agg(Det.dsum(term).as("mi"))
+      def entropy(m: DataFrame, cnt: String, out: String): DataFrame = {
+        val p = col(cnt).cast("double") / col("nn")
+        m.crossJoin(broadcast(n)).agg(Det.dsum(-p * log(p)).as(out))
+      }
+      val hl = entropy(rl, "rn", "h_lang")
+      val hs = entropy(cs, "cn", "h_source")
+      mi.crossJoin(broadcast(hl))
+        .crossJoin(broadcast(hs))
+        .select(
+          Det.rS(col("mi"), 6).as("mi"),
+          Det.rN(col("h_lang"), 6).as("h_lang"),
+          Det.rN(col("h_source"), 6).as("h_source"),
+          Det.rS(col("mi") / least(col("h_lang"), col("h_source")), 6).as("nmi")
+        )
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     mlKmeans, mlNaiveBayes, mlKsTest, mlFeatureBins, mlConfusionMatrix, mlAuc, mlCalibration,
-    mlPrCurve, mlLiftGains, mlPsi, mlChi2
+    mlPrCurve, mlLiftGains, mlPsi, mlChi2, mlMutualInfo
   )
 }

@@ -1238,11 +1238,149 @@ object TextAnalysis {
     }
   )
 
+  /** Corpus-growth novelty per source: the fraction of each document's
+    * distinct 5-token shingles that the document INTRODUCES to the
+    * corpus (its doc_id is the minimum over all docs containing the
+    * shingle). Training-data teams track this curve to decide when a
+    * crawl source is mined out — novelty decaying toward 0 means new
+    * batches only repeat already-held n-grams (the "data exhaustion"
+    * signal of scaling-law work).
+    *
+    * Determinism: shingle sets and first-owner minima are exact; the
+    * per-doc ratio `n_novel / n_sh` is one IEEE division of exact
+    * integers; `avg_novelty` goes through the order-independent
+    * decimal sum; `corpus_novelty` is one division of exact integer
+    * sums — trunc-rounded 6 dp in both engines.
+    *
+    * 100 TB: one shuffle keyed on the 8-byte shingle hash builds the
+    * first-owner table (same key as the shingle-doc list, so the join
+    * back is co-partitioned — Catalyst reuses the exchange); per-doc
+    * and per-source rollups are partial-aggregated. Nothing shuffles
+    * document text — only hashes and counts. */
+  val textNgramNovelty: Q = Q(
+    "text_ngram_novelty",
+    Some(
+      "WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, source, unnest(generate_series(1, len(toks)-4)) AS pos, toks " +
+        "FROM t WHERE len(toks) >= 5), " +
+        "sh AS (SELECT DISTINCT doc_id, source, array_to_string(toks[pos:pos+4], ' ') AS s FROM g), " +
+        "fo AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s), " +
+        "d AS (SELECT doc_id, source, count(*) AS n_sh, " +
+        "sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_novel " +
+        "FROM sh JOIN fo USING (s) GROUP BY 1, 2) " +
+        "SELECT source, count(*)::BIGINT AS n_docs, " +
+        "cast(sum(n_sh) as bigint) AS n_shingles, " +
+        "cast(sum(n_novel) as bigint) AS n_novel, " +
+        Det.oRN(s"${Det.oSum("n_novel::DOUBLE / n_sh")} / count(*)", 6) + " AS avg_novelty, " +
+        Det.oRN("cast(sum(n_novel) as bigint)::DOUBLE / cast(sum(n_sh) as bigint)", 6) +
+        " AS corpus_novelty " +
+        "FROM d GROUP BY source ORDER BY source"
+    ),
+    (spark, dir) => {
+      val t = toks(col("text"))
+      val sh = Tables
+        .documents(spark, dir)
+        .select(
+          col("doc_id"),
+          col("source"),
+          explode(
+            when(
+              size(t) >= 5,
+              transform(sequence(lit(1), size(t) - 4), i => array_join(slice(t, i, lit(5)), " "))
+            ).otherwise(array().cast("array<string>"))
+          ).as("s")
+        )
+        .select(col("doc_id"), col("source"), xxhash64(col("s")).as("h"))
+        .distinct()
+      val fo = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+      val d = sh
+        .join(fo, Seq("h"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(
+          count(lit(1)).as("n_sh"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel")
+        )
+      d.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_sh")).cast("long").as("n_shingles"),
+          sum(col("n_novel")).cast("long").as("n_novel"),
+          Det.rN(Det.dsum(col("n_novel").cast("double") / col("n_sh")) / count(lit(1)), 6)
+            .as("avg_novelty"),
+          Det.rN(
+            sum(col("n_novel")).cast("long").cast("double") / sum(col("n_sh")).cast("long"),
+            6
+          ).as("corpus_novelty")
+        )
+        .orderBy(col("source"))
+    }
+  )
+
+  /** The dataset card grid: one row per (source, lang) cell with doc /
+    * char / token volumes, corpus shares, and the exact-dup rate —
+    * the summary table a corpus release ships (HuggingFace dataset
+    * cards, Dolma/RedPajama reports). Complements [[pipelineManifest]]
+    * (lang rollup + checksums) and mix_report (per-source sampling
+    * plan) with the full two-dimensional composition view.
+    *
+    * Determinism: every measure is an exact integer aggregate; shares
+    * and the dup rate are single IEEE divisions of exact integers,
+    * trunc-rounded 6 dp.
+    *
+    * 100 TB: one groupBy on the tiny (source, lang) key with map-side
+    * combine; corpus totals re-aggregate the cell table (rows = |src|
+    * × |lang|, trivially broadcast). sha256 dedup counting rides the
+    * same single scan — no second pass over text. */
+  val pipelineDatasetCard: Q = Q(
+    "pipeline_dataset_card",
+    Some(
+      "WITH c AS (SELECT source, lang, count(*)::BIGINT AS n_docs, " +
+        "cast(sum(n_chars) as bigint) AS total_chars, " +
+        "cast(sum(len(string_split(text, ' '))) as bigint) AS total_toks, " +
+        "cast(count(DISTINCT sha256(text)) as bigint) AS n_distinct " +
+        "FROM documents GROUP BY 1, 2), " +
+        "t AS (SELECT cast(sum(n_docs) as bigint) AS td, cast(sum(total_toks) as bigint) AS tt FROM c) " +
+        "SELECT source, lang, n_docs, total_chars, total_toks, n_distinct, " +
+        Det.oRN("n_docs::DOUBLE / td", 6) + " AS docs_share, " +
+        Det.oRN("total_toks::DOUBLE / tt", 6) + " AS toks_share, " +
+        Det.oRN("1.0 - n_distinct::DOUBLE / n_docs", 6) + " AS dup_rate " +
+        "FROM c CROSS JOIN t ORDER BY source, lang"
+    ),
+    (spark, dir) => {
+      val c = Tables
+        .documents(spark, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          sum(size(toks(col("text")))).cast("long").as("total_toks"),
+          countDistinct(sha2(col("text"), 256)).as("n_distinct")
+        )
+      val t = c.agg(
+        sum(col("n_docs")).cast("long").as("td"),
+        sum(col("total_toks")).cast("long").as("tt")
+      )
+      c.crossJoin(broadcast(t))
+        .select(
+          col("source"),
+          col("lang"),
+          col("n_docs"),
+          col("total_chars"),
+          col("total_toks"),
+          col("n_distinct"),
+          Det.rN(col("n_docs").cast("double") / col("td"), 6).as("docs_share"),
+          Det.rN(col("total_toks").cast("double") / col("tt"), 6).as("toks_share"),
+          Det.rN(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6).as("dup_rate")
+        )
+        .orderBy(col("source"), col("lang"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     textStats, textTfidfTop, textLangid, textQuality, textTokens, textFingerprint,
     textPiiRedact, reportScores, textBigramLm, textChunk, textVocab, pipelineCurate,
     textContamination, textHeavyHitters, pipelineFunnel, pipelineManifest, textEntropy,
     pipelineCurriculum, textBm25Topk, textPerplexity, textRepetition, textInvertedIndex,
-    textBpePairs, textZipfFit
+    textBpePairs, textZipfFit, textNgramNovelty, pipelineDatasetCard
   )
 }

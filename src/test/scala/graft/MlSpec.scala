@@ -137,6 +137,29 @@ class MlSpec extends SparkSuite {
     }
   }
 
+  test("mutual info matches a driver-side recomputation and respects 0 <= MI <= min(H)") {
+    import org.apache.spark.sql.functions._
+    val cells = Tables.documents(spark, sf)
+      .groupBy(col("lang"), col("source")).count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val n = cells.map(_._3).sum.toDouble
+    val rl = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val cs = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val mi = cells.map { case (l, s, o) =>
+      (o / n) * math.log(o * n / (rl(l).toDouble * cs(s)))
+    }.sum
+    def h(m: Iterable[Long]): Double =
+      m.map { c => val p = c.toDouble / n; -p * math.log(p) }.sum
+    val r = operators.Ml.mlMutualInfo.run(spark, sf).collect().head
+    val (gMi, gHl, gHs, gNmi) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(math.abs(gMi - mi) < 1e-5, s"mi $gMi vs $mi")
+    assert(math.abs(gHl - h(rl.values)) < 1e-5)
+    assert(math.abs(gHs - h(cs.values)) < 1e-5)
+    assert(gMi >= -1e-6 && gMi <= math.min(gHl, gHs) + 1e-6, "0 <= MI <= min(H)")
+    assert(math.abs(gNmi - gMi / math.min(gHl, gHs)) < 1e-4)
+  }
+
   test("chi2: full contingency grid, margins reproduce, contributions match identity") {
     import org.apache.spark.sql.functions._
     val rows = operators.Ml.mlChi2.run(spark, sf).collect()

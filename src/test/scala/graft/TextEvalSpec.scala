@@ -44,6 +44,47 @@ class TextEvalSpec extends SparkSuite {
     }
   }
 
+  test("ngram novelty: per-source novel counts sum to the distinct-shingle total") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").toSeq))
+    val shingled = docs.filter(_._3.length >= 5)
+    val perDoc = shingled.map { case (id, src, ts) =>
+      (id, src, ts.sliding(5).map(_.mkString(" ")).toSet)
+    }
+    val firstOwner = perDoc
+      .flatMap { case (id, _, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).map { case (s, v) => s -> v.map(_._2).min }
+    val expBySource = perDoc.groupBy(_._2).map { case (src, ds) =>
+      val nSh = ds.map(_._3.size.toLong).sum
+      val nNov = ds.map { case (id, _, ss) => ss.count(firstOwner(_) == id).toLong }.sum
+      src -> (ds.length.toLong, nSh, nNov)
+    }
+    val got = operators.TextAnalysis.textNgramNovelty.run(spark, sf).collect()
+    assert(got.length == expBySource.size)
+    for (r <- got) {
+      val (src, nd, nSh, nNov) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (ed, eSh, eNov) = expBySource(src)
+      assert(nd == ed && nSh == eSh && nNov == eNov, s"source $src: ($nd,$nSh,$nNov) vs ($ed,$eSh,$eNov)")
+      assert(nNov <= nSh)
+    }
+    // every distinct shingle is introduced exactly once, by its first owner
+    assert(got.map(_.getLong(3)).sum == firstOwner.size.toLong)
+  }
+
+  test("dataset card: shares sum to 1 and cells reproduce the corpus totals") {
+    val got = operators.TextAnalysis.pipelineDatasetCard.run(spark, sf).collect()
+    val d = Tables.documents(spark, sf)
+    assert(got.map(_.getLong(2)).sum == d.count())
+    assert(math.abs(got.map(_.getDouble(6)).sum - 1.0) < 1e-4, "docs_share sums to 1")
+    assert(math.abs(got.map(_.getDouble(7)).sum - 1.0) < 1e-4, "toks_share sums to 1")
+    for (r <- got) {
+      assert(r.getLong(5) <= r.getLong(2), "n_distinct <= n_docs")
+      val dup = r.getDouble(8)
+      assert(dup >= 0.0 && dup < 1.0)
+    }
+  }
+
   test("zipf fit matches a driver-side least-squares recomputation") {
     val freqs = Tables
       .documents(spark, sf)
