@@ -859,8 +859,98 @@ object Ml {
     }
   )
 
+  /** Logistic regression by 3 unrolled full-batch gradient-descent
+    * steps (lr = 2, w₀ = 0) on two order features — the canonical
+    * distributed-GD execution shape: each step is ONE scan with a
+    * 4-double map-side partial aggregate, the weight vector rides into
+    * the next step as plan literals (a broadcast of 3 doubles), and
+    * driver state is just those weights — exactly how full-batch GD
+    * runs on 100 TB. The oracle unrolls the same three steps as
+    * chained CTEs, proving the iteration is pure dataflow.
+    *
+    * Determinism: σ(z) = 1/(1+e⁻ᶻ) is an identical IEEE chain on
+    * identical inputs in both engines; each gradient component goes
+    * through the order-independent decimal sum, so the collected
+    * weights are bit-identical to the CTE-computed ones; accuracy is
+    * an exact-integer count and the log-loss is decimal-summed —
+    * both trunc-rounded 6 dp.
+    */
+  val mlLogregGd: Q = {
+    val featSql = "SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y, " +
+      "1.0 AS x0, o_totalprice / 500000.0 AS x1, " +
+      "substr(o_orderpriority, 1, 1)::INT / 5.0 AS x2 FROM orders"
+    val pSql = "1.0 / (1.0 + exp(-(w0 * x0 + w1 * x1 + w2 * x2)))"
+    def stepSql(i: Int): String = {
+      val prev = s"ww${i - 1}"
+      s"g$i AS (SELECT " +
+        Seq(0, 1, 2).map(j => Det.oSum(s"(($pSql) - y) * x$j") + s" AS s$j").mkString(", ") +
+        s" FROM f CROSS JOIN $prev), " +
+        s"ww$i AS (SELECT " +
+        Seq(0, 1, 2).map(j => s"w$j - 2.0 * (s$j / n) AS w$j").mkString(", ") +
+        s" FROM g$i CROSS JOIN $prev CROSS JOIN n)"
+    }
+    Q(
+      "ml_logreg_gd",
+      Some(
+        s"WITH f AS ($featSql), " +
+          "n AS (SELECT count(*)::DOUBLE AS n FROM f), " +
+          "ww0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2), " +
+          Seq(1, 2, 3).map(stepSql).mkString(", ") + ", " +
+          s"a AS (SELECT sum(CASE WHEN (($pSql) > 0.5) = (y = 1.0) THEN 1 ELSE 0 END)::DOUBLE AS an, " +
+          Det.oSum(s"-(y * ln($pSql) + (1.0 - y) * ln(1.0 - ($pSql)))") + " AS ls " +
+          "FROM f CROSS JOIN ww3) " +
+          "SELECT " + Det.oRS("w0", 6) + " AS w0, " + Det.oRS("w1", 6) + " AS w1, " +
+          Det.oRS("w2", 6) + " AS w2, " +
+          Det.oRN("an / n", 6) + " AS accuracy, " + Det.oRN("ls / n", 6) + " AS log_loss " +
+          "FROM ww3 CROSS JOIN a CROSS JOIN n"
+      ),
+      (spark, dir) => {
+        def feats: DataFrame = Tables
+          .orders(spark, dir)
+          .select(
+            when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"),
+            lit(1.0).as("x0"),
+            (col("o_totalprice") / 500000.0).as("x1"),
+            (substring(col("o_orderpriority"), 1, 1).cast("int") / 5.0).as("x2")
+          )
+        def sigmoid(w: Array[Double]) = {
+          val z = lit(w(0)) * col("x0") + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
+          lit(1.0) / (lit(1.0) + exp(-z))
+        }
+        var w = Array(0.0, 0.0, 0.0)
+        for (_ <- 1 to 3) {
+          val p = sigmoid(w)
+          val r = feats
+            .agg(
+              Det.dsum((p - col("y")) * col("x0")).as("s0"),
+              Det.dsum((p - col("y")) * col("x1")).as("s1"),
+              Det.dsum((p - col("y")) * col("x2")).as("s2"),
+              count(lit(1)).as("n")
+            )
+            .collect()(0)
+          val n = r.getLong(3).toDouble
+          w = Array.tabulate(3)(j => w(j) - 2.0 * (r.getDouble(j) / n))
+        }
+        val p = sigmoid(w)
+        feats
+          .agg(
+            sum(when((p > 0.5) === (col("y") === 1.0), 1).otherwise(0)).cast("double").as("an"),
+            Det.dsum(-(col("y") * log(p) + (lit(1.0) - col("y")) * log(lit(1.0) - p))).as("ls"),
+            count(lit(1)).cast("double").as("n")
+          )
+          .select(
+            Det.rS(lit(w(0)), 6).as("w0"),
+            Det.rS(lit(w(1)), 6).as("w1"),
+            Det.rS(lit(w(2)), 6).as("w2"),
+            Det.rN(col("an") / col("n"), 6).as("accuracy"),
+            Det.rN(col("ls") / col("n"), 6).as("log_loss")
+          )
+      }
+    )
+  }
+
   def qs: Seq[Q] = Seq(
     mlKmeans, mlNaiveBayes, mlKsTest, mlFeatureBins, mlConfusionMatrix, mlAuc, mlCalibration,
-    mlPrCurve, mlLiftGains, mlPsi, mlChi2, mlMutualInfo
+    mlPrCurve, mlLiftGains, mlPsi, mlChi2, mlMutualInfo, mlLogregGd
   )
 }

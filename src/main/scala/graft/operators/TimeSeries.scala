@@ -959,8 +959,79 @@ object TimeSeries {
     }
   )
 
+  /** DFT periodogram of the hourly event-count series at the first 12
+    * harmonics — the spectral dominant-cycle detector ([[tsSeasonalProfile]]
+    * shows the daily shape; this ranks ALL cycle lengths by power, so a
+    * weekly or half-day rhythm shows up without being guessed first).
+    * Emits per-harmonic period length, spectral power, and power share.
+    *
+    * Determinism: the hour index and counts are exact integers; each
+    * cos/sin term is an identical IEEE chain on identical inputs (π is
+    * the same double in both engines); the a/b component sums and the
+    * total-power window sum go through the order-independent decimal
+    * sum — trunc-rounded outputs.
+    *
+    * 100 TB: one shuffle builds the hourly-count table (hours, not
+    * events — tiny); the 12-harmonic grid cross joins THAT table, so
+    * the trig work is |hours|·12 rows regardless of event volume, and
+    * the final window runs over 12 rows. */
+  val tsPeriodogram: Q = Q(
+    "ts_periodogram",
+    Some(
+      "WITH h AS (SELECT cast(epoch(date_trunc('hour', ts)) as bigint) // 3600 AS eh, " +
+        "count(*) AS x FROM events GROUP BY 1), " +
+        "s AS (SELECT min(eh) AS h0, max(eh) - min(eh) + 1 AS nn, " +
+        "cast(sum(x) as bigint) AS tx FROM h), " +
+        "k AS (SELECT unnest(generate_series(1, 12)) AS k), " +
+        "terms AS (SELECT k, " +
+        "(x::DOUBLE - tx::DOUBLE / nn) * cos(2.0 * pi() * k * (eh - h0) / nn) AS c, " +
+        "(x::DOUBLE - tx::DOUBLE / nn) * sin(2.0 * pi() * k * (eh - h0) / nn) AS sn " +
+        "FROM h CROSS JOIN s CROSS JOIN k), " +
+        "ab AS (SELECT k, " + Det.oSum("c") + " AS a, " + Det.oSum("sn") + " AS b " +
+        "FROM terms GROUP BY k) " +
+        "SELECT k, " + Det.oRN("nn::DOUBLE / k", 4) + " AS period_hours, " +
+        Det.oRN("a * a + b * b", 6) + " AS power, " +
+        Det.oRN(
+          "(a * a + b * b) / cast(sum(cast(a * a + b * b as decimal(30,8))) OVER () as double)",
+          6
+        ) + " AS share " +
+        "FROM ab CROSS JOIN s ORDER BY k"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val h = Tables
+        .events(spark, dir)
+        .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600).cast("long").as("eh"))
+        .agg(count(lit(1)).as("x"))
+      val s = h.agg(
+        min(col("eh")).as("h0"),
+        (max(col("eh")) - min(col("eh")) + 1).as("nn"),
+        sum(col("x")).cast("long").as("tx")
+      )
+      val ks = spark.range(1, 13).select(col("id").as("k"))
+      val ang = lit(2.0) * lit(math.Pi) * col("k") * (col("eh") - col("h0")) / col("nn")
+      val dev = col("x").cast("double") - col("tx").cast("double") / col("nn")
+      val ab = h
+        .crossJoin(broadcast(s))
+        .crossJoin(broadcast(ks))
+        .select(col("k"), (dev * cos(ang)).as("c"), (dev * sin(ang)).as("sn"))
+        .groupBy(col("k"))
+        .agg(Det.dsum(col("c")).as("a"), Det.dsum(col("sn")).as("b"))
+      val pw = col("a") * col("a") + col("b") * col("b")
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      ab.crossJoin(broadcast(s))
+        .select(
+          col("k"),
+          Det.rN(col("nn").cast("double") / col("k"), 4).as("period_hours"),
+          Det.rN(pw, 6).as("power"),
+          Det.rN(pw / sum(pw.cast(DecimalType(30, 8))).over(wAll).cast("double"), 6).as("share")
+        )
+        .orderBy(col("k"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(tsTumbling1h, tsSliding15m5m, tsSession30m, tsSessionWindowBatch,
     tsFillForward, tsResampleHourly, tsEwma, tsInterpolate, tsAttribution, tsAutocorr,
     tsChangepoint, tsSeasonalProfile, tsDownsampleM4, tsAnomalyMad, tsHolt,
-    tsCrossCorrelation, eventsMarkovTransition, tsStlDecompose)
+    tsCrossCorrelation, eventsMarkovTransition, tsStlDecompose, tsPeriodogram)
 }

@@ -20,6 +20,58 @@ class AnomalySpec extends SparkSuite {
 
   private def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
+  test("periodogram matches a driver-side DFT and shares sum to 1") {
+    val hours = Tables.events(spark, sf)
+      .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600).cast("long").as("eh"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h0 = hours.keys.min
+    val nn = hours.keys.max - h0 + 1
+    val mu = hours.values.sum.toDouble / nn
+    val exp = (1 to 12).map { k =>
+      val (a, b) = hours.foldLeft((0.0, 0.0)) { case ((ca, cb), (eh, x)) =>
+        val ang = 2.0 * math.Pi * k * (eh - h0) / nn
+        (ca + (x - mu) * math.cos(ang), cb + (x - mu) * math.sin(ang))
+      }
+      k.toLong -> (a * a + b * b)
+    }.toMap
+    val got = operators.TimeSeries.tsPeriodogram.run(spark, sf).collect()
+    assert(got.length == 12)
+    for (r <- got) {
+      val (k, per, pw) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+      assert(math.abs(per - nn.toDouble / k) < 1e-3)
+      assert(pw >= 0.0)
+      assert(math.abs(pw - exp(k)) < 1e-3, s"k=$k power $pw vs ${exp(k)}")
+    }
+    assert(math.abs(got.map(_.getDouble(3)).sum - 1.0) < 1e-4, "shares sum to 1")
+  }
+
+  test("logreg GD matches a driver-side unrolled recomputation and descends") {
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority")).collect()
+      .map { r =>
+        val y = if (r.getString(0) == "F") 1.0 else 0.0
+        (y, Array(1.0, r.getDouble(1) / 500000.0, r.getString(2).substring(0, 1).toInt / 5.0))
+      }
+    val n = rows.length.toDouble
+    var w = Array(0.0, 0.0, 0.0)
+    def p(x: Array[Double]): Double =
+      1.0 / (1.0 + math.exp(-(w(0) * x(0) + w(1) * x(1) + w(2) * x(2))))
+    for (_ <- 1 to 3) {
+      val g = Array(0, 1, 2).map(j => rows.map { case (y, x) => (p(x) - y) * x(j) }.sum / n)
+      w = Array.tabulate(3)(j => w(j) - 2.0 * g(j))
+    }
+    val loss = rows.map { case (y, x) =>
+      -(y * math.log(p(x)) + (1 - y) * math.log(1 - p(x)))
+    }.sum / n
+    val r = operators.Ml.mlLogregGd.run(spark, sf).collect().head
+    for (j <- 0 to 2)
+      assert(math.abs(r.getDouble(j) - w(j)) < 1e-5, s"w$j ${r.getDouble(j)} vs ${w(j)}")
+    assert(math.abs(r.getDouble(4) - loss) < 1e-5, "log loss")
+    // three steps from w=0 must descend below the w=0 loss = ln 2
+    assert(r.getDouble(4) < math.log(2.0), "GD descended")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
   test("flagged events match a driver-side median/MAD recomputation") {
     val events = Tables
       .events(spark, sf)
