@@ -1252,11 +1252,14 @@ object TextAnalysis {
     * decimal sum; `corpus_novelty` is one division of exact integer
     * sums — trunc-rounded 6 dp in both engines.
     *
-    * 100 TB: one shuffle keyed on the 8-byte shingle hash builds the
-    * first-owner table (same key as the shingle-doc list, so the join
-    * back is co-partitioned — Catalyst reuses the exchange); per-doc
-    * and per-source rollups are partial-aggregated. Nothing shuffles
-    * document text — only hashes and counts. */
+    * 100 TB: ONE scan of the corpus (PLANS.md); the first-owner
+    * computation is a whole-partition window min over the 8-byte
+    * shingle-hash key — unlike the aggregate-then-join-back phrasing
+    * it never materializes a second branch of the scan, never asks a
+    * corpus-sized first-owner table to broadcast, and adds no join.
+    * Three hash-only exchanges total (per-doc dedup, shingle window,
+    * per-doc rollup); the per-source rollup partial-aggregates.
+    * Nothing shuffles document text — only hashes and counts. */
   val textNgramNovelty: Q = Q(
     "text_ngram_novelty",
     Some(
@@ -1292,9 +1295,9 @@ object TextAnalysis {
         )
         .select(col("doc_id"), col("source"), xxhash64(col("s")).as("h"))
         .distinct()
-      val fo = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+      val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
       val d = sh
-        .join(fo, Seq("h"))
+        .withColumn("first_doc", min(col("doc_id")).over(byShingle))
         .groupBy(col("doc_id"), col("source"))
         .agg(
           count(lit(1)).as("n_sh"),
