@@ -489,10 +489,135 @@ object Sampling {
     }
   )
 
+  /** Per-source bootstrap confidence interval for mean document length
+    * via the POISSON bootstrap (Chamandy et al.) — the only bootstrap
+    * that works at 100 TB: instead of resampling n rows with
+    * replacement (which needs global coordination), each row draws an
+    * independent Poisson(1) replicate weight, and a replicate's
+    * statistic is the weight-weighted mean. Weights come from the
+    * md5-hash uniform (`hkey`), NOT `rand()` — deterministic under
+    * task retry, AQE re-planning, and cross-engine replay, which is
+    * the no-rand() rule every sampler in this file follows.
+    * CI bounds are the 3rd/98th order statistics of the B = 100
+    * replicate means (the 2.5 %/97.5 % quantile convention without a
+    * cross-engine interpolation contract); `se` is the replicate
+    * standard deviation.
+    *
+    * Determinism: the uniform is an exact integer scaled by 2⁻³²; the
+    * inverse-CDF thresholds are shared decimal literals, so weights
+    * are identical integers; per-replicate sums are EXACT integer
+    * aggregates (weight × n_chars), leaving one IEEE division per
+    * replicate mean; order statistics tie-break on b; the se sums go
+    * through the decimal sum.
+    *
+    * 100 TB: the ×B row expansion is map-side (explode feeding a
+    * partial aggregate — nothing materializes it) and the shuffle
+    * carries |sources|·B pre-aggregated rows regardless of corpus
+    * size; the ranking window runs over B rows per source. */
+  val sampleBootstrapCi: Q = {
+    val B = 100
+    // cumulative Poisson(1) CDF at k = 0..6; weight 7 beyond
+    val cdf = Seq(
+      0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+      0.9999167588451785
+    )
+    val wSql = "CASE " + cdf.zipWithIndex
+      .map { case (c, k) => s"WHEN uu < $c THEN $k" }
+      .mkString(" ") + s" ELSE ${cdf.length} END"
+    Q(
+      "sample_bootstrap_ci",
+      Some(
+        s"WITH r AS (SELECT source, doc_id, n_chars, unnest(generate_series(1, $B)) AS b FROM documents), " +
+          "u AS (SELECT source, n_chars, b, " +
+          s"${oHkey("cast(doc_id as varchar) || ':' || cast(b as varchar)")} / 4294967296.0 AS uu FROM r), " +
+          s"w AS (SELECT source, n_chars, b, $wSql AS wt FROM u), " +
+          "g AS (SELECT source, b, cast(sum(wt) as bigint) AS sw, " +
+          "cast(sum(wt * n_chars) as bigint) AS swx FROM w GROUP BY 1, 2), " +
+          "m AS (SELECT source, b, swx::DOUBLE / sw AS mb, " +
+          "row_number() OVER (PARTITION BY source ORDER BY swx::DOUBLE / sw, b) AS rn FROM g), " +
+          s"s AS (SELECT source, max(CASE WHEN rn = 3 THEN mb END) AS lo, " +
+          s"max(CASE WHEN rn = $B - 2 THEN mb END) AS hi, " +
+          s"${Det.oSum("mb")} AS sx, ${Det.oSum("mb * mb")} AS sxx FROM m GROUP BY source), " +
+          "base AS (SELECT source, count(*)::BIGINT AS n_docs, " +
+          s"${Det.oSum("n_chars")} / count(*) AS mean_chars FROM documents GROUP BY source) " +
+          "SELECT base.source, n_docs, " + Det.oRN("mean_chars", 4) + " AS mean_chars, " +
+          Det.oRN("lo", 4) + " AS ci_lo, " + Det.oRN("hi", 4) + " AS ci_hi, " +
+          Det.oRN(s"sqrt((sxx - sx * sx / $B.0) / ${B - 1}.0)", 4) + " AS se " +
+          "FROM base JOIN s USING (source) ORDER BY source"
+      ),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(spark, dir)
+        val u = docs
+          .select(
+            col("source"),
+            col("n_chars"),
+            col("doc_id"),
+            explode(sequence(lit(1), lit(B))).as("b")
+          )
+          .withColumn(
+            "uu",
+            hkey(concat(col("doc_id").cast("string"), lit(":"), col("b").cast("string"))) /
+              4294967296.0
+          )
+        val wt = cdf.zipWithIndex
+          .foldRight(lit(cdf.length): Column) { case ((c, k), acc) =>
+            when(col("uu") < c, k).otherwise(acc)
+          }
+        val g = u
+          .withColumn("wt", wt)
+          .groupBy(col("source"), col("b"))
+          .agg(
+            sum(col("wt")).cast("long").as("sw"),
+            sum(col("wt") * col("n_chars")).cast("long").as("swx")
+          )
+        val bySource = Window
+          .partitionBy(col("source"))
+          .orderBy(col("swx").cast("double") / col("sw"), col("b"))
+        val m = g
+          .select(
+            col("source"),
+            col("b"),
+            (col("swx").cast("double") / col("sw")).as("mb"),
+            row_number().over(bySource).as("rn")
+          )
+        val s = m
+          .groupBy(col("source"))
+          .agg(
+            max(when(col("rn") === 3, col("mb"))).as("lo"),
+            max(when(col("rn") === B - 2, col("mb"))).as("hi"),
+            Det.dsum(col("mb")).as("sx"),
+            Det.dsum(col("mb") * col("mb")).as("sxx")
+          )
+        val base = docs
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            (Det.dsum(col("n_chars")) / count(lit(1))).as("mean_chars")
+          )
+        base
+          .join(s, Seq("source"))
+          .select(
+            col("source"),
+            col("n_docs"),
+            Det.rN(col("mean_chars"), 4).as("mean_chars"),
+            Det.rN(col("lo"), 4).as("ci_lo"),
+            Det.rN(col("hi"), 4).as("ci_hi"),
+            Det.rN(
+              sqrt((col("sxx") - col("sx") * col("sx") / B.toDouble) / (B - 1).toDouble),
+              4
+            ).as("se")
+          )
+          .orderBy(col("source"))
+      }
+    )
+  }
+
   def qs: Seq[Q] = Seq(
     sampleHashPct, sampleStratified, interleaveSources, joinRangeEvents,
     mixReport, sampleQualityWeighted, pipelinePack, sampleTrainTestSplit,
     sampleRendezvousShards, pipelineEpochShuffle, sampleTemperature,
-    pipelineMixtureSolve
+    pipelineMixtureSolve, sampleBootstrapCi
   )
 }

@@ -8,6 +8,45 @@ import org.apache.spark.sql.functions._
   */
 class SamplingSpec extends SparkSuite {
 
+  test("bootstrap CI matches a driver-side Poisson-bootstrap recomputation") {
+    val cdf = Seq(
+      0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+      0.9999167588451785
+    )
+    def weight(key: String): Int = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      val hex = md5.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(hex.take(8), 16) / 4294967296.0
+      cdf.indexWhere(u < _) match { case -1 => cdf.length; case k => k }
+    }
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("n_chars").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exp = docs.groupBy(_._1).map { case (src, ds) =>
+      val means = (1 to 100).map { b =>
+        val (sw, swx) = ds.foldLeft((0L, 0L)) { case ((a, x), (_, id, nc)) =>
+          val w = weight(s"$id:$b"); (a + w, x + w * nc)
+        }
+        (swx.toDouble / sw, b)
+      }.sortBy(identity).map(_._1)
+      val sx = means.sum
+      val se = math.sqrt((means.map(m => m * m).sum - sx * sx / 100.0) / 99.0)
+      src -> (means(2), means(97), se)
+    }
+    val got = operators.Sampling.sampleBootstrapCi.run(spark, sf).collect()
+    assert(got.length == exp.size)
+    for (r <- got) {
+      val (src, lo, hi, se) = (r.getString(0), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      val (elo, ehi, ese) = exp(src)
+      assert(lo <= hi, s"$src ci ordered")
+      assert(math.abs(lo - elo) < 1e-3, s"$src lo $lo vs $elo")
+      assert(math.abs(hi - ehi) < 1e-3, s"$src hi $hi vs $ehi")
+      assert(math.abs(se - ese) < 1e-3, s"$src se $se vs $ese")
+      assert(se > 0.0)
+    }
+  }
+
   test("stratified sample takes at most 20 docs per language") {
     val s = operators.Sampling.sampleStratified.run(spark, sf)
     val per = s.groupBy(col("lang")).count().collect().map(r => r.getString(0) -> r.getLong(1))
