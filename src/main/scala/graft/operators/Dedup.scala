@@ -339,22 +339,53 @@ object Dedup {
     }
   )
 
-  /** MinHash-LSH near-dup candidates (no oracle — sketch internals are
-    * engine-specific; recall vs exact Jaccard is property-tested in
-    * DedupSpec). This is the 100 TB near-dup path: 8 minhash values per
-    * doc, banded 4×2 — candidates are an EQUI-JOIN on (band, 2-hash
-    * key), never a quadratic compare. Bands of r=2 matter on this
-    * corpus: with a 31-word vocabulary a single minhash takes ≤31
-    * values, so 1-wide bands would put ~3% of the corpus in every
-    * bucket (spark.ml's MinHashLSH does exactly that and its
-    * approxSimilarityJoin ran 443 s at sf0.1 — this formulation runs
-    * the same scale in seconds). Estimated Jaccard = signature
-    * agreement fraction; the exact-Jaccard twin is dedup_near_jaccard. */
-  val dedupMinhashLsh: Q = Q(
-    "dedup_minhash_lsh",
-    None,
-    (spark, dir) => minhashPairs(spark, dir, 0.2)
-  )
+  /** MinHash-LSH near-dup candidates — now ORACLE-CHECKED, not just
+    * property-tested: the signature pipeline is pure integer algebra
+    * (md5-derived 32-bit token hash reduced mod p, 8 affine
+    * permutations `(a·h+b) mod p`, per-doc minima, 4×2 band keys), so
+    * DuckDB can replay it bit-exactly and the estimated-Jaccard output
+    * hash-matches. `lazy` because the oracle is generated from the
+    * MinhashA/B constant tables declared below. This is the 100 TB
+    * near-dup path: 8 minhash values per doc, banded 4×2 — candidates
+    * are an EQUI-JOIN on (band, 2-hash key), never a quadratic
+    * compare. Bands of r=2 matter on this corpus: with a 31-word
+    * vocabulary a single minhash takes ≤31 values, so 1-wide bands
+    * would put ~3% of the corpus in every bucket (spark.ml's
+    * MinHashLSH does exactly that and its approxSimilarityJoin ran
+    * 443 s at sf0.1 — this formulation runs the same scale in
+    * seconds). Estimated Jaccard = signature agreement fraction;
+    * recall vs exact Jaccard stays property-tested in DedupSpec; the
+    * exact-Jaccard twin is dedup_near_jaccard. The 0.8 threshold is
+    * safe cross-engine: estimates are exact eighths, and no eighth
+    * lies between the two engines' spellings of the 0.8 boundary. */
+  lazy val dedupMinhashLsh: Q = {
+    val p = MinhashP
+    val mcols = MinhashA.indices
+      .map(i => s"min((hv * ${MinhashA(i)} + ${MinhashB(i)}) % $p) AS m$i")
+      .mkString(", ")
+    val allM = MinhashA.indices.map(i => s"m$i").mkString(", ")
+    val bands = (0 until MinhashA.length / 2)
+      .map(j => s"SELECT doc_id, $allM, $j AS band, m${2 * j} * $p + m${2 * j + 1} AS bk FROM m")
+      .mkString(" UNION ALL ")
+    val agree = MinhashA.indices.map(i => s"(a.m$i = c.m$i)::INT").mkString(" + ")
+    Q(
+      "dedup_minhash_lsh",
+      Some(
+        "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+          "FROM documents WHERE doc_id < 2000), " +
+          s"h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % $p AS hv FROM t), " +
+          s"m AS (SELECT doc_id, $mcols FROM h GROUP BY doc_id), " +
+          s"b AS ($bands), " +
+          "ok AS (SELECT band, bk FROM b GROUP BY band, bk HAVING count(*) <= 2000), " +
+          s"cand AS (SELECT a.doc_id AS ida, c.doc_id AS idb, ($agree)::DOUBLE / 8 AS ej " +
+          "FROM b a JOIN ok USING (band, bk) JOIN b c USING (band, bk) " +
+          "WHERE a.doc_id < c.doc_id) " +
+          s"SELECT DISTINCT ida, idb, ${Det.oRN("ej", 6)} AS est_jac " +
+          "FROM cand WHERE ej >= 0.8 ORDER BY ida, idb"
+      ),
+      (spark, dir) => minhashPairs(spark, dir, 0.2)
+    )
+  }
 
   private val MinhashP = 2147483647L // 2^31 - 1 (prime); keys fit a long: p^2 < 2^63
   private val MinhashA = Array(787L, 1543L, 3079L, 6151L, 12289L, 24593L, 49157L, 98317L)
