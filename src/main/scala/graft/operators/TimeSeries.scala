@@ -1030,8 +1030,128 @@ object TimeSeries {
     }
   )
 
+  /** DAU / WAU / stickiness per day — the engagement triple every
+    * product-analytics deployment computes. WAU(d) = distinct users
+    * active in [d−6, d], computed by the scale-standard trick: the
+    * deduped (user, day) table explodes each row into its 7 trailing
+    * target days MAP-SIDE, then one distinct + count per target day —
+    * never a 7-way self-join of the fact table and never a
+    * rolling-set window.
+    *
+    * Determinism: day truncation and all counts are exact;
+    * stickiness is one IEEE division of exact integers, trunc-rounded.
+    *
+    * 100 TB: the first distinct reduces events to |users|×|days| rows
+    * (the only event-volume shuffle); the ×7 expansion runs on THAT
+    * table into a partial-aggregated distinct. Everything downstream
+    * is |days|-sized. */
+  val eventsDauWau: Q = Q(
+    "events_dau_wau",
+    Some(
+      "WITH ud AS (SELECT DISTINCT user_id, cast(ts as date) AS d FROM events), " +
+        "t AS (SELECT DISTINCT user_id, d + o::INT AS td FROM ud " +
+        "CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o)), " +
+        "wau AS (SELECT td, count(*)::BIGINT AS wau FROM t GROUP BY td), " +
+        "dau AS (SELECT d, count(*)::BIGINT AS dau FROM ud GROUP BY d) " +
+        "SELECT d AS day, dau, wau, " + Det.oRN("dau::DOUBLE / wau", 6) + " AS stickiness " +
+        "FROM dau JOIN wau ON td = d ORDER BY day"
+    ),
+    (spark, dir) => {
+      val ud = Tables
+        .events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+      val t = ud
+        .crossJoin(broadcast(spark.range(0, 7).select(col("id").cast("int").as("o"))))
+        .select(col("user_id"), date_add(col("d"), col("o")).as("td"))
+        .distinct()
+      val wau = t.groupBy(col("td")).agg(count(lit(1)).as("wau"))
+      val dau = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+      dau
+        .join(wau, dau("d") === wau("td"))
+        .select(
+          col("d").as("day"),
+          col("dau"),
+          col("wau"),
+          Det.rN(col("dau").cast("double") / col("wau"), 6).as("stickiness")
+        )
+        .orderBy(col("day"))
+    }
+  )
+
+  /** Rolling one-step-ahead forecast backtest over the hourly series
+    * per event type: three zero-parameter forecasters — naive
+    * (last hour), seasonal-naive (same hour yesterday), 6-hour moving
+    * average — scored by MAE on every hour that has full history.
+    * This is the eval loop that decides which forecaster guards an
+    * alerting pipeline ([[tsHolt]] produces the forecasts; this ranks
+    * them against the baselines every forecasting methodology demands
+    * you beat first).
+    *
+    * Determinism: naive/seasonal diffs are exact integers, so their
+    * MAEs are one division each; the MA6 prediction is an exact
+    * integer sum over a 6-row frame divided by 6, and its |error| sum
+    * goes through the decimal sum — trunc-rounded 4 dp.
+    *
+    * 100 TB: events collapse to the |types|×|hours| count table in
+    * one partial-aggregated shuffle; the lag/frame windows and the
+    * final per-type aggregate run inside per-type partitions of that
+    * tiny table. */
+  val tsBacktestNaive: Q = Q(
+    "ts_backtest_naive",
+    Some(
+      "WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*)::BIGINT AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "f AS (SELECT event_type, hr, n, " +
+        "lag(n, 1) OVER w AS p_naive, lag(n, 24) OVER w AS p_snaive, " +
+        "sum(n) OVER (PARTITION BY event_type ORDER BY hr ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS s6, " +
+        "row_number() OVER w AS rn " +
+        "FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr)) " +
+        "SELECT event_type, count(*)::BIGINT AS n_evals, " +
+        Det.oRN("cast(sum(abs(n - p_naive)) as bigint)::DOUBLE / count(*)", 4) + " AS mae_naive, " +
+        Det.oRN("cast(sum(abs(n - p_snaive)) as bigint)::DOUBLE / count(*)", 4) + " AS mae_snaive, " +
+        Det.oRN(s"${Det.oSum("abs(n::DOUBLE - s6::DOUBLE / 6)")} / count(*)", 4) + " AS mae_ma6 " +
+        "FROM f WHERE rn > 24 GROUP BY event_type ORDER BY event_type"
+    ),
+    (spark, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      val frame6 = w.rowsBetween(-6, -1)
+      val f = Tables
+        .events(spark, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          col("event_type"),
+          col("n"),
+          lag(col("n"), 1).over(w).as("p_naive"),
+          lag(col("n"), 24).over(w).as("p_snaive"),
+          sum(col("n")).over(frame6).as("s6"),
+          row_number().over(w).as("rn")
+        )
+        .filter(col("rn") > 24)
+      f.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_evals"),
+          Det.rN(
+            sum(abs(col("n") - col("p_naive"))).cast("long").cast("double") / count(lit(1)),
+            4
+          ).as("mae_naive"),
+          Det.rN(
+            sum(abs(col("n") - col("p_snaive"))).cast("long").cast("double") / count(lit(1)),
+            4
+          ).as("mae_snaive"),
+          Det.rN(
+            Det.dsum(abs(col("n").cast("double") - col("s6").cast("double") / 6)) / count(lit(1)),
+            4
+          ).as("mae_ma6")
+        )
+        .orderBy(col("event_type"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(tsTumbling1h, tsSliding15m5m, tsSession30m, tsSessionWindowBatch,
     tsFillForward, tsResampleHourly, tsEwma, tsInterpolate, tsAttribution, tsAutocorr,
     tsChangepoint, tsSeasonalProfile, tsDownsampleM4, tsAnomalyMad, tsHolt,
-    tsCrossCorrelation, eventsMarkovTransition, tsStlDecompose, tsPeriodogram)
+    tsCrossCorrelation, eventsMarkovTransition, tsStlDecompose, tsPeriodogram,
+    eventsDauWau, tsBacktestNaive)
 }

@@ -20,6 +20,45 @@ class AnomalySpec extends SparkSuite {
 
   private def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
+  test("DAU/WAU match a driver-side set recomputation, WAU bounds DAU") {
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val byDay = ud.groupBy(_._2).map { case (d, v) => d -> v.map(_._1).toSet }
+    val got = operators.TimeSeries.eventsDauWau.run(spark, sf).collect()
+    assert(got.length == byDay.size)
+    for (r <- got) {
+      val day = r.getDate(0).toLocalDate
+      val (dau, wau, st) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      val expWau = (0 to 6).flatMap(o => byDay.getOrElse(day.minusDays(o), Set.empty)).toSet.size
+      assert(dau == byDay(day).size, s"$day dau")
+      assert(wau == expWau, s"$day wau $wau vs $expWau")
+      assert(wau >= dau && st > 0.0 && st <= 1.0)
+    }
+  }
+
+  test("forecast backtest matches a driver-side recomputation per type") {
+    val hours = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val got = operators.TimeSeries.tsBacktestNaive.run(spark, sf).collect()
+    for (r <- got) {
+      val (tpe, nEvals) = (r.getString(0), r.getLong(1))
+      val series = hours.filter(_._1 == tpe).sortBy(_._2).map(_._3)
+      val evals = (24 until series.length)
+      assert(nEvals == evals.size, s"$tpe n_evals")
+      def mae(pred: Int => Double): Double =
+        evals.map(i => math.abs(series(i) - pred(i))).sum / evals.size
+      assert(math.abs(r.getDouble(2) - mae(i => series(i - 1).toDouble)) < 1e-3, s"$tpe naive")
+      assert(math.abs(r.getDouble(3) - mae(i => series(i - 24).toDouble)) < 1e-3, s"$tpe snaive")
+      assert(
+        math.abs(r.getDouble(4) - mae(i => (i - 6 until i).map(series).sum / 6.0)) < 1e-3,
+        s"$tpe ma6"
+      )
+    }
+  }
+
   test("periodogram matches a driver-side DFT and shares sum to 1") {
     val hours = Tables.events(spark, sf)
       .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600).cast("long").as("eh"))
