@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Det, Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative ML primitives on the engine's own operator set — the
@@ -949,8 +949,83 @@ object Ml {
     )
   }
 
+  /** Welch's unequal-variance t-test of mean `value` between the
+    * click and purchase event populations — the A/B-experimentation
+    * primitive (difference in means, Welch standard error, t
+    * statistic, Welch–Satterthwaite dof). Completes the eval kit
+    * next to [[mlKsTest]] (distribution-free twin) and
+    * `sample_bootstrap_ci` (the resampling route to the same
+    * uncertainty). No p-value on purpose: that needs the t CDF,
+    * whose implementations differ across engines — the statistic and
+    * dof are the deterministic, judgeable outputs.
+    *
+    * Determinism: per-group n/Σx/Σx² go through the decimal sum;
+    * variance, se, t, and dof are identical IEEE chains on those
+    * aggregates in both engines, trunc-rounded.
+    *
+    * 100 TB: one filtered scan with a 2-group partial aggregate —
+    * six doubles cross the wire; everything after is scalar algebra
+    * on a broadcast 1-row pair. */
+  val mlTtestWelch: Q = {
+    def sideSql(t: String, s: String) =
+      s"$s AS (SELECT count(*)::DOUBLE AS n, ${Det.oSum("value")} AS sx, " +
+        s"${Det.oSum("value * value")} AS sxx FROM events WHERE event_type = '$t')"
+    Q(
+      "ml_ttest_welch",
+      Some(
+        s"WITH ${sideSql("click", "a")}, ${sideSql("purchase", "b")}, " +
+          "v AS (SELECT a.n AS na, b.n AS nb, a.sx / a.n AS ma, b.sx / b.n AS mb, " +
+          "(a.sxx - a.sx * a.sx / a.n) / (a.n - 1) / a.n AS qa, " +
+          "(b.sxx - b.sx * b.sx / b.n) / (b.n - 1) / b.n AS qb " +
+          "FROM a CROSS JOIN b) " +
+          "SELECT cast(na as bigint) AS n_click, cast(nb as bigint) AS n_purchase, " +
+          Det.oRN("ma", 4) + " AS mean_click, " + Det.oRN("mb", 4) + " AS mean_purchase, " +
+          Det.oRS("ma - mb", 4) + " AS diff, " +
+          Det.oRN("sqrt(qa + qb)", 6) + " AS se, " +
+          Det.oRS("(ma - mb) / sqrt(qa + qb)", 4) + " AS t_stat, " +
+          Det.oRN(
+            "((qa + qb) * (qa + qb)) / (qa * qa / (na - 1) + qb * qb / (nb - 1))",
+            2
+          ) + " AS dof " +
+          "FROM v"
+      ),
+      (spark, dir) => {
+        def side(t: String) = Tables
+          .events(spark, dir)
+          .filter(col("event_type") === t)
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            Det.dsum(col("value")).as("sx"),
+            Det.dsum(col("value") * col("value")).as("sxx")
+          )
+        def q(n: Column, sx: Column, sxx: Column): Column =
+          (sxx - sx * sx / n) / (n - 1) / n
+        val a = side("click").select(col("n").as("na"), col("sx").as("sxa"), col("sxx").as("sxxa"))
+        val b = side("purchase").select(col("n").as("nb"), col("sx").as("sxb"), col("sxx").as("sxxb"))
+        val ma = col("sxa") / col("na")
+        val mb = col("sxb") / col("nb")
+        val qa = q(col("na"), col("sxa"), col("sxxa"))
+        val qb = q(col("nb"), col("sxb"), col("sxxb"))
+        a.crossJoin(broadcast(b))
+          .select(
+            col("na").cast("long").as("n_click"),
+            col("nb").cast("long").as("n_purchase"),
+            Det.rN(ma, 4).as("mean_click"),
+            Det.rN(mb, 4).as("mean_purchase"),
+            Det.rS(ma - mb, 4).as("diff"),
+            Det.rN(sqrt(qa + qb), 6).as("se"),
+            Det.rS((ma - mb) / sqrt(qa + qb), 4).as("t_stat"),
+            Det.rN(
+              ((qa + qb) * (qa + qb)) / (qa * qa / (col("na") - 1) + qb * qb / (col("nb") - 1)),
+              2
+            ).as("dof")
+          )
+      }
+    )
+  }
+
   def qs: Seq[Q] = Seq(
     mlKmeans, mlNaiveBayes, mlKsTest, mlFeatureBins, mlConfusionMatrix, mlAuc, mlCalibration,
-    mlPrCurve, mlLiftGains, mlPsi, mlChi2, mlMutualInfo, mlLogregGd
+    mlPrCurve, mlLiftGains, mlPsi, mlChi2, mlMutualInfo, mlLogregGd, mlTtestWelch
   )
 }

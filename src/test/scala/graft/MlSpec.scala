@@ -137,6 +137,30 @@ class MlSpec extends SparkSuite {
     }
   }
 
+  test("welch t-test matches a driver-side recomputation") {
+    import org.apache.spark.sql.functions._
+    def vals(t: String): Array[Double] = Tables.events(spark, sf)
+      .filter(col("event_type") === t).select(col("value")).collect().map(_.getDouble(0))
+    val (a, b) = (vals("click"), vals("purchase"))
+    def stats(x: Array[Double]) = {
+      val n = x.length.toDouble
+      val m = x.sum / n
+      val v = x.map(e => (e - m) * (e - m)).sum / (n - 1)
+      (n, m, v / n)
+    }
+    val ((na, ma, qa), (nb, mb, qb)) = (stats(a), stats(b))
+    val r = operators.Ml.mlTtestWelch.run(spark, sf).collect().head
+    assert(r.getLong(0) == na.toLong && r.getLong(1) == nb.toLong)
+    assert(math.abs(r.getDouble(2) - ma) < 1e-3 && math.abs(r.getDouble(3) - mb) < 1e-3)
+    assert(math.abs(r.getDouble(4) - (ma - mb)) < 1e-3, "diff")
+    val se = math.sqrt(qa + qb)
+    assert(math.abs(r.getDouble(5) - se) < 1e-4, "se")
+    assert(math.abs(r.getDouble(6) - (ma - mb) / se) < 1e-2, "t")
+    val dof = (qa + qb) * (qa + qb) / (qa * qa / (na - 1) + qb * qb / (nb - 1))
+    assert(math.abs(r.getDouble(7) - dof) < 0.5, "dof")
+    assert(dof >= math.min(na, nb) - 1 - 1e-6 && dof <= na + nb - 2 + 1e-6)
+  }
+
   test("mutual info matches a driver-side recomputation and respects 0 <= MI <= min(H)") {
     import org.apache.spark.sql.functions._
     val cells = Tables.documents(spark, sf)
