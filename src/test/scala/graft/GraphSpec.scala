@@ -6,6 +6,33 @@ package graft
   */
 class GraphSpec extends SparkSuite {
 
+  test("BFS levels match a driver-side traversal and partition the reachable set") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    for ((_, ps) <- li.groupBy(_._1); Array(a, b) <- ps.map(_._2).distinct.sorted.combinations(2)) {
+      adj(a) += b; adj(b) += a
+    }
+    var level = spark.read.parquet(s"$sf/part.parquet")
+      .filter(col("p_partkey") < 5).collect().map(_.getLong(0)).toSet
+    var seen = level
+    val exp = scala.collection.mutable.Map(0 -> level)
+    for (d <- 1 to 3) {
+      level = level.flatMap(adj).diff(seen)
+      seen ++= level
+      if (level.nonEmpty) exp(d) = level
+    }
+    val got = operators.Graph.graphBfsReach.run(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == exp.filter(_._2.nonEmpty).keySet)
+    for ((d, nodes) <- exp if nodes.nonEmpty) {
+      assert(got(d)._1 == nodes.size, s"dist $d count")
+      assert(got(d)._2 == nodes.sum, s"dist $d checksum")
+    }
+  }
+
   test("degree histogram covers every part and the handshake sum is even") {
     val rows = operators.Graph.graphDegree.run(spark, sf).collect()
     val nParts = spark.read.parquet(s"$sf/part.parquet").count()
