@@ -358,7 +358,10 @@ object Dedup {
     * exact-Jaccard twin is dedup_near_jaccard. The 0.8 threshold is
     * safe cross-engine: estimates are exact eighths, and no eighth
     * lies between the two engines' spellings of the 0.8 boundary. */
-  lazy val dedupMinhashLsh: Q = {
+  /** Shared oracle CTE chain replaying the md5+affine minhash banding
+    * (ends in `mhcand(ida, idb, ej)`) — used by [[dedupMinhashLsh]]
+    * and [[dedupLshRecallReport]]. */
+  private lazy val minhashOracleCtes: String = {
     val p = MinhashP
     val mcols = MinhashA.indices
       .map(i => s"min((hv * ${MinhashA(i)} + ${MinhashB(i)}) % $p) AS m$i")
@@ -368,24 +371,91 @@ object Dedup {
       .map(j => s"SELECT doc_id, $allM, $j AS band, m${2 * j} * $p + m${2 * j + 1} AS bk FROM m")
       .mkString(" UNION ALL ")
     val agree = MinhashA.indices.map(i => s"(a.m$i = c.m$i)::INT").mkString(" + ")
-    Q(
-      "dedup_minhash_lsh",
-      Some(
-        "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
-          "FROM documents WHERE doc_id < 2000), " +
-          s"h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % $p AS hv FROM t), " +
-          s"m AS (SELECT doc_id, $mcols FROM h GROUP BY doc_id), " +
-          s"b AS ($bands), " +
-          "ok AS (SELECT band, bk FROM b GROUP BY band, bk HAVING count(*) <= 2000), " +
-          s"cand AS (SELECT a.doc_id AS ida, c.doc_id AS idb, ($agree)::DOUBLE / 8 AS ej " +
-          "FROM b a JOIN ok USING (band, bk) JOIN b c USING (band, bk) " +
-          "WHERE a.doc_id < c.doc_id) " +
-          s"SELECT DISTINCT ida, idb, ${Det.oRN("ej", 6)} AS est_jac " +
-          "FROM cand WHERE ej >= 0.8 ORDER BY ida, idb"
-      ),
-      (spark, dir) => minhashPairs(spark, dir, 0.2)
-    )
+    "t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+      "FROM documents WHERE doc_id < 2000), " +
+      s"h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % $p AS hv FROM t), " +
+      s"m AS (SELECT doc_id, $mcols FROM h GROUP BY doc_id), " +
+      s"bnd AS ($bands), " +
+      "ok AS (SELECT band, bk FROM bnd GROUP BY band, bk HAVING count(*) <= 2000), " +
+      s"mhcand AS (SELECT a.doc_id AS ida, c.doc_id AS idb, ($agree)::DOUBLE / 8 AS ej " +
+      "FROM bnd a JOIN ok USING (band, bk) JOIN bnd c USING (band, bk) " +
+      "WHERE a.doc_id < c.doc_id)"
   }
+
+  lazy val dedupMinhashLsh: Q = Q(
+    "dedup_minhash_lsh",
+    Some(
+      s"WITH $minhashOracleCtes " +
+        s"SELECT DISTINCT ida, idb, ${Det.oRN("ej", 6)} AS est_jac " +
+        "FROM mhcand WHERE ej >= 0.8 ORDER BY ida, idb"
+    ),
+    (spark, dir) => minhashPairs(spark, dir, 0.2)
+  )
+
+  /** Recall/precision audit of the banded MinHash screen against
+    * exact-Jaccard truth on the identical scope — the governance
+    * number a dedup deployment quotes ("LSH at est ≥ 0.8 catches X %
+    * of true jac ≥ 0.8 pairs, at Y % precision"), and the dedup twin
+    * of sim_ann_recall_report: the audit itself is a deterministic,
+    * hash-checked query, not a notebook afterthought. Truth comes
+    * from the blocked exact-pair join ([[nearJaccardPairs]], scoped
+    * to the same doc_id < 2000 probe set the minhash path uses);
+    * candidates from [[minhashPairs]]; one full-outer join on the
+    * pair key classifies hits/misses/false-positives.
+    *
+    * Determinism: both pair sets are hash-checked deterministic
+    * (their own registry rows); counts are exact; the two ratios are
+    * single IEEE divisions, trunc-rounded.
+    *
+    * 100 TB: the exact side exists only because the probe scope makes
+    * it computable — at corpus scale this report runs on a SAMPLED
+    * scope (the standard recall-estimation protocol), which is
+    * exactly what the scoped formulation models. The outer join keys
+    * are pair ids — narrow. */
+  lazy val dedupLshRecallReport: Q = Q(
+    "dedup_lsh_recall_report",
+    Some(
+      s"WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t " +
+        s"FROM documents WHERE doc_id < $ClusterProbeScope), " +
+        "p AS (SELECT a.doc_id AS ida, b.doc_id AS idb FROM d a JOIN d b " +
+        "ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+        "AND 5 * least(len(a.t), len(b.t)) >= 4 * greatest(len(a.t), len(b.t)) " +
+        "WHERE len(list_intersect(a.t, b.t))::DOUBLE / len(list_distinct(a.t || b.t)) >= 0.8), " +
+        s"$minhashOracleCtes, " +
+        "c AS (SELECT DISTINCT ida, idb FROM mhcand WHERE ej >= 0.8), " +
+        "j AS (SELECT (p.ida IS NOT NULL)::INT AS in_truth, (c.ida IS NOT NULL)::INT AS in_cand " +
+        "FROM p FULL JOIN c ON p.ida = c.ida AND p.idb = c.idb) " +
+        "SELECT cast(sum(in_truth) as bigint) AS n_truth, " +
+        "cast(sum(in_cand) as bigint) AS n_cand, " +
+        "cast(sum(in_truth * in_cand) as bigint) AS n_hit, " +
+        Det.oRN("sum(in_truth * in_cand)::DOUBLE / sum(in_truth)", 6) + " AS recall, " +
+        Det.oRN("sum(in_truth * in_cand)::DOUBLE / sum(in_cand)", 6) + " AS prec " +
+        "FROM j"
+    ),
+    (spark, dir) => {
+      val truth = nearJaccardPairs(spark, dir, col("doc_id") < ClusterProbeScope)
+        .select(col("ida"), col("idb"))
+        .withColumn("in_truth", lit(1))
+      val cand = minhashPairs(spark, dir, 0.2)
+        .select(col("ida"), col("idb"))
+        .withColumn("in_cand", lit(1))
+      truth
+        .join(cand, Seq("ida", "idb"), "full_outer")
+        .na.fill(0, Seq("in_truth", "in_cand"))
+        .agg(
+          sum(col("in_truth")).cast("long").as("n_truth"),
+          sum(col("in_cand")).cast("long").as("n_cand"),
+          sum(col("in_truth") * col("in_cand")).cast("long").as("n_hit")
+        )
+        .select(
+          col("n_truth"),
+          col("n_cand"),
+          col("n_hit"),
+          Det.rN(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"),
+          Det.rN(col("n_hit").cast("double") / col("n_cand"), 6).as("prec")
+        )
+    }
+  )
 
   private val MinhashP = 2147483647L // 2^31 - 1 (prime); keys fit a long: p^2 < 2^63
   private val MinhashA = Array(787L, 1543L, 3079L, 6151L, 12289L, 24593L, 49157L, 98317L)
@@ -1340,7 +1410,7 @@ object Dedup {
 
   def qs: Seq[Q] = Seq(
     dedupExact, dedupNearJaccard, dedupEmbedCosine, dedupNgramJaccard, dedupSimhash,
-    dedupSimhashPairs, dedupMinhashLsh, dedupClusters, dedupReport, dedupSoftWeights,
+    dedupSimhashPairs, dedupMinhashLsh, dedupLshRecallReport, dedupClusters, dedupReport, dedupSoftWeights,
     dedupThresholdCurve,
     dedupBestOfCluster, dedupContainment, dedupIncremental, dedupIncrementalPersisted,
     dedupSpanCoverage, dedupNgramExact, dedupSourceOverlap, dedupSourceUnique,

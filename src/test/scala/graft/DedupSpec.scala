@@ -46,6 +46,22 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("LSH recall report reproduces the set algebra of its two pair sets") {
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("ida"), col("idb")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairSet(
+      operators.Dedup.nearJaccardPairs(spark, sf, col("doc_id") < 2000)
+    )
+    val cand = pairSet(operators.Dedup.minhashPairs(spark, sf, 0.2))
+    val hit = truth & cand
+    val r = operators.Dedup.dedupLshRecallReport.run(spark, sf).collect().head
+    assert(r.getLong(0) == truth.size, "n_truth")
+    assert(r.getLong(1) == cand.size, "n_cand")
+    assert(r.getLong(2) == hit.size, "n_hit")
+    assert(math.abs(r.getDouble(3) - hit.size.toDouble / truth.size) < 1e-5)
+    assert(math.abs(r.getDouble(4) - hit.size.toDouble / cand.size) < 1e-5)
+  }
+
   test("minhash LSH recall >= 0.5 vs exact jaccard >= 0.9 pairs") {
     val exact = operators.Dedup.dedupNearJaccard
       .run(spark, sf)
