@@ -12,6 +12,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like every other entry point (Verify/PlanDump/SparkSpec):
+      // session-TZ-sensitive queries (unix_timestamp on NTZ, to_date)
+      // must bucket identically across hosts or timings aren't
+      // comparable machine to machine
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // reclaim per-iteration reliable-checkpoint files (Lineage.truncate)
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
@@ -45,8 +50,13 @@ object Bench {
       .foreach { f =>
         scala.util.Try {
           val df = spark.read.parquet(f.getPath)
+          // .head(), NOT .count(): count() over an aggregate lets
+          // Catalyst prune the hash down to a zero-column footer scan
+          // (optimized plan: Aggregate[count(1)] over ReadSchema
+          // struct<>) — the sweep warmed nothing. head() demands the
+          // sum's VALUE, which forces every column through the decoder.
           df.select(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)).as("h"))
-            .agg(sum(col("h"))).count()
+            .agg(sum(col("h"))).head()
         }
       }
     // events needs the nanos conf (Tables.events) — the raw sweep above
@@ -54,13 +64,13 @@ object Bench {
     scala.util.Try {
       val ev = Tables.events(spark, sfDir)
       ev.select(xxhash64(struct(ev.columns.map(col).toIndexedSeq: _*)).as("h"))
-        .agg(sum(col("h"))).count()
+        .agg(sum(col("h"))).head()
     }
     val region = spark.read.parquet(s"$sfDir/region.parquet")
     val nation = spark.read.parquet(s"$sfDir/nation.parquet")
     nation.join(broadcast(region), nation("n_regionkey") === region("r_regionkey")).count()
     nation.select(row_number().over(Window.partitionBy("n_regionkey").orderBy("n_name")).as("rk"))
-      .agg(max("rk")).count()
+      .agg(max("rk")).head()
     operators.Dedup.sigTablePath(spark, sfDir)
 
     def dropDeadBlocks(): Int = {

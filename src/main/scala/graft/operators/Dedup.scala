@@ -51,9 +51,9 @@ object Dedup {
     Some(
       "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t FROM documents), " +
         "p AS (SELECT a.doc_id ida, b.doc_id idb, " +
-        "len(list_intersect(a.t, b.t))::DOUBLE / len(list_distinct(a.t || b.t)) AS jac " +
+        s"${oJac("a.t", "b.t")} AS jac " +
         "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
-        "AND 5 * least(len(a.t), len(b.t)) >= 4 * greatest(len(a.t), len(b.t))) " +
+        s"AND ${oLenRatio("a.t", "b.t")}) " +
         "SELECT ida, idb, " + Det.oRN("jac", 6) + " AS jac FROM p WHERE jac >= 0.8 " +
         "ORDER BY ida, idb"
     ),
@@ -88,6 +88,16 @@ object Dedup {
     * each pair then costs one codegen'd merge scan
     * (SortedLongIntersectCount) instead of array_intersect +
     * array_union allocations, and |A∪B| = na + nb - |A∩B|. */
+  /** Shared DuckDB spellings of the exact token-set screen, used by
+    * every oracle that restates the blocked Jaccard join — change the
+    * blocking predicate or the Jaccard expression HERE and every
+    * oracle stays in sync with the Spark path it validates. */
+  private[operators] def oJac(a: String, b: String): String =
+    s"len(list_intersect($a, $b))::DOUBLE / len(list_distinct($a || $b))"
+
+  private[operators] def oLenRatio(a: String, b: String): String =
+    s"5 * least(len($a), len($b)) >= 4 * greatest(len($a), len($b))"
+
   private[graft] def nearJaccardPairs(
       spark: SparkSession,
       dir: String,
@@ -207,7 +217,7 @@ object Dedup {
         "x -> x[1] || ' ' || x[2]), v -> v IS NOT NULL)) AS s " +
         "FROM documents WHERE doc_id < 200), " +
         "p AS (SELECT a.doc_id ida, b.doc_id idb, " +
-        "len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jac " +
+        s"${oJac("a.s", "b.s")} AS jac " +
         "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id) " +
         "SELECT ida, idb, " + Det.oRN("jac", 6) + " AS jac FROM p WHERE jac >= 0.6 " +
         "ORDER BY ida, idb"
@@ -372,7 +382,7 @@ object Dedup {
       .mkString(" UNION ALL ")
     val agree = MinhashA.indices.map(i => s"(a.m$i = c.m$i)::INT").mkString(" + ")
     "t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
-      "FROM documents WHERE doc_id < 2000), " +
+      s"FROM documents WHERE doc_id < $ClusterProbeScope), " +
       s"h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % $p AS hv FROM t), " +
       s"m AS (SELECT doc_id, $mcols FROM h GROUP BY doc_id), " +
       s"bnd AS ($bands), " +
@@ -419,8 +429,8 @@ object Dedup {
         s"FROM documents WHERE doc_id < $ClusterProbeScope), " +
         "p AS (SELECT a.doc_id AS ida, b.doc_id AS idb FROM d a JOIN d b " +
         "ON a.lang = b.lang AND a.doc_id < b.doc_id " +
-        "AND 5 * least(len(a.t), len(b.t)) >= 4 * greatest(len(a.t), len(b.t)) " +
-        "WHERE len(list_intersect(a.t, b.t))::DOUBLE / len(list_distinct(a.t || b.t)) >= 0.8), " +
+        s"AND ${oLenRatio("a.t", "b.t")} " +
+        s"WHERE ${oJac("a.t", "b.t")} >= 0.8), " +
         s"$minhashOracleCtes, " +
         "c AS (SELECT DISTINCT ida, idb FROM mhcand WHERE ej >= 0.8), " +
         "j AS (SELECT (p.ida IS NOT NULL)::INT AS in_truth, (c.ida IS NOT NULL)::INT AS in_cand " +
@@ -467,7 +477,9 @@ object Dedup {
     * signatures hash the token SET (bigram shingles lose all recall);
     * and the corpus is a near-clique (759k true pairs among 5k docs at
     * sf0.1), so candidate generation is inherently quadratic-ish in the
-    * clique — the probe scope is bounded to doc_id < 2000 and buckets
+    * clique — the probe scope is bounded to doc_id < [[ClusterProbeScope]]
+    * (SHARED with the exact-pair path so dedup_lsh_recall_report always
+    * compares identical scopes) and buckets
     * larger than 2000 are dropped (an oversized bucket is a band that
     * says "everything matches everything" — no signal, unbounded join
     * cost; the cap bounds any bucket's contribution at scale). */
@@ -487,7 +499,7 @@ object Dedup {
     }
     val docs = Tables
       .documents(spark, dir)
-      .filter(col("doc_id") < 2000)
+      .filter(col("doc_id") < ClusterProbeScope)
       .select(col("doc_id"), hs.as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("doc_id") +: mcols: _*)
@@ -559,9 +571,9 @@ object Dedup {
       "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t " +
         s"FROM documents WHERE doc_id < $ClusterProbeScope), " +
         "p AS (SELECT a.doc_id ida, b.doc_id idb, " +
-        "len(list_intersect(a.t, b.t))::DOUBLE / len(list_distinct(a.t || b.t)) AS jac " +
+        s"${oJac("a.t", "b.t")} AS jac " +
         "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
-        "AND 5 * least(len(a.t), len(b.t)) >= 4 * greatest(len(a.t), len(b.t))), " +
+        s"AND ${oLenRatio("a.t", "b.t")}), " +
         "e AS (SELECT ida, idb FROM p WHERE jac >= 0.8), "
     "WITH RECURSIVE " + pairs.stripPrefix("WITH ") +
       "sym AS (SELECT ida AS a, idb AS b FROM e UNION SELECT idb, ida FROM e), " +
@@ -814,9 +826,9 @@ object Dedup {
     Some(
       "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t FROM documents), " +
         "p AS (SELECT " + Det.oRN(
-          "len(list_intersect(a.t, b.t))::DOUBLE / len(list_distinct(a.t || b.t))", 6) + " AS jac " +
+          oJac("a.t", "b.t"), 6) + " AS jac " +
         "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
-        "AND 5 * least(len(a.t), len(b.t)) >= 4 * greatest(len(a.t), len(b.t))), " +
+        s"AND ${oLenRatio("a.t", "b.t")}), " +
         "b AS (SELECT floor(jac * 20) / 20 AS bin FROM p WHERE jac >= 0.8), " +
         "g AS (SELECT bin, count(*) AS n_pairs FROM b GROUP BY bin) " +
         "SELECT bin, n_pairs, cast(sum(n_pairs) OVER (ORDER BY bin DESC " +
@@ -975,9 +987,9 @@ object Dedup {
         "nb AS (SELECT * FROM d WHERE doc_id % 10 = 0), " +
         "corp AS (SELECT * FROM d WHERE doc_id % 10 <> 0), " +
         "p AS (SELECT nb.doc_id, " +
-        "len(list_intersect(nb.t, corp.t))::DOUBLE / len(list_distinct(nb.t || corp.t)) AS jac " +
+        s"${oJac("nb.t", "corp.t")} AS jac " +
         "FROM nb JOIN corp ON nb.lang = corp.lang " +
-        "AND 5 * least(len(nb.t), len(corp.t)) >= 4 * greatest(len(nb.t), len(corp.t))), " +
+        s"AND ${oLenRatio("nb.t", "corp.t")}), " +
         "m AS (SELECT doc_id, cast(sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) as bigint) AS n_dups, " +
         Det.oRN("max(jac)", 6) + " AS best_jac FROM p GROUP BY doc_id) " +
         "SELECT nb.doc_id, coalesce(n_dups, 0) AS n_dup_corpus, " +
@@ -1270,9 +1282,9 @@ object Dedup {
     Some(
       "WITH d AS (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS t FROM documents), " +
         "p AS (SELECT a.source sa, b.source sb, " + Det.oRN(
-          "len(list_intersect(a.t, b.t))::DOUBLE / len(list_distinct(a.t || b.t))", 6) + " AS jac " +
+          oJac("a.t", "b.t"), 6) + " AS jac " +
         "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
-        "AND 5 * least(len(a.t), len(b.t)) >= 4 * greatest(len(a.t), len(b.t))), " +
+        s"AND ${oLenRatio("a.t", "b.t")}), " +
         "q AS (SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b, jac FROM p WHERE jac >= 0.8) " +
         "SELECT src_a, src_b, count(*) AS n_pairs, " +
         Det.oRN(Det.oAvg("jac"), 6) + " AS mean_jac " +
@@ -1311,9 +1323,9 @@ object Dedup {
     Some(
       "WITH d AS (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS t FROM documents), " +
         "p AS (SELECT a.doc_id ida, b.doc_id idb, a.source sa, b.source sb, " +
-        "len(list_intersect(a.t, b.t))::DOUBLE / len(list_distinct(a.t || b.t)) AS jac " +
+        s"${oJac("a.t", "b.t")} AS jac " +
         "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
-        "AND 5 * least(len(a.t), len(b.t)) >= 4 * greatest(len(a.t), len(b.t))), " +
+        s"AND ${oLenRatio("a.t", "b.t")}), " +
         "s AS (SELECT ida AS doc_id, sa AS s, sb AS ps FROM p WHERE jac >= 0.8 " +
         "UNION ALL SELECT idb, sb, sa FROM p WHERE jac >= 0.8), " +
         "pd AS (SELECT doc_id, max(CASE WHEN ps <> s THEN 1 ELSE 0 END) AS x, " +

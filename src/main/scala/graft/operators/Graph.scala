@@ -259,9 +259,9 @@ object Graph {
       "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t " +
         s"FROM documents WHERE doc_id < $TriangleProbeScope), " +
         "p AS (SELECT a.doc_id ida, b.doc_id idb, a.lang, " +
-        "len(list_intersect(a.t, b.t))::DOUBLE / len(list_distinct(a.t || b.t)) AS jac " +
+        s"${Dedup.oJac("a.t", "b.t")} AS jac " +
         "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
-        "AND 5 * least(len(a.t), len(b.t)) >= 4 * greatest(len(a.t), len(b.t))), " +
+        s"AND ${Dedup.oLenRatio("a.t", "b.t")}), " +
         "e AS (SELECT ida, idb, lang FROM p WHERE jac >= 0.8), " +
         "sym AS (SELECT ida nd, lang FROM e UNION ALL SELECT idb, lang FROM e), " +
         "deg AS (SELECT nd, lang, count(*) AS dg FROM sym GROUP BY 1, 2), " +
