@@ -264,11 +264,11 @@ object Ml {
     * algebra first, one IEEE op last). No per-row doubles are summed,
     * so no ordering sensitivity exists at all.
     *
-    * 100 TB: per-value counts partial-aggregate; the CDF scan is a
-    * window over the DISTINCT value grid (≪ row count). At extreme
-    * cardinality the grid itself would be bucketed (equi-width value
-    * bins give a D lower bound with bin-width error) or fed from the
-    * mergeable quantile sketch (`agg_quantile_sketch`). Bound on the
+    * 100 TB: per-value counts partial-aggregate; the CDF scan over the
+    * distinct-value grid is [[Grids.runningSums]]' two-level cumulative
+    * (range-bucketed, PARTITIONED windows + a ≤256-row offset table) —
+    * EXACT at any grid cardinality, so no partitionless window exists
+    * even when values are near-unique. Bound on the
     * integer algebra: cum·n products stay below 2⁶³ only while
     * n₁·n₂ < 2⁶³, i.e. class counts up to ~3·10⁹ each — plenty for a
     * drift test between two slices, but a whole-corpus run past that
@@ -303,8 +303,9 @@ object Ml {
         .groupBy(col("v"))
         .agg(sum(col("g1")).as("c1"), sum(lit(1) - col("g1")).as("c2"))
       val n = s.agg(sum(col("g1")).as("n1"), sum(lit(1) - col("g1")).as("n2"))
-      val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      pv.select(sum(col("c1")).over(w).as("cum1"), sum(col("c2")).over(w).as("cum2"))
+      Grids
+        .runningSums(pv, "v", desc = false, Nil, Seq((col("c1"), "cum1"), (col("c2"), "cum2")))
+        .select(col("cum1"), col("cum2"))
         .crossJoin(broadcast(n))
         .agg(
           max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("dnum"),
@@ -327,11 +328,14 @@ object Ml {
     * Determinism: ntile over a TOTAL order (ties broken by o_orderkey)
     * is engine-independent by definition; outputs are exact.
     *
-    * 100 TB: the demo ntile is a global-order window — at scale the
-    * boundaries would come from the mergeable quantile sketch
-    * (`agg_quantile_sketch`) broadcast back as a 9-value cut list,
-    * turning binning into a map-side lookup; the per-bin report shape
-    * is unchanged. */
+    * 100 TB: NO global-order window — each row's global rank comes from
+    * [[Grids.globalRank]]'s two-level cumulative decomposition (range
+    * buckets + partitioned intra-bucket windows + a ≤256-row offset
+    * table), and the decile is [[Grids.ntileFromRank]] arithmetic on
+    * (rank, broadcast exact N). Bit-identical to the oracle's ntile —
+    * the rank IS the position in the same total order — with the only
+    * input-sized passes being one partial aggregate and one PARTITIONED
+    * window. */
   val mlFeatureBins: Q = Q(
     "ml_feature_bins",
     Some(
@@ -341,11 +345,14 @@ object Ml {
         "FROM b GROUP BY bin ORDER BY bin"
     ),
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables
+      val s = Tables
         .orders(spark, dir)
-        .select(col("o_totalprice").as("v"), ntile(10).over(w).cast("long").as("bin"))
+        .select(col("o_totalprice").as("v"), col("o_orderkey"))
+      val n = s.agg(count(lit(1)).as("_n"))
+      Grids
+        .globalRank(s, "v", desc = false, Seq("o_orderkey"), "rnk")
+        .crossJoin(broadcast(n))
+        .select(col("v"), Grids.ntileFromRank(col("rnk"), col("_n"), 10).as("bin"))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"), min(col("v")).as("min_v"), max(col("v")).as("max_v"))
         .orderBy(col("bin"))
@@ -406,9 +413,10 @@ object Ml {
     * (§2.9: exact algebra first, one float op last). No double is ever
     * summed.
     *
-    * 100 TB: per-value counts partial-aggregate; the U scan is a
-    * window over the DISTINCT value grid (≪ row count), same shape as
-    * the KS CDF scan. Integer bound: 2U ≤ 2·n₁·n₂ must stay below 2⁶³
+    * 100 TB: per-value counts partial-aggregate; the U scan is the same
+    * [[Grids.runningSums]] two-level grid cumulative as the KS CDF scan
+    * — exact at any grid cardinality, no partitionless window.
+    * Integer bound: 2U ≤ 2·n₁·n₂ must stay below 2⁶³
     * → class counts to ~2·10⁹ each; past that widen to DECIMAL(38,0)
     * (DuckDB side is already HUGEINT). */
   val mlAuc: Q = Q(
@@ -440,8 +448,9 @@ object Ml {
         .groupBy(col("v"))
         .agg(sum(col("g1")).as("c1"), sum(lit(1) - col("g1")).as("c2"))
       val n = s.agg(sum(col("g1")).as("n1"), sum(lit(1) - col("g1")).as("n2"))
-      val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      pv.select(col("c1"), col("c2"), (sum(col("c2")).over(w) - col("c2")).as("cum2p"))
+      Grids
+        .runningSums(pv, "v", desc = false, Nil, Seq((col("c2"), "cum2")))
+        .select(col("c1"), col("c2"), (col("cum2") - col("c2")).as("cum2p"))
         .agg(sum(col("c1") * (lit(2) * col("cum2p") + col("c2"))).as("u2"))
         .crossJoin(broadcast(n))
         .select(
@@ -590,12 +599,11 @@ object Ml {
     * (`cum_pos·total / (cum_n·tpos)`) — a single IEEE operation each,
     * identical in both engines, trunc-rounded 6 dp.
     *
-    * 100 TB: a global ntile is a single-partition window — fine here
-    * (the windowed input is one row per order at demo scale, and the
-    * oracle needs the exact decile split), but at real scale the decile
-    * boundaries come from [[graft.operators.Aggregates.aggQuantileSketch]]-style
-    * cutpoints broadcast as a bin map, which turns this into the same
-    * map-side bin + tiny-aggregate shape as [[mlCalibration]]. */
+    * 100 TB: no global ntile window — decile membership is
+    * [[Grids.globalRank]] (two-level cumulative: range buckets,
+    * partitioned windows, ≤256-row offset table) + [[Grids.ntileFromRank]]
+    * arithmetic, bit-identical to the oracle's ntile; the cumulative
+    * gains window then runs over the 10-row decile table only. */
   val mlLiftGains: Q = Q(
     "ml_lift_gains",
     Some(
@@ -621,10 +629,11 @@ object Ml {
           col("o_orderkey"),
           when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("y")
         )
-      val d = s.select(
-        ntile(10).over(Window.orderBy(col("score").desc, col("o_orderkey"))).cast("long").as("decile"),
-        col("y")
-      )
+      val nTot = s.agg(count(lit(1)).as("_n"))
+      val d = Grids
+        .globalRank(s, "score", desc = true, Seq("o_orderkey"), "rnk")
+        .crossJoin(broadcast(nTot))
+        .select(Grids.ntileFromRank(col("rnk"), col("_n"), 10).as("decile"), col("y"))
       val g = d.groupBy(col("decile")).agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
       val t = g.agg(sum(col("pos")).as("tpos"), sum(col("n")).as("total"))
       val w = Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -814,11 +814,11 @@ object TextAnalysis {
     * consumes phases in order, so the CUT must be reproducible —
     * ntile's order tie-breaks on doc_id, making phase membership
     * hash-stable across engines and runs. One window pass over a
-    * per-doc projection + a 10-row aggregate. The ntile here is a
-    * global-order window — correct at contract scale; a 100 TB
-    * curriculum cut would instead broadcast approximate decile
-    * BOUNDARIES (one aggregate) and assign phases map-side, trading
-    * the global sort for a quantile sketch.
+    * per-doc projection + a 10-row aggregate. No global-order window:
+    * phase membership is [[Grids.globalRank]]'s two-level cumulative
+    * (range buckets + partitioned windows + a ≤256-row offset table)
+    * fed through [[Grids.ntileFromRank]] arithmetic against the exact
+    * broadcast N — bit-identical to the oracle's ntile at any scale.
     */
   val pipelineCurriculum: Q = Q(
     "pipeline_curriculum",
@@ -833,7 +833,6 @@ object TextAnalysis {
         "FROM p GROUP BY phase ORDER BY phase"
     ),
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val d = Tables
         .documents(spark, dir)
         .select(
@@ -842,8 +841,11 @@ object TextAnalysis {
           size(toks(col("text"))).as("n_tokens"),
           (col("n_chars").cast("double") / size(toks(col("text")))).as("difficulty")
         )
-      val w = Window.orderBy(col("difficulty"), col("doc_id"))
-      d.withColumn("phase", ntile(10).over(w).cast("long"))
+      val nTot = d.agg(count(lit(1)).as("_n"))
+      Grids
+        .globalRank(d, "difficulty", desc = false, Seq("doc_id"), "rnk")
+        .crossJoin(broadcast(nTot))
+        .withColumn("phase", Grids.ntileFromRank(col("rnk"), col("_n"), 10))
         .groupBy(col("phase"))
         .agg(
           count(lit(1)).as("n_docs"),

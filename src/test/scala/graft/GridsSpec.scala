@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Grids
+
+/** Pins [[graft.operators.Grids]]' two-level cumulative decomposition to the
+  * naive partitionless global window it replaces — on a HIGH-cardinality
+  * synthetic frame (≈40k distinct values over 50k rows, far above any bucket
+  * count), exact equality, not approximation. This is the guard SCALING.md
+  * promises for the KS/AUC grid scan: the bucketed path is the DEFAULT and it
+  * is exact, so there is no cardinality threshold to tune at all.
+  */
+class GridsSpec extends SparkSuite {
+
+  private def synth = {
+    import spark.implicits._
+    spark
+      .range(50000)
+      .select(
+        col("id"),
+        pmod(xxhash64(col("id")), lit(40000L)).as("v"),
+        (pmod(xxhash64(col("id"), lit(7)), lit(1000L)) - 500L).as("x")
+      )
+  }
+
+  test("runningSums equals the naive global window on a high-cardinality frame (asc)") {
+    val d = synth
+    val w = Window.orderBy(col("v"), col("id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = d.select(col("id"), sum(col("x")).over(w).as("cx"), sum(lit(1L)).over(w).as("rnk"))
+    val fast = Grids
+      .runningSums(d, "v", desc = false, Seq("id"), Seq((col("x"), "cx"), (lit(1L), "rnk")))
+      .select(col("id"), col("cx"), col("rnk"))
+    assert(naive.exceptAll(fast).isEmpty && fast.exceptAll(naive).isEmpty)
+  }
+
+  test("runningSums equals the naive global window (desc order)") {
+    val d = synth
+    val w =
+      Window.orderBy(col("v").desc, col("id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = d.select(col("id"), sum(col("x")).over(w).as("cx"))
+    val fast = Grids
+      .runningSums(d, "v", desc = true, Seq("id"), Seq((col("x"), "cx")))
+      .select(col("id"), col("cx"))
+    assert(naive.exceptAll(fast).isEmpty && fast.exceptAll(naive).isEmpty)
+  }
+
+  test("runningSums survives the all-one-value degenerate frame") {
+    val d = spark.range(1000).select(col("id"), lit(5.0).as("v"))
+    val fast = Grids.globalRank(d, "v", desc = false, Seq("id"), "rnk")
+    assert(fast.agg(max(col("rnk")), min(col("rnk"))).collect()(0).toSeq == Seq(1000L, 1L))
+  }
+
+  test("ntileFromRank matches ntile() bucket-for-bucket on real data, asc and desc") {
+    val o = Tables.orders(spark, sf).select(col("o_totalprice").as("v"), col("o_orderkey"))
+    val n = o.agg(count(lit(1)).as("_n"))
+    for (desc <- Seq(false, true)) {
+      val ord   = if (desc) Seq(col("v").desc, col("o_orderkey")) else Seq(col("v"), col("o_orderkey"))
+      val naive = o.select(col("o_orderkey"), ntile(10).over(Window.orderBy(ord: _*)).cast("long").as("b"))
+      val fast = Grids
+        .globalRank(o, "v", desc, Seq("o_orderkey"), "rnk")
+        .crossJoin(broadcast(n))
+        .select(col("o_orderkey"), Grids.ntileFromRank(col("rnk"), col("_n"), 10).as("b"))
+      assert(naive.exceptAll(fast).isEmpty && fast.exceptAll(naive).isEmpty, s"desc=$desc")
+    }
+  }
+
+  test("ntileFromRank handles N < n (every row its own bucket)") {
+    val d = spark.range(4).select(col("id"), col("id").cast("double").as("v"))
+    val n = d.agg(count(lit(1)).as("_n"))
+    val r = Grids
+      .globalRank(d, "v", desc = false, Seq("id"), "rnk")
+      .crossJoin(broadcast(n))
+      .select(Grids.ntileFromRank(col("rnk"), col("_n"), 10).as("b"))
+      .orderBy(col("b"))
+      .collect()
+      .map(_.getLong(0))
+      .toSeq
+    assert(r == Seq(1L, 2L, 3L, 4L))
+  }
+}

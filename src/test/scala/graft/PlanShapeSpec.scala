@@ -150,6 +150,36 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("no partitionless window over an unaggregated table anywhere in the registry") {
+    // The second physical operator that cannot survive a 100x scale-up:
+    // Window with no partition spec moves EVERY input row to one
+    // partition. Over a raw (or joined/filtered-only) table that is a
+    // scale-killer; over an aggregated or k-limited child it is bounded
+    // by the aggregate's group count / the limit, which is the only
+    // place the registry is allowed to plan one. Grids.runningSums is
+    // the sanctioned replacement for the raw-table case.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+    // Window children whose row count is NOT bounded by an aggregate or
+    // limit: walk down; hitting a file/DSv2 relation or a LogicalRDD
+    // (checkpointed frame) without crossing a bound = unbounded.
+    def unbounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: GlobalLimit | _: LocalLimit => false
+      case _: LogicalRelation | _: DataSourceV2Relation => true
+      case l if l.nodeName == "LogicalRDD"              => true
+      case other                                        => other.children.exists(unbounded)
+    }
+    val offenders = for {
+      q <- Registry.all
+      w <- q.run(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: Window if w.partitionSpec.isEmpty && unbounded(w.child) => w
+      }
+    } yield s"${q.name}: Window[${w.windowExpressions.map(_.name).mkString(",")}]"
+    assert(offenders.isEmpty, "partitionless windows over unaggregated input:\n" + offenders.mkString("\n"))
+  }
+
   test("AQE splits a skewed partition in a sort-merge join") {
     import org.apache.spark.sql.functions._
     // Funnel ~40% of lineitem onto one join key, forbid broadcast, and
