@@ -586,20 +586,20 @@ object Graph {
         "FROM lvl GROUP BY dist ORDER BY dist"
     ),
     (spark, dir) => {
-      val e = coPurchaseEdges(spark, dir, lit(true), dedup = true)
-      // Deliberately ONE lazy plan, no per-hop materialization.
-      // Measured at sf0.1/32cpu: eager Lineage.truncate on sym + each
-      // level ran ~12% SLOWER — with a hard 3-hop cap the plan depth is
-      // fixed and small, so the growing-lineage hazard truncation
-      // guards against never materializes, and the checkpoint writes +
-      // extra job boundaries are pure overhead (a lazy .persist() of
-      // sym measured worse still, ~70% — the cache materialization
-      // blocks the first hop on the full edge build). An unbounded-depth
-      // traversal would flip this trade (see graph_pagerank, which
-      // truncates per iteration for exactly that reason).
-      val sym = e
+      // Materialize the deduped edge list ONCE (Lineage.truncate —
+      // localCheckpoint, or reliable checkpoint under the cluster knob):
+      // the frontier recursion references `sym` in every hop's join AND
+      // every anti-join's visited union, so a lazy plan expands to ~12
+      // edge-build subtrees. ReusedExchange recovered only some of that
+      // (driver r7 bench: slowest query, 8.9 s); cutting lineage at the
+      // edge list makes every reference a cached-RDD scan. An earlier
+      // round measured truncation slower on a warm page cache at lower
+      // concurrency — superseded by the r7 driver evidence + the r8
+      // re-measure (BENCH notes): truncate wins decisively at sf0.1/32.
+      val eT = graft.Lineage.truncate(coPurchaseEdges(spark, dir, lit(true), dedup = true))
+      val sym = eT
         .select(col("pa").as("s"), col("pb").as("d"))
-        .unionAll(e.select(col("pb").as("s"), col("pa").as("d")))
+        .unionAll(eT.select(col("pb").as("s"), col("pa").as("d")))
       val seeds = Tables
         .part(spark, dir)
         .filter(col("p_partkey") < 5)
