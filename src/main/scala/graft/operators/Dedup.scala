@@ -369,107 +369,200 @@ object Dedup {
     * safe cross-engine: estimates are exact eighths, and no eighth
     * lies between the two engines' spellings of the 0.8 boundary. */
   /** Shared oracle CTE chain replaying the md5+affine minhash banding
-    * (ends in `mhcand(ida, idb, ej)`) — used by [[dedupMinhashLsh]]
-    * and [[dedupLshRecallReport]]. */
-  private lazy val minhashOracleCtes: String = {
-    val p = MinhashP
-    val mcols = MinhashA.indices
-      .map(i => s"min((hv * ${MinhashA(i)} + ${MinhashB(i)}) % $p) AS m$i")
+    * for ONE geometry (ends in `mhcand$sfx(ida, idb, ej)`) — used by
+    * [[dedupMinhashLsh]], [[dedupMinhashLsh16]] and
+    * [[dedupLshRecallReport]]. `sfx` uniquifies the CTE names so two
+    * geometries can coexist in one oracle statement. */
+  private def minhashOracleCtes(aArr: Array[Long], bArr: Array[Long], sfx: String): String = {
+    val p  = MinhashP
+    val nH = aArr.length
+    val mcols = aArr.indices
+      .map(i => s"min((hv * ${aArr(i)} + ${bArr(i)}) % $p) AS m$i")
       .mkString(", ")
-    val allM = MinhashA.indices.map(i => s"m$i").mkString(", ")
-    val bands = (0 until MinhashA.length / 2)
-      .map(j => s"SELECT doc_id, $allM, $j AS band, m${2 * j} * $p + m${2 * j + 1} AS bk FROM m")
+    val allM = aArr.indices.map(i => s"m$i").mkString(", ")
+    val bands = (0 until nH / 2)
+      .map(j => s"SELECT doc_id, $allM, $j AS band, m${2 * j} * $p + m${2 * j + 1} AS bk FROM m$sfx")
       .mkString(" UNION ALL ")
-    val agree = MinhashA.indices.map(i => s"(a.m$i = c.m$i)::INT").mkString(" + ")
-    "t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+    val agree = aArr.indices.map(i => s"(a.m$i = c.m$i)::INT").mkString(" + ")
+    s"t$sfx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
       s"FROM documents WHERE doc_id < $ClusterProbeScope), " +
-      s"h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % $p AS hv FROM t), " +
-      s"m AS (SELECT doc_id, $mcols FROM h GROUP BY doc_id), " +
-      s"bnd AS ($bands), " +
-      "ok AS (SELECT band, bk FROM bnd GROUP BY band, bk HAVING count(*) <= 2000), " +
-      s"mhcand AS (SELECT a.doc_id AS ida, c.doc_id AS idb, ($agree)::DOUBLE / 8 AS ej " +
-      "FROM bnd a JOIN ok USING (band, bk) JOIN bnd c USING (band, bk) " +
+      s"h$sfx AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % $p AS hv FROM t$sfx), " +
+      s"m$sfx AS (SELECT doc_id, $mcols FROM h$sfx GROUP BY doc_id), " +
+      s"bnd$sfx AS ($bands), " +
+      s"ok$sfx AS (SELECT band, bk FROM bnd$sfx GROUP BY band, bk HAVING count(*) <= 2000), " +
+      s"mhcand$sfx AS (SELECT a.doc_id AS ida, c.doc_id AS idb, ($agree)::DOUBLE / $nH AS ej " +
+      s"FROM bnd$sfx a JOIN ok$sfx USING (band, bk) JOIN bnd$sfx c USING (band, bk) " +
       "WHERE a.doc_id < c.doc_id)"
   }
 
   lazy val dedupMinhashLsh: Q = Q(
     "dedup_minhash_lsh",
     Some(
-      s"WITH $minhashOracleCtes " +
+      s"WITH ${minhashOracleCtes(MinhashA, MinhashB, "")} " +
         s"SELECT DISTINCT ida, idb, ${Det.oRN("ej", 6)} AS est_jac " +
         "FROM mhcand WHERE ej >= 0.8 ORDER BY ida, idb"
     ),
     (spark, dir) => minhashPairs(spark, dir, 0.2)
   )
 
+  /** 16-permutation 8×2 twin of [[dedupMinhashLsh]] — the geometry knob
+    * the r7 recall audit asked for: twice the signature width halves
+    * the estimator's variance (σ = √(s(1−s)/16) ≈ 0.10 at s = 0.8 vs
+    * 0.14 at 8 perms), and 8 bands of r = 2 raise the band-hit
+    * probability at s = 0.8 from 1−(1−s²)⁴ ≈ 0.83 to 1−(1−s²)⁸ ≈ 0.97.
+    * Same integer-algebra pipeline, same bucket cap, hash-checked the
+    * same way; [[dedupLshRecallReport]] quantifies both geometries side
+    * by side. Cost: 2× the signature columns through the band shuffle —
+    * still 8 longs + key per doc·band, never text. */
+  lazy val dedupMinhashLsh16: Q = Q(
+    "dedup_minhash_lsh16",
+    Some(
+      s"WITH ${minhashOracleCtes(MinhashA16, MinhashB16, "")} " +
+        s"SELECT DISTINCT ida, idb, ${Det.oRN("ej", 6)} AS est_jac " +
+        "FROM mhcand WHERE ej >= 0.8 ORDER BY ida, idb"
+    ),
+    (spark, dir) => minhashPairs(spark, dir, 0.2, MinhashA16, MinhashB16)
+  )
+
   /** Recall/precision audit of the banded MinHash screen against
     * exact-Jaccard truth on the identical scope — the governance
-    * number a dedup deployment quotes ("LSH at est ≥ 0.8 catches X %
-    * of true jac ≥ 0.8 pairs, at Y % precision"), and the dedup twin
-    * of sim_ann_recall_report: the audit itself is a deterministic,
-    * hash-checked query, not a notebook afterthought. Truth comes
-    * from the blocked exact-pair join ([[nearJaccardPairs]], scoped
-    * to the same doc_id < 2000 probe set the minhash path uses);
-    * candidates from [[minhashPairs]]; one full-outer join on the
-    * pair key classifies hits/misses/false-positives.
+    * number a dedup deployment quotes ("this screen catches X % of
+    * true jac ≥ 0.8 pairs, at Y % precision"), and the dedup twin of
+    * sim_ann_recall_report: the audit itself is a deterministic,
+    * hash-checked query, not a notebook afterthought. One row per
+    * SCREEN CONFIGURATION, so geometry choices are graded side by
+    * side in one artifact:
     *
-    * Determinism: both pair sets are hash-checked deterministic
-    * (their own registry rows); counts are exact; the two ratios are
-    * single IEEE divisions, trunc-rounded.
+    *  - `8perm_4x2_est80`: the original 8-perm screen thresholded on
+    *    its own estimate — recall is capped near P(est ≥ 0.8) ≈ 0.5
+    *    for pairs at the boundary (binomial noise on 8 agreements);
+    *  - `16perm_8x2_est80`: double-width signature, same threshold —
+    *    narrower estimator, more bands, higher recall at ~2× cost;
+    *  - `16perm_8x2_verified`: the PRODUCTION shape — band membership
+    *    alone proposes candidates (hit prob 1−(1−s²)⁸ ≈ 0.97 at
+    *    s = 0.8), then the exact Jaccard is computed on the bounded
+    *    candidate set; precision is 1 by construction and recall is
+    *    the banding hit rate (DedupSpec asserts ≥ 0.9).
+    *
+    * Truth comes from the blocked exact-pair join
+    * ([[nearJaccardPairs]], scoped to the same doc_id < 2000 probe
+    * set the minhash paths use); one full-outer join per row
+    * classifies hits/misses/false-positives.
+    *
+    * Determinism: all pair sets are hash-checked deterministic (their
+    * own registry rows / the same algebra); counts are exact; the two
+    * ratios are single IEEE divisions, trunc-rounded.
     *
     * 100 TB: the exact side exists only because the probe scope makes
     * it computable — at corpus scale this report runs on a SAMPLED
     * scope (the standard recall-estimation protocol), which is
-    * exactly what the scoped formulation models. The outer join keys
-    * are pair ids — narrow. */
+    * exactly what the scoped formulation models. The verified row's
+    * exact-Jaccard pass is candidate-bounded (cap 2000 per bucket),
+    * which is also the production dedup path itself: screen by bands,
+    * verify exactly, never all-pairs. */
   lazy val dedupLshRecallReport: Q = Q(
     "dedup_lsh_recall_report",
-    Some(
+    Some {
+      def block(tag: String, candSql: String): String =
+        s"SELECT '$tag' AS geometry, cast(sum(in_truth) as bigint) AS n_truth, " +
+          "cast(sum(in_cand) as bigint) AS n_cand, " +
+          "cast(sum(in_truth * in_cand) as bigint) AS n_hit, " +
+          Det.oRN("sum(in_truth * in_cand)::DOUBLE / sum(in_truth)", 6) + " AS recall, " +
+          Det.oRN("sum(in_truth * in_cand)::DOUBLE / sum(in_cand)", 6) + " AS prec " +
+          s"FROM (SELECT (p.ida IS NOT NULL)::INT AS in_truth, (c.ida IS NOT NULL)::INT AS in_cand " +
+          s"FROM p FULL JOIN ($candSql) c ON p.ida = c.ida AND p.idb = c.idb) j"
       s"WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t " +
         s"FROM documents WHERE doc_id < $ClusterProbeScope), " +
         "p AS (SELECT a.doc_id AS ida, b.doc_id AS idb FROM d a JOIN d b " +
         "ON a.lang = b.lang AND a.doc_id < b.doc_id " +
         s"AND ${oLenRatio("a.t", "b.t")} " +
         s"WHERE ${oJac("a.t", "b.t")} >= 0.8), " +
-        s"$minhashOracleCtes, " +
-        "c AS (SELECT DISTINCT ida, idb FROM mhcand WHERE ej >= 0.8), " +
-        "j AS (SELECT (p.ida IS NOT NULL)::INT AS in_truth, (c.ida IS NOT NULL)::INT AS in_cand " +
-        "FROM p FULL JOIN c ON p.ida = c.ida AND p.idb = c.idb) " +
-        "SELECT cast(sum(in_truth) as bigint) AS n_truth, " +
-        "cast(sum(in_cand) as bigint) AS n_cand, " +
-        "cast(sum(in_truth * in_cand) as bigint) AS n_hit, " +
-        Det.oRN("sum(in_truth * in_cand)::DOUBLE / sum(in_truth)", 6) + " AS recall, " +
-        Det.oRN("sum(in_truth * in_cand)::DOUBLE / sum(in_cand)", 6) + " AS prec " +
-        "FROM j"
-    ),
+        s"${minhashOracleCtes(MinhashA, MinhashB, "g8")}, " +
+        s"${minhashOracleCtes(MinhashA16, MinhashB16, "g16")} " +
+        block("8perm_4x2_est80", "SELECT DISTINCT ida, idb FROM mhcandg8 WHERE ej >= 0.8") +
+        " UNION ALL " +
+        block("16perm_8x2_est80", "SELECT DISTINCT ida, idb FROM mhcandg16 WHERE ej >= 0.8") +
+        " UNION ALL " +
+        block(
+          "16perm_8x2_verified",
+          "SELECT DISTINCT mh.ida, mh.idb FROM mhcandg16 mh " +
+            "JOIN d da ON da.doc_id = mh.ida JOIN d db ON db.doc_id = mh.idb " +
+            s"WHERE da.lang = db.lang AND ${oJac("da.t", "db.t")} >= 0.8"
+        ) +
+        " ORDER BY geometry"
+    },
     (spark, dir) => {
-      val truth = nearJaccardPairs(spark, dir, col("doc_id") < ClusterProbeScope)
+      import org.apache.spark.sql.graftx.SortedLongIntersectCount
+      // truth is reused by all three report rows — cut its lineage so
+      // the blocked exact-pair join runs once, not three times
+      val truth = graft.Lineage.truncate(
+        nearJaccardPairs(spark, dir, col("doc_id") < ClusterProbeScope)
+          .select(col("ida"), col("idb"))
+          .withColumn("in_truth", lit(1))
+      )
+      def report(tag: String, cand: DataFrame): DataFrame =
+        truth
+          .join(cand.withColumn("in_cand", lit(1)), Seq("ida", "idb"), "full_outer")
+          .na.fill(0, Seq("in_truth", "in_cand"))
+          .agg(
+            sum(col("in_truth")).cast("long").as("n_truth"),
+            sum(col("in_cand")).cast("long").as("n_cand"),
+            sum(col("in_truth") * col("in_cand")).cast("long").as("n_hit")
+          )
+          .select(
+            lit(tag).as("geometry"),
+            col("n_truth"),
+            col("n_cand"),
+            col("n_hit"),
+            Det.rN(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"),
+            Det.rN(col("n_hit").cast("double") / col("n_cand"), 6).as("prec")
+          )
+      // ONE corpus scan for all three screens: the 16-wide signature
+      // table is truncated once, the 8-perm screen is its m0..m7
+      // projection (the constants are a prefix — see MinhashA16)
+      val sig16 = graft.Lineage.truncate(minhashSignatures(spark, dir, MinhashA16, MinhashB16))
+      val sig8  = sig16.select(col("doc_id") +: (0 until MinhashA.length).map(i => col(s"m$i")): _*)
+      // verified: ALL banded 16-perm pairs (maxDist = 1.0 disables the
+      // estimate threshold), exact-verified on the hashed token sets —
+      // the same md5-token algebra nearJaccardPairs uses, so the 0.8
+      // comparison selects identical pairs in both engines
+      val hs = sort_array(transform(toks(col("text")), x =>
+        conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
+      val dsc = Tables
+        .documents(spark, dir)
+        .filter(col("doc_id") < ClusterProbeScope)
+        .select(col("doc_id"), col("lang"), hs.as("t"), size(hs).as("nt"))
+      // lang is a BLOCKING key of the truth definition (nearJaccardPairs):
+      // the verified screen applies it too, or this tiny-vocab corpus's
+      // cross-lang token-set collisions would count as false positives
+      val verified = minhashPairsFromSig(sig16, MinhashA16.length, 1.0)
         .select(col("ida"), col("idb"))
-        .withColumn("in_truth", lit(1))
-      val cand = minhashPairs(spark, dir, 0.2)
+        .join(dsc.select(col("doc_id").as("ida"), col("lang").as("la"),
+          col("t").as("ta"), col("nt").as("na")), Seq("ida"))
+        .join(dsc.select(col("doc_id").as("idb"), col("lang").as("lb"),
+          col("t").as("tb"), col("nt").as("nb")), Seq("idb"))
+        .filter(col("la") === col("lb"))
+        .withColumn("inter", SortedLongIntersectCount.count(col("ta"), col("tb")))
+        .filter(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= 0.8)
         .select(col("ida"), col("idb"))
-        .withColumn("in_cand", lit(1))
-      truth
-        .join(cand, Seq("ida", "idb"), "full_outer")
-        .na.fill(0, Seq("in_truth", "in_cand"))
-        .agg(
-          sum(col("in_truth")).cast("long").as("n_truth"),
-          sum(col("in_cand")).cast("long").as("n_cand"),
-          sum(col("in_truth") * col("in_cand")).cast("long").as("n_hit")
-        )
-        .select(
-          col("n_truth"),
-          col("n_cand"),
-          col("n_hit"),
-          Det.rN(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"),
-          Det.rN(col("n_hit").cast("double") / col("n_cand"), 6).as("prec")
-        )
+      report("8perm_4x2_est80",
+          minhashPairsFromSig(sig8, MinhashA.length, 0.2).select(col("ida"), col("idb")))
+        .unionAll(report("16perm_8x2_est80",
+          minhashPairsFromSig(sig16, MinhashA16.length, 0.2).select(col("ida"), col("idb"))))
+        .unionAll(report("16perm_8x2_verified", verified))
+        .orderBy(col("geometry"))
     }
   )
 
   private val MinhashP = 2147483647L // 2^31 - 1 (prime); keys fit a long: p^2 < 2^63
   private val MinhashA = Array(787L, 1543L, 3079L, 6151L, 12289L, 24593L, 49157L, 98317L)
   private val MinhashB = Array(97L, 193L, 389L, 769L, 1579L, 3109L, 6247L, 12503L)
+  // 16-perm geometry = the 8-perm constants extended (first 8 signatures
+  // shared); a·h stays < 2^56 with h < p, so the affine form never overflows
+  private[graft] val MinhashA16 =
+    MinhashA ++ Array(196613L, 393241L, 786433L, 1572869L, 3145739L, 6291469L, 12582917L, 25165843L)
+  private[graft] val MinhashB16 =
+    MinhashB ++ Array(25013L, 50021L, 100003L, 200003L, 400009L, 800011L, 1600033L, 3200003L)
 
   /** Candidate pairs with estimated Jaccard ≥ 1 - maxDist.
     *
@@ -483,27 +576,52 @@ object Dedup {
     * larger than 2000 are dropped (an oversized bucket is a band that
     * says "everything matches everything" — no signal, unbounded join
     * cost; the cap bounds any bucket's contribution at scale). */
-  private[graft] def minhashPairs(spark: SparkSession, dir: String, maxDist: Double): DataFrame = {
-    val nH = MinhashA.length
+  /** Per-doc minhash signature table (doc_id, m0..m{nH−1}) for one
+    * permutation family — the write-once half of the screen
+    * ([[dedupIncrementalPersisted]] persists exactly this shape).
+    * Because [[MinhashA16]]/[[MinhashB16]] EXTEND the 8-perm constants,
+    * the 16-wide table also serves the 8-perm screen by projection —
+    * [[dedupLshRecallReport]] truncates it once and derives all three
+    * audited screens from the single corpus scan. */
+  private[graft] def minhashSignatures(
+      spark: SparkSession,
+      dir: String,
+      permA: Array[Long],
+      permB: Array[Long]
+  ): DataFrame = {
     // 32-bit md5-derived token hash, reduced mod p so a*h+b never overflows
     val hs = transform(toks(col("text")), x =>
       conv(substring(md5(x), 1, 8), 16, 10).cast("long") % MinhashP
     )
-    // The signature lives as 8 FLAT long columns (m0..m7), never an
+    // The signature lives as nH FLAT long columns (m0..), never an
     // array: the band join's cartesian expansion inside each bucket
     // copies every output row, and flat primitives keep that copy and
     // the agreement scoring in whole-stage codegen with zero array
     // headers or element_at indirection per candidate.
-    val mcols = (0 until nH).map { i =>
-      array_min(transform(col("hs"), h => (h * MinhashA(i) + MinhashB(i)) % MinhashP)).as(s"m$i")
+    val mcols = permA.indices.map { i =>
+      array_min(transform(col("hs"), h => (h * permA(i) + permB(i)) % MinhashP)).as(s"m$i")
     }
-    val docs = Tables
+    Tables
       .documents(spark, dir)
       .filter(col("doc_id") < ClusterProbeScope)
       .select(col("doc_id"), hs.as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("doc_id") +: mcols: _*)
-    // 4 bands of r=2: band key packs two 31-bit minhashes into one long
+  }
+
+  private[graft] def minhashPairs(
+      spark: SparkSession,
+      dir: String,
+      maxDist: Double,
+      permA: Array[Long] = MinhashA,
+      permB: Array[Long] = MinhashB
+  ): DataFrame =
+    minhashPairsFromSig(minhashSignatures(spark, dir, permA, permB), permA.length, maxDist)
+
+  /** Banded candidate pairs from a signature table with nH minhash
+    * columns — nH/2 bands of r=2. */
+  private[graft] def minhashPairsFromSig(docs: DataFrame, nH: Int, maxDist: Double): DataFrame = {
+    // nH/2 bands of r=2: band key packs two 31-bit minhashes into one long
     val banded = docs.select(
       col("doc_id") +: (0 until nH).map(i => col(s"m$i")) :+
         explode(array((0 until nH / 2).map { j =>
@@ -1422,7 +1540,8 @@ object Dedup {
 
   def qs: Seq[Q] = Seq(
     dedupExact, dedupNearJaccard, dedupEmbedCosine, dedupNgramJaccard, dedupSimhash,
-    dedupSimhashPairs, dedupMinhashLsh, dedupLshRecallReport, dedupClusters, dedupReport, dedupSoftWeights,
+    dedupSimhashPairs, dedupMinhashLsh, dedupMinhashLsh16, dedupLshRecallReport, dedupClusters, dedupReport,
+    dedupSoftWeights,
     dedupThresholdCurve,
     dedupBestOfCluster, dedupContainment, dedupIncremental, dedupIncrementalPersisted,
     dedupSpanCoverage, dedupNgramExact, dedupSourceOverlap, dedupSourceUnique,

@@ -46,20 +46,33 @@ class DedupSpec extends SparkSuite {
     }
   }
 
-  test("LSH recall report reproduces the set algebra of its two pair sets") {
+  test("LSH recall report reproduces the set algebra of its pair sets, per geometry") {
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select(col("ida"), col("idb")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val truth = pairSet(
       operators.Dedup.nearJaccardPairs(spark, sf, col("doc_id") < 2000)
     )
-    val cand = pairSet(operators.Dedup.minhashPairs(spark, sf, 0.2))
-    val hit = truth & cand
-    val r = operators.Dedup.dedupLshRecallReport.run(spark, sf).collect().head
-    assert(r.getLong(0) == truth.size, "n_truth")
-    assert(r.getLong(1) == cand.size, "n_cand")
-    assert(r.getLong(2) == hit.size, "n_hit")
-    assert(math.abs(r.getDouble(3) - hit.size.toDouble / truth.size) < 1e-5)
-    assert(math.abs(r.getDouble(4) - hit.size.toDouble / cand.size) < 1e-5)
+    val rows = operators.Dedup.dedupLshRecallReport.run(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("8perm_4x2_est80", "16perm_8x2_est80", "16perm_8x2_verified"))
+    val cand8 = pairSet(operators.Dedup.minhashPairs(spark, sf, 0.2))
+    val r8    = rows("8perm_4x2_est80")
+    val hit8  = truth & cand8
+    assert(r8.getLong(1) == truth.size, "n_truth")
+    assert(r8.getLong(2) == cand8.size, "n_cand")
+    assert(r8.getLong(3) == hit8.size, "n_hit")
+    assert(math.abs(r8.getDouble(4) - hit8.size.toDouble / truth.size) < 1e-5)
+    assert(math.abs(r8.getDouble(5) - hit8.size.toDouble / cand8.size) < 1e-5)
+  }
+
+  test("verified 16-perm banding reaches recall >= 0.9 at precision 1 on the probe scope") {
+    val rows = operators.Dedup.dedupLshRecallReport.run(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val v = rows("16perm_8x2_verified")
+    assert(v.getDouble(4) >= 0.9, s"verified recall ${v.getDouble(4)}")
+    assert(v.getDouble(5) == 1.0, s"verified precision ${v.getDouble(5)} (exact check must not admit FPs)")
+    // and the 16-perm estimate-thresholded screen must beat the 8-perm one
+    assert(rows("16perm_8x2_est80").getDouble(4) >= rows("8perm_4x2_est80").getDouble(4))
   }
 
   test("minhash LSH recall >= 0.5 vs exact jaccard >= 0.9 pairs") {
