@@ -100,6 +100,14 @@ object Bench {
     val memBean = ManagementFactory.getMemoryMXBean
 
     val only = args.toSet // optional local-profiling filter; driver passes no args
+    // Bench-reading note (r7 verdict item 8): the four co-purchase graph
+    // queries (graph_degree/pagerank/powerlaw_fit/bfs_reach) are
+    // standalone by driver contract, so EACH re-derives the lineitem
+    // self-join edge list — their 2-5 s timings are dominated by that
+    // shared edge build, not per-algorithm iteration. Don't read the
+    // family's near-identical floors as plan regressions.
+    System.err.println(
+      "[bench] note: graph_* timings each include the full co-purchase edge build (standalone-query contract)")
     var qIdx = 0
     // Registry.all DECLARATION order — not SparkEntry.queries, whose
     // Map iteration order is hash-scrambled: with a scrambled order the

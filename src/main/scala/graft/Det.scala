@@ -29,6 +29,45 @@ object Det {
   /** DuckDB-side SQL for [[davg]]. */
   def oAvg(e: String): String = s"${oSum(e)} / count(*)"
 
+  /** Epoch microseconds of a TIMESTAMP_NTZ, computed ONLY from naive
+    * field extractions (date_diff/hour/minute/extract-SECOND) — never
+    * through a cast to TIMESTAMP, whose NTZ→instant conversion applies
+    * the session time zone (and is even non-linear across DST gaps).
+    * Equal to `unix_micros(cast(c as timestamp))` when the session is
+    * UTC — which is what every DuckDB oracle computes — and, unlike
+    * that spelling, identical in EVERY session time zone, so a library
+    * caller in a DST-shifting zone gets the same buckets/durations the
+    * oracles pin (probed empirically across the 2024-03-10 US gap:
+    * field arithmetic is invariant; both `unix_micros(cast ...)` and
+    * `timestamp_diff` on NTZ shift). Sub-second exact: extract-SECOND
+    * carries the fractional part as DECIMAL(8,6).
+    *
+    * The inverse direction (epoch µs → NTZ) is safe via
+    * `timestampadd(MICROSECOND, us, TIMESTAMP_NTZ '1970-01-01')` —
+    * verified TZ-invariant by the same probe; [[Tables.events]] uses it.
+    */
+  def ntzMicros(c: Column): Column =
+    date_diff(to_date(c), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long") * 86400000000L +
+      hour(c).cast("long") * 3600000000L +
+      minute(c).cast("long") * 60000000L +
+      (date_part(lit("SECOND"), c) * 1000000).cast("long")
+
+  private def ntzEpoch: Column = lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+
+  /** `date_trunc('hour', c)` for TIMESTAMP_NTZ, WITHOUT the session-zone
+    * shift: Spark's `date_trunc` only accepts TIMESTAMP, so an NTZ input
+    * is implicitly cast through the session zone (probed: the result
+    * even lands on a different hour across a DST gap) and the output
+    * becomes an instant. This spelling — naive epoch-hour arithmetic
+    * re-rendered with naive `timestampadd` — stays TIMESTAMP_NTZ and is
+    * identical in every session zone. */
+  def ntzTruncHour(c: Column): Column =
+    timestamp_add("HOUR", floor(ntzMicros(c) / 3600000000L).cast("long"), ntzEpoch)
+
+  /** `date_trunc('day', c)` for TIMESTAMP_NTZ — see [[ntzTruncHour]]. */
+  def ntzTruncDay(c: Column): Column =
+    timestamp_add("DAY", date_diff(to_date(c), lit(java.sql.Date.valueOf("1970-01-01"))), ntzEpoch)
+
   /** Per-row 2-dp rounding that is bit-identical across engines.
     * Engine `round()` implementations disagree on half-boundaries
     * (Spark rounds the shortest decimal repr HALF_UP; DuckDB rounds in

@@ -42,11 +42,31 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(spark, dir, "events")
+    // NTZ is always CONSTRUCTED as the UTC rendering of the stored
+    // instant via naive timestampadd (TZ-invariant — probed, see
+    // Det.ntzMicros), never via a cast through TIMESTAMP, which would
+    // bake the session time zone into the loaded values. Each accepted
+    // encoding is matched explicitly; a new testdata generation with an
+    // unexpected ts type must fail loudly here, not silently coerce.
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-      case _ =>
-        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      case LongType => // parquet TIMESTAMP(NANOS) surfaced as epoch-ns long
+        raw.withColumn(
+          "ts",
+          expr("timestampadd(MICROSECOND, ts div 1000, cast('1970-01-01 00:00:00' as timestamp_ntz))")
+        )
+      case TimestampType => // instant micros; unix_micros is TZ-independent
+        raw.withColumn(
+          "ts",
+          expr("timestampadd(MICROSECOND, unix_micros(ts), cast('1970-01-01 00:00:00' as timestamp_ntz))")
+        )
+      case TimestampNTZType =>
+        raw
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: unexpected parquet type $other — expected INT64 epoch-nanos " +
+            "(nanosAsLong), TIMESTAMP, or TIMESTAMP_NTZ; refusing to coerce silently"
+        )
     }
   }
 }

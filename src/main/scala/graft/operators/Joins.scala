@@ -241,7 +241,7 @@ object Joins {
       val iv = Tables
         .events(spark, dir)
         .filter(col("user_id") < 50)
-        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .groupBy(col("user_id"), Det.ntzTruncDay(col("ts")).as("day"))
         .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
       val a = iv.select(col("day"), col("user_id").as("ua"), col("s").as("sa"), col("e").as("ea"))
       val b = iv.select(col("day"), col("user_id").as("ub"), col("s").as("sb"), col("e").as("eb"))
@@ -251,10 +251,11 @@ object Joins {
           col("day"),
           col("ua"),
           col("ub"),
-          // ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the
-          // session is pinned UTC so the cast is the identity instant
-          (unix_micros(least(col("ea"), col("eb")).cast("timestamp")) -
-            unix_micros(greatest(col("sa"), col("sb")).cast("timestamp")))
+          // ts is TIMESTAMP_NTZ; Det.ntzMicros is naive field arithmetic,
+          // identical in every session time zone (unlike a cast through
+          // TIMESTAMP, which applies the session zone)
+          (Det.ntzMicros(least(col("ea"), col("eb"))) -
+            Det.ntzMicros(greatest(col("sa"), col("sb"))))
             .as("overlap_us")
         )
         .orderBy(col("day"), col("ua"), col("ub"))
@@ -431,7 +432,7 @@ object Joins {
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       val clickTs = when(col("event_type") === "click", col("ts"))
       def us(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        unix_micros(c.cast("timestamp"))
+        Det.ntzMicros(c) // naive NTZ field arithmetic — session-TZ-invariant
       ev
         .withColumn("prev_ts", last(clickTs, ignoreNulls = true).over(back))
         .withColumn("next_ts", first(clickTs, ignoreNulls = true).over(fwd))
@@ -607,7 +608,7 @@ object Joins {
       val both = AsOfJoinNative(
         back, clicks, "user_id", "ts", "ts", Seq("next_ts" -> "ts"), forward = true)
       def us(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        unix_micros(c.cast("timestamp"))
+        Det.ntzMicros(c) // naive NTZ field arithmetic — session-TZ-invariant
       both
         .select(
           col("event_id"),

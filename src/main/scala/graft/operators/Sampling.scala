@@ -535,7 +535,8 @@ object Sampling {
           "g AS (SELECT source, b, cast(sum(wt) as bigint) AS sw, " +
           "cast(sum(wt * n_chars) as bigint) AS swx FROM w GROUP BY 1, 2), " +
           "m AS (SELECT source, b, swx::DOUBLE / sw AS mb, " +
-          "row_number() OVER (PARTITION BY source ORDER BY swx::DOUBLE / sw, b) AS rn FROM g), " +
+          "row_number() OVER (PARTITION BY source ORDER BY swx::DOUBLE / sw, b) AS rn " +
+          "FROM g WHERE sw > 0), " +
           s"s AS (SELECT source, max(CASE WHEN rn = 3 THEN mb END) AS lo, " +
           s"max(CASE WHEN rn = $B - 2 THEN mb END) AS hi, " +
           s"${Det.oSum("mb")} AS sx, ${Det.oSum("mb * mb")} AS sxx FROM m GROUP BY source), " +
@@ -575,7 +576,16 @@ object Sampling {
         val bySource = Window
           .partitionBy(col("source"))
           .orderBy(col("swx").cast("double") / col("sw"), col("b"))
+        // sw > 0 guard (both engines, identically): a replicate whose
+        // Poisson weights all drew 0 (P = e^-n_docs per source) has no
+        // defined mean — drop it rather than divide by zero (ANSI) /
+        // shift the order-statistic CI with a NULL. The rn=3 / rn=B-2
+        // CI bounds and the /(B-1) se then read one fewer replicate —
+        // same in both engines; validity assumes n_docs large enough
+        // that degenerate replicates are vanishing, which the fixture
+        // satisfies (no source under ~90 docs at sf0.01).
         val m = g
+          .filter(col("sw") > 0)
           .select(
             col("source"),
             col("b"),

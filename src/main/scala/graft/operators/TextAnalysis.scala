@@ -1252,7 +1252,13 @@ object TextAnalysis {
     * per-doc ratio `n_novel / n_sh` is one IEEE division of exact
     * integers; `avg_novelty` goes through the order-independent
     * decimal sum; `corpus_novelty` is one division of exact integer
-    * sums — trunc-rounded 6 dp in both engines.
+    * sums — trunc-rounded 6 dp in both engines. CAVEAT: the Spark path
+    * identifies a shingle by its xxhash64 while the oracle compares the
+    * 5-token strings, so a 64-bit collision between distinct shingles
+    * would merge two first-owner groups and shift the counts — P ≈
+    * n²/2⁶⁵ (~10⁻⁸ at 10⁵ distinct shingles), accepted at fixture
+    * scale; carry (hash, shingle) through the window key if the oracle
+    * equality must be unconditional.
     *
     * 100 TB: ONE scan of the corpus (PLANS.md); the first-owner
     * computation is a whole-partition window min over the 8-byte

@@ -36,7 +36,7 @@ object TimeSeries {
       Tables
         .events(spark, dir)
         .groupBy(
-          date_trunc("hour", col("ts")).as("hour"),
+          Det.ntzTruncHour(col("ts")).as("hour"),
           col("event_type")
         )
         .agg(
@@ -62,7 +62,7 @@ object TimeSeries {
     (spark, dir) =>
       Tables
         .events(spark, dir)
-        .select(col("ts").cast("timestamp").cast("long").as("sec"), col("value"))
+        .select(floor(Det.ntzMicros(col("ts")) / 1000000L).cast("long").as("sec"), col("value"))
         .withColumn("k", explode(array(lit(0), lit(1), lit(2))))
         .groupBy((expr("sec div 300") * 300 - col("k") * 300).as("win_start_sec"))
         .agg(
@@ -97,7 +97,7 @@ object TimeSeries {
         .select(col("user_id"), col("ts"), col("event_id"), col("value"))
         .withColumn(
           "gap_us",
-          expr("timestampdiff(MICROSECOND, lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)")
+          Det.ntzMicros(col("ts")) - Det.ntzMicros(lag(col("ts"), 1).over(w))
         )
         .withColumn(
           "new_sess",
@@ -211,7 +211,7 @@ object TimeSeries {
       val base = Tables
         .events(spark, dir)
         .filter(col("user_id") < 10)
-        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("value"))
+        .select(col("user_id"), Det.ntzTruncHour(col("ts")).as("h"), col("value"))
       val spans = base.groupBy(col("user_id")).agg(min(col("h")).as("t0"), max(col("h")).as("t1"))
       val grid = spans.select(
         col("user_id"),
@@ -328,7 +328,7 @@ object TimeSeries {
       Tables
         .events(spark, dir)
         .withColumn("v", when(col("value") < 20, lit(null)).otherwise(col("value")))
-        .withColumn("tu", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("tu", Det.ntzMicros(col("ts")))
         .withColumn("pv", last(col("v"), ignoreNulls = true).over(pb))
         .withColumn("pt", last(when(col("v").isNotNull, col("tu")), ignoreNulls = true).over(pb))
         .withColumn("nv", first(col("v"), ignoreNulls = true).over(fb))
@@ -393,7 +393,7 @@ object TimeSeries {
           col("user_id"),
           col("event_id"),
           col("event_type"),
-          unix_micros(col("ts").cast("timestamp")).as("tu")
+          Det.ntzMicros(col("ts")).as("tu")
         )
         .withColumn(
           "lv",
@@ -606,7 +606,7 @@ object TimeSeries {
         "FROM b GROUP BY 1, 2 ORDER BY event_type, bucket"
     ),
     (spark, dir) => {
-      val bucket = date_trunc("hour", col("ts"))
+      val bucket = Det.ntzTruncHour(col("ts"))
       val asc = Window
         .partitionBy(col("event_type"), bucket)
         .orderBy(col("ts"), col("event_id"))
@@ -807,7 +807,7 @@ object TimeSeries {
     (spark, dir) => {
       val h = Tables
         .events(spark, dir)
-        .groupBy(expr("unix_micros(cast(date_trunc('hour', ts) as timestamp)) div 3600000000").as("t"))
+        .groupBy(floor(Det.ntzMicros(col("ts")) / 3600000000L).cast("long").as("t"))
         .agg(
           sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y")
@@ -932,7 +932,7 @@ object TimeSeries {
       val p = Window.partitionBy(col("event_type"), hour(col("h")))
       Tables
         .events(spark, dir)
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .groupBy(col("event_type"), Det.ntzTruncHour(col("ts")).as("h"))
         .agg(count(lit(1)).as("y"))
         .withColumn(
           "trend",
@@ -1001,7 +1001,7 @@ object TimeSeries {
       import org.apache.spark.sql.types.DecimalType
       val h = Tables
         .events(spark, dir)
-        .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600).cast("long").as("eh"))
+        .groupBy(floor(Det.ntzMicros(col("ts")) / 3600000000L).cast("long").as("eh"))
         .agg(count(lit(1)).as("x"))
       val s = h.agg(
         min(col("eh")).as("h0"),
@@ -1118,7 +1118,7 @@ object TimeSeries {
       val frame6 = w.rowsBetween(-6, -1)
       val f = Tables
         .events(spark, dir)
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .groupBy(col("event_type"), Det.ntzTruncHour(col("ts")).as("hr"))
         .agg(count(lit(1)).as("n"))
         .select(
           col("event_type"),

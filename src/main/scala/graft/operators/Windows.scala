@@ -140,7 +140,7 @@ object Windows {
           col("ts"),
           lag(col("value"), 1).over(w).as("prev_value"),
           lead(col("value"), 1).over(w).as("next_value"),
-          expr("timestampdiff(MICROSECOND, lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)")
+          (Det.ntzMicros(col("ts")) - Det.ntzMicros(lag(col("ts"), 1).over(w)))
             .as("us_since_prev")
         )
         .drop("ts")
@@ -261,7 +261,7 @@ object Windows {
       val d = Tables
         .events(spark, dir)
         .filter(col("user_id") < 100)
-        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .select(col("user_id"), Det.ntzTruncDay(col("ts")).as("day"))
         .distinct()
       val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
       d.withColumn("rn", row_number().over(w))
@@ -423,7 +423,7 @@ object Windows {
           col("event_type"),
           lead(col("event_type"), 1).over(w).as("t1"),
           lead(col("event_type"), 2).over(w).as("t2"),
-          expr(s"timestampdiff(MICROSECOND, ts, lead(ts, 2) $over)").as("span_us")
+          (Det.ntzMicros(lead(col("ts"), 2).over(w)) - Det.ntzMicros(col("ts"))).as("span_us")
         )
         .filter(col("event_type") === "view" && col("t1") === "click" && col("t2") === "purchase")
         .select(col("user_id"), col("start_event_id"), col("span_us"))

@@ -173,11 +173,12 @@ class AnomalySpec extends SparkSuite {
     assert(rows.nonEmpty)
     // driver-side recompute from the raw hourly series
     val hourly = Tables.events(spark, sf)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .groupBy(Det.ntzTruncHour(col("ts")).as("h"), col("event_type"))
       .agg(count(lit(1)).as("y"))
       .collect()
-      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
-    val byType = hourly.groupBy(_._1).view.mapValues(_.sortBy(_._2.getTime)).toMap
+      .map(r => (r.getString(1), r.getAs[java.time.LocalDateTime](0), r.getLong(2)))
+    val byType = hourly.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2)(Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _))).toMap
     val trendMap = byType.flatMap { case (t, series) =>
       series.indices.collect {
         case i if i >= 12 && i + 12 < series.length =>
@@ -189,14 +190,14 @@ class AnomalySpec extends SparkSuite {
       (t, h) -> (byType(t).find(_._2 == h).get._3.toDouble - tr)
     }
     val seasonal = det.groupBy { case ((t, h), _) =>
-      (t, h.toLocalDateTime.getHour)
+      (t, h.getHour)
     }.view.mapValues(vs => vs.values.sum / vs.size).toMap
     var checked = 0
     for (r <- rows if !r.isNullAt(3)) {
-      val key = (r.getString(0), r.getTimestamp(1))
+      val key = (r.getString(0), r.getAs[java.time.LocalDateTime](1))
       val (tr, se, re) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
       assert(math.abs(tr - trendMap(key)) < 1e-5, s"$key trend")
-      val es = seasonal((key._1, key._2.toLocalDateTime.getHour))
+      val es = seasonal((key._1, key._2.getHour))
       assert(math.abs(se - es) < 1e-4, s"$key seasonal $se vs $es")
       assert(math.abs(re - (det(key) - es)) < 1e-4, s"$key residual")
       checked += 1
