@@ -43,4 +43,13 @@ class EventsLoaderSpec extends SparkSuite {
     assert(ev.schema("ts").dataType.typeName == "timestamp_ntz")
     assert(ev.limit(1).count() == 1L)
   }
+
+  test("an unexpected ts encoding fails loudly instead of coercing (ADVICE r7)") {
+    import spark.implicits._
+    val badDir = java.nio.file.Files.createTempDirectory("graft_badts").toString
+    Seq((1L, "2024-01-01 00:00:00")).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$badDir/events.parquet")
+    val e = intercept[IllegalArgumentException](Tables.events(spark, badDir))
+    assert(e.getMessage.contains("unexpected parquet type"), e.getMessage)
+  }
 }
