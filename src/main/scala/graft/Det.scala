@@ -46,27 +46,36 @@ object Det {
     * `timestampadd(MICROSECOND, us, TIMESTAMP_NTZ '1970-01-01')` —
     * verified TZ-invariant by the same probe; [[Tables.events]] uses it.
     */
-  def ntzMicros(c: Column): Column =
+  def ntzMicros(c: Column): Column = org.apache.spark.sql.graftx.NtzReinterpret.micros(c)
+
+  /** Field-arithmetic twin of [[ntzMicros]] — kept as the independent
+    * witness that the reinterpret's physical-representation assumption
+    * holds (TzRobustnessSpec asserts equality on the real events data
+    * under two session zones). Not used in query paths. */
+  private[graft] def ntzMicrosFields(c: Column): Column =
     date_diff(to_date(c), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long") * 86400000000L +
       hour(c).cast("long") * 3600000000L +
       minute(c).cast("long") * 60000000L +
       (date_part(lit("SECOND"), c) * 1000000).cast("long")
 
-  private def ntzEpoch: Column = lit("1970-01-01 00:00:00").cast("timestamp_ntz")
-
   /** `date_trunc('hour', c)` for TIMESTAMP_NTZ, WITHOUT the session-zone
     * shift: Spark's `date_trunc` only accepts TIMESTAMP, so an NTZ input
     * is implicitly cast through the session zone (probed: the result
     * even lands on a different hour across a DST gap) and the output
-    * becomes an instant. This spelling — naive epoch-hour arithmetic
-    * re-rendered with naive `timestampadd` — stays TIMESTAMP_NTZ and is
-    * identical in every session zone. */
-  def ntzTruncHour(c: Column): Column =
-    timestamp_add("HOUR", floor(ntzMicros(c) / 3600000000L).cast("long"), ntzEpoch)
+    * becomes an instant. This spelling — zero-cost reinterpret, long
+    * floor-to-hour, reinterpret back — stays TIMESTAMP_NTZ and is
+    * identical in every session zone. `x − pmod(x, m)` is floor
+    * alignment for ANY sign, so pre-1970 values truncate correctly. */
+  def ntzTruncHour(c: Column): Column = {
+    val m = ntzMicros(c)
+    org.apache.spark.sql.graftx.NtzReinterpret.ntz(m - pmod(m, lit(3600000000L)))
+  }
 
   /** `date_trunc('day', c)` for TIMESTAMP_NTZ — see [[ntzTruncHour]]. */
-  def ntzTruncDay(c: Column): Column =
-    timestamp_add("DAY", date_diff(to_date(c), lit(java.sql.Date.valueOf("1970-01-01"))), ntzEpoch)
+  def ntzTruncDay(c: Column): Column = {
+    val m = ntzMicros(c)
+    org.apache.spark.sql.graftx.NtzReinterpret.ntz(m - pmod(m, lit(86400000000L)))
+  }
 
   /** Per-row 2-dp rounding that is bit-identical across engines.
     * Engine `round()` implementations disagree on half-boundaries

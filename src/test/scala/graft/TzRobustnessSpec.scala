@@ -20,6 +20,29 @@ class TzRobustnessSpec extends SparkSuite {
     "win_gaps_islands", "win_pattern_3seq", "join_asof", "events_markov_transition"
   )
 
+  test("NtzEpochMicros reinterpret equals naive field arithmetic, in any session zone") {
+    import org.apache.spark.sql.functions._
+    val key  = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(key)
+    try {
+      for (tz <- Seq("UTC", "America/New_York")) {
+        spark.conf.set(key, tz)
+        val bad = Tables
+          .events(spark, sf)
+          .select(
+            (Det.ntzMicros(col("ts")) =!= Det.ntzMicrosFields(col("ts"))).as("m"),
+            (Det.ntzTruncHour(col("ts")) =!=
+              org.apache.spark.sql.graftx.NtzReinterpret
+                .ntz(Det.ntzMicrosFields(col("ts")) - pmod(Det.ntzMicrosFields(col("ts")), lit(3600000000L)))).as("h")
+          )
+          .agg(sum(when(col("m") || col("h"), 1).otherwise(0)).as("bad"))
+          .collect()(0)
+          .getLong(0)
+        assert(bad == 0L, s"$tz: reinterpret diverges from field arithmetic on $bad rows")
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("time-bucketed queries are identical under UTC and America/New_York sessions") {
     val key  = "spark.sql.session.timeZone"
     val prev = spark.conf.get(key)
