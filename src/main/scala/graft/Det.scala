@@ -29,29 +29,28 @@ object Det {
   /** DuckDB-side SQL for [[davg]]. */
   def oAvg(e: String): String = s"${oSum(e)} / count(*)"
 
-  /** Epoch microseconds of a TIMESTAMP_NTZ, computed ONLY from naive
-    * field extractions (date_diff/hour/minute/extract-SECOND) — never
-    * through a cast to TIMESTAMP, whose NTZ→instant conversion applies
-    * the session time zone (and is even non-linear across DST gaps).
-    * Equal to `unix_micros(cast(c as timestamp))` when the session is
-    * UTC — which is what every DuckDB oracle computes — and, unlike
-    * that spelling, identical in EVERY session time zone, so a library
-    * caller in a DST-shifting zone gets the same buckets/durations the
-    * oracles pin (probed empirically across the 2024-03-10 US gap:
-    * field arithmetic is invariant; both `unix_micros(cast ...)` and
-    * `timestamp_diff` on NTZ shift). Sub-second exact: extract-SECOND
-    * carries the fractional part as DECIMAL(8,6).
+  /** Epoch microseconds of a TIMESTAMP_NTZ — a zero-cost codegen
+    * IDENTITY ([[org.apache.spark.sql.graftx.NtzEpochMicros]]): the NTZ
+    * physical representation IS naive epoch micros, so no conversion
+    * code runs and no session time zone can be consulted. Never spell
+    * this `unix_micros(cast(c as timestamp))` — the NTZ→instant cast
+    * applies the session zone (and is even non-linear across DST gaps;
+    * probed empirically across the 2024-03-10 US gap: both that
+    * spelling and `timestamp_diff` on NTZ shift). Equal to the UTC
+    * value every DuckDB oracle computes, in EVERY session zone.
     *
-    * The inverse direction (epoch µs → NTZ) is safe via
-    * `timestampadd(MICROSECOND, us, TIMESTAMP_NTZ '1970-01-01')` —
-    * verified TZ-invariant by the same probe; [[Tables.events]] uses it.
+    * The inverse direction (epoch µs → NTZ) is the sibling identity
+    * `MicrosToNtz`; [[Tables.events]] constructs NTZ with naive
+    * `timestampadd` (verified TZ-invariant by the same probe).
     */
   def ntzMicros(c: Column): Column = org.apache.spark.sql.graftx.NtzReinterpret.micros(c)
 
-  /** Field-arithmetic twin of [[ntzMicros]] — kept as the independent
-    * witness that the reinterpret's physical-representation assumption
-    * holds (TzRobustnessSpec asserts equality on the real events data
-    * under two session zones). Not used in query paths. */
+  /** Field-arithmetic twin of [[ntzMicros]] (date_diff/hour/minute/
+    * extract-SECOND — sub-second exact via the DECIMAL(8,6) fraction),
+    * TZ-invariant by construction — kept as the independent witness
+    * that the reinterpret's physical-representation assumption holds
+    * (TzRobustnessSpec asserts equality on the real events data under
+    * two session zones). Not used in query paths. */
   private[graft] def ntzMicrosFields(c: Column): Column =
     date_diff(to_date(c), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long") * 86400000000L +
       hour(c).cast("long") * 3600000000L +

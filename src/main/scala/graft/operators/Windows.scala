@@ -413,8 +413,7 @@ object Windows {
         "ORDER BY user_id, start_event_id"
     ),
     (spark, dir) => {
-      val over = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
-      val w    = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       Tables
         .events(spark, dir)
         .select(
