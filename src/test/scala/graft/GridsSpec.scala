@@ -45,6 +45,29 @@ class GridsSpec extends SparkSuite {
     assert(naive.exceptAll(fast).isEmpty && fast.exceptAll(naive).isEmpty)
   }
 
+  test("runningSums is exact on adversarial frames (negatives, heavy ties, few buckets)") {
+    // buckets = 4 forces many bucket-boundary crossings; each frame is a
+    // distinct hazard: negative value range (bucket formula around a
+    // negative lo), 90% of rows tied on one value (one bucket holds
+    // nearly everything), and values denser than buckets (empty buckets
+    // in the offset table).
+    val frames = Seq(
+      "negatives"  -> spark.range(5000).select(col("id"), (pmod(xxhash64(col("id")), lit(2000L)) - 1500L).as("v")),
+      "heavy-ties" -> spark.range(5000).select(col("id"),
+        when(pmod(col("id"), lit(10L)) < 9, lit(42L)).otherwise(pmod(xxhash64(col("id")), lit(100L))).as("v")),
+      "sparse"     -> spark.range(5000).select(col("id"), (pmod(xxhash64(col("id")), lit(3L)) * 1000000L).as("v"))
+    )
+    for ((tag, d) <- frames; desc <- Seq(false, true)) {
+      val ord = if (desc) Seq(col("v").desc, col("id")) else Seq(col("v"), col("id"))
+      val w = Window.orderBy(ord: _*).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val naive = d.select(col("id"), sum(col("v")).over(w).as("cv"), sum(lit(1L)).over(w).as("rnk"))
+      val fast = Grids
+        .runningSums(d, "v", desc, Seq("id"), Seq((col("v"), "cv"), (lit(1L), "rnk")), buckets = 4)
+        .select(col("id"), col("cv"), col("rnk"))
+      assert(naive.exceptAll(fast).isEmpty && fast.exceptAll(naive).isEmpty, s"$tag desc=$desc")
+    }
+  }
+
   test("runningSums survives the all-one-value degenerate frame") {
     val d = spark.range(1000).select(col("id"), lit(5.0).as("v"))
     val fast = Grids.globalRank(d, "v", desc = false, Seq("id"), "rnk")
