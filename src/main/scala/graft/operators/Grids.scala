@@ -9,10 +9,14 @@ import org.apache.spark.sql.functions._
   * `Window.orderBy(...)` on a raw (or high-cardinality) table.
   *
   * Decomposition (two-level cumulative sum):
-  *   1. one scalar min/max aggregate over the order column, broadcast back;
-  *   2. every row gets a RANGE BUCKET `⌊(v−lo)/(hi−lo)·B⌋` — bucketing is
-  *      order-consistent (monotone in v), so all of bucket i sorts before
-  *      bucket i+1 and ties in v never straddle a boundary;
+  *   1. one scalar aggregate over the order column — min/max (equal-width)
+  *      plus, when `equiDepth`, a `percentile_approx` boundary sketch in the
+  *      SAME pass — broadcast back;
+  *   2. every row gets a RANGE BUCKET — bucketing is order-consistent
+  *      (monotone in v), so all of bucket i sorts before bucket i+1 and ties
+  *      in v never straddle a boundary. Equal-width uses
+  *      `⌊(v−lo)/(hi−lo)·B⌋` (O(1) arithmetic); equi-depth counts sketch
+  *      boundaries strictly below v (O(B) codegen'd array scan, B a literal);
   *   3. per-bucket totals → a ≤B-row table; exclusive prefix sums over it
   *      (the ONLY partitionless window, bounded by the literal B — the
   *      k-bounded class the plan gate whitelists) become per-bucket OFFSETS,
@@ -20,26 +24,40 @@ import org.apache.spark.sql.functions._
   *   4. intra-bucket running sums via `Window.partitionBy(bucket)` — a
   *      partitioned, spill-able window; global running sum = offset + local.
   *
-  * Results are EXACT — bucket boundaries affect only partitioning, never the
-  * summed values — so DuckDB oracles written against the naive global window
-  * stay hash-identical (GridsSpec pins equality against `Window.orderBy` on a
-  * high-cardinality synthetic frame).
+  * Results are EXACT under EITHER boundary mode — bucket boundaries affect
+  * only partitioning, never the summed values — so DuckDB oracles written
+  * against the naive global window stay hash-identical (GridsSpec pins
+  * equality against `Window.orderBy` on a high-cardinality synthetic frame,
+  * in both modes).
   *
   * 100 TB: the input-sized work is one partial-aggregating groupBy and one
-  * PARTITIONED window; the worst skew case (every row one value) degrades to
-  * a single bucket == the global window it replaces, and real drift there is
-  * handled the same way production systems do — equi-depth boundaries from a
-  * quantile sketch instead of equal-width; the decomposition is unchanged.
-  * Equal-width is used here because it needs no second pass and determinism
-  * of the OUTPUT never depends on the boundary choice.
+  * PARTITIONED window. Boundary choice governs only bucket-occupancy balance:
+  *   - equal-width (default): zero extra cost, but under DISTRIBUTIONAL skew
+  *     (values concentrated in a narrow region of the range — e.g. a long
+  *     right tail) most rows share one bucket and the partitioned window
+  *     degrades toward the global window it replaces;
+  *   - `equiDepth = true`: boundaries are the B-quantiles from a
+  *     `percentile_approx` sketch folded into the SAME first-pass aggregate,
+  *     so occupancy stays ≈N/B per bucket regardless of the value
+  *     distribution — the production choice for skewed frames (GridsSpec
+  *     asserts bounded occupancy on a pathological frame where equal-width
+  *     collapses).
+  *   The irreducible case — one EXACT value carrying most rows — maps to one
+  *   bucket under any v-functional bucketing (ties must share a bucket for
+  *   order consistency); that degenerate frame is pinned by its own spec and
+  *   is inherent to the operation, not the boundary mode.
   */
 object Grids {
+
+  private val Reserved = Set("_bkt", "_lo", "_hi", "_bnds")
 
   /** Appends to `df` one running-sum column per `(expr, name)` in `sums`,
     * cumulated in `(v [asc|desc], ties asc...)` order INCLUDING the current
     * row. `v` must be numeric (cast to double only for bucketing) and
     * non-null; `(v, ties)` need not be unique unless per-row determinism of
-    * the output requires it (it does for ranks — pass a unique tiebreaker).
+    * the output requires it (it does for ranks — pass a unique tiebreaker;
+    * with a non-unique order, per-row values within a tie group depend on
+    * partitioning and may differ across retries).
     */
   def runningSums(
       df: DataFrame,
@@ -47,20 +65,20 @@ object Grids {
       desc: Boolean,
       ties: Seq[String],
       sums: Seq[(Column, String)],
-      buckets: Int = 256
+      buckets: Int = 256,
+      equiDepth: Boolean = false
   ): DataFrame = {
-    val inCols = df.columns.toSeq
-    val mm = df.agg(min(col(v)).cast("double").as("_lo"), max(col(v)).cast("double").as("_hi"))
-    val vd   = col(v).cast("double")
-    val span = col("_hi") - col("_lo")
-    // Monotone, clamp-safe; hi==lo (or an empty frame's null span) takes the
-    // explicit single-bucket branch — ANSI mode forbids even double 0/0.
-    val ascB =
-      when(span > 0, least(greatest(floor((vd - col("_lo")) / span * buckets), lit(0.0)), lit((buckets - 1).toDouble)))
-        .otherwise(lit(0.0))
-        .cast("int")
-    val bkt       = if (desc) lit(buckets - 1) - ascB else ascB
-    val withB     = df.crossJoin(broadcast(mm)).withColumn("_bkt", bkt).drop("_lo", "_hi")
+    val inCols   = df.columns.toSeq
+    val sumNames = sums.map(_._2)
+    // Internal columns are joined back by NAME — reject collisions up front
+    // instead of letting Spark raise an ambiguous-reference analysis error
+    // (or worse, silently duplicate an output name) deep inside the plan.
+    val clash = inCols.filter(c => Reserved(c) || c.startsWith("_t_") || c.startsWith("_o_"))
+    require(clash.isEmpty, s"Grids.runningSums: input columns collide with internal names: ${clash.mkString(",")}")
+    require(sumNames.distinct == sumNames, s"Grids.runningSums: duplicate sum names: ${sumNames.mkString(",")}")
+    val shadow = sumNames.filter(inCols.contains)
+    require(shadow.isEmpty, s"Grids.runningSums: sum names shadow input columns: ${shadow.mkString(",")}")
+    val withB     = bucketed(df, v, desc, buckets, equiDepth)
     val totalAggs = sums.map { case (e, n) => sum(e).as(s"_t_$n") }
     val perBucket = withB.groupBy(col("_bkt")).agg(totalAggs.head, totalAggs.tail: _*)
     val wOff      = Window.orderBy(col("_bkt")).rowsBetween(Window.unboundedPreceding, -1)
@@ -77,10 +95,61 @@ object Grids {
       .select(inCols.map(col) ++ sums.map { case (e, n) => (col(s"_o_$n") + sum(e).over(wIn)).as(n) }: _*)
   }
 
+  /** `df` plus its order-consistent `_bkt` range bucket — step 1+2 of the
+    * decomposition, factored out so GridsSpec can assert bucket OCCUPANCY
+    * directly (boundedness under equi-depth on skewed frames; the collapse of
+    * equal-width on the same frames). Occupancy never affects output values —
+    * only the balance of the partitioned intra-bucket window.
+    */
+  private[graft] def bucketed(
+      df: DataFrame,
+      v: String,
+      desc: Boolean,
+      buckets: Int,
+      equiDepth: Boolean
+  ): DataFrame = {
+    val vd = col(v).cast("double")
+    val boundAggs =
+      Seq(min(col(v)).cast("double").as("_lo"), max(col(v)).cast("double").as("_hi")) ++
+        (if (equiDepth)
+           Seq(
+             percentile_approx(
+               vd,
+               array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*),
+               lit(10000)
+             ).as("_bnds")
+           )
+         else Nil)
+    val mm   = df.agg(boundAggs.head, boundAggs.tail: _*)
+    val span = col("_hi") - col("_lo")
+    // Monotone, clamp-safe; hi==lo (or an empty frame's null span) takes the
+    // explicit single-bucket branch — ANSI mode forbids even double 0/0.
+    val ascB =
+      if (equiDepth)
+        // #{boundary < v} is monotone in v and constant across ties, and lies
+        // in [0, B-1] by construction (≤ B-1 boundaries). A null sketch (empty
+        // frame) takes the single-bucket branch like the equal-width path.
+        when(col("_bnds").isNotNull, size(filter(col("_bnds"), b => b < vd))).otherwise(lit(0))
+      else
+        when(
+          span > 0,
+          least(greatest(floor((vd - col("_lo")) / span * buckets), lit(0.0)), lit((buckets - 1).toDouble))
+        ).otherwise(lit(0.0)).cast("int")
+    val bkt = if (desc) lit(buckets - 1) - ascB else ascB
+    df.crossJoin(broadcast(mm)).withColumn("_bkt", bkt).drop("_lo", "_hi", "_bnds")
+  }
+
   /** Global 1-based rank (dense in the unique total order `(v, ties)`) —
     * `runningSums` of the constant 1. */
-  def globalRank(df: DataFrame, v: String, desc: Boolean, ties: Seq[String], rankName: String): DataFrame =
-    runningSums(df, v, desc, ties, Seq((lit(1L), rankName)))
+  def globalRank(
+      df: DataFrame,
+      v: String,
+      desc: Boolean,
+      ties: Seq[String],
+      rankName: String,
+      equiDepth: Boolean = false
+  ): DataFrame =
+    runningSums(df, v, desc, ties, Seq((lit(1L), rankName)), equiDepth = equiDepth)
 
   /** `ntile(n)`-identical bucket from a 1-based global rank and the exact
     * total row count: buckets 1..(N mod n) get ⌈N/n⌉ rows, the rest ⌊N/n⌋ —

@@ -816,7 +816,8 @@ object TextAnalysis {
     * hash-stable across engines and runs. One window pass over a
     * per-doc projection + a 10-row aggregate. No global-order window:
     * phase membership is [[Grids.globalRank]]'s two-level cumulative
-    * (range buckets + partitioned windows + a ≤256-row offset table)
+    * (equi-depth range buckets + partitioned windows + a ≤256-row
+    * offset table)
     * fed through [[Grids.ntileFromRank]] arithmetic against the exact
     * broadcast N — bit-identical to the oracle's ntile at any scale.
     */
@@ -842,8 +843,12 @@ object TextAnalysis {
           (col("n_chars").cast("double") / size(toks(col("text")))).as("difficulty")
         )
       val nTot = d.agg(count(lit(1)).as("_n"))
+      // difficulty = chars/token is a ratio with a long right tail (a few
+      // pathological docs dominate the range), so the rank uses equi-depth
+      // sketch boundaries: occupancy stays ≈N/B even though the value range
+      // is stretched by outliers. Output is exact either way.
       Grids
-        .globalRank(d, "difficulty", desc = false, Seq("doc_id"), "rnk")
+        .globalRank(d, "difficulty", desc = false, Seq("doc_id"), "rnk", equiDepth = true)
         .crossJoin(broadcast(nTot))
         .withColumn("phase", Grids.ntileFromRank(col("rnk"), col("_n"), 10))
         .groupBy(col("phase"))

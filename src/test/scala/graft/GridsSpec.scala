@@ -68,6 +68,70 @@ class GridsSpec extends SparkSuite {
     }
   }
 
+  test("equi-depth mode is exactly equal to the naive global window too") {
+    val d = synth
+    for (desc <- Seq(false, true)) {
+      val ord   = if (desc) Seq(col("v").desc, col("id")) else Seq(col("v"), col("id"))
+      val w     = Window.orderBy(ord: _*).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val naive = d.select(col("id"), sum(col("x")).over(w).as("cx"), sum(lit(1L)).over(w).as("rnk"))
+      val fast = Grids
+        .runningSums(d, "v", desc, Seq("id"), Seq((col("x"), "cx"), (lit(1L), "rnk")), equiDepth = true)
+        .select(col("id"), col("cx"), col("rnk"))
+      assert(naive.exceptAll(fast).isEmpty && fast.exceptAll(naive).isEmpty, s"desc=$desc")
+    }
+  }
+
+  test("equi-depth bounds bucket occupancy on distributional skew where equal-width collapses") {
+    // 99% of rows take (mostly distinct) values in [0, 1e5); 1% sit near
+    // 1e12. Equal-width with B=256 makes the bucket width ≈ 4e9, so the
+    // dense region — and with it ~99% of the frame — lands in ONE bucket:
+    // exactly the degradation Grids' scaladoc warns about. Equi-depth
+    // boundaries come from the same-pass percentile sketch, so occupancy
+    // stays ≈ N/B no matter how the values are distributed.
+    val n = 50000L
+    val d = spark
+      .range(n)
+      .select(
+        col("id"),
+        when(pmod(col("id"), lit(100L)) === 0, lit(1000000000000L) + col("id"))
+          .otherwise(pmod(xxhash64(col("id")), lit(100000L)))
+          .as("v")
+      )
+    val B = 256
+    def maxOccupancy(equiDepth: Boolean): Long =
+      Grids
+        .bucketed(d, "v", desc = false, B, equiDepth)
+        .groupBy(col("_bkt"))
+        .count()
+        .agg(max(col("count")))
+        .collect()(0)
+        .getLong(0)
+    val widthMax = maxOccupancy(equiDepth = false)
+    val depthMax = maxOccupancy(equiDepth = true)
+    assert(widthMax >= (n * 9) / 10, s"equal-width should collapse here (got max=$widthMax)")
+    assert(depthMax <= 3L * n / B, s"equi-depth occupancy should stay ≈N/B (got max=$depthMax, N/B=${n / B})")
+    // and the skewed frame still cumulates exactly under equi-depth
+    val w     = Window.orderBy(col("v"), col("id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = d.select(col("id"), sum(col("v")).over(w).as("cv"))
+    val fast = Grids
+      .runningSums(d, "v", desc = false, Seq("id"), Seq((col("v"), "cv")), buckets = B, equiDepth = true)
+      .select(col("id"), col("cv"))
+    assert(naive.exceptAll(fast).isEmpty && fast.exceptAll(naive).isEmpty)
+  }
+
+  test("reserved-name collisions are rejected up front") {
+    val ok = spark.range(10).select(col("id"), col("id").cast("double").as("v"))
+    intercept[IllegalArgumentException] {
+      Grids.runningSums(ok.withColumn("_bkt", lit(1)), "v", desc = false, Seq("id"), Seq((lit(1L), "rnk")))
+    }
+    intercept[IllegalArgumentException] { // sum name shadows an input column
+      Grids.runningSums(ok, "v", desc = false, Seq("id"), Seq((lit(1L), "v")))
+    }
+    intercept[IllegalArgumentException] { // duplicate sum names
+      Grids.runningSums(ok, "v", desc = false, Seq("id"), Seq((lit(1L), "s"), (lit(2L), "s")))
+    }
+  }
+
   test("runningSums survives the all-one-value degenerate frame") {
     val d = spark.range(1000).select(col("id"), lit(5.0).as("v"))
     val fast = Grids.globalRank(d, "v", desc = false, Seq("id"), "rnk")
