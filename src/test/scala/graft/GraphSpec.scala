@@ -44,6 +44,22 @@ class GraphSpec extends SparkSuite {
     assert(!p.contains("lineitem"), "traversal plan re-derives the lineitem edge build\n" + p.take(4000))
   }
 
+  test("co-purchase edge view is materialized once and serves all full-scope consumers") {
+    val p1 = operators.Graph.edgeTablePath(spark, sf)
+    val local = new java.io.File(p1.stripPrefix("file:"))
+    val m1 = local.listFiles().map(_.lastModified).max
+    val p2 = operators.Graph.edgeTablePath(spark, sf)
+    assert(p1 == p2, "view path must be stable within a session")
+    assert(local.listFiles().map(_.lastModified).max == m1, "second call must not rewrite the view")
+    // every full-scope consumer scans the view, never the lineitem build
+    for (q <- Seq(operators.Graph.graphDegree, operators.Graph.graphPowerlawFit,
+                  operators.Graph.graphJaccardNeighbors)) {
+      val p = q.run(spark, sf).queryExecution.executedPlan.toString
+      assert(p.contains("graft_graph_edges"), s"${q.name} must scan the materialized edge view\n" + p.take(2000))
+      assert(!p.contains("lineitem"), s"${q.name} must not rebuild the lineitem edge join\n" + p.take(4000))
+    }
+  }
+
   test("degree histogram covers every part and the handshake sum is even") {
     val rows = operators.Graph.graphDegree.run(spark, sf).collect()
     val nParts = spark.read.parquet(s"$sf/part.parquet").count()
