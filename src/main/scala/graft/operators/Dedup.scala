@@ -98,22 +98,40 @@ object Dedup {
   private[operators] def oLenRatio(a: String, b: String): String =
     s"5 * least(len($a), len($b)) >= 4 * greatest(len($a), len($b))"
 
+  /** The per-doc hashed-token-set frame (doc_id, lang, t sorted 60-bit
+    * md5 hashes, nt) every exact-Jaccard path starts from — factored
+    * out so multi-screen queries ([[dedupLshRecallReport]]) tokenize
+    * the corpus ONCE and share the frame (Lineage.truncate it) between
+    * the truth join, the signature build and the exact-verify screen. */
+  private[graft] def tokenizedDocs(
+      spark: SparkSession,
+      dir: String,
+      docFilter: Column = lit(true),
+      carry: Seq[String] = Nil
+  ): DataFrame = {
+    val hs = sort_array(transform(toks(col("text")), x =>
+      conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
+    Tables
+      .documents(spark, dir)
+      .filter(docFilter) // structurally below the pair join: guaranteed scan-side prune
+      .select(col("doc_id") +: col("lang") +: hs.as("t") +: size(hs).as("nt") +:
+        carry.map(col): _*)
+  }
+
   private[graft] def nearJaccardPairs(
       spark: SparkSession,
       dir: String,
       docFilter: Column = lit(true),
       carry: Seq[String] = Nil // doc columns to ride the pair shuffle as <c>_a/<c>_b
-  ): DataFrame = {
+  ): DataFrame =
+    nearJaccardPairsFrom(tokenizedDocs(spark, dir, docFilter, carry), carry)
+
+  /** The blocked exact-Jaccard pair join over an already-tokenized doc
+    * frame — see [[nearJaccardPairs]] for the blocking rationale. */
+  private[graft] def nearJaccardPairsFrom(dtok: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.graftx.SortedLongIntersectCount
-    val hs = sort_array(transform(toks(col("text")), x =>
-      conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
     val bkt = floor(log(col("nt").cast("double")) / math.log(1.25)).cast("int")
-    val d = Tables
-      .documents(spark, dir)
-      .filter(docFilter) // structurally below the pair join: guaranteed scan-side prune
-      .select(col("doc_id") +: col("lang") +: hs.as("t") +: size(hs).as("nt") +:
-        carry.map(col): _*)
-      .withColumn("bkt", bkt)
+    val d   = dtok.withColumn("bkt", bkt)
     val a = d.select(
       col("doc_id").as("ida") +:
         col("lang") +:
@@ -402,7 +420,7 @@ object Dedup {
         s"SELECT DISTINCT ida, idb, ${Det.oRN("ej", 6)} AS est_jac " +
         "FROM mhcand WHERE ej >= 0.8 ORDER BY ida, idb"
     ),
-    (spark, dir) => minhashPairs(spark, dir, 0.2)
+    (spark, dir) => minhashPairs(spark, dir, 0.2).orderBy(col("ida"), col("idb"))
   )
 
   /** 16-permutation 8×2 twin of [[dedupMinhashLsh]] — the geometry knob
@@ -421,7 +439,7 @@ object Dedup {
         s"SELECT DISTINCT ida, idb, ${Det.oRN("ej", 6)} AS est_jac " +
         "FROM mhcand WHERE ej >= 0.8 ORDER BY ida, idb"
     ),
-    (spark, dir) => minhashPairs(spark, dir, 0.2, MinhashA16, MinhashB16)
+    (spark, dir) => minhashPairs(spark, dir, 0.2, MinhashA16, MinhashB16).orderBy(col("ida"), col("idb"))
   )
 
   /** Recall/precision audit of the banded MinHash screen against
@@ -455,8 +473,9 @@ object Dedup {
     *
     * 100 TB: the exact side exists only because the probe scope makes
     * it computable — at corpus scale this report runs on a SAMPLED
-    * scope (the standard recall-estimation protocol), which is
-    * exactly what the scoped formulation models. The verified row's
+    * scope (the standard recall-estimation protocol): the scope is a
+    * real parameter of [[lshRecallFrame]], and DedupSpec runs the
+    * whole report at a hash-sampled second scope. The verified row's
     * exact-Jaccard pass is candidate-bounded (cap 2000 per bucket),
     * which is also the production dedup path itself: screen by bands,
     * verify exactly, never all-pairs. */
@@ -491,74 +510,82 @@ object Dedup {
         ) +
         " ORDER BY geometry"
     },
-    (spark, dir) => {
-      import org.apache.spark.sql.graftx.SortedLongIntersectCount
-      // truth is reused by all three report rows — cut its lineage so
-      // the blocked exact-pair join runs once, not three times
-      val truth = graft.Lineage.truncate(
-        nearJaccardPairs(spark, dir, col("doc_id") < ClusterProbeScope)
-          .select(col("ida"), col("idb"))
-          .withColumn("in_truth", lit(1))
-      )
-      def report(tag: String, cand: DataFrame): DataFrame =
-        truth
-          .join(cand.withColumn("in_cand", lit(1)), Seq("ida", "idb"), "full_outer")
-          .na.fill(0, Seq("in_truth", "in_cand"))
-          .agg(
-            sum(col("in_truth")).cast("long").as("n_truth"),
-            sum(col("in_cand")).cast("long").as("n_cand"),
-            sum(col("in_truth") * col("in_cand")).cast("long").as("n_hit")
-          )
-          .select(
-            lit(tag).as("geometry"),
-            col("n_truth"),
-            col("n_cand"),
-            col("n_hit"),
-            Det.rN(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"),
-            Det.rN(col("n_hit").cast("double") / col("n_cand"), 6).as("prec")
-          )
-      // ONE corpus scan for all three screens: the 16-wide signature
-      // table is truncated once, the 8-perm screen is its m0..m7
-      // projection (the constants are a prefix — see MinhashA16).
-      // Deliberately NOT truncated any further: eagerly checkpointing
-      // the banded-16 pair set + the token-set table too was measured
-      // 5.9 → 8.9 s at sf0.1/32cpu — each eager truncate is a serial
-      // job boundary, while the lazy three-screen union lets the band
-      // joins run concurrently inside one job. Truncate only what is
-      // REUSED across jobs (the signature scan, the truth pair set).
-      val sig16 = graft.Lineage.truncate(minhashSignatures(spark, dir, MinhashA16, MinhashB16))
-      val sig8  = sig16.select(col("doc_id") +: (0 until MinhashA.length).map(i => col(s"m$i")): _*)
-      // verified: ALL banded 16-perm pairs (maxDist = 1.0 disables the
-      // estimate threshold), exact-verified on the hashed token sets —
-      // the same md5-token algebra nearJaccardPairs uses, so the 0.8
-      // comparison selects identical pairs in both engines
-      val hs = sort_array(transform(toks(col("text")), x =>
-        conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
-      val dsc = Tables
-        .documents(spark, dir)
-        .filter(col("doc_id") < ClusterProbeScope)
-        .select(col("doc_id"), col("lang"), hs.as("t"), size(hs).as("nt"))
-      // lang is a BLOCKING key of the truth definition (nearJaccardPairs):
-      // the verified screen applies it too, or this tiny-vocab corpus's
-      // cross-lang token-set collisions would count as false positives
-      val verified = minhashPairsFromSig(sig16, MinhashA16.length, 1.0)
-        .select(col("ida"), col("idb"))
-        .join(dsc.select(col("doc_id").as("ida"), col("lang").as("la"),
-          col("t").as("ta"), col("nt").as("na")), Seq("ida"))
-        .join(dsc.select(col("doc_id").as("idb"), col("lang").as("lb"),
-          col("t").as("tb"), col("nt").as("nb")), Seq("idb"))
-        .filter(col("la") === col("lb"))
-        .withColumn("inter", SortedLongIntersectCount.count(col("ta"), col("tb")))
-        .filter(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= 0.8)
-        .select(col("ida"), col("idb"))
-      report("8perm_4x2_est80",
-          minhashPairsFromSig(sig8, MinhashA.length, 0.2).select(col("ida"), col("idb")))
-        .unionAll(report("16perm_8x2_est80",
-          minhashPairsFromSig(sig16, MinhashA16.length, 0.2).select(col("ida"), col("idb"))))
-        .unionAll(report("16perm_8x2_verified", verified))
-        .orderBy(col("geometry"))
-    }
+    (spark, dir) => lshRecallFrame(spark, dir, col("doc_id") < ClusterProbeScope)
   )
+
+  /** The recall-report frame at an ARBITRARY truth scope — the contract
+    * row pins `doc_id < ClusterProbeScope`; at 100 TB the same frame
+    * runs with a hash-SAMPLED scope (e.g.
+    * `pmod(xxhash64(doc_id), 100) = 0`) — the standard sampled-recall
+    * protocol the scaladoc above describes, exercised end-to-end by
+    * DedupSpec at a second scope so the demo bound is provably a knob,
+    * not a load-bearing constant. */
+  private[graft] def lshRecallFrame(spark: SparkSession, dir: String, scope: Column): DataFrame = {
+    import org.apache.spark.sql.graftx.SortedLongIntersectCount
+    // ONE tokenization for everything: the hashed-token frame is
+    // truncated once and feeds (a) the blocked exact-truth join, (b)
+    // the 16-wide signature build (shiftright-derived — see
+    // minhashSignaturesFromTokens), and (c) the exact-verify screen.
+    // Before r9 each of those re-tokenized the scoped corpus.
+    val dtok = graft.Lineage.truncate(tokenizedDocs(spark, dir, scope))
+    // truth is reused by all three report rows — cut its lineage so
+    // the blocked exact-pair join runs once, not three times
+    val truth = graft.Lineage.truncate(
+      nearJaccardPairsFrom(dtok)
+        .select(col("ida"), col("idb"))
+        .withColumn("in_truth", lit(1))
+    )
+    def report(tag: String, cand: DataFrame): DataFrame =
+      truth
+        .join(cand.withColumn("in_cand", lit(1)), Seq("ida", "idb"), "full_outer")
+        .na.fill(0, Seq("in_truth", "in_cand"))
+        .agg(
+          sum(col("in_truth")).cast("long").as("n_truth"),
+          sum(col("in_cand")).cast("long").as("n_cand"),
+          sum(col("in_truth") * col("in_cand")).cast("long").as("n_hit")
+        )
+        .select(
+          lit(tag).as("geometry"),
+          col("n_truth"),
+          col("n_cand"),
+          col("n_hit"),
+          Det.rN(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"),
+          Det.rN(col("n_hit").cast("double") / col("n_cand"), 6).as("prec")
+        )
+    // The 16-wide signature table is truncated once; the 8-perm screen
+    // is its m0..m7 projection (the constants are a prefix — see
+    // MinhashA16). Deliberately NOT truncated any further: eagerly
+    // checkpointing the banded-16 pair set too was measured 5.9 → 8.9 s
+    // at sf0.1/32cpu — each eager truncate is a serial job boundary,
+    // while the lazy three-screen union lets the band joins run
+    // concurrently inside one job. Truncate only what is REUSED across
+    // jobs (the tokenized frame, the signature scan, the truth pairs).
+    val sig16 = graft.Lineage.truncate(minhashSignaturesFromTokens(dtok, MinhashA16, MinhashB16))
+    val sig8  = sig16.select(col("doc_id") +: (0 until MinhashA.length).map(i => col(s"m$i")): _*)
+    // verified: ALL banded 16-perm pairs (maxDist = 1.0 disables the
+    // estimate threshold), exact-verified on the hashed token sets —
+    // the same md5-token algebra nearJaccardPairs uses, so the 0.8
+    // comparison selects identical pairs in both engines.
+    // lang is a BLOCKING key of the truth definition (nearJaccardPairs):
+    // the verified screen applies it too, or this tiny-vocab corpus's
+    // cross-lang token-set collisions would count as false positives
+    val verified = minhashPairsFromSig(sig16, MinhashA16.length, 1.0)
+      .select(col("ida"), col("idb"))
+      .join(dtok.select(col("doc_id").as("ida"), col("lang").as("la"),
+        col("t").as("ta"), col("nt").as("na")), Seq("ida"))
+      .join(dtok.select(col("doc_id").as("idb"), col("lang").as("lb"),
+        col("t").as("tb"), col("nt").as("nb")), Seq("idb"))
+      .filter(col("la") === col("lb"))
+      .withColumn("inter", SortedLongIntersectCount.count(col("ta"), col("tb")))
+      .filter(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= 0.8)
+      .select(col("ida"), col("idb"))
+    report("8perm_4x2_est80",
+        minhashPairsFromSig(sig8, MinhashA.length, 0.2).select(col("ida"), col("idb")))
+      .unionAll(report("16perm_8x2_est80",
+        minhashPairsFromSig(sig16, MinhashA16.length, 0.2).select(col("ida"), col("idb"))))
+      .unionAll(report("16perm_8x2_verified", verified))
+      .orderBy(col("geometry"))
+  }
 
   private val MinhashP = 2147483647L // 2^31 - 1 (prime); keys fit a long: p^2 < 2^63
   private val MinhashA = Array(787L, 1543L, 3079L, 6151L, 12289L, 24593L, 49157L, 98317L)
@@ -615,6 +642,28 @@ object Dedup {
       .select(col("doc_id") +: mcols: _*)
   }
 
+  /** Signature table derived from the SHARED tokenized frame instead of
+    * a fresh corpus scan: the 60-bit hashes in `t` are
+    * conv(substr(md5,1,15)) and the signature hash is
+    * conv(substr(md5,1,8)) % p — the first 8 hex digits are exactly the
+    * top 32 of the 60 bits, so `shiftright(h, 28) % p` reproduces
+    * [[minhashSignatures]]' values bit-for-bit with zero re-hashing
+    * (DedupSpec pins the equality). This is what lets
+    * [[dedupLshRecallReport]] pay ONE tokenization for truth, screens
+    * and exact-verify alike. */
+  private[graft] def minhashSignaturesFromTokens(
+      dtok: DataFrame,
+      permA: Array[Long],
+      permB: Array[Long]
+  ): DataFrame = {
+    val mcols = permA.indices.map { i =>
+      array_min(
+        transform(col("t"), h => ((shiftright(h, 28) % MinhashP) * permA(i) + permB(i)) % MinhashP)
+      ).as(s"m$i")
+    }
+    dtok.filter(size(col("t")) > 0).select(col("doc_id") +: mcols: _*)
+  }
+
   private[graft] def minhashPairs(
       spark: SparkSession,
       dir: String,
@@ -651,19 +700,28 @@ object Dedup {
     // est_jac is computed and thresholded MAP-SIDE, right after the band
     // join, so the dedup shuffle moves three narrow columns for the few
     // surviving pairs — not every candidate with two signatures.
-    a.join(b, Seq("bk"))
-      .filter(col("ida") < col("idb"))
-      .withColumn(
-        "est_jac",
-        (0 until nH)
-          .map(i => when(col(s"ma$i") === col(s"mb$i"), 1).otherwise(0))
-          .reduce(_ + _)
-          .cast("double") / nH
-      )
-      .filter(col("est_jac") >= 1.0 - maxDist)
-      .select(col("ida"), col("idb"), Det.rN(col("est_jac"), 6).as("est_jac"))
-      .dropDuplicates("ida", "idb")
-      .orderBy(col("ida"), col("idb"))
+    // UNSORTED output: every consumer either joins/aggregates the pair
+    // set (the recall report's three screens — a global sort there was
+    // pure waste, re-exchanged away by the downstream hash join) or adds
+    // the contract ORDER BY itself (the two dedup_minhash_lsh rows).
+    // maxDist >= 1 means "band membership alone proposes" (the verified
+    // screen): skip the agreement scoring entirely — the estimate would
+    // be computed per candidate and then compared against 0.
+    val joined = a.join(b, Seq("bk")).filter(col("ida") < col("idb"))
+    if (maxDist >= 1.0)
+      joined.select(col("ida"), col("idb")).dropDuplicates("ida", "idb")
+    else
+      joined
+        .withColumn(
+          "est_jac",
+          (0 until nH)
+            .map(i => when(col(s"ma$i") === col(s"mb$i"), 1).otherwise(0))
+            .reduce(_ + _)
+            .cast("double") / nH
+        )
+        .filter(col("est_jac") >= 1.0 - maxDist)
+        .select(col("ida"), col("idb"), Det.rN(col("est_jac"), 6).as("est_jac"))
+        .dropDuplicates("ida", "idb")
   }
 
   /** Near-dup CLUSTERS: connected components over the jac ≥ 0.8 pair

@@ -75,6 +75,33 @@ class DedupSpec extends SparkSuite {
     assert(rows("16perm_8x2_est80").getDouble(4) >= rows("8perm_4x2_est80").getDouble(4))
   }
 
+  test("recall report runs end-to-end at a hash-sampled second scope (the 100 TB protocol)") {
+    // the sampled-recall protocol: truth scope is a deterministic hash
+    // sample of the corpus, not a prefix — proving the contract row's
+    // doc_id < ClusterProbeScope bound is a knob of lshRecallFrame, not
+    // a load-bearing constant
+    val sampled = pmod(xxhash64(col("doc_id")), lit(3)) === 0
+    val rows = operators.Dedup.lshRecallFrame(spark, sf, sampled).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("8perm_4x2_est80", "16perm_8x2_est80", "16perm_8x2_verified"))
+    val v = rows("16perm_8x2_verified")
+    assert(v.getLong(1) > 0, "sampled truth scope must still contain true pairs")
+    assert(v.getDouble(5) == 1.0, s"verified precision ${v.getDouble(5)} at the sampled scope")
+    for (r <- rows.values; i <- Seq(4, 5) if !r.isNullAt(i))
+      assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0, s"ratio out of range: $r")
+  }
+
+  test("shiftright-derived signatures equal the fresh-scan signature build bit-for-bit") {
+    val dtok = operators.Dedup.tokenizedDocs(spark, sf, col("doc_id") < 500)
+    val derived = operators.Dedup
+      .minhashSignaturesFromTokens(dtok, operators.Dedup.MinhashA16, operators.Dedup.MinhashB16)
+    val fresh = operators.Dedup
+      .minhashSignatures(spark, sf, operators.Dedup.MinhashA16, operators.Dedup.MinhashB16)
+      .filter(col("doc_id") < 500)
+    assert(derived.exceptAll(fresh).isEmpty && fresh.exceptAll(derived).isEmpty,
+      "the top-32-bit derivation must reproduce the md5-prefix hash exactly")
+  }
+
   test("minhash LSH recall >= 0.5 vs exact jaccard >= 0.9 pairs") {
     val exact = operators.Dedup.dedupNearJaccard
       .run(spark, sf)
