@@ -629,13 +629,20 @@ object Ml {
           col("o_orderkey"),
           when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("y")
         )
-      val nTot = s.agg(count(lit(1)).as("_n"))
+      // totals straight off the base projection, NOT off the decile
+      // aggregate: tpos/total don't depend on decile membership, and a
+      // `g.agg(...)` formulation re-executed the whole rank+decile
+      // subtree (the partitioned window included) a second time under
+      // the final cross join — the r8 bench regression. One scalar
+      // aggregate now serves both the ntile N and the gain/lift
+      // denominators (its identical broadcast subtree is exchange-reused
+      // where the plan needs it twice).
+      val t = s.agg(count(lit(1)).as("total"), sum(col("y")).as("tpos"))
       val d = Grids
         .globalRank(s, "score", desc = true, Seq("o_orderkey"), "rnk")
-        .crossJoin(broadcast(nTot))
-        .select(Grids.ntileFromRank(col("rnk"), col("_n"), 10).as("decile"), col("y"))
+        .crossJoin(broadcast(t))
+        .select(Grids.ntileFromRank(col("rnk"), col("total"), 10).as("decile"), col("y"))
       val g = d.groupBy(col("decile")).agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
-      val t = g.agg(sum(col("pos")).as("tpos"), sum(col("n")).as("total"))
       val w = Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
       g.select(col("decile"), col("n"), col("pos"),
           sum(col("n")).over(w).as("cum_n"), sum(col("pos")).over(w).as("cum_pos"))
