@@ -76,6 +76,21 @@ object Det {
     org.apache.spark.sql.graftx.NtzReinterpret.ntz(m - pmod(m, lit(86400000000L)))
   }
 
+  /** `date_trunc('week', c)` (ISO Monday start, like DuckDB's) for
+    * TIMESTAMP_NTZ — see [[ntzTruncHour]] for why the built-in spelling
+    * is zone-shifted. Day alignment is the pmod floor; the week step
+    * subtracts `weekday(date(c))` days (Monday = 0) — the NTZ→DATE cast
+    * is pure field extraction, no instant, so the whole expression is
+    * session-zone-free. 1970-01-01 was a Thursday, so the epoch floor
+    * alone would align to Thursdays; weekday() carries the calendar. */
+  def ntzTruncWeek(c: Column): Column = {
+    val m   = ntzMicros(c)
+    val day = m - pmod(m, lit(86400000000L))
+    org.apache.spark.sql.graftx.NtzReinterpret.ntz(
+      day - weekday(c.cast("date")).cast("long") * lit(86400000000L)
+    )
+  }
+
   /** Per-row 2-dp rounding that is bit-identical across engines.
     * Engine `round()` implementations disagree on half-boundaries
     * (Spark rounds the shortest decimal repr HALF_UP; DuckDB rounds in

@@ -109,8 +109,11 @@ object Scalars {
         .events(spark, dir)
         .select(
           col("event_id"),
-          date_trunc("hour", col("ts")).as("tr_hour"),
-          date_trunc("day", col("ts")).as("tr_day"),
+          // Det.ntzTrunc*, not date_trunc(..): the built-in would cast
+          // the NTZ events column through the session zone (probed:
+          // TzRobustnessSpec runs this row under America/New_York).
+          Det.ntzTruncHour(col("ts")).as("tr_hour"),
+          Det.ntzTruncDay(col("ts")).as("tr_day"),
           year(col("ts")).cast("long").as("y"),
           month(col("ts")).cast("long").as("mo"),
           dayofmonth(col("ts")).cast("long").as("d"),

@@ -500,8 +500,12 @@ object Aggregates {
     ),
     (spark, dir) => {
       val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
-      val c = ev.groupBy(col("user_id")).agg(date_trunc("week", min(col("ts"))).as("c0"))
-      val a = ev.select(col("user_id"), date_trunc("week", col("ts")).as("w")).distinct()
+      // Det.ntzTruncWeek, not date_trunc("week", ·): the built-in only
+      // accepts TIMESTAMP, so the NTZ events column would round-trip
+      // through the session zone and cohort boundaries would shift in a
+      // non-UTC session (TzRobustnessSpec probes this row under NY).
+      val c = ev.groupBy(col("user_id")).agg(Det.ntzTruncWeek(min(col("ts"))).as("c0"))
+      val a = ev.select(col("user_id"), Det.ntzTruncWeek(col("ts")).as("w")).distinct()
       val g = a
         .join(c, Seq("user_id"))
         .select(col("c0"), (datediff(col("w"), col("c0")) / 7).cast("long").as("week_offset"), col("user_id"))

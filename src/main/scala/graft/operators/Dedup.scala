@@ -788,7 +788,7 @@ object Dedup {
     * LocalRelation from values is immune to that and broadcast-joins
     * for free. */
   private val clusterCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), Seq[(Long, Long, Boolean)]]
+    scala.collection.mutable.Map.empty[(SparkSession, String, Long), Seq[(Long, Long, Boolean)]]
 
   /** Test hook: drop the memoized labels so a spec can force the
     * iterative path to actually re-run (CheckpointSpec re-exercises it
@@ -796,12 +796,21 @@ object Dedup {
   private[graft] def clearClusterCache(): Unit =
     clusterCache.synchronized(clusterCache.clear())
 
-  private[graft] def clustersFrame(spark: SparkSession, dir: String): DataFrame = {
-    val labels = clusterCache.synchronized(clusterCache.get((spark, dir))) match {
+  /** `scope` bounds the clustered corpus to `doc_id < scope`. The
+    * registry rows pin the default [[ClusterProbeScope]] (shared with
+    * their oracles); DedupSpec runs a second, smaller scope end-to-end
+    * against a driver-side union-find oracle, proving the demo bound is
+    * a real knob of the algorithm, not a load-bearing constant. */
+  private[graft] def clustersFrame(
+      spark: SparkSession,
+      dir: String,
+      scope: Long = ClusterProbeScope
+  ): DataFrame = {
+    val labels = clusterCache.synchronized(clusterCache.get((spark, dir, scope))) match {
       case Some(cached) => cached
       case None =>
-        val computed = computeClusterLabels(spark, dir)
-        clusterCache.synchronized(clusterCache.update((spark, dir), computed))
+        val computed = computeClusterLabels(spark, dir, scope)
+        clusterCache.synchronized(clusterCache.update((spark, dir, scope), computed))
         computed
     }
     spark.createDataFrame(labels).toDF("doc_id", "cluster", "is_survivor")
@@ -811,13 +820,14 @@ object Dedup {
     * with pointer doubling over the blocked jac ≥ 0.8 pair graph. */
   private def computeClusterLabels(
       spark: SparkSession,
-      dir: String
+      dir: String,
+      scope: Long
   ): Seq[(Long, Long, Boolean)] = {
     {
       // probe scope bounded like dedup_minhash_lsh: the corpus is a
       // near-clique, so the edge set grows ~quadratically with docs.
       // The unsorted pair stream is used — clustering needs no order.
-      val edges = nearJaccardPairs(spark, dir, docFilter = col("doc_id") < ClusterProbeScope)
+      val edges = nearJaccardPairs(spark, dir, docFilter = col("doc_id") < scope)
         .select(col("ida"), col("idb"))
       // symmetrize via explode, NOT union(edges, edges.reversed): a
       // union would run the similarity join once per branch — explode
@@ -833,7 +843,7 @@ object Dedup {
       // and recomputing the similarity join per round would dominate
       // the whole algorithm
       val docs = Tables.documents(spark, dir)
-        .filter(col("doc_id") < ClusterProbeScope)
+        .filter(col("doc_id") < scope)
         .select(col("doc_id"))
       var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
       var converged = false

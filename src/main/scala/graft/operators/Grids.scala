@@ -78,6 +78,25 @@ object Grids {
     require(sumNames.distinct == sumNames, s"Grids.runningSums: duplicate sum names: ${sumNames.mkString(",")}")
     val shadow = sumNames.filter(inCols.contains)
     require(shadow.isEmpty, s"Grids.runningSums: sum names shadow input columns: ${shadow.mkString(",")}")
+    // Debug-mode enforcement of the ordering contract (ADVICE r8): with a
+    // NON-unique (v, ties) order, per-row running values within a tie group
+    // depend on partitioning and can differ across retries. Callers that
+    // pre-aggregate by v (KS/AUC) are safe with ties = Nil, so the check is
+    // OFF by default — set `graft.grids.checkUniqueOrder=true` on the
+    // session to pay one countDistinct job per call and fail fast instead.
+    // GridsSpec exercises both verdicts.
+    if (df.sparkSession.conf.get("graft.grids.checkUniqueOrder", "false").toBoolean) {
+      val ordCols = (v +: ties).map(col)
+      val Array(n, nd) = df
+        .agg(count(lit(1)).as("n"), count_distinct(struct(ordCols: _*)).as("nd"))
+        .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+      require(
+        n == nd,
+        s"Grids.runningSums: order (${(v +: ties).mkString(", ")}) is not unique " +
+          s"($nd distinct of $n rows) — per-row output would be nondeterministic; " +
+          "pass a unique tiebreaker in `ties` or pre-aggregate by the order columns"
+      )
+    }
     val withB     = bucketed(df, v, desc, buckets, equiDepth)
     val totalAggs = sums.map { case (e, n) => sum(e).as(s"_t_$n") }
     val perBucket = withB.groupBy(col("_bkt")).agg(totalAggs.head, totalAggs.tail: _*)

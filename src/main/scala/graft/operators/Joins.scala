@@ -207,7 +207,12 @@ object Joins {
             col("l_shipdate") >= col("o_orderdate") &&
             col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAY")
         )
-        .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+        // NTZ→DATE→trunc→NTZ is pure field arithmetic end to end,
+        // matching the oracle's naive-TIMESTAMP date_trunc. The
+        // date_trunc(fmt, ·) builtin would cast the NTZ column through
+        // the SESSION zone to an instant and shift order_month in a
+        // non-UTC library session (TzRobustnessSpec probes this row).
+        .groupBy(trunc(col("o_orderdate").cast("date"), "month").cast("timestamp_ntz").as("order_month"))
         .agg(
           count(lit(1)).as("n_lines"),
           round(Det.dsum(col("l_extendedprice")), 2).as("gross")

@@ -535,16 +535,18 @@ object Sampling {
           "g AS (SELECT source, b, cast(sum(wt) as bigint) AS sw, " +
           "cast(sum(wt * n_chars) as bigint) AS swx FROM w GROUP BY 1, 2), " +
           "m AS (SELECT source, b, swx::DOUBLE / sw AS mb, " +
-          "row_number() OVER (PARTITION BY source ORDER BY swx::DOUBLE / sw, b) AS rn " +
+          "row_number() OVER (PARTITION BY source ORDER BY swx::DOUBLE / sw, b) AS rn, " +
+          "count(*) OVER (PARTITION BY source) AS nb " +
           "FROM g WHERE sw > 0), " +
-          s"s AS (SELECT source, max(CASE WHEN rn = 3 THEN mb END) AS lo, " +
-          s"max(CASE WHEN rn = $B - 2 THEN mb END) AS hi, " +
+          "s AS (SELECT source, max(CASE WHEN rn = (nb + 39) // 40 THEN mb END) AS lo, " +
+          "max(CASE WHEN rn = (nb * 39) // 40 + 1 THEN mb END) AS hi, " +
+          "count(*) AS nb, " +
           s"${Det.oSum("mb")} AS sx, ${Det.oSum("mb * mb")} AS sxx FROM m GROUP BY source), " +
           "base AS (SELECT source, count(*)::BIGINT AS n_docs, " +
           s"${Det.oSum("n_chars")} / count(*) AS mean_chars FROM documents GROUP BY source) " +
           "SELECT base.source, n_docs, " + Det.oRN("mean_chars", 4) + " AS mean_chars, " +
           Det.oRN("lo", 4) + " AS ci_lo, " + Det.oRN("hi", 4) + " AS ci_hi, " +
-          Det.oRN(s"sqrt((sxx - sx * sx / $B.0) / ${B - 1}.0)", 4) + " AS se " +
+          Det.oRN("sqrt((sxx - sx * sx / nb) / (nb - 1))", 4) + " AS se " +
           "FROM base JOIN s USING (source) ORDER BY source"
       ),
       (spark, dir) => {
@@ -579,24 +581,30 @@ object Sampling {
         // sw > 0 guard (both engines, identically): a replicate whose
         // Poisson weights all drew 0 (P = e^-n_docs per source) has no
         // defined mean — drop it rather than divide by zero (ANSI) /
-        // shift the order-statistic CI with a NULL. The rn=3 / rn=B-2
-        // CI bounds and the /(B-1) se then read one fewer replicate —
-        // same in both engines; validity assumes n_docs large enough
-        // that degenerate replicates are vanishing, which the fixture
-        // satisfies (no source under ~90 docs at sf0.01).
+        // shift the order-statistic CI with a NULL. The CI positions
+        // and the se divisor are computed from nb = count of SURVIVING
+        // replicates (ADVICE r8): with nb = B they reduce to the
+        // classic rn=3 / rn=B-2 / ÷(B-1), and when a replicate does
+        // drop, the order statistics stay at the 2.5 %/97.5 % ranks of
+        // what actually survived instead of silently biasing outward.
+        // Positions use pure-integer ceil/floor division — no IEEE
+        // rounding to disagree on across engines.
+        val nbW = Window.partitionBy(col("source"))
         val m = g
           .filter(col("sw") > 0)
           .select(
             col("source"),
             col("b"),
             (col("swx").cast("double") / col("sw")).as("mb"),
-            row_number().over(bySource).as("rn")
+            row_number().over(bySource).as("rn"),
+            count(lit(1)).over(nbW).as("nb")
           )
         val s = m
           .groupBy(col("source"))
           .agg(
-            max(when(col("rn") === 3, col("mb"))).as("lo"),
-            max(when(col("rn") === B - 2, col("mb"))).as("hi"),
+            max(when(col("rn") === expr("(nb + 39) div 40"), col("mb"))).as("lo"),
+            max(when(col("rn") === expr("(nb * 39) div 40 + 1"), col("mb"))).as("hi"),
+            count(lit(1)).as("nb"),
             Det.dsum(col("mb")).as("sx"),
             Det.dsum(col("mb") * col("mb")).as("sxx")
           )
@@ -615,7 +623,7 @@ object Sampling {
             Det.rN(col("lo"), 4).as("ci_lo"),
             Det.rN(col("hi"), 4).as("ci_hi"),
             Det.rN(
-              sqrt((col("sxx") - col("sx") * col("sx") / B.toDouble) / (B - 1).toDouble),
+              sqrt((col("sxx") - col("sx") * col("sx") / col("nb")) / (col("nb") - 1)),
               4
             ).as("se")
           )

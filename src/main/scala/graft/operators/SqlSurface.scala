@@ -181,7 +181,11 @@ object SqlSurface {
           "UNION ALL SELECT m + INTERVAL 1 MONTH FROM cal " +
           "WHERE m < TIMESTAMP_NTZ '2001-08-01 00:00:00') " +
           "SELECT c.m AS month, count(o.o_orderkey) AS n_orders " +
-          "FROM cal c LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = c.m " +
+          // trunc(DATE)→DATE→NTZ is field arithmetic end to end; the
+          // date_trunc builtin would produce a session-zone INSTANT and
+          // the join keys against the NTZ spine would shift off-month
+          // in a non-UTC library session (TzRobustnessSpec probes this).
+          "FROM cal c LEFT JOIN orders o ON cast(trunc(cast(o.o_orderdate as date), 'MM') as timestamp_ntz) = c.m " +
           "GROUP BY c.m ORDER BY month"
       )
     }

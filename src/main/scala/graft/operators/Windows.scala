@@ -201,7 +201,14 @@ object Windows {
         .select(
           col("o_custkey"),
           col("o_orderkey"),
-          col("o_orderdate").cast("timestamp").cast("long").as("ord_sec")
+          // naive-micros reinterpret ÷ 1e6 — field arithmetic, never a
+          // cast through TIMESTAMP (which lands on the SESSION zone's
+          // midnight instant: ord_sec would shift by the zone offset
+          // and 7-day windows would wobble across DST transitions).
+          // Matches the oracle's epoch_us(o_orderdate)//1e6 in every
+          // session zone; the division is exact (midnight NTZ micros
+          // are whole multiples of 1e6).
+          (Det.ntzMicros(col("o_orderdate")) / 1000000L).cast("long").as("ord_sec")
         )
         .withColumn("n_7d", count(lit(1)).over(w))
         .orderBy(col("o_custkey"), col("o_orderkey"))

@@ -17,6 +17,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulDemos {
 
+  /** Epoch microseconds of `c`, session-zone-free for NTZ inputs: a
+    * naive column is reinterpreted as UTC micros ([[graft.Det.ntzMicros]]);
+    * an instant column is `unix_micros` (no zone in either direction).
+    * Never spelled `unix_micros(cast(c as timestamp))` — for NTZ that
+    * cast consults the session zone and the demos' state ordering /
+    * as-of arithmetic would shift in a non-UTC library session. */
+  private def epochUs(df: DataFrame, c: String) =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType => graft.Det.ntzMicros(col(c))
+      case _                                           => unix_micros(col(c).cast("timestamp"))
+    }
+
   /** Ingest-dedup: drop re-delivered events by event_id within the
     * watermark horizon — the streaming twin of exact dedup, i.e.
     * at-least-once delivery → exactly-once processing. */
@@ -44,7 +56,7 @@ object StatefulDemos {
     import spark.implicits._
     events
       .filter(col("value").isNotNull)
-      .selectExpr("user_id", "unix_micros(cast(ts as timestamp)) AS tsm", "event_id", "value")
+      .select(col("user_id"), epochUs(events, "ts").as("tsm"), col("event_id"), col("value"))
       .as[(Long, Long, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
@@ -88,7 +100,7 @@ object StatefulDemos {
       .withWatermark("ts", "1 hour")
       // the watermark-TAGGED ts column must survive the projection or
       // the analyzer rejects the event-time timeout
-      .selectExpr("user_id", "ts", "unix_micros(cast(ts as timestamp)) AS tu", "event_id")
+      .select(col("user_id"), col("ts"), epochUs(events, "ts").as("tu"), col("event_id"))
       .as[(Long, java.sql.Timestamp, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -146,7 +158,7 @@ object StatefulDemos {
     import spark.implicits._
     events
       .filter(col("event_type").isin("click", "purchase"))
-      .selectExpr("user_id", "unix_micros(cast(ts as timestamp)) AS tu", "event_id", "event_type")
+      .select(col("user_id"), epochUs(events, "ts").as("tu"), col("event_id"), col("event_type"))
       .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {

@@ -57,9 +57,14 @@ object StreamDemos {
     rawSchema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // watermarks need TIMESTAMP (LTZ semantics). Interpret the
+        // naive micros as UTC explicitly — `timestamp_micros` of the
+        // physical NTZ value — instead of `cast(.. as timestamp)`,
+        // which lands on the SESSION zone and would shift every window
+        // boundary in a non-UTC library session. Identical under UTC.
+        raw.withColumn("ts", timestamp_micros(graft.Det.ntzMicros(col("ts"))))
       case _ =>
-        // watermarks need TIMESTAMP (with LTZ semantics); NTZ micros
-        // cast losslessly in the session zone (tests pin UTC)
         raw.withColumn("ts", col("ts").cast("timestamp"))
     }
   }

@@ -91,6 +91,34 @@ class DedupSpec extends SparkSuite {
       assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0, s"ratio out of range: $r")
   }
 
+  test("clustering runs end-to-end at a second scope and matches a union-find oracle") {
+    // VERDICT r8 #8: ClusterProbeScope must be a knob of the algorithm,
+    // not a load-bearing constant. Run the distributed pointer-doubling
+    // CC at a smaller scope and check its labels EXACTLY against a
+    // driver-side union-find over the same jac >= 0.8 edge set (tiny at
+    // this scope, so the oracle is cheap and independent of the
+    // iterative Spark path).
+    val scope = 600L
+    val labels = operators.Dedup.clustersFrame(spark, sf, scope).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val ids = labels.map(_._1).toSet
+    val nDocs = Tables.documents(spark, sf).filter(col("doc_id") < scope).count()
+    assert(labels.length.toLong == nDocs, "one label per in-scope doc")
+    val edges = operators.Dedup
+      .nearJaccardPairs(spark, sf, docFilter = col("doc_id") < scope)
+      .select(col("ida"), col("idb")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map(ids.toSeq.map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for ((a, b) <- edges) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val expect = ids.toSeq.sorted.map { i =>
+      val root = find(i)
+      val lbl  = ids.filter(j => find(j) == root).min
+      (i, lbl, lbl == i)
+    }
+    assert(labels.sortBy(_._1).toSeq == expect, "second-scope labels diverge from union-find")
+    assert(edges.nonEmpty, "second scope must still contain edges")
+  }
+
   test("shiftright-derived signatures equal the fresh-scan signature build bit-for-bit") {
     val dtok = operators.Dedup.tokenizedDocs(spark, sf, col("doc_id") < 500)
     val derived = operators.Dedup

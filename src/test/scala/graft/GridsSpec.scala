@@ -138,6 +138,22 @@ class GridsSpec extends SparkSuite {
     assert(fast.agg(max(col("rnk")), min(col("rnk"))).collect()(0).toSeq == Seq(1000L, 1L))
   }
 
+  test("debug-mode order-uniqueness check accepts unique orders and rejects ambiguous ones") {
+    val key = "graft.grids.checkUniqueOrder"
+    spark.conf.set(key, "true")
+    try {
+      val d = spark.range(100).select(col("id"), (col("id") % 10).cast("double").as("v"))
+      // unique (v, id) order: passes with the check on
+      val ok = Grids.runningSums(d, "v", desc = false, Seq("id"), Seq((lit(1L), "rnk")))
+      assert(ok.count() == 100)
+      // ambiguous order (v alone, 10-way ties): the check must fail fast
+      val e = intercept[IllegalArgumentException] {
+        Grids.runningSums(d, "v", desc = false, Nil, Seq((lit(1L), "rnk"))).count()
+      }
+      assert(e.getMessage.contains("not unique"))
+    } finally spark.conf.set(key, "false")
+  }
+
   test("ntileFromRank matches ntile() bucket-for-bucket on real data, asc and desc") {
     val o = Tables.orders(spark, sf).select(col("o_totalprice").as("v"), col("o_orderkey"))
     val n = o.agg(count(lit(1)).as("_n"))

@@ -1,24 +1,37 @@
 package graft
 
-/** Session-time-zone robustness (ADVICE r7): every shipped entry point
-  * pins UTC, but a library caller building their own session must get
-  * the oracle-pinned values in ANY zone. The events loader constructs
-  * NTZ via naive `timestampadd` (never a cast through TIMESTAMP) and
-  * all epoch/bucket arithmetic goes through [[Det.ntzMicros]] (naive
-  * field extraction) — so time-bucketed and duration outputs must be
-  * bit-identical under a DST-shifting session zone. America/New_York is
-  * the probe: a 5/4-hour shift plus a spring-forward gap, either of
-  * which would move midnight-adjacent events across day/hour buckets
-  * under the old cast-based spellings.
+/** Session-time-zone robustness (ADVICE r7, extended registry-wide in
+  * r9): every shipped entry point pins UTC, but a library caller
+  * building their own session must get the oracle-pinned values in ANY
+  * zone. The events loader constructs NTZ via naive `timestampadd`
+  * (never a cast through TIMESTAMP) and epoch/bucket arithmetic in the
+  * PROBED set goes through [[Det.ntzMicros]]/`ntzTrunc*` (naive field
+  * extraction) — so time-bucketed and duration outputs must be
+  * bit-identical under a DST-shifting session zone. The probe set is
+  * every `ts_*`/`events_*` registry row (derived from the registry, so
+  * new rows are auto-covered) plus each remaining query whose plan
+  * touches timestamps or dates. America/New_York is the probe zone: a
+  * 5/4-hour shift plus a spring-forward gap, either of which would
+  * move midnight-adjacent events across day/hour/week buckets under
+  * the cast-based spellings this suite has caught (date_trunc on NTZ,
+  * DATE→TIMESTAMP casts, unix_micros(cast(..))).
   */
 class TzRobustnessSpec extends SparkSuite {
 
-  private val probes = Seq(
-    "events_dau_wau", "ts_periodogram", "ts_resample_hourly", "ts_fill_forward",
-    "join_interval_overlap", "ts_tumbling_1h", "ts_sliding_15m5m", "ts_session_30m",
-    "ts_downsample_m4", "ts_seasonal_profile", "ts_cross_correlation", "win_lag_lead",
-    "win_gaps_islands", "win_pattern_3seq", "join_asof", "events_markov_transition"
-  )
+  // The WHOLE ts_/events_ registry family, derived from the registry so a
+  // new time-series row is auto-probed, plus every other query whose plan
+  // touches timestamps/dates (date_trunc, casts through DATE, as-of /
+  // interval joins, date-keyed windows). VERDICT r8 #5: 16 hand-picked
+  // probes → the full family.
+  private val probes: Seq[String] = {
+    val family = Registry.all.map(_.name).filter(n => n.startsWith("ts_") || n.startsWith("events_"))
+    val extras = Seq(
+      "agg_cohort_retention", "fn_date", "win_range_frame", "win_lag_lead",
+      "win_gaps_islands", "win_pattern_3seq", "join_asof", "join_asof_native",
+      "join_theta_range", "join_interval_overlap", "sql_recursive"
+    )
+    (family ++ extras).distinct
+  }
 
   test("NtzEpochMicros reinterpret equals naive field arithmetic, in any session zone") {
     import org.apache.spark.sql.functions._
@@ -49,14 +62,19 @@ class TzRobustnessSpec extends SparkSuite {
     def run(name: String): Seq[String] =
       Registry.byName(name).run(spark, sf).collect().map(_.toString).toSeq
     try {
-      for (name <- probes) {
+      val bad = probes.flatMap { name =>
         spark.conf.set(key, "UTC")
         val utc = run(name)
         spark.conf.set(key, "America/New_York")
         val ny = run(name)
-        assert(utc == ny, s"$name diverges with the session time zone")
-        assert(utc.nonEmpty)
+        assert(utc.nonEmpty, s"$name returned no rows")
+        if (utc == ny) None
+        else {
+          val i = utc.zip(ny).indexWhere { case (a, b) => a != b }
+          Some(s"$name (first diff row $i: ${utc.lift(i)} vs ${ny.lift(i)})")
+        }
       }
+      assert(bad.isEmpty, s"${bad.size} queries diverge with the session time zone:\n${bad.mkString("\n")}")
     } finally spark.conf.set(key, prev)
   }
 }
