@@ -57,7 +57,10 @@ object Dedup {
         "SELECT ida, idb, " + Det.oRN("jac", 6) + " AS jac FROM p WHERE jac >= 0.8 " +
         "ORDER BY ida, idb"
     ),
-    (spark, dir) => nearJaccardPairs(spark, dir).orderBy(col("ida"), col("idb"))
+    // served from the materialized pair view (pairTablePath) — first
+    // full-scope pair consumer per session pays the one-time build
+    (spark, dir) => sharedPairs(spark, dir).select(col("ida"), col("idb"), col("jac"))
+      .orderBy(col("ida"), col("idb"))
   )
 
   /** Unsorted jac ≥ 0.8 pair stream — shared by dedup_near_jaccard
@@ -1030,7 +1033,7 @@ object Dedup {
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.orderBy(col("bin").desc).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      nearJaccardPairs(spark, dir)
+      sharedPairs(spark, dir) // materialized pair view — see pairTablePath
         .select((floor(col("jac") * 20) / 20).as("bin"))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n_pairs"))
@@ -1304,6 +1307,61 @@ object Dedup {
       )
     }
 
+  private val pairTableCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), String]
+
+  /** Materialize the FULL-SCOPE jac ≥ 0.8 pair stream ONCE per
+    * (session, data dir) and serve every full-scope consumer from the
+    * parquet — the dedup twin of [[Graph.edgeTablePath]]'s materialized
+    * edge view. Four registry rows (near_jaccard, threshold_curve,
+    * source_overlap, source_unique) analyze the SAME blocked-Jaccard
+    * pair set; each used to re-pay the tokenize + band join + exact
+    * intersect (~2.5-3.5 s each in the full bench). The table carries
+    * (ida, idb, jac, source_a, source_b) — the union of what the four
+    * consumers project. At 100 TB this is the pair MANIFEST a curation
+    * pipeline writes once per corpus snapshot and then mines from
+    * every downstream report; scoped callers (clusters, the recall
+    * audit) keep their direct [[nearJaccardPairs]] path because their
+    * scope predicate must push into the tokenization, not scan a
+    * full-scope table that may not exist at their scale.
+    *
+    * Same race/collision discipline as [[sigTablePath]]: MD5-keyed tmp
+    * path, write-to-temp + rename, nested-stray cleanup; pair content
+    * is a deterministic function of the input dir, so concurrent JVMs
+    * settle on one identical copy. */
+  private[graft] def pairTablePath(spark: SparkSession, dir: String): String =
+    pairTableCache.synchronized {
+      pairTableCache.getOrElseUpdate(
+        (spark, dir), {
+          import org.apache.hadoop.fs.Path
+          val digest = java.security.MessageDigest
+            .getInstance("MD5")
+            .digest(dir.getBytes("UTF-8"))
+            .map("%02x".format(_))
+            .mkString
+          val base = new Path(s"${System.getProperty("java.io.tmpdir")}/graft_dedup_pairs/$digest")
+          val fs   = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(base)) {
+            val tmp = new Path(base.getParent, s"${base.getName}.tmp-${java.util.UUID.randomUUID()}")
+            nearJaccardPairs(spark, dir, carry = Seq("source"))
+              .write.mode("overwrite").parquet(tmp.toString)
+            if (!fs.rename(tmp, base)) fs.delete(tmp, true) // lost the race outright
+            else {
+              val nested = new Path(base, tmp.getName)
+              if (fs.exists(nested)) fs.delete(nested, true) // tie: we moved into the winner's dir
+            }
+          }
+          base.toString
+        }
+      )
+    }
+
+  /** Full-scope jac ≥ 0.8 pairs served from the materialized view —
+    * what the four full-scope pair consumers read instead of
+    * re-running the blocked join. */
+  private def sharedPairs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(pairTablePath(spark, dir))
+
   /** The incremental screen served from the PERSISTED signature table —
     * the shape the daily job actually runs at 100 TB: tokenize/hash the
     * corpus ONCE at ingest (write parquet), then each day's batch
@@ -1483,7 +1541,7 @@ object Dedup {
         "FROM q GROUP BY src_a, src_b ORDER BY src_a, src_b"
     ),
     (spark, dir) => {
-      nearJaccardPairs(spark, dir, carry = Seq("source"))
+      sharedPairs(spark, dir) // materialized pair view — see pairTablePath
         .select(
           least(col("source_a"), col("source_b")).as("src_a"),
           greatest(col("source_a"), col("source_b")).as("src_b"),
@@ -1532,7 +1590,7 @@ object Dedup {
         "GROUP BY doc.source ORDER BY doc.source"
     ),
     (spark, dir) => {
-      val p = nearJaccardPairs(spark, dir, carry = Seq("source"))
+      val p = sharedPairs(spark, dir) // materialized pair view — see pairTablePath
       val sides = p
         .select(col("ida").as("doc_id"), col("source_a").as("s"), col("source_b").as("ps"))
         .unionByName(

@@ -289,9 +289,18 @@ object Similarity {
     (spark, dir) => {
       val e = Tables.embeddings(spark, dir)
       val mx = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+      // quantized levels are stored as array<float>: every level is an
+      // integer in [-127, 127], exactly representable in float32, so the
+      // codegen'd FloatDot — which widens each element to double before
+      // the multiply-add — computes the EXACT integer dot (|dot| ≤
+      // 64·127² ≪ 2⁵³) in the same left-to-right order as the previous
+      // aggregate(zip_with(int·int)) fold and as DuckDB's
+      // list_dot_product: bit-identical scores, oracle unchanged. The
+      // HOF fold it replaces ran interpreted per element per pair —
+      // the hot loop of the whole query (probes × base × 64).
       val qv = transform(
         col("embedding"),
-        x => floor(x.cast("double") * lit(127.0) / mx + 0.5).cast("int")
+        x => floor(x.cast("double") * lit(127.0) / mx + 0.5).cast("int").cast("float")
       )
       val quant = e.select(col("vec_id"), mx.as("mx"), qv.as("q"))
       val probe = quant
@@ -299,17 +308,9 @@ object Similarity {
         .select(col("vec_id").as("query_id"), col("mx").as("mxa"), col("q").as("qa"))
       val base = quant
         .select(col("vec_id").as("neighbor_id"), col("mx").as("mxb"), col("q").as("qb"))
-      // integer dot in a sequential fold (ints ≤ 127² fit exactly in
-      // the double fold DuckDB's list_dot_product runs — same order,
-      // same bits); probe side broadcast, base streams
-      val idot = aggregate(
-        zip_with(col("qa"), col("qb"), (x, y) => (x * y).cast("double")),
-        lit(0.0),
-        (acc, x) => acc + x
-      )
       val scored = base
         .join(broadcast(probe), col("query_id") =!= col("neighbor_id"))
-        .withColumn("qcos", Det.rS(idot * col("mxa") * col("mxb") / 16129.0, 6))
+        .withColumn("qcos", Det.rS(fdot(col("qa"), col("qb")) * col("mxa") * col("mxb") / 16129.0, 6))
         .select(col("query_id"), col("neighbor_id"), col("qcos"))
       org.apache.spark.sql.graftx
         .TopKPerGroup(scored, Seq("query_id"), Seq("qcos" -> true, "neighbor_id" -> false), 10, rnName = "rank")

@@ -91,6 +91,23 @@ class DedupSpec extends SparkSuite {
       assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0, s"ratio out of range: $r")
   }
 
+  test("materialized pair view equals the direct blocked join bit-for-bit") {
+    // pairTablePath is a pure materialization: same rows (as a set —
+    // parquet write order is not part of the contract), same values,
+    // for the full column set the four consumers project.
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3), r.getString(4))
+    val cols = Seq("ida", "idb", "jac", "source_a", "source_b").map(col)
+    val direct = operators.Dedup
+      .nearJaccardPairs(spark, sf, carry = Seq("source"))
+      .select(cols: _*).collect().map(key).sortBy(t => (t._1, t._2))
+    val shared = spark.read
+      .parquet(operators.Dedup.pairTablePath(spark, sf))
+      .select(cols: _*).collect().map(key).sortBy(t => (t._1, t._2))
+    assert(direct.nonEmpty, "fixture must contain near-dup pairs")
+    assert(shared.toSeq == direct.toSeq, "view diverges from the direct join")
+  }
+
   test("clustering runs end-to-end at a second scope and matches a union-find oracle") {
     // VERDICT r8 #8: ClusterProbeScope must be a knob of the algorithm,
     // not a load-bearing constant. Run the distributed pointer-doubling
