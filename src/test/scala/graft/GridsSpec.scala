@@ -138,6 +138,33 @@ class GridsSpec extends SparkSuite {
     assert(fast.agg(max(col("rnk")), min(col("rnk"))).collect()(0).toSeq == Seq(1000L, 1L))
   }
 
+  test("SortedLowerBound equals the filter spelling on sorted arrays with duplicates") {
+    import org.apache.spark.sql.graftx.SortedLowerBound
+    // values land below, on, between and above boundaries; the boundary
+    // array carries duplicates (a heavy quantile tie) — the binary
+    // search must count strictly-smaller elements exactly like
+    // size(filter(bnds, b -> b < v)) in every case
+    val bnds = array(Seq(-2.0, 0.0, 0.0, 1.5, 1.5, 1.5, 7.25, 9.0).map(lit): _*)
+    val d = spark
+      .range(0, 1000)
+      .select(((col("id").cast("double") - 500) / 40).as("v"))
+    val bad = d
+      .select(
+        SortedLowerBound.count(bnds, col("v")).as("fast"),
+        size(filter(bnds, b => b < col("v"))).as("slow")
+      )
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(bad == 0L)
+    // degenerate arrays
+    val edge = spark.range(1).select(
+      SortedLowerBound.count(array().cast("array<double>"), lit(3.0)).as("empty"),
+      SortedLowerBound.count(array(lit(5.0)), lit(5.0)).as("eq"),
+      SortedLowerBound.count(array(lit(5.0)), lit(5.1)).as("above")
+    ).collect()(0)
+    assert(edge.getInt(0) == 0 && edge.getInt(1) == 0 && edge.getInt(2) == 1)
+  }
+
   test("debug-mode order-uniqueness check accepts unique orders and rejects ambiguous ones") {
     val key = "graft.grids.checkUniqueOrder"
     spark.conf.set(key, "true")
