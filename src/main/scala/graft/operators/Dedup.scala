@@ -591,8 +591,8 @@ object Dedup {
   }
 
   private val MinhashP = 2147483647L // 2^31 - 1 (prime); keys fit a long: p^2 < 2^63
-  private val MinhashA = Array(787L, 1543L, 3079L, 6151L, 12289L, 24593L, 49157L, 98317L)
-  private val MinhashB = Array(97L, 193L, 389L, 769L, 1579L, 3109L, 6247L, 12503L)
+  private[graft] val MinhashA = Array(787L, 1543L, 3079L, 6151L, 12289L, 24593L, 49157L, 98317L)
+  private[graft] val MinhashB = Array(97L, 193L, 389L, 769L, 1579L, 3109L, 6247L, 12503L)
   // 16-perm geometry = the 8-perm constants extended (first 8 signatures
   // shared); a·h stays < 2^56 with h < p, so the affine form never overflows
   private[graft] val MinhashA16 =
@@ -667,14 +667,56 @@ object Dedup {
     dtok.filter(size(col("t")) > 0).select(col("doc_id") +: mcols: _*)
   }
 
+  /** Memoized 16-wide signature table for the probe scope, collected
+    * once per (session, dir) and rebuilt as a LocalRelation — the same
+    * bounded-collect discipline as the cluster-label memo (the scope is
+    * ≤ [[ClusterProbeScope]] docs by construction, so the table is
+    * ~2000 × 17 longs). [[MinhashA16]]/[[MinhashB16]] EXTEND the 8-perm
+    * constants, so one build serves BOTH dedup_minhash_lsh (m0..m7
+    * projection — bit-identical to a fresh 8-perm build) and
+    * dedup_minhash_lsh16; before r9 each screen re-paid the tokenize +
+    * 16 (resp. 8) permutation scans. At 100 TB the signature table is
+    * the PERSISTED parquet the incremental screen already demonstrates
+    * ([[dedupIncrementalPersisted]]) — never a driver collect. */
+  private val sig16Cache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), Array[org.apache.spark.sql.Row]]
+
+  private def sig16Frame(spark: SparkSession, dir: String): DataFrame = {
+    val rows = sig16Cache.synchronized(sig16Cache.get((spark, dir))) match {
+      case Some(cached) => cached
+      case None =>
+        val computed = minhashSignatures(spark, dir, MinhashA16, MinhashB16).collect()
+        sig16Cache.synchronized(sig16Cache.update((spark, dir), computed))
+        computed
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false) +:
+        MinhashA16.indices.map(i =>
+          org.apache.spark.sql.types.StructField(s"m$i", org.apache.spark.sql.types.LongType, nullable = false))
+    )
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+  }
+
   private[graft] def minhashPairs(
       spark: SparkSession,
       dir: String,
       maxDist: Double,
       permA: Array[Long] = MinhashA,
       permB: Array[Long] = MinhashB
-  ): DataFrame =
-    minhashPairsFromSig(minhashSignatures(spark, dir, permA, permB), permA.length, maxDist)
+  ): DataFrame = {
+    // Both contract geometries are prefixes of the memoized 16-wide
+    // table; any OTHER permutation family falls back to a fresh build.
+    val fromCache =
+      if (permA.sameElements(MinhashA16) && permB.sameElements(MinhashB16)) Some(sig16Frame(spark, dir))
+      else if (permA.sameElements(MinhashA) && permB.sameElements(MinhashB))
+        Some(sig16Frame(spark, dir).select(col("doc_id") +: MinhashA.indices.map(i => col(s"m$i")): _*))
+      else None
+    minhashPairsFromSig(
+      fromCache.getOrElse(minhashSignatures(spark, dir, permA, permB)),
+      permA.length,
+      maxDist
+    )
+  }
 
   /** Banded candidate pairs from a signature table with nH minhash
     * columns — nH/2 bands of r=2. */

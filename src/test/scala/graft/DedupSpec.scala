@@ -91,6 +91,24 @@ class DedupSpec extends SparkSuite {
       assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0, s"ratio out of range: $r")
   }
 
+  test("memoized signature serving equals fresh builds for both LSH geometries") {
+    import operators.Dedup
+    // minhashPairs serves both contract geometries from one memoized
+    // 16-wide signature table (the 8-perm constants are a prefix) —
+    // candidate pairs must be identical to a fresh per-geometry build
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2)).toSeq
+    val fresh8 = pairs(Dedup.minhashPairsFromSig(
+      Dedup.minhashSignatures(spark, sf, Dedup.MinhashA, Dedup.MinhashB), 8, 0.2))
+    val fresh16 = pairs(Dedup.minhashPairsFromSig(
+      Dedup.minhashSignatures(spark, sf, Dedup.MinhashA16, Dedup.MinhashB16), 16, 0.2))
+    val served8  = pairs(Dedup.minhashPairs(spark, sf, 0.2))
+    val served16 = pairs(Dedup.minhashPairs(spark, sf, 0.2, Dedup.MinhashA16, Dedup.MinhashB16))
+    assert(fresh8.nonEmpty && fresh16.nonEmpty)
+    assert(served8 == fresh8, "8-perm projection of the memoized table diverges from a fresh build")
+    assert(served16 == fresh16, "16-perm memoized serving diverges from a fresh build")
+  }
+
   test("materialized pair view equals the direct blocked join bit-for-bit") {
     // pairTablePath is a pure materialization: same rows (as a set —
     // parquet write order is not part of the contract), same values,
