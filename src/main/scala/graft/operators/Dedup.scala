@@ -1313,39 +1313,16 @@ object Dedup {
     * by nothing (a signature probe is an equi-join, not a scan filter)
     * but laid out one file per shuffle partition.
     *
-    * The path keys on the FULL MD5 of the dir string — not 32-bit
-    * `String.hashCode`, whose collision between two data dirs in one
-    * tmpdir would silently serve the wrong signatures — and the write
-    * goes to a unique temp dir followed by a rename, so two JVMs
-    * sharing `java.io.tmpdir` race safely: one rename wins, the loser
-    * cleans up its temp and reads the winner's table (identical
-    * content — signatures are a deterministic function of the input
-    * dir). A rename that lands INSIDE an existing destination (the
-    * Hadoop rename semantic when both racers pass the exists check) is
-    * detected and the nested stray deleted. */
+    * Path/race/staleness discipline lives in [[graft.ViewStore]]: the
+    * path keys on an MD5 of the dir path plus every input parquet's
+    * (name, length, mtime), so a regenerated input dir rebuilds
+    * instead of serving stale signatures, and concurrent JVMs settle
+    * on one identical copy via write-to-temp + rename. */
   private[graft] def sigTablePath(spark: SparkSession, dir: String): String =
     sigTableCache.synchronized {
       sigTableCache.getOrElseUpdate(
-        (spark, dir), {
-          import org.apache.hadoop.fs.Path
-          val digest = java.security.MessageDigest
-            .getInstance("MD5")
-            .digest(dir.getBytes("UTF-8"))
-            .map("%02x".format(_))
-            .mkString
-          val base = new Path(s"${System.getProperty("java.io.tmpdir")}/graft_dedup_sigs/$digest")
-          val fs   = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (!fs.exists(base)) {
-            val tmp = new Path(base.getParent, s"${base.getName}.tmp-${java.util.UUID.randomUUID()}")
-            corpusSignatures(spark, dir).write.mode("overwrite").parquet(tmp.toString)
-            if (!fs.rename(tmp, base)) fs.delete(tmp, true) // lost the race outright
-            else {
-              val nested = new Path(base, tmp.getName)
-              if (fs.exists(nested)) fs.delete(nested, true) // tie: we moved into the winner's dir
-            }
-          }
-          base.toString
-        }
+        (spark, dir),
+        graft.ViewStore.materialize(spark, "graft_dedup_sigs", dir)(corpusSignatures(spark, dir))
       )
     }
 
@@ -1367,34 +1344,15 @@ object Dedup {
     * scope predicate must push into the tokenization, not scan a
     * full-scope table that may not exist at their scale.
     *
-    * Same race/collision discipline as [[sigTablePath]]: MD5-keyed tmp
-    * path, write-to-temp + rename, nested-stray cleanup; pair content
-    * is a deterministic function of the input dir, so concurrent JVMs
-    * settle on one identical copy. */
+    * Same [[graft.ViewStore]] discipline as [[sigTablePath]]:
+    * input-fingerprinted path (stale-proof against a regenerated
+    * input dir), write-to-temp + rename for the cross-JVM race. */
   private[graft] def pairTablePath(spark: SparkSession, dir: String): String =
     pairTableCache.synchronized {
       pairTableCache.getOrElseUpdate(
-        (spark, dir), {
-          import org.apache.hadoop.fs.Path
-          val digest = java.security.MessageDigest
-            .getInstance("MD5")
-            .digest(dir.getBytes("UTF-8"))
-            .map("%02x".format(_))
-            .mkString
-          val base = new Path(s"${System.getProperty("java.io.tmpdir")}/graft_dedup_pairs/$digest")
-          val fs   = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (!fs.exists(base)) {
-            val tmp = new Path(base.getParent, s"${base.getName}.tmp-${java.util.UUID.randomUUID()}")
-            nearJaccardPairs(spark, dir, carry = Seq("source"))
-              .write.mode("overwrite").parquet(tmp.toString)
-            if (!fs.rename(tmp, base)) fs.delete(tmp, true) // lost the race outright
-            else {
-              val nested = new Path(base, tmp.getName)
-              if (fs.exists(nested)) fs.delete(nested, true) // tie: we moved into the winner's dir
-            }
-          }
-          base.toString
-        }
+        (spark, dir),
+        graft.ViewStore.materialize(spark, "graft_dedup_pairs", dir)(
+          nearJaccardPairs(spark, dir, carry = Seq("source")))
       )
     }
 

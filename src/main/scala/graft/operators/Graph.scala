@@ -97,34 +97,16 @@ object Graph {
     * on ingest. Here the first caller per session builds it; every
     * later consumer is a plain parquet scan.
     *
-    * Same race/collision discipline as [[Dedup.sigTablePath]]: path
-    * keys on the full MD5 of the dir string; write-to-temp + rename so
-    * concurrent JVMs settle on one identical copy (edge content is a
-    * deterministic function of the input dir).
+    * Same [[graft.ViewStore]] discipline as [[Dedup.sigTablePath]]:
+    * input-fingerprinted path (stale-proof against a regenerated
+    * input dir), write-to-temp + rename for the cross-JVM race.
     */
   private[graft] def edgeTablePath(spark: SparkSession, dir: String): String =
     edgeTableCache.synchronized {
       edgeTableCache.getOrElseUpdate(
-        (spark, dir), {
-          import org.apache.hadoop.fs.Path
-          val digest = java.security.MessageDigest
-            .getInstance("MD5")
-            .digest(dir.getBytes("UTF-8"))
-            .map("%02x".format(_))
-            .mkString
-          val base = new Path(s"${System.getProperty("java.io.tmpdir")}/graft_graph_edges/$digest")
-          val fs   = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (!fs.exists(base)) {
-            val tmp = new Path(base.getParent, s"${base.getName}.tmp-${java.util.UUID.randomUUID()}")
-            coPurchaseEdges(spark, dir, lit(true), dedup = true).write.mode("overwrite").parquet(tmp.toString)
-            if (!fs.rename(tmp, base)) fs.delete(tmp, true) // lost the race outright
-            else {
-              val nested = new Path(base, tmp.getName)
-              if (fs.exists(nested)) fs.delete(nested, true) // tie: we moved into the winner's dir
-            }
-          }
-          base.toString
-        }
+        (spark, dir),
+        graft.ViewStore.materialize(spark, "graft_graph_edges", dir)(
+          coPurchaseEdges(spark, dir, lit(true), dedup = true))
       )
     }
 

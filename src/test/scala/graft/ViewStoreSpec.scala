@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+
+/** The write-once materialized-view store behind the dedup
+  * signature/pair views and the graph edge view. The property that
+  * matters for correctness: the view path is a function of the input
+  * CONTENT fingerprint (file names, lengths, mtimes), not just the dir
+  * string — tmpdir views outlive the JVM by design, so a regenerated
+  * input dir must map to a NEW path and rebuild instead of serving a
+  * stale view to a fresh round's oracle compare.
+  */
+class ViewStoreSpec extends SparkSuite {
+
+  test("fingerprint is stable across calls and sensitive to file mtime/size/name") {
+    val d = Files.createTempDirectory("vstore_fp").toFile
+    try {
+      val f = new java.io.File(d, "documents.parquet")
+      Files.write(f.toPath, Array[Byte](1, 2, 3))
+      f.setLastModified(1700000000000L)
+      val fp1 = ViewStore.fingerprint(d.getPath)
+      assert(fp1 == ViewStore.fingerprint(d.getPath), "same input, same fingerprint")
+      f.setLastModified(1700000001000L)
+      val fp2 = ViewStore.fingerprint(d.getPath)
+      assert(fp2 != fp1, "mtime change must change the fingerprint")
+      Files.write(f.toPath, Array[Byte](1, 2, 3, 4))
+      f.setLastModified(1700000001000L)
+      val fp3 = ViewStore.fingerprint(d.getPath)
+      assert(fp3 != fp2, "size change must change the fingerprint")
+      // a non-parquet file is outside the input contract and invisible
+      Files.write(new java.io.File(d, "notes.txt").toPath, Array[Byte](9))
+      assert(ViewStore.fingerprint(d.getPath) == fp3, "non-parquet files don't key the view")
+    } finally {
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+  }
+
+  test("a regenerated input dir rebuilds the view instead of serving the stale one") {
+    val d = Files.createTempDirectory("vstore_in").toFile
+    try {
+      Files.copy(
+        Paths.get(s"$sf/documents.parquet"),
+        new java.io.File(d, "documents.parquet").toPath,
+        StandardCopyOption.REPLACE_EXISTING
+      )
+      def build = spark.read.parquet(s"${d.getPath}/documents.parquet").agg(count(lit(1)).as("n"))
+      val p1 = ViewStore.materialize(spark, "graft_test_views", d.getPath)(build)
+      val n1 = spark.read.parquet(p1).collect()(0).getLong(0)
+      // same input: same path, no rebuild needed
+      assert(ViewStore.materialize(spark, "graft_test_views", d.getPath)(build) == p1)
+      // "regenerate" the input (content function changes with it)
+      val f = new java.io.File(d, "documents.parquet")
+      f.setLastModified(f.lastModified() + 60000)
+      val p2 = ViewStore.materialize(
+        spark,
+        "graft_test_views",
+        d.getPath
+      )(build.withColumn("n", col("n") + 1))
+      assert(p2 != p1, "regenerated input must get a new view path")
+      val n2 = spark.read.parquet(p2).collect()(0).getLong(0)
+      assert(n2 == n1 + 1, "the new path must serve the REBUILT view, not the stale one")
+    } finally {
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+  }
+}
