@@ -871,8 +871,17 @@ object Dedup {
     {
       // probe scope bounded like dedup_minhash_lsh: the corpus is a
       // near-clique, so the edge set grows ~quadratically with docs.
-      // The unsorted pair stream is used — clustering needs no order.
-      val edges = nearJaccardPairs(spark, dir, docFilter = col("doc_id") < scope)
+      // Edges come from the materialized pair MANIFEST restricted to
+      // the scope — exactly the full-scope jac ≥ 0.8 pair set with
+      // both endpoints in scope. The restriction is lossless: blocking
+      // is per-doc (lang, token-count bucket), so whether a pair is a
+      // candidate — and its exact Jaccard — never depends on which
+      // OTHER docs are in scope (DedupSpec pins view-restricted ==
+      // directly-screened at a second scope). This is also the 100 TB
+      // shape: clustering consumes the pair manifest the screens
+      // already wrote, it does not re-screen the corpus.
+      val edges = sharedPairs(spark, dir)
+        .filter(col("ida") < scope && col("idb") < scope)
         .select(col("ida"), col("idb"))
       // symmetrize via explode, NOT union(edges, edges.reversed): a
       // union would run the similarity join once per branch — explode
@@ -1339,10 +1348,12 @@ object Dedup {
     * (ida, idb, jac, source_a, source_b) — the union of what the four
     * consumers project. At 100 TB this is the pair MANIFEST a curation
     * pipeline writes once per corpus snapshot and then mines from
-    * every downstream report; scoped callers (clusters, the recall
-    * audit) keep their direct [[nearJaccardPairs]] path because their
-    * scope predicate must push into the tokenization, not scan a
-    * full-scope table that may not exist at their scale.
+    * every downstream report. The clustering stage consumes it too
+    * (restricted to its scope — lossless, since per-doc blocking makes
+    * pair candidacy scope-invariant); only the recall AUDIT keeps a
+    * direct [[nearJaccardPairs]] path, because its job is to grade the
+    * screens against an independently-computed exact truth, and truth
+    * derived from the artifact under audit would be circular.
     *
     * Same [[graft.ViewStore]] discipline as [[sigTablePath]]:
     * input-fingerprinted path (stale-proof against a regenerated

@@ -126,6 +126,25 @@ class DedupSpec extends SparkSuite {
     assert(shared.toSeq == direct.toSeq, "view diverges from the direct join")
   }
 
+  test("pair-view restriction equals direct scoped screening (blocking is scope-invariant)") {
+    // What lets dedup_clusters consume the full-scope pair manifest:
+    // per-doc blocking (lang, token-count bucket) means whether a pair
+    // is a candidate — and its exact Jaccard — never depends on which
+    // OTHER docs are in scope, so {full pairs} ∩ {both ids < scope} ==
+    // {pairs screened directly at scope}.
+    val scope = 600L
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val direct = operators.Dedup
+      .nearJaccardPairs(spark, sf, docFilter = col("doc_id") < scope)
+      .select(col("ida"), col("idb"), col("jac")).collect().map(key).toSet
+    val restricted = spark.read
+      .parquet(operators.Dedup.pairTablePath(spark, sf))
+      .filter(col("ida") < scope && col("idb") < scope)
+      .select(col("ida"), col("idb"), col("jac")).collect().map(key).toSet
+    assert(direct.nonEmpty, "scope must contain pairs")
+    assert(restricted == direct, "restricting the view is not equivalent to scoped screening")
+  }
+
   test("clustering runs end-to-end at a second scope and matches a union-find oracle") {
     // VERDICT r8 #8: ClusterProbeScope must be a knob of the algorithm,
     // not a load-bearing constant. Run the distributed pointer-doubling
