@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Local profiling aid (not part of the driver contract): run the
+  * named registry queries N times each in one warmed JVM and print
+  * per-iteration wall times, so plan-shape A/Bs aren't drowned by the
+  * single-shot noise of the full bench (measured ±50% on some boxes).
+  *
+  * Usage: `runMain graft.BenchRepeat <n> <query> [query ...]`
+  * (env `SPARK_GRAFT_SF_DIR`/`SPARK_GRAFT_CPUS` as in [[Bench]]).
+  */
+object BenchRepeat {
+  def main(args: Array[String]): Unit = {
+    val n     = args.headOption.map(_.toInt).getOrElse(3)
+    val names = args.drop(1).toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (name <- names) {
+      val q = Registry.byName(name)
+      val times = (1 to n).map { _ =>
+        val t0 = System.nanoTime()
+        q.run(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        scala.util.Try(spark.sharedState.cacheManager.clearCache())
+        scala.util.Try(spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false)))
+        dt
+      }
+      println(f"[repeat] $name%-28s ${times.map(t => f"$t%6.2f").mkString(" ")}  min=${times.min}%6.2f")
+    }
+    spark.stop()
+  }
+}

@@ -621,17 +621,17 @@ object Graph {
         "FROM lvl GROUP BY dist ORDER BY dist"
     ),
     (spark, dir) => {
-      // Materialize the deduped edge list ONCE (Lineage.truncate —
-      // localCheckpoint, or reliable checkpoint under the cluster knob):
-      // the frontier recursion references `sym` in every hop's join AND
-      // every anti-join's visited union, so a lazy plan expands to ~12
-      // edge-build subtrees. ReusedExchange recovered only some of that
-      // (driver r7 bench: slowest query, 8.9 s); cutting lineage at the
-      // edge list makes every reference a cached-RDD scan. An earlier
-      // round measured truncation slower on a warm page cache at lower
-      // concurrency — superseded by the r7 driver evidence + the r8
-      // re-measure (BENCH notes): truncate wins decisively at sf0.1/32.
-      val eT = graft.Lineage.truncate(sharedEdges(spark, dir))
+      // The frontier recursion references `sym` in every hop's join AND
+      // every anti-join's visited union (~12 edge subtrees in the lazy
+      // plan). When edges were DERIVED (a lineitem self-join) that
+      // forced a lineage truncation here — r7's slowest query, 8.9 s,
+      // fixed by checkpointing the derivation once. Served from the
+      // materialized parquet view, each subtree is already a cheap
+      // columnar scan of a small file, and a localCheckpoint would just
+      // copy the table into block-manager memory for no lineage gain —
+      // measured 0.5 s SLOWER at sf0.1/32 (BenchRepeat min-of-4,
+      // 2.82 s truncated vs 2.26 s direct). So: no truncate.
+      val eT = sharedEdges(spark, dir)
       val sym = eT
         .select(col("pa").as("s"), col("pb").as("d"))
         .unionAll(eT.select(col("pb").as("s"), col("pa").as("d")))

@@ -33,14 +33,15 @@ class GraphSpec extends SparkSuite {
     }
   }
 
-  test("BFS traversal never re-derives the edge build (checkpoint scan, no lineitem)") {
+  test("BFS traversal never re-derives the edge build (view scan, no lineitem)") {
     val p = operators.Graph.graphBfsReach.run(spark, sf).queryExecution.executedPlan.toString
-    // The r8 rework: coPurchaseEdges is Lineage.truncate'd ONCE before
-    // the frontier recursion, so the traversal plan's ~12 references to
-    // the symmetric edge list are all checkpoint-RDD scans — the
-    // lineitem self-join edge build must appear NOWHERE in the executed
-    // traversal plan (it ran once, inside the truncate).
-    assert(p.contains("Scan ExistingRDD"), "edge list must be a checkpoint scan\n" + p.take(2000))
+    // r8 truncated the DERIVED edge list once before the frontier
+    // recursion; r9 serves it from the materialized parquet view, so
+    // the traversal plan's ~12 references to the symmetric edge list
+    // are all columnar scans of the view — the lineitem self-join edge
+    // build must appear NOWHERE in the executed traversal plan (it ran
+    // once, inside the view materialization).
+    assert(p.contains("graft_graph_edges"), "edge list must scan the materialized view\n" + p.take(2000))
     assert(!p.contains("lineitem"), "traversal plan re-derives the lineitem edge build\n" + p.take(4000))
   }
 
