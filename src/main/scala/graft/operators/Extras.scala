@@ -326,9 +326,12 @@ object Extras {
     * grow with file COUNT, not bytes). Stage: orders sliced into 64
     * deliberately-small files; compact: read back and rewrite into
     * max(1, ceil(bytes / 128 MB)) size-targeted files. Emits the
-    * before/after (n_files, n_rows) report. No oracle (filesystem side
-    * effect); ExtrasSpec asserts row preservation and the file-count
-    * collapse. */
+    * before/after (n_files, n_rows, checksum) report, where checksum
+    * is an order-independent content hash (sum of per-row xxhash64
+    * over every column) — compaction must be value-invisible, and the
+    * report proves it, not just row-count-preserving. No oracle
+    * (filesystem side effect); ExtrasSpec asserts row AND checksum
+    * preservation and the file-count collapse. */
   val maintCompact: Q = Q(
     "maint_compact",
     None,
@@ -347,13 +350,28 @@ object Extras {
       val readBack = spark.read.parquet(s"$base/small")
       readBack.repartition(target).write.mode("overwrite").parquet(s"$base/compacted")
       val (nCompact, _) = stats(s"$base/compacted")
-      val nRowsSmall = readBack.count()
-      val nRowsCompact = spark.read.parquet(s"$base/compacted").count()
+      // (n_rows, checksum) in one scan per phase; the checksum is the
+      // SUM of a 40-bit slice of the per-row xxhash64 over all columns
+      // (the pipeline_manifest spelling: order-independent, and 2^40 ·
+      // 150 k rows stays far inside a long, so ANSI sum can't
+      // overflow) — any value corruption, not just a lost row, flips
+      // the after-phase report
+      def audit(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df
+          .agg(
+            count(lit(1)).as("n"),
+            sum(shiftrightunsigned(xxhash64(df.columns.map(col).toIndexedSeq: _*), 24)).as("chk")
+          )
+          .collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      val (nRowsSmall, chkSmall)     = audit(readBack)
+      val (nRowsCompact, chkCompact) = audit(spark.read.parquet(s"$base/compacted"))
       import spark.implicits._
       Seq(
-        ("before", nSmall, nRowsSmall),
-        ("after", nCompact, nRowsCompact)
-      ).toDF("phase", "n_files", "n_rows").orderBy(col("phase"))
+        ("before", nSmall, nRowsSmall, chkSmall),
+        ("after", nCompact, nRowsCompact, chkCompact)
+      ).toDF("phase", "n_files", "n_rows", "checksum").orderBy(col("phase"))
     }
   )
 

@@ -45,12 +45,16 @@ class ExtrasSpec extends SparkSuite {
     }
   }
 
-  test("compaction preserves every row and collapses the file count") {
+  test("compaction preserves rows AND content, and collapses the file count") {
     val report = operators.Extras.maintCompact.run(spark, sf).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val (beforeFiles, beforeRows) = report("before")
-    val (afterFiles, afterRows) = report("after")
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (beforeFiles, beforeRows, beforeChk) = report("before")
+    val (afterFiles, afterRows, afterChk) = report("after")
     assert(beforeRows == afterRows, s"row loss: $beforeRows -> $afterRows")
+    // the order-independent content hash: any value change (not just a
+    // dropped row) diverges — compaction must be value-invisible
+    assert(beforeChk == afterChk, s"content diverged: $beforeChk -> $afterChk")
+    assert(beforeChk != 0L, "degenerate checksum")
     assert(beforeFiles == 64, s"stage should write 64 small files, got $beforeFiles")
     assert(afterFiles < beforeFiles && afterFiles >= 1,
       s"compaction should collapse files: $beforeFiles -> $afterFiles")

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing invariants. `mm_decode_features` is the one
+  * no-oracle row of the family (the decoder is engine-private), so its
+  * feature math gets a full driver-side recompute here; the other four
+  * rows are driver-oracle-checked and get cheap structural pins.
+  */
+class MultimodalSpec extends SparkSuite {
+
+  test("decode features match a driver-side recompute doc-for-doc") {
+    val feats = operators.Multimodal.mmDecodeFeatures.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1).toLong, r.getDouble(2), r.getInt(3))).toMap
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(feats.keySet == texts.keySet, "one feature row per document")
+    for ((id, text) <- texts) {
+      val bytes = text.getBytes("UTF-8")
+      val n = bytes.length.toLong
+      val mean =
+        if (n == 0) 0.0
+        else math.floor(bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n * 1e6 + 0.5) / 1e6
+      val distinct = bytes.map(_ & 0xff).distinct.length
+      assert(feats(id) == ((n, mean, distinct)), s"doc $id features diverge")
+    }
+  }
+
+  test("decode features are deterministic across runs and partitionings") {
+    val a = operators.Multimodal.mmDecodeFeatures.run(spark, sf).collect().toSeq
+    val b = operators.Multimodal.mmDecodeFeatures.run(spark, sf).collect().toSeq
+    assert(a == b, "re-run diverged")
+  }
+
+  test("frame sampling keeps exactly every 4th 16-byte frame, in bounds") {
+    val rows = operators.Multimodal.mmFrameSample.run(spark, sf).collect()
+    val lens = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet == lens.keySet, "one frame group per bounded doc")
+    for ((id, rs) <- byDoc) {
+      val idxs = rs.map(_.getLong(1)).sorted.toSeq
+      val nFrames = (lens(id) + 15) / 16
+      val expect = (0L until nFrames by 4).toSeq
+      assert(idxs == expect, s"doc $id kept frames $idxs, expected $expect")
+    }
+  }
+
+  test("binary metadata: payload length equals utf-8 byte count, kind constant") {
+    val rows = operators.Multimodal.mmBinaryMeta.run(spark, sf).limit(200).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getString(3) == "text/plain")
+      assert(r.getString(2).length == 64, "sha256 hex must be 64 chars")
+    }
+  }
+}
