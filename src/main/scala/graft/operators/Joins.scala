@@ -502,7 +502,7 @@ object Joins {
     * operator ([[org.apache.spark.sql.graftx.AsOfJoinNative]]:
     * LogicalPlan + Strategy + co-partitioned ordered-merge SparkPlan)
     * instead of [[asOf]]'s union-window trick. Same oracle, same
-    * result — AsOfSpec asserts row equality between the two
+    * result — AsOfNativeSpec asserts row equality between the two
     * formulations and the plan shape (no Window, an AsOfJoinMerge
     * node, one exchange per side). The union-window form shuffles
     * |purchases| + |clicks| rows in a padded union schema and sorts

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
   *
   * 100 TB notes: these queries exist to prove the scan path is efficient —
   * `src_scan_pushdown`'s plan must show `PushedFilters: [GT(p_size,25)]`
-  * and a 3-column `ReadSchema` (asserted in ScanSpec), so at scale the
+  * and a 3-column `ReadSchema` (asserted in PlanShapeSpec), so at scale the
   * parquet reader skips row groups and never materializes unused columns.
   */
 object Scans {
@@ -191,8 +191,8 @@ object Scans {
     * failing the job — the quarantine pattern a 100 TB ingest needs
     * (one bad line in a billion must not kill the pipeline; it must be
     * COUNTED and inspectable). Emits the good/corrupt row accounting.
-    * No oracle (filesystem staging); ScansSpec-style assertions live in
-    * SourcesSpec. */
+    * No oracle (filesystem staging); the quarantine assertions live in
+    * BadRecordsSpec (SourcesSpec.scala). */
   val srcCsvBadRecords: Q = Q(
     "src_csv_badrecords",
     None,
