@@ -531,10 +531,22 @@ object Dedup {
     // minhashSignaturesFromTokens), and (c) the exact-verify screen.
     // Before r9 each of those re-tokenized the scoped corpus.
     val dtok = graft.Lineage.truncate(tokenizedDocs(spark, dir, scope))
-    // truth is reused by all three report rows — cut its lineage so
-    // the blocked exact-pair join runs once, not three times
+    // truth = the EXACT jac >= 0.8 pairs inside the scope, reused by
+    // all three report rows. Served from the materialized pair
+    // manifest restricted to the scope — lossless (per-doc blocking:
+    // pair candidacy and exact Jaccard never depend on which other
+    // docs are in scope), and INDEPENDENT of what's being audited:
+    // the manifest is the blocked exact-intersect join, the screens
+    // under audit are the MinHash geometries. The scope predicate is
+    // an opaque per-doc Column, so the restriction is two semi-joins
+    // against the scoped id list (broadcast-sized) rather than a
+    // re-screen of the scoped corpus. Truncated so the manifest scan +
+    // semi-joins run once, not three times.
+    val ids = dtok.select(col("doc_id"))
     val truth = graft.Lineage.truncate(
-      nearJaccardPairsFrom(dtok)
+      sharedPairs(spark, dir)
+        .join(broadcast(ids.select(col("doc_id").as("ida"))), Seq("ida"), "left_semi")
+        .join(broadcast(ids.select(col("doc_id").as("idb"))), Seq("idb"), "left_semi")
         .select(col("ida"), col("idb"))
         .withColumn("in_truth", lit(1))
     )
@@ -1348,12 +1360,13 @@ object Dedup {
     * (ida, idb, jac, source_a, source_b) — the union of what the four
     * consumers project. At 100 TB this is the pair MANIFEST a curation
     * pipeline writes once per corpus snapshot and then mines from
-    * every downstream report. The clustering stage consumes it too
-    * (restricted to its scope — lossless, since per-doc blocking makes
-    * pair candidacy scope-invariant); only the recall AUDIT keeps a
-    * direct [[nearJaccardPairs]] path, because its job is to grade the
-    * screens against an independently-computed exact truth, and truth
-    * derived from the artifact under audit would be circular.
+    * every downstream report. The clustering stage and the recall
+    * audit's TRUTH side consume it too (restricted to their scopes —
+    * lossless, since per-doc blocking makes pair candidacy
+    * scope-invariant). That reuse is NOT circular for the audit: the
+    * manifest is the blocked exact-intersect join, while the screens
+    * under audit are the MinHash geometries — the exact join is the
+    * independent referee either way.
     *
     * Same [[graft.ViewStore]] discipline as [[sigTablePath]]:
     * input-fingerprinted path (stale-proof against a regenerated
