@@ -154,23 +154,29 @@ object Advanced {
     * `assignments` (vec_id, embedding, list_id — the inverted lists,
     * |base| rows, list_id-partitionable at scale). */
   private val ivfIndexCache =
-    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession, String), String]
+    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession, String), (String, String)]
 
-  private[graft] def ivfIndexPath(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+  /** (centroids path, assignments path) — two [[graft.ViewStore]]
+    * materializations (input-fingerprinted staleness key, write-to-temp
+    * + rename for the cross-JVM race) replacing an earlier ad-hoc cache
+    * that keyed on 32-bit `dir.hashCode` and REWROTE the index on every
+    * new JVM (two processes sharing a tmpdir could clobber each other
+    * mid-read). The assignments build reads the materialized centroids
+    * parquet, so both tables derive from one consistent quantizer. */
+  private[graft] def ivfIndexPath(spark: org.apache.spark.sql.SparkSession, dir: String): (String, String) =
     ivfIndexCache.synchronized {
       ivfIndexCache.getOrElseUpdate(
         (spark, dir), {
-          val base =
-            s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index/${Integer.toHexString(dir.hashCode)}"
-          val cent = centroidTable(spark, dir)
-          cent.write.mode("overwrite").parquet(s"$base/centroids")
+          val centPath =
+            graft.ViewStore.materialize(spark, "graft_ivf_index/centroids", dir)(centroidTable(spark, dir))
           import org.apache.spark.sql.graftx.TopKPerGroup
-          TopKPerGroup(
-            withDist(Tables.embeddings(spark, dir), cent),
-            Seq("vec_id"), Seq("d" -> true, "list_id" -> false), 1)
-            .select(col("vec_id"), col("embedding"), col("list_id"))
-            .write.mode("overwrite").parquet(s"$base/assignments")
-          base
+          val asgPath = graft.ViewStore.materialize(spark, "graft_ivf_index/assignments", dir)(
+            TopKPerGroup(
+              withDist(Tables.embeddings(spark, dir), spark.read.parquet(centPath)),
+              Seq("vec_id"), Seq("d" -> true, "list_id" -> false), 1)
+              .select(col("vec_id"), col("embedding"), col("list_id"))
+          )
+          (centPath, asgPath)
         }
       )
     }
@@ -187,9 +193,9 @@ object Advanced {
     "sim_ann_ivf_persisted",
     Some(ivfOracleSql),
     (spark, dir) => {
-      val base = ivfIndexPath(spark, dir)
-      val cent = spark.read.parquet(s"$base/centroids")
-      val assigned = spark.read.parquet(s"$base/assignments")
+      val (centPath, asgPath) = ivfIndexPath(spark, dir)
+      val cent = spark.read.parquet(centPath)
+      val assigned = spark.read.parquet(asgPath)
       import org.apache.spark.sql.graftx.TopKPerGroup
       val probes = TopKPerGroup(
         withDist(Tables.embeddings(spark, dir).filter(col("vec_id") < 100), cent),
