@@ -107,6 +107,24 @@ object Bench {
     def gcMillis: Long = gcBeans.map(_.getCollectionTime).sum
     val memBean = ManagementFactory.getMemoryMXBean
 
+    // Machine-speed calibration: a FIXED CPU-bound probe (codegen'd
+    // xxhash64 over an in-memory range, no I/O, no shuffle) timed
+    // after warm-up. Identical work every round, so the ratio of two
+    // rounds' calib_sec measures ENVIRONMENT drift (frequency scaling,
+    // co-tenancy) and lets a reader of two artifacts separate "the box
+    // got slower" from "the code got slower" — cross-round totals on
+    // shared machines were observed to swing well outside any code
+    // delta.
+    val calibSec = {
+      val t0 = System.nanoTime()
+      // 24-bit slice: 2e8 rows x 2^24 max stays far inside a long, so
+      // the ANSI sum can't overflow (the full 64-bit hash would)
+      spark.range(0L, 200000000L, 1L, cpus.toInt)
+        .select(sum(shiftrightunsigned(xxhash64(col("id")), 40)).as("h")).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    System.err.println(f"[bench] calib_sec=$calibSec%.3f (fixed 200M-row xxhash64 probe)")
+
     val only = args.toSet // optional local-profiling filter; driver passes no args
     // Bench-reading note (r9): the dedup signature table, the jac>=0.8
     // pair manifest and the co-purchase edge view are built in warm-up
@@ -170,7 +188,7 @@ object Bench {
     // gc_sec = whole-run driver GC time: the harness-health signal that
     // diagnoses any future bench-tail anomaly from the artifact alone
     // (round 5's 7x regression was GC, invisible in per-query seconds).
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","gc_sec":${gcMillis / 1000.0}%.1f,"queries":$compact$slowDetail,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","gc_sec":${gcMillis / 1000.0}%.1f,"calib_sec":$calibSec%.3f,"queries":$compact$slowDetail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
