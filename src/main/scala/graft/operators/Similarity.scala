@@ -157,46 +157,82 @@ object Similarity {
         "SELECT query_id, rank, neighbor_id, cos, bucket FROM r WHERE rank <= 3 " +
         "ORDER BY query_id, rank"
     ),
-    (spark, dir) => {
-      val nPlanes = 8
-      val planes = (0 until nPlanes).map(j => hyperplane(j, 64))
-      val e = Tables.embeddings(spark, dir)
-      def bucket(emb: Column): Column =
-        (0 until nPlanes)
-          .map { j =>
-            val proj = aggregate(
-              zip_with(
-                emb,
-                array(planes(j).map(lit): _*),
-                (x, p) => x.cast("double") * p
-              ),
-              lit(0.0),
-              (acc, x) => acc + x
-            )
-            when(proj > 0, lit(1 << j)).otherwise(lit(0))
-          }
-          .reduce(_ + _)
-      val sigs = e.select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bucket"))
-      val probe = sigs
-        .filter(col("vec_id") < 100)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
-      val base = sigs.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("bucket"))
-      // exact re-rank of the bucket candidates through the custom
-      // top-k operator: candidates prune map-side right after the
-      // bucket join instead of shuffling into a window sort. The probe
-      // side is 100 rows by construction — pin it as the broadcast
-      // side so the base table streams at any scale.
-      val cands = broadcast(probe)
-        .join(base, Seq("bucket"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("cos", Det.rS(fdot(col("qe"), col("ne")), 6))
-        .select(col("query_id"), col("neighbor_id"), col("cos"), col("bucket"))
-      org.apache.spark.sql.graftx
-        .TopKPerGroup(cands, Seq("query_id"), Seq("cos" -> true, "neighbor_id" -> false), 3, rnName = "rank")
-        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
-          col("cos"), col("bucket"))
-        .orderBy(col("query_id"), col("rank"))
+    (spark, dir) => lshTopK(lshSignatures(spark, dir))
+  )
+
+  /** The hyperplane sign-bucket signature frame (vec_id, embedding,
+    * bucket) every LSH ANN screen starts from. */
+  private[graft] def lshSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val nPlanes = 8
+    val planes = (0 until nPlanes).map(j => hyperplane(j, 64))
+    def bucket(emb: Column): Column =
+      (0 until nPlanes)
+        .map { j =>
+          val proj = aggregate(
+            zip_with(
+              emb,
+              array(planes(j).map(lit): _*),
+              (x, p) => x.cast("double") * p
+            ),
+            lit(0.0),
+            (acc, x) => acc + x
+          )
+          when(proj > 0, lit(1 << j)).otherwise(lit(0))
+        }
+        .reduce(_ + _)
+    Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bucket"))
+  }
+
+  /** Bucket-join + exact re-rank over a signature frame — shared by the
+    * recomputing and persisted LSH ANN rows. */
+  private def lshTopK(sigs: DataFrame): DataFrame = {
+    val probe = sigs
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+    val base = sigs.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("bucket"))
+    // exact re-rank of the bucket candidates through the custom
+    // top-k operator: candidates prune map-side right after the
+    // bucket join instead of shuffling into a window sort. The probe
+    // side is 100 rows by construction — pin it as the broadcast
+    // side so the base table streams at any scale.
+    val cands = broadcast(probe)
+      .join(base, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Det.rS(fdot(col("qe"), col("ne")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("bucket"))
+    org.apache.spark.sql.graftx
+      .TopKPerGroup(cands, Seq("query_id"), Seq("cos" -> true, "neighbor_id" -> false), 3, rnName = "rank")
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+        col("cos"), col("bucket"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val lshSigCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), String]
+
+  /** Write-once hyperplane signature table ([[graft.ViewStore]]
+    * discipline: input-fingerprinted path, cross-JVM-race-safe). */
+  private[graft] def lshSigTablePath(spark: SparkSession, dir: String): String =
+    lshSigCache.synchronized {
+      lshSigCache.getOrElseUpdate(
+        (spark, dir),
+        graft.ViewStore.materialize(spark, "graft_lsh_sigs", dir)(lshSignatures(spark, dir))
+      )
     }
+
+  /** The LSH ANN screen served from the PERSISTED signature table —
+    * the daily-serving shape: hash the base vectors once at ingest,
+    * then each query batch hashes only itself and bucket-joins the
+    * table; the base embeddings are never re-projected. Shares
+    * [[simAnnLsh]]'s oracle — persistence must be result-invisible
+    * (SimilaritySpec pins bit-equality and that the plan scans the
+    * signature path). */
+  val simAnnLshPersisted: Q = Q(
+    "sim_ann_lsh_persisted",
+    simAnnLsh.oracle,
+    (spark, dir) => lshTopK(spark.read.parquet(lshSigTablePath(spark, dir)))
   )
 
   /** Multi-probe LSH: each query ALSO probes the 8 buckets at Hamming
@@ -639,6 +675,7 @@ object Similarity {
     }
   )
 
-  def qs: Seq[Q] = Seq(simCosineTopk, simKnnClassify, simAnnLsh, simAnnMultiprobe,
-    simQuantizedTopk, simCoarseRerank, simHybridRrf, simAnnRecallReport, simMmrRerank)
+  def qs: Seq[Q] = Seq(simCosineTopk, simKnnClassify, simAnnLsh, simAnnLshPersisted,
+    simAnnMultiprobe, simQuantizedTopk, simCoarseRerank, simHybridRrf, simAnnRecallReport,
+    simMmrRerank)
 }

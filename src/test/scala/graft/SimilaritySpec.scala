@@ -165,4 +165,12 @@ class SimilaritySpec extends SparkSuite {
     // plain top-4 on essentially every query; allow one adversarial tie
     assert(diversified >= 19, s"only $diversified/20 queries diversified")
   }
+
+  test("persisted-signature LSH ANN is bit-equal and scans the signature table") {
+    val fresh = operators.Similarity.simAnnLsh.run(spark, sf).collect().toSeq
+    val served = operators.Similarity.simAnnLshPersisted.run(spark, sf)
+    assert(served.collect().toSeq == fresh, "persistence must be result-invisible")
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_lsh_sigs"), s"expected signature-table scan in plan:\n${plan.take(2000)}")
+  }
 }
