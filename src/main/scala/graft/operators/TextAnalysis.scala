@@ -903,6 +903,73 @@ object TextAnalysis {
         .limit(20)
   )
 
+  private val bm25IndexCache =
+    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession, String), (String, String)]
+
+  /** (postings path, stats path): the write-once BM25 index —
+    * postings = (tok, doc_id, tf, dl) over the WHOLE vocabulary, stats
+    * = the 1-row (n, avgdl). [[graft.ViewStore]] discipline
+    * (input-fingerprinted path, cross-JVM-race-safe). At 100 TB the
+    * postings table is additionally partitioned/bucketed by token so a
+    * query probe prunes to its terms' buckets; here it is a flat
+    * parquet the term filter prunes by predicate. */
+  private[graft] def bm25IndexPath(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) =
+    bm25IndexCache.synchronized {
+      bm25IndexCache.getOrElseUpdate(
+        (spark, dir), {
+          val d = Tables
+            .documents(spark, dir)
+            .select(col("doc_id"), toks(col("text")).as("toks"))
+            .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("tok"))
+          val postings = graft.ViewStore.materialize(spark, "graft_bm25_index/postings", dir)(
+            d.groupBy(col("tok"), col("doc_id"), col("dl")).agg(count(lit(1)).as("tf"))
+          )
+          // stats from the DOCUMENTS table, not from a distinct over
+          // the postings: a zero-token document has no postings rows
+          // but still counts in n/avgdl (matching bm25Frame exactly)
+          val stats = graft.ViewStore.materialize(spark, "graft_bm25_index/stats", dir)(
+            Tables.documents(spark, dir)
+              .select(size(toks(col("text"))).as("dl"))
+              .agg(count(lit(1)).as("n"), (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+          )
+          (postings, stats)
+        }
+      )
+    }
+
+  /** BM25 served from the PERSISTED inverted index: the corpus is
+    * tokenized once at ingest; a query batch touches only its terms'
+    * postings (tf and dl ride the postings row, df is a per-term count
+    * of the probed postings, corpus stats are a 1-row broadcast). The
+    * documents table is never re-read at query time. Shares
+    * [[textBm25Topk]]'s oracle — index persistence must be
+    * result-invisible (TextEvalSpec pins bit-equality and the
+    * index-path scan). */
+  val textBm25Persisted: Q = Q(
+    "text_bm25_persisted",
+    textBm25Topk.oracle,
+    (spark, dir) => {
+      val queryToks = Seq("spark", "join", "fast", "window")
+      val (postingsPath, statsPath) = bm25IndexPath(spark, dir)
+      val probed = spark.read.parquet(postingsPath).filter(col("tok").isin(queryToks: _*))
+      val stats = spark.read.parquet(statsPath)
+      val df_ = probed.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      val termScore =
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * 2.2) / (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
+      probed
+        .join(broadcast(df_), Seq("tok"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), termScore.as("term_score"))
+        .groupBy(col("doc_id"))
+        .agg(Det.rN(Det.dsum(col("term_score")), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    }
+  )
+
   /** Per-doc BM25 score frame (doc_id, bm25) for a fixed query — the
     * scored core of [[textBm25Topk]], shared with the hybrid RRF fusion
     * in [[graft.operators.Similarity]]. Scale/determinism notes on
@@ -1396,7 +1463,7 @@ object TextAnalysis {
     textStats, textTfidfTop, textLangid, textQuality, textTokens, textFingerprint,
     textPiiRedact, reportScores, textBigramLm, textChunk, textVocab, pipelineCurate,
     textContamination, textHeavyHitters, pipelineFunnel, pipelineManifest, textEntropy,
-    pipelineCurriculum, textBm25Topk, textPerplexity, textRepetition, textInvertedIndex,
-    textBpePairs, textZipfFit, textNgramNovelty, pipelineDatasetCard
+    pipelineCurriculum, textBm25Topk, textBm25Persisted, textPerplexity, textRepetition,
+    textInvertedIndex, textBpePairs, textZipfFit, textNgramNovelty, pipelineDatasetCard
   )
 }

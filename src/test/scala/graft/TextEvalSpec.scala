@@ -108,4 +108,13 @@ class TextEvalSpec extends SparkSuite {
     assert(math.abs(row.getDouble(3) - r2) < 1e-5, "r2")
     assert(row.getDouble(3) >= 0 && row.getDouble(3) <= 1.0)
   }
+
+  test("persisted-index BM25 is bit-equal and scans the index, not documents") {
+    val fresh  = operators.TextAnalysis.textBm25Topk.run(spark, sf).collect().toSeq
+    val served = operators.TextAnalysis.textBm25Persisted.run(spark, sf)
+    assert(served.collect().toSeq == fresh, "index persistence must be result-invisible")
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bm25_index"), s"expected index scan in plan:\n${plan.take(2000)}")
+    assert(!plan.contains("documents.parquet"), "query-time plan must not re-read the corpus")
+  }
 }
