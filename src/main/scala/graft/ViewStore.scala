@@ -57,9 +57,19 @@ object ViewStore {
   }
 
   /** Idempotently materialize `build` under
-    * `tmpdir/<family>/<fingerprint(dir)>` and return the path. The
+    * `<root>/<family>/<fingerprint(dir)>` and return the path. The
     * caller memoizes per (session, dir); this handles the on-disk
-    * idempotence and the cross-JVM race. */
+    * idempotence and the cross-JVM race.
+    *
+    * `<root>` defaults to `java.io.tmpdir` and is overridden with
+    * `spark.graft.viewstore.dir` — the serving-table twin of
+    * `spark.graft.checkpoint.dir`: set it to an HDFS/object-store
+    * path at submit time and every serving view lands in durable
+    * shared storage instead of node-local tmp. Old-fingerprint
+    * siblings are deliberately NOT deleted here: a reader of the
+    * previous corpus snapshot may still be mid-scan (the point of
+    * snapshot keying), so retention is an external janitor's policy,
+    * not a side effect of a build. */
   private[graft] def materialize(
       spark: SparkSession,
       family: String,
@@ -67,7 +77,10 @@ object ViewStore {
   )(build: => DataFrame): String = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
-    val base = new Path(s"${System.getProperty("java.io.tmpdir")}/$family/${fingerprint(dir, conf)}")
+    val root = spark.conf
+      .getOption("spark.graft.viewstore.dir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val base = new Path(s"$root/$family/${fingerprint(dir, conf)}")
     val fs   = base.getFileSystem(conf)
     if (!fs.exists(base)) {
       val tmp = new Path(base.getParent, s"${base.getName}.tmp-${java.util.UUID.randomUUID()}")

@@ -37,6 +37,18 @@ class ViewStoreSpec extends SparkSuite {
     }
   }
 
+  test("spark.graft.viewstore.dir relocates the store root") {
+    val alt = Files.createTempDirectory("vstore_root").toFile
+    spark.conf.set("spark.graft.viewstore.dir", alt.getPath)
+    try {
+      val p = ViewStore.materialize(spark, "graft_test_root", sf)(
+        spark.range(3).toDF("id"))
+      assert(p.startsWith(alt.getPath) || p.startsWith(s"file:${alt.getPath}"),
+        s"view landed at $p, expected under ${alt.getPath}")
+      assert(spark.read.parquet(p).count() == 3)
+    } finally spark.conf.unset("spark.graft.viewstore.dir")
+  }
+
   test("a regenerated input dir rebuilds the view instead of serving the stale one") {
     val d = Files.createTempDirectory("vstore_in").toFile
     try {
