@@ -80,6 +80,9 @@ object Bench {
     operators.Dedup.sigTablePath(spark, sfDir)
     operators.Dedup.pairTablePath(spark, sfDir)
     operators.Graph.edgeTablePath(spark, sfDir)
+    operators.Advanced.ivfIndexPath(spark, sfDir)
+    operators.Similarity.lshSigTablePath(spark, sfDir)
+    operators.TextAnalysis.bm25IndexPath(spark, sfDir)
 
     def dropDeadBlocks(): Int = {
       // best-effort, never fatal: this runs OUTSIDE the per-query try,
