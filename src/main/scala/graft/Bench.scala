@@ -75,14 +75,24 @@ object Bench {
     // same reason the signature table always has: every consumer's
     // documented contract is the SERVING shape (scan the write-once
     // view), and which query happens to run first should not absorb a
-    // once-per-corpus-snapshot build into its number. All three views
-    // are idempotent ViewStore materializations.
-    operators.Dedup.sigTablePath(spark, sfDir)
-    operators.Dedup.pairTablePath(spark, sfDir)
-    operators.Graph.edgeTablePath(spark, sfDir)
-    operators.Advanced.ivfIndexPath(spark, sfDir)
-    operators.Similarity.lshSigTablePath(spark, sfDir)
-    operators.TextAnalysis.bm25IndexPath(spark, sfDir)
+    // once-per-corpus-snapshot build into its number. All are
+    // idempotent ViewStore materializations. The ingest cost is NOT
+    // hidden: it is measured and emitted as warm_views_sec in the
+    // artifact, so a reader comparing e.g. dedup_near_jaccard's
+    // serving-scan number against a from-scratch baseline can add the
+    // build back in. (0 when the views already exist on disk from a
+    // prior same-fingerprint run.)
+    val warmViewsSec = {
+      val t0 = System.nanoTime()
+      operators.Dedup.sigTablePath(spark, sfDir)
+      operators.Dedup.pairTablePath(spark, sfDir)
+      operators.Graph.edgeTablePath(spark, sfDir)
+      operators.Advanced.ivfIndexPath(spark, sfDir)
+      operators.Similarity.lshSigTablePath(spark, sfDir)
+      operators.TextAnalysis.bm25IndexPath(spark, sfDir)
+      (System.nanoTime() - t0) / 1e9
+    }
+    System.err.println(f"[bench] warm_views_sec=$warmViewsSec%.3f (one-time serving-view ingest)")
 
     def dropDeadBlocks(): Int = {
       // best-effort, never fatal: this runs OUTSIDE the per-query try,
@@ -191,7 +201,7 @@ object Bench {
     // gc_sec = whole-run driver GC time: the harness-health signal that
     // diagnoses any future bench-tail anomaly from the artifact alone
     // (round 5's 7x regression was GC, invisible in per-query seconds).
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","gc_sec":${gcMillis / 1000.0}%.1f,"calib_sec":$calibSec%.3f,"queries":$compact$slowDetail,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","gc_sec":${gcMillis / 1000.0}%.1f,"calib_sec":$calibSec%.3f,"warm_views_sec":$warmViewsSec%.3f,"queries":$compact$slowDetail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
