@@ -73,14 +73,22 @@ object ViewStore {
   private[graft] def materialize(
       spark: SparkSession,
       family: String,
-      dir: String
+      dir: String,
+      buildVersion: Int = 1
   )(build: => DataFrame): String = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val root = spark.conf
       .getOption("spark.graft.viewstore.dir")
       .getOrElse(System.getProperty("java.io.tmpdir"))
-    val base = new Path(s"$root/$family/${fingerprint(dir, conf)}")
+    // The path keys on (input fingerprint, build version): the
+    // fingerprint invalidates on input change, the version on BUILD
+    // DEFINITION change — bump it whenever the view's schema or
+    // derivation changes, or a store populated by an older binary
+    // would satisfy the exists-check with stale-SHAPED content (the
+    // input hasn't changed, so the fingerprint alone can't see it).
+    val ver  = if (buildVersion == 1) "" else s"-v$buildVersion"
+    val base = new Path(s"$root/$family/${fingerprint(dir, conf)}$ver")
     val fs   = base.getFileSystem(conf)
     if (!fs.exists(base)) {
       val tmp = new Path(base.getParent, s"${base.getName}.tmp-${java.util.UUID.randomUUID()}")

@@ -38,49 +38,6 @@ object Graph {
       .filter(orderFilter)
       .select(col("l_orderkey"), col("l_partkey"))
 
-  /** Undirected co-purchase edges (pa < pb). `dedup=true` collapses
-    * multi-order repeats to simple-graph edges; `dedup=false` keeps
-    * multiplicity — the multigraph whose edge weights are co-purchase
-    * frequencies.
-    *
-    * The simple-graph path generates each basket's pairs IN-ROW from
-    * the sorted distinct part set (collect_set → sort_array → nested
-    * transform), so the whole build is one groupBy shuffle + one
-    * distinct — the orderkey self-join formulation costs an extra
-    * exchange and sort for the same edge set. The multigraph path keeps
-    * the join: positional pair generation over a list WITH duplicates
-    * would also emit (x,x) self-pairs the value-< join excludes. */
-  private def coPurchaseEdges(
-      spark: SparkSession,
-      dir: String,
-      orderFilter: Column,
-      dedup: Boolean
-  ): DataFrame = {
-    val li = orderParts(spark, dir, orderFilter)
-    if (dedup) {
-      li.groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .select(
-          explode(
-            flatten(
-              expr(
-                "transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb)))"
-              )
-            )
-          ).as("e")
-        )
-        .select(col("e.pa"), col("e.pb"))
-        .distinct()
-    } else {
-      li.as("a")
-        .join(
-          li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") && col("a.l_partkey") < col("b.l_partkey")
-        )
-        .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-    }
-  }
-
   private val edgeTableCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), String]
 
@@ -105,15 +62,46 @@ object Graph {
     edgeTableCache.synchronized {
       edgeTableCache.getOrElseUpdate(
         (spark, dir),
-        graft.ViewStore.materialize(spark, "graft_graph_edges", dir)(
-          coPurchaseEdges(spark, dir, lit(true), dedup = true))
+        // WEIGHTED edges (pa, pb, w): per-basket in-row pair generation
+        // over the distinct part set, COUNTED across baskets instead of
+        // distinct'd — same single groupBy shuffle as the simple-graph
+        // build, but the view now serves both consumer classes: the
+        // simple-graph queries project (pa, pb) (each pair appears once,
+        // with its weight alongside), and graph_lift reads w directly as
+        // its pair support instead of re-running the basket pair
+        // generation.
+        // buildVersion = 2: the r9 weighted rebuild added the w column —
+        // a v1 (pa, pb)-only store from an earlier binary must not
+        // satisfy the exists-check
+        graft.ViewStore.materialize(spark, "graft_graph_edges", dir, buildVersion = 2)(
+          orderParts(spark, dir, lit(true))
+            .distinct()
+            .groupBy(col("l_orderkey"))
+            .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+            .select(
+              explode(
+                flatten(
+                  expr(
+                    "transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb)))"
+                  )
+                )
+              ).as("e")
+            )
+            .select(col("e.pa"), col("e.pb"))
+            .groupBy(col("pa"), col("pb"))
+            .agg(count(lit(1)).as("w")))
       )
     }
 
   /** The (pa < pb) simple co-purchase edges served from the
-    * materialized view — what the four full-scope graph consumers call
-    * instead of [[coPurchaseEdges]]. */
+    * materialized view — what the full-scope simple-graph consumers
+    * call (the weight column is projected away). */
   private def sharedEdges(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(edgeTablePath(spark, dir)).select(col("pa"), col("pb"))
+
+  /** The weighted (pa, pb, w) co-purchase edges from the same view —
+    * w = number of distinct baskets containing both parts. */
+  private def sharedWeightedEdges(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(edgeTablePath(spark, dir))
 
   /** Degree distribution of the full co-purchase graph: for every part
@@ -437,10 +425,9 @@ object Graph {
     * each metric is ONE IEEE division (lift: one divide of exact
     * products), trunc-rounded 6 dp; ordering ties break on (pa, pb).
     *
-    * 100 TB: pair support is the simple-graph in-row pair generation
-    * ([[coPurchaseEdges]]) WITHOUT the distinct — grouped instead, so
-    * pair counting is one groupBy-shuffle over basket-bounded pair
-    * lists; item supports and the scalar N are small aggregates
+    * 100 TB: pair support comes straight from the materialized
+    * weighted edge view (w = distinct-basket co-occurrence count), so
+    * the query does no pair generation at all; item supports and the scalar N are small aggregates
     * broadcast back onto the (bounded, support-filtered) pair set.
     * Bound on the integer algebra: the lift numerator nab·N (and
     * denominator na·nb) stays below 2⁶³ only while basket count and
@@ -469,23 +456,11 @@ object Graph {
       val li = orderParts(spark, dir, lit(true)).distinct()
       val n = li.agg(countDistinct(col("l_orderkey")).as("nb"))
       val ia = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("na"))
-      // pair support via the in-row basket pair generation (one groupBy
-      // shuffle), counted instead of distinct'd
-      val pr = li
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .select(
-          explode(
-            flatten(
-              expr(
-                "transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb)))"
-              )
-            )
-          ).as("e")
-        )
-        .select(col("e.pa"), col("e.pb"))
-        .groupBy(col("pa"), col("pb"))
-        .agg(count(lit(1)).as("nab"))
+      // pair support IS the materialized weighted edge view (w = count
+      // of distinct baskets containing both parts) — lift reads it
+      // instead of re-running the basket pair generation
+      val pr = sharedWeightedEdges(spark, dir)
+        .select(col("pa"), col("pb"), col("w").as("nab"))
         .filter(col("nab") >= 3)
       // item supports are hint-broadcast: the table is bounded by the
       // part CATALOG (a dimension, not the fact), and the planner has
