@@ -98,6 +98,18 @@ object ViewStore {
         val nested = new Path(base, tmp.getName)
         if (fs.exists(nested)) fs.delete(nested, true) // tie: we moved into the winner's dir
       }
+      // Opportunistic debris sweep: a writer that CRASHED mid-build
+      // leaves its .tmp-<uuid> dir behind forever (no rename ever
+      // happens). Sweep siblings of the family dir that are (a) tmp
+      // dirs by name and (b) older than an hour — the age gate keeps
+      // us from racing a live writer that simply hasn't renamed yet.
+      // Best-effort: a sweep failure must never fail the build.
+      scala.util.Try {
+        val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+        fs.listStatus(base.getParent)
+          .filter(s => s.getPath.getName.contains(".tmp-") && s.getModificationTime < cutoff)
+          .foreach(s => fs.delete(s.getPath, true))
+      }
     }
     base.toString
   }

@@ -37,6 +37,21 @@ class ViewStoreSpec extends SparkSuite {
     }
   }
 
+  test("materialize sweeps crashed-writer tmp debris but not fresh in-flight dirs") {
+    val root = Files.createTempDirectory("vstore_sweep").toFile
+    spark.conf.set("spark.graft.viewstore.dir", root.getPath)
+    try {
+      val fam = new java.io.File(root, "graft_test_sweep"); fam.mkdirs()
+      val stale = new java.io.File(fam, "deadbeef.tmp-crashed"); stale.mkdirs()
+      stale.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+      val fresh = new java.io.File(fam, "cafebabe.tmp-inflight"); fresh.mkdirs()
+      val p = ViewStore.materialize(spark, "graft_test_sweep", sf)(spark.range(2).toDF("id"))
+      assert(spark.read.parquet(p).count() == 2)
+      assert(!stale.exists(), "hour-old crashed tmp dir must be swept")
+      assert(fresh.exists(), "fresh tmp dir may be a live writer and must survive")
+    } finally spark.conf.unset("spark.graft.viewstore.dir")
+  }
+
   test("spark.graft.viewstore.dir relocates the store root") {
     val alt = Files.createTempDirectory("vstore_root").toFile
     spark.conf.set("spark.graft.viewstore.dir", alt.getPath)
