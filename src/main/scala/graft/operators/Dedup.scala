@@ -892,9 +892,7 @@ object Dedup {
       // directly-screened at a second scope). This is also the 100 TB
       // shape: clustering consumes the pair manifest the screens
       // already wrote, it does not re-screen the corpus.
-      val edges = sharedPairs(spark, dir)
-        .filter(col("ida") < scope && col("idb") < scope)
-        .select(col("ida"), col("idb"))
+      val edges = scopedManifestPairs(spark, dir, scope)
       // symmetrize via explode, NOT union(edges, edges.reversed): a
       // union would run the similarity join once per branch — explode
       // scans it exactly once before the materialization
@@ -1385,6 +1383,17 @@ object Dedup {
     * re-running the blocked join. */
   private def sharedPairs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(pairTablePath(spark, dir))
+
+  /** The manifest's pairs restricted to `doc_id < scope` on BOTH
+    * endpoints — exactly the pair set a direct screen of the scoped
+    * corpus produces (lossless: blocking is per-doc, so candidacy and
+    * exact Jaccard never depend on which other docs are in scope;
+    * DedupSpec pins the equivalence). Shared by the scoped graph
+    * consumers (clustering, near-dup triangles). */
+  private[graft] def scopedManifestPairs(spark: SparkSession, dir: String, scope: Long): DataFrame =
+    sharedPairs(spark, dir)
+      .filter(col("ida") < scope && col("idb") < scope)
+      .select(col("ida"), col("idb"))
 
   /** The incremental screen served from the PERSISTED signature table —
     * the shape the daily job actually runs at 100 TB: tokenize/hash the

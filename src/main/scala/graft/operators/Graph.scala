@@ -302,9 +302,10 @@ object Graph {
         "FROM ns LEFT JOIN tri ON ns.lang = tri.lang ORDER BY ns.lang"
     ),
     (spark, dir) => {
-      val edges = Dedup
-        .nearJaccardPairs(spark, dir, col("doc_id") < TriangleProbeScope)
-        .select(col("ida"), col("idb"))
+      // served from the dedup pair manifest restricted to the probe
+      // scope (lossless — see Dedup.scopedManifestPairs) instead of
+      // re-screening the scoped corpus
+      val edges = Dedup.scopedManifestPairs(spark, dir, TriangleProbeScope)
       val lang = Tables
         .documents(spark, dir)
         .filter(col("doc_id") < TriangleProbeScope)
