@@ -1257,12 +1257,14 @@ object Dedup {
 
   /** Doc → (lang, bucket, nt, sorted hashes) signature projection —
     * what the incremental screen needs from either side. */
-  private def signatures(spark: SparkSession, dir: String, docFilter: Column): DataFrame = {
+  /** (doc_id, lang, t, nt, bkt) signature transform over ANY docs
+    * frame with (doc_id, lang, text) — shared by the batch paths and
+    * the streaming ingest screen (a streaming frame goes through the
+    * same stateless projection). */
+  private[graft] def signaturesOf(docs: DataFrame): DataFrame = {
     val hs = sort_array(transform(toks(col("text")), x =>
       conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
-    Tables
-      .documents(spark, dir)
-      .filter(docFilter)
+    docs
       .select(
         col("doc_id"),
         col("lang"),
@@ -1271,6 +1273,9 @@ object Dedup {
       )
       .withColumn("bkt", floor(log(col("nt").cast("double")) / math.log(1.25)).cast("int"))
   }
+
+  private def signatures(spark: SparkSession, dir: String, docFilter: Column): DataFrame =
+    signaturesOf(Tables.documents(spark, dir).filter(docFilter))
 
   private def corpusSignatures(spark: SparkSession, dir: String): DataFrame =
     signatures(spark, dir, col("doc_id") % 10 =!= 0)
@@ -1291,9 +1296,18 @@ object Dedup {
       spark: SparkSession,
       dir: String,
       corpus: DataFrame
-  ): DataFrame = {
+  ): DataFrame =
+    screenSigsAgainst(signatures(spark, dir, col("doc_id") % 10 === 0), corpus)
+      .orderBy(col("doc_id"))
+
+  /** Screen a signature frame (the incoming batch) against a corpus
+    * signature table: count-bucket + length-ratio blocked exact
+    * Jaccard, per-doc dup accounting. Factored out so the STREAMING
+    * ingest screen ([[graft.streaming.StreamDemos.screenedIngest]])
+    * runs the identical plan per micro-batch against the persisted
+    * table. Unsorted — batch callers append their own total order. */
+  private[graft] def screenSigsAgainst(batch: DataFrame, corpus: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftx.SortedLongIntersectCount
-    val batch = signatures(spark, dir, col("doc_id") % 10 === 0)
     val probe = batch.select(
       col("doc_id"),
       col("lang"),
@@ -1321,7 +1335,6 @@ object Dedup {
         coalesce(col("best"), lit(0.0)).as("best_jac"),
         (coalesce(col("n_dups"), lit(0L)) === 0).as("admitted")
       )
-      .orderBy(col("doc_id"))
   }
 
   private val sigTableCache =

@@ -272,6 +272,49 @@ object StreamDemos {
   /** Drive a streaming DF to completion against a finite file source:
     * write every micro-batch to an in-memory table, process all
     * available input, stop. Returns the memory sink's final contents. */
+  /** Streaming near-dup ingest screen — the stream side of the
+    * persisted-signature serving story: each micro-batch of incoming
+    * documents is signature-transformed (stateless projection) and
+    * screened against the WRITE-ONCE corpus signature table
+    * ([[graft.operators.Dedup.sigTablePath]]) via `foreachBatch`, the
+    * production shape for "gate every ingest batch against the
+    * corpus": the corpus's text is never re-read, the screen is the
+    * same blocked exact-Jaccard plan the batch row runs, and each
+    * batch's verdicts MERGE idempotently by doc_id (replayed docs get
+    * recomputed against the same static table, so a retry writes the
+    * identical verdict — exactly-once semantics without needing a
+    * transactional sink for this demo). State is driver-side here
+    * ONLY because the demo batch is bounded (doc_id % 10); at scale
+    * the merge target is a keyed table (MERGE BY doc_id).
+    * StreamingSpec asserts the final verdict set equals
+    * `dedup_incremental_persisted`'s batch output bit-for-bit. */
+  def screenedIngest(spark: SparkSession, dir: String, copies: Int = 2): DataFrame = {
+    import org.apache.spark.sql.Row
+    val corpus = spark.read.parquet(graft.operators.Dedup.sigTablePath(spark, dir))
+    val verdicts = scala.collection.concurrent.TrieMap.empty[Long, Row]
+    val q = docsStream(spark, dir, copies)
+      .filter(col("doc_id") % 10 === 0)
+      .writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup
+          .screenSigsAgainst(graft.operators.Dedup.signaturesOf(batch), corpus)
+          .collect() // bounded: <= |demo batch| verdict rows per micro-batch
+          .foreach(r => verdicts.put(r.getLong(0), r))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      verdicts.values.toSeq.sortBy(_.getLong(0)).asJava,
+      graft.operators.Dedup.screenSigsAgainst(
+        graft.operators.Dedup.signaturesOf(Tables.documents(spark, dir).limit(0)),
+        corpus.limit(0)).schema
+    )
+  }
+
   def runToCompletion(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
     val q: StreamingQuery = streamed.writeStream
       .format("memory")

@@ -220,4 +220,20 @@ class StreamingSpec extends SparkSuite {
     for ((k, (n, _)) <- mustEmit)
       assert(got.get(k).contains(n), s"finalized session $k missing from stream")
   }
+
+  test("streaming ingest screen == persisted-signature batch screen, replay-idempotent") {
+    // the stream side of the serving-view story: each micro-batch is
+    // screened against the write-once corpus signature table; with
+    // copies=2 every doc is REPLAYED and the merged verdicts must
+    // still equal the batch row bit-for-bit (same static table, same
+    // blocked plan, idempotent merge by doc_id)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))
+    val streamed = streaming.StreamDemos.screenedIngest(spark, sf, copies = 2)
+      .collect().map(key).sortBy(_._1)
+    val batch = operators.Dedup.dedupIncrementalPersisted.run(spark, sf)
+      .collect().map(key).sortBy(_._1)
+    assert(streamed.nonEmpty, "stream must emit verdicts")
+    assert(streamed.toSeq == batch.toSeq, "streamed verdicts diverge from the batch screen")
+  }
 }
