@@ -31,12 +31,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object ViewStore {
 
   /** MD5 hex over the dir path + each parquet file's (name, length,
-    * mtime), NUL-separated so no crafted name can collide two inputs.
-    * Listing is non-recursive: the graft input contract is one flat
-    * dir of `<table>.parquet` files (TESTDATA.md). Goes through the
-    * Hadoop FileSystem API so the fingerprint is scheme-agnostic — the
-    * same staleness key works when the input dir lives on HDFS or an
-    * object store on a real cluster, not just a local path. */
+    * mtime) + the last 64 KB of its BYTES, NUL-separated so no crafted
+    * name can collide two inputs. The byte tail covers the parquet
+    * FOOTER (row counts, column statistics, schema), so a regenerated
+    * input whose metadata was preserved (`rsync -a` / `cp -p` from a
+    * different snapshot, or a same-second same-size rewrite on a
+    * 1 s-granularity filesystem) still changes the key — (name, length,
+    * mtime) alone cannot see that case. Listing is non-recursive: the
+    * graft input contract is one flat dir of `<table>.parquet` files
+    * (TESTDATA.md). Goes through the Hadoop FileSystem API so the
+    * fingerprint is scheme-agnostic — the same staleness key works
+    * when the input dir lives on HDFS or an object store on a real
+    * cluster, not just a local path; the tail reads are a ranged GET
+    * per input file, paid once per (session, dir) via the callers'
+    * memos. */
   private[graft] def fingerprint(
       dir: String,
       conf: org.apache.hadoop.conf.Configuration = new org.apache.hadoop.conf.Configuration()
@@ -44,16 +52,25 @@ object ViewStore {
     import org.apache.hadoop.fs.Path
     val p  = new Path(dir)
     val fs = p.getFileSystem(conf)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(dir.getBytes("UTF-8"))
     val files = (if (fs.exists(p)) fs.listStatus(p).toSeq else Seq.empty)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-      .sorted
-    val key = (dir +: files).mkString("\u0000")
-    java.security.MessageDigest
-      .getInstance("MD5")
-      .digest(key.getBytes("UTF-8"))
-      .map("%02x".format(_))
-      .mkString
+      .sortBy(_.getPath.getName)
+    for (s <- files) {
+      md.update(0.toByte)
+      md.update(s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}".getBytes("UTF-8"))
+      md.update(0.toByte)
+      val tail = math.min(65536L, s.getLen).toInt
+      val buf  = new Array[Byte](tail)
+      val in   = fs.open(s.getPath)
+      try {
+        in.seek(s.getLen - tail)
+        in.readFully(buf)
+      } finally in.close()
+      md.update(buf)
+    }
+    md.digest().map("%02x".format(_)).mkString
   }
 
   /** Idempotently materialize `build` under
@@ -101,13 +118,25 @@ object ViewStore {
       // Opportunistic debris sweep: a writer that CRASHED mid-build
       // leaves its .tmp-<uuid> dir behind forever (no rename ever
       // happens). Sweep siblings of the family dir that are (a) tmp
-      // dirs by name and (b) older than an hour — the age gate keeps
-      // us from racing a live writer that simply hasn't renamed yet.
-      // Best-effort: a sweep failure must never fail the build.
+      // dirs by name and (b) QUIESCENT for over an hour — judged by
+      // the newest mtime anywhere under the dir, not the dir's own
+      // mtime: a live long-running writer keeps touching task files
+      // even when the top-level dir's mtime is stuck at creation
+      // time, so recursive-newest is what distinguishes "slow but
+      // alive" from "dead". Best-effort: a sweep failure must never
+      // fail the build.
       scala.util.Try {
         val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+        def newestUnder(p: Path): Long = {
+          val kids = fs.listStatus(p)
+          (p +: kids.map(_.getPath).toSeq)
+            .map(q => fs.getFileStatus(q).getModificationTime)
+            .max
+            .max(kids.filter(_.isDirectory).map(k => newestUnder(k.getPath)).foldLeft(0L)(math.max))
+        }
         fs.listStatus(base.getParent)
-          .filter(s => s.getPath.getName.contains(".tmp-") && s.getModificationTime < cutoff)
+          .filter(s => s.getPath.getName.contains(".tmp-"))
+          .filter(s => scala.util.Try(newestUnder(s.getPath)).getOrElse(Long.MaxValue) < cutoff)
           .foreach(s => fs.delete(s.getPath, true))
       }
     }

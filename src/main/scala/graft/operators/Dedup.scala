@@ -101,6 +101,13 @@ object Dedup {
   private[operators] def oLenRatio(a: String, b: String): String =
     s"5 * least(len($a), len($b)) >= 4 * greatest(len($a), len($b))"
 
+  /** Sorted 60-bit md5 token-hash set of `text` — THE token identity
+    * every exact-Jaccard path (pair manifest, containment, incremental
+    * and streaming screens) must share; one spelling, one place. */
+  private def hashedTokenSet: org.apache.spark.sql.Column =
+    sort_array(transform(toks(col("text")), x =>
+      conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
+
   /** The per-doc hashed-token-set frame (doc_id, lang, t sorted 60-bit
     * md5 hashes, nt) every exact-Jaccard path starts from — factored
     * out so multi-screen queries ([[dedupLshRecallReport]]) tokenize
@@ -112,8 +119,7 @@ object Dedup {
       docFilter: Column = lit(true),
       carry: Seq[String] = Nil
   ): DataFrame = {
-    val hs = sort_array(transform(toks(col("text")), x =>
-      conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
+    val hs = hashedTokenSet
     Tables
       .documents(spark, dir)
       .filter(docFilter) // structurally below the pair join: guaranteed scan-side prune
@@ -706,7 +712,13 @@ object Dedup {
         MinhashA16.indices.map(i =>
           org.apache.spark.sql.types.StructField(s"m$i", org.apache.spark.sql.types.LongType, nullable = false))
     )
-    spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+    // LocalRelation (the cluster-label memo's pattern), NOT
+    // parallelize: an RDD-backed plan carries the default (huge) size
+    // statistic, so the band self-join would never auto-broadcast the
+    // memo, and every consumer would pay an RDD job instead of a local
+    // scan.
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.toIndexedSeq.asJava, schema)
   }
 
   private[graft] def minhashPairs(
@@ -1147,8 +1159,7 @@ object Dedup {
     ),
     (spark, dir) => {
       import org.apache.spark.sql.graftx.SortedLongIntersectCount
-      val hs = sort_array(transform(toks(col("text")), x =>
-        conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
+      val hs = hashedTokenSet
       def bkt(n: Column): Column = floor(log(n.cast("double")) / math.log(1.25)).cast("int")
       val d = Tables
         .documents(spark, dir)
@@ -1262,8 +1273,7 @@ object Dedup {
     * the streaming ingest screen (a streaming frame goes through the
     * same stateless projection). */
   private[graft] def signaturesOf(docs: DataFrame): DataFrame = {
-    val hs = sort_array(transform(toks(col("text")), x =>
-      conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
+    val hs = hashedTokenSet
     docs
       .select(
         col("doc_id"),

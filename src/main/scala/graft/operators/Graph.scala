@@ -74,8 +74,10 @@ object Graph {
         // a v1 (pa, pb)-only store from an earlier binary must not
         // satisfy the exists-check
         graft.ViewStore.materialize(spark, "graft_graph_edges", dir, buildVersion = 2)(
+          // no pre-distinct: collect_set dedups parts within each
+          // basket, so a distinct here would just add a full extra
+          // exchange before the groupBy for identical view content
           orderParts(spark, dir, lit(true))
-            .distinct()
             .groupBy(col("l_orderkey"))
             .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
             .select(

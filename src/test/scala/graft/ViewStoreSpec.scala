@@ -29,9 +29,15 @@ class ViewStoreSpec extends SparkSuite {
       f.setLastModified(1700000001000L)
       val fp3 = ViewStore.fingerprint(d.getPath)
       assert(fp3 != fp2, "size change must change the fingerprint")
+      // the rsync -a / cp -p case: same name, same size, same mtime,
+      // DIFFERENT bytes — the footer-tail hash must still see it
+      Files.write(f.toPath, Array[Byte](9, 9, 9, 9))
+      f.setLastModified(1700000001000L)
+      val fp4 = ViewStore.fingerprint(d.getPath)
+      assert(fp4 != fp3, "metadata-preserving content change must change the fingerprint")
       // a non-parquet file is outside the input contract and invisible
       Files.write(new java.io.File(d, "notes.txt").toPath, Array[Byte](9))
-      assert(ViewStore.fingerprint(d.getPath) == fp3, "non-parquet files don't key the view")
+      assert(ViewStore.fingerprint(d.getPath) == fp4, "non-parquet files don't key the view")
     } finally {
       d.listFiles().foreach(_.delete()); d.delete()
     }
