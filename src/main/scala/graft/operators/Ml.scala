@@ -36,11 +36,11 @@ object Ml {
     * centroid-id tiebreak). `cents` is (cid, c: array<double>) — tiny,
     * broadcast. */
   private def assign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val d2 = aggregate(
-      zip_with(col("x"), col("c"), (a, b) => (a - b) * (a - b)),
-      lit(0.0),
-      (acc, v) => acc + v
-    )
+    // codegen'd squared-L2 (bit-identical to the HOF
+    // aggregate(zip_with(...)) spelling AND the oracle's unrolled
+    // (x-c)^2 CTE sums — same element order, same accumulation): the
+    // hot inner loop is vectors x K x dims per Lloyd iteration
+    val d2 = org.apache.spark.sql.graftx.SquaredL2.dist2(col("x"), col("c"))
     org.apache.spark.sql.graftx
       .TopKPerGroup(
         e.crossJoin(broadcast(cents)).withColumn("d2", d2),
