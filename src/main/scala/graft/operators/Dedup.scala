@@ -292,22 +292,35 @@ object Dedup {
         "SELECT doc_id, cast(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) as bigint) AS simhash " +
         "FROM bits GROUP BY doc_id ORDER BY doc_id"
     ),
-    (spark, dir) =>
-      Tables
-        .documents(spark, dir)
-        .select(col("doc_id"), explode(toks(col("text"))).as("t"))
-        .select(col("doc_id"), conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
-        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("b"))
-        .groupBy(col("doc_id"), col("b"))
-        .agg(sum(when(expr("(h >> b) & 1") === 1, 1).otherwise(-1)).as("s"))
-        .groupBy(col("doc_id"))
-        .agg(
-          sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L))
-            .cast("long")
-            .as("simhash")
-        )
-        .orderBy(col("doc_id"))
+    (spark, dir) => simhashFrame(spark, dir).orderBy(col("doc_id"))
   )
+
+  /** (doc_id, simhash) for the whole corpus — shared by both simhash
+    * rows. ONE partial-aggregating groupBy with 60 bit-counter columns
+    * instead of exploding every token row ×60 bit positions into a
+    * (doc, b)-keyed aggregate: the token stream flows straight into a
+    * map-side combine (60 ints per doc per partition), where the ×60
+    * explode materialized |tokens|·60 intermediate rows first. Sums of
+    * ±1 integers are exact under any grouping, so the signatures — and
+    * both rows' oracles — are bit-identical to the exploded spelling. */
+  private def simhashFrame(spark: SparkSession, dir: String): DataFrame = {
+    val bitSums = (0 until 60).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .select(col("doc_id"), conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(
+        col("doc_id"),
+        (0 until 60)
+          .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _)
+          .cast("long")
+          .as("simhash")
+      )
+  }
 
   /** Banded SimHash pair screen — the pair-level member the signature
     * query above feeds: 60-bit simhashes split into 4 × 15-bit bands,
@@ -343,19 +356,7 @@ object Dedup {
         "FROM p WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY ida, idb"
     ),
     (spark, dir) => {
-      val sg = Tables
-        .documents(spark, dir)
-        .select(col("doc_id"), explode(toks(col("text"))).as("t"))
-        .select(col("doc_id"), conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
-        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("b"))
-        .groupBy(col("doc_id"), col("b"))
-        .agg(sum(when(expr("(h >> b) & 1") === 1, 1).otherwise(-1)).as("s"))
-        .groupBy(col("doc_id"))
-        .agg(
-          sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L))
-            .cast("long")
-            .as("simhash")
-        )
+      val sg = simhashFrame(spark, dir)
       val k = sg
         .select(col("doc_id"), col("simhash"), explode(array((0 until 4).map(lit): _*)).as("bi"))
         .withColumn("bv", expr("(simhash >> (15 * bi)) & 32767"))
