@@ -12,16 +12,21 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
 
 /** Native squared-L2 distance over two double vectors.
   *
-  * Semantically identical to
-  * `aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0d, +)` —
+  * On EQUAL-LENGTH vectors of non-null elements — the only inputs the
+  * callers produce (both sides come from the same fixed-width
+  * embedding pipeline) — this is bit-identical to
+  * `aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0d, +)`:
   * same element order, same per-element `(x−y)²` then left-to-right
-  * double accumulation, bit-identical results (and the same as the
-  * k-means oracle's unrolled `(v.x - c.c)^2` CTE sums) — but the
-  * codegen'd loop reads both `ArrayData` buffers directly: no
-  * intermediate zipped array, no lambda dispatch per element. On the
-  * Lloyd assignment path this is the hot inner loop (vectors × K
-  * centroids × 64 dims per iteration), [[FloatDot]]'s squared-distance
-  * sibling.
+  * double accumulation (and the same as the k-means oracle's unrolled
+  * `(v.x - c.c)^2` CTE sums). Outside that contract the two DIVERGE —
+  * the HOF spelling returns NULL on a length mismatch or a null
+  * element, while this loop (like [[FloatDot]], same convention)
+  * truncates to the shorter length and reads null slots as 0.0; the
+  * caller owns the well-formedness of its vectors. The codegen'd loop
+  * reads both `ArrayData` buffers directly: no intermediate zipped
+  * array, no lambda dispatch per element. On the Lloyd assignment
+  * path this is the hot inner loop (vectors × K centroids × 64 dims
+  * per iteration), [[FloatDot]]'s squared-distance sibling.
   */
 case class SquaredL2(left: Expression, right: Expression)
     extends BinaryExpression
