@@ -16,6 +16,16 @@ object BenchRepeat {
     val names = args.drop(1).toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Fail fast on a typo'd query name — BEFORE the session spins up,
+    // and with the valid-name list in the message instead of a bare
+    // key-not-found from a Map apply.
+    val unknown = names.filterNot(Registry.byName.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[repeat] unknown quer${if (unknown.size == 1) "y" else "ies"}: ${unknown.mkString(", ")}\n" +
+          s"[repeat] valid names: ${Registry.all.map(_.name).sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -51,13 +51,24 @@ object ViewStore {
   private[graft] def fingerprint(
       dir: String,
       conf: org.apache.hadoop.conf.Configuration = new org.apache.hadoop.conf.Configuration()
+  ): String = fingerprintOf(dir, listInputs(dir, conf), conf)
+
+  /** Digest over an ALREADY-LISTED snapshot of the input dir — the memo
+    * below passes the same listing it derived its key from, so key and
+    * digest can never come from two different directory states (a file
+    * changing between two listings would otherwise let the memo store a
+    * fingerprint under a metaKey that no longer matches it). */
+  private def fingerprintOf(
+      dir: String,
+      inputs: Seq[org.apache.hadoop.fs.FileStatus],
+      conf: org.apache.hadoop.conf.Configuration
   ): String = {
     import org.apache.hadoop.fs.Path
     val p  = new Path(dir)
     val fs = p.getFileSystem(conf)
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(dir.getBytes("UTF-8"))
-    for (s <- listInputs(dir, conf)) {
+    for (s <- inputs) {
       md.update(0.toByte)
       md.update(metaEntry(s).getBytes("UTF-8"))
       md.update(0.toByte)
@@ -104,15 +115,33 @@ object ViewStore {
   private val fpCache = scala.collection.mutable.Map.empty[(String, String), String]
 
   private def fingerprintCached(dir: String, conf: org.apache.hadoop.conf.Configuration): String = {
-    val metaKey = listInputs(dir, conf).map(metaEntry).mkString("\u0000")
+    // ONE listing feeds both the memo key and (on a miss) the digest:
+    // a file changing between two separate listings could otherwise
+    // memoize a fingerprint under a metaKey that no longer matches it.
+    val inputs  = listInputs(dir, conf)
+    val metaKey = inputs.map(metaEntry).mkString("\u0000")
     fpCache.synchronized(fpCache.get((dir, metaKey))) match {
       case Some(fp) => fp
       case None =>
-        val fp = fingerprint(dir, conf)
+        val fp = fingerprintOf(dir, inputs, conf)
         fpCache.synchronized(fpCache.update((dir, metaKey), fp))
         fp
     }
   }
+
+  /** Serving audit trail: how each `materialize` call this JVM resolved
+    * — `built` (the view was absent and this call wrote it) or `hit`
+    * (an already-materialized copy satisfied the exists-check). Keyed
+    * by family; a later call for the same family overwrites (last
+    * state wins — the bench reads this once, right after its warm-up
+    * pass, when each family has resolved exactly once). Insertion
+    * order preserved so the artifact stanza is deterministic. */
+  private val resolutions = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+  /** Snapshot (family → hit|built) of every materialization so far —
+    * what [[graft.Bench]] emits as the per-view serving stanza. */
+  private[graft] def resolutionLog: Seq[(String, String)] =
+    resolutions.synchronized(resolutions.toSeq)
 
   /** Idempotently materialize `build` under
     * `<root>/<family>/<fingerprint(dir)>` and return the path. The
@@ -148,7 +177,9 @@ object ViewStore {
     val ver  = if (buildVersion == 1) "" else s"-v$buildVersion"
     val base = new Path(s"$root/$family/${fingerprintCached(dir, conf)}$ver")
     val fs   = base.getFileSystem(conf)
-    if (!fs.exists(base)) {
+    val existed = fs.exists(base)
+    resolutions.synchronized(resolutions.update(family, if (existed) "hit" else "built"))
+    if (!existed) {
       val tmp = new Path(base.getParent, s"${base.getName}.tmp-${java.util.UUID.randomUUID()}")
       build.write.mode("overwrite").parquet(tmp.toString)
       if (!fs.rename(tmp, base)) fs.delete(tmp, true) // lost the race outright

@@ -532,11 +532,13 @@ object Dedup {
     * not a load-bearing constant. */
   private[graft] def lshRecallFrame(spark: SparkSession, dir: String, scope: Column): DataFrame = {
     import org.apache.spark.sql.graftx.SortedLongIntersectCount
-    // ONE tokenization for everything: the hashed-token frame is
-    // truncated once and feeds (a) the blocked exact-truth join, (b)
-    // the 16-wide signature build (shiftright-derived — see
-    // minhashSignaturesFromTokens), and (c) the exact-verify screen.
-    // Before r9 each of those re-tokenized the scoped corpus.
+    // ONE tokenization for everything the persisted views don't cover:
+    // the hashed-token frame is truncated once and feeds (a) the
+    // scoped id list (truth restriction + signature-scan restriction)
+    // and (b) the exact-verify screen. Before r9 the truth join, the
+    // signature build and the verify screen each re-tokenized the
+    // scoped corpus; since r10 the signatures come from the ViewStore
+    // parquet and only the verify screen still needs token sets.
     val dtok = graft.Lineage.truncate(tokenizedDocs(spark, dir, scope))
     // truth = the EXACT jac >= 0.8 pairs inside the scope, reused by
     // all three report rows. Served from the materialized pair
@@ -574,15 +576,24 @@ object Dedup {
           Det.rN(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"),
           Det.rN(col("n_hit").cast("double") / col("n_cand"), 6).as("prec")
         )
-    // The 16-wide signature table is truncated once; the 8-perm screen
-    // is its m0..m7 projection (the constants are a prefix — see
-    // MinhashA16). Deliberately NOT truncated any further: eagerly
-    // checkpointing the banded-16 pair set too was measured 5.9 → 8.9 s
-    // at sf0.1/32cpu — each eager truncate is a serial job boundary,
-    // while the lazy three-screen union lets the band joins run
-    // concurrently inside one job. Truncate only what is REUSED across
-    // jobs (the tokenized frame, the signature scan, the truth pairs).
-    val sig16 = graft.Lineage.truncate(minhashSignaturesFromTokens(dtok, MinhashA16, MinhashB16))
+    // The 16-wide signature table is served from the write-once
+    // ViewStore parquet (minhashSigTablePath) restricted to the scope —
+    // a MATERIALIZED view needs no truncate (r10: this replaced the
+    // third eager-truncate boundary, a rebuild-from-tokens + reliable
+    // checkpoint write, with a plain scan + broadcast semi-join; each
+    // eager truncate is a serial job boundary, the scaladoc history
+    // measured 5.9 → 8.9 s when overdone). The 8-perm screen is the
+    // m0..m7 projection (the constants are a prefix — see MinhashA16).
+    // The banded pair sets derived from it are deliberately lazy:
+    // the three-screen union lets the band joins run concurrently
+    // inside one job. Scope restriction is a semi-join on the
+    // broadcast-sized scoped id list, NOT a re-derivation — lossless
+    // because signatures are per-doc (scope-invariant), and the
+    // persisted build excludes zero-token docs exactly as the
+    // from-tokens build did (DedupSpec pins build equality).
+    val sig16 = spark.read
+      .parquet(minhashSigTablePath(spark, dir))
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
     val sig8  = sig16.select(col("doc_id") +: (0 until MinhashA.length).map(i => col(s"m$i")): _*)
     // verified: ALL banded 16-perm pairs (maxDist = 1.0 disables the
     // estimate threshold), exact-verified on the hashed token sets —
@@ -632,12 +643,11 @@ object Dedup {
     * says "everything matches everything" — no signal, unbounded join
     * cost; the cap bounds any bucket's contribution at scale). */
   /** Per-doc minhash signature table (doc_id, m0..m{nH−1}) for one
-    * permutation family — the write-once half of the screen
-    * ([[dedupIncrementalPersisted]] persists exactly this shape).
-    * Because [[MinhashA16]]/[[MinhashB16]] EXTEND the 8-perm constants,
-    * the 16-wide table also serves the 8-perm screen by projection —
-    * [[dedupLshRecallReport]] truncates it once and derives all three
-    * audited screens from the single corpus scan. */
+    * permutation family, PROBE-SCOPED — the reference build the specs
+    * pin the persisted table and the shiftright derivation against,
+    * and the fallback [[minhashPairs]] takes for a non-contract
+    * permutation family. The contract geometries are served from the
+    * write-once [[minhashSigTablePath]] parquet instead. */
   private[graft] def minhashSignatures(
       spark: SparkSession,
       dir: String,
@@ -686,41 +696,58 @@ object Dedup {
     dtok.filter(size(col("t")) > 0).select(col("doc_id") +: mcols: _*)
   }
 
-  /** Memoized 16-wide signature table for the probe scope, collected
-    * once per (session, dir) and rebuilt as a LocalRelation — the same
-    * bounded-collect discipline as the cluster-label memo (the scope is
-    * ≤ [[ClusterProbeScope]] docs by construction, so the table is
-    * ~2000 × 17 longs). [[MinhashA16]]/[[MinhashB16]] EXTEND the 8-perm
-    * constants, so one build serves BOTH dedup_minhash_lsh (m0..m7
-    * projection — bit-identical to a fresh 8-perm build) and
-    * dedup_minhash_lsh16; before r9 each screen re-paid the tokenize +
-    * 16 (resp. 8) permutation scans. At 100 TB the signature table is
-    * the PERSISTED parquet the incremental screen already demonstrates
-    * ([[dedupIncrementalPersisted]]) — never a driver collect. */
-  private val sig16Cache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), Array[org.apache.spark.sql.Row]]
-
-  private def sig16Frame(spark: SparkSession, dir: String): DataFrame = {
-    val rows = sig16Cache.synchronized(sig16Cache.get((spark, dir))) match {
-      case Some(cached) => cached
-      case None =>
-        val computed = minhashSignatures(spark, dir, MinhashA16, MinhashB16).collect()
-        sig16Cache.synchronized(sig16Cache.update((spark, dir), computed))
-        computed
-    }
-    val schema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false) +:
-        MinhashA16.indices.map(i =>
-          org.apache.spark.sql.types.StructField(s"m$i", org.apache.spark.sql.types.LongType, nullable = false))
+  /** FULL-CORPUS 16-wide minhash signature build — [[minhashSignatures]]
+    * without the probe-scope bound, what the [[minhashSigTablePath]]
+    * materialization runs once per corpus snapshot. At 100 TB this is
+    * the signature half of every MinHash deployment: tokenize + permute
+    * at INGEST, persist (doc_id, m0..m15), and every screen, audit and
+    * incremental probe thereafter is a parquet scan — the corpus text
+    * is never re-read. */
+  private def minhashSignaturesAll(spark: SparkSession, dir: String): DataFrame = {
+    val hs = transform(toks(col("text")), x =>
+      conv(substring(md5(x), 1, 8), 16, 10).cast("long") % MinhashP
     )
-    // LocalRelation (the cluster-label memo's pattern), NOT
-    // parallelize: an RDD-backed plan carries the default (huge) size
-    // statistic, so the band self-join would never auto-broadcast the
-    // memo, and every consumer would pay an RDD job instead of a local
-    // scan.
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(rows.toIndexedSeq.asJava, schema)
+    val mcols = MinhashA16.indices.map { i =>
+      array_min(transform(col("hs"), h => (h * MinhashA16(i) + MinhashB16(i)) % MinhashP)).as(s"m$i")
+    }
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), hs.as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id") +: mcols: _*)
   }
+
+  private val minhashSigTableCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), String]
+
+  /** Write-once FULL-CORPUS 16-wide minhash signature table —
+    * [[graft.ViewStore]] discipline (input-fingerprinted path, race-safe
+    * rename), same serving story as [[sigTablePath]]'s exact-Jaccard
+    * signatures. [[MinhashA16]]/[[MinhashB16]] EXTEND the 8-perm
+    * constants, so this one table serves BOTH contract geometries
+    * (dedup_minhash_lsh reads the m0..m7 projection — bit-identical to
+    * a fresh 8-perm build) AND the recall audit's three screens; before
+    * r10 each consumer re-paid the tokenize + permutation scan (or, for
+    * the two contract rows, a per-JVM driver collect that accreted in
+    * long-lived sessions — the r9 `sig16Cache` nit, now gone: the only
+    * per-session state left is this path string). Consumers apply their
+    * scope as a filter/semi-join that prunes at the parquet scan. */
+  private[graft] def minhashSigTablePath(spark: SparkSession, dir: String): String =
+    minhashSigTableCache.synchronized {
+      minhashSigTableCache.getOrElseUpdate(
+        (spark, dir),
+        graft.ViewStore.materialize(spark, "graft_minhash_sigs", dir)(
+          minhashSignaturesAll(spark, dir))
+      )
+    }
+
+  /** The persisted 16-wide signature table restricted to the contract
+    * probe scope — what the two contract LSH rows screen. The doc_id
+    * predicate prunes at the parquet scan (min/max row-group stats). */
+  private def sig16Frame(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .parquet(minhashSigTablePath(spark, dir))
+      .filter(col("doc_id") < ClusterProbeScope)
 
   private[graft] def minhashPairs(
       spark: SparkSession,
@@ -729,7 +756,7 @@ object Dedup {
       permA: Array[Long] = MinhashA,
       permB: Array[Long] = MinhashB
   ): DataFrame = {
-    // Both contract geometries are prefixes of the memoized 16-wide
+    // Both contract geometries are prefixes of the persisted 16-wide
     // table; any OTHER permutation family falls back to a fresh build.
     val fromCache =
       if (permA.sameElements(MinhashA16) && permB.sameElements(MinhashB16)) Some(sig16Frame(spark, dir))
@@ -1526,6 +1553,37 @@ object Dedup {
     * pairs. Dedup at corpus scale always carries such a hot-key cap
     * (spark.ml's MinHashLSH has the same issue uncapped — measured
     * degenerate in round 3). */
+  private val ngramShingleTableCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), String]
+
+  /** Write-once 8-token-shingle EVIDENCE table: (h = xxhash64(shingle),
+    * ds = sorted doc set) for every shingle whose document frequency is
+    * in the pairing-evidence band [2, 8] — singletons carry no pair and
+    * hot shingles are boilerplate (capped fanout, see
+    * [[dedupNgramExact]]). This is the expensive half of the exact
+    * substring screen — the full tokenize + shingle explode + one
+    * shuffle on the 8-byte hash — and it is a pure function of the
+    * corpus, so [[graft.ViewStore]] persists it once per corpus
+    * snapshot (input-fingerprinted path, race-safe rename) and the
+    * query serves from the parquet. Before r10 every run re-paid the
+    * shingle build (#5 slowest in the r9 driver artifact). */
+  private[graft] def ngramShingleTablePath(spark: SparkSession, dir: String): String =
+    ngramShingleTableCache.synchronized {
+      ngramShingleTableCache.getOrElseUpdate(
+        (spark, dir), {
+          val t = split(col("text"), " ")
+          graft.ViewStore.materialize(spark, "graft_ngram_shingles", dir)(
+            Tables
+              .documents(spark, dir)
+              .select(col("doc_id"), explode(spans(t, 8)).as("s"))
+              .select(col("doc_id"), xxhash64(col("s")).as("h"))
+              .groupBy(col("h"))
+              .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+              .filter(size(col("ds")).between(2, 8)))
+        }
+      )
+    }
+
   val dedupNgramExact: Q = Q(
     "dedup_ngram_exact",
     Some(
@@ -1538,21 +1596,18 @@ object Dedup {
         "FROM sh a JOIN cand USING (s) JOIN sh b USING (s) " +
         "WHERE a.doc_id < b.doc_id GROUP BY 1, 2 ORDER BY ida, idb"
     ),
-    (spark, dir) => {
+    (spark, dir) =>
       // no self-join: ONE shuffle on the 8-byte shingle hash builds the
       // per-shingle sorted doc set (collect_set dedups repeat positions),
       // the df ∈ [2, 8] gate drops singletons and hot shingles, and the
       // ≤ C(8,2) pairs per survivor are generated IN-ROW by a nested
       // transform — the string self-join formulation costs two more
       // exchanges and shuffles ~50-char keys for the same pair set.
-      val t = split(col("text"), " ")
-      Tables
-        .documents(spark, dir)
-        .select(col("doc_id"), explode(spans(t, 8)).as("s"))
-        .select(col("doc_id"), xxhash64(col("s")).as("h"))
-        .groupBy(col("h"))
-        .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")).between(2, 8))
+      // The shingle table itself is the write-once ViewStore view
+      // (ngramShingleTablePath) — the query is the in-row pair
+      // generation plus one pair-keyed aggregate over its scan.
+      spark.read
+        .parquet(ngramShingleTablePath(spark, dir))
         .select(
           explode(
             flatten(
@@ -1564,7 +1619,6 @@ object Dedup {
         .groupBy(col("ida"), col("idb"))
         .agg(count(lit(1)).as("n_shared"))
         .orderBy(col("ida"), col("idb"))
-    }
   )
 
   /** Cross-source duplication matrix — the data-governance rollup of

@@ -38,6 +38,60 @@ object Graph {
       .filter(orderFilter)
       .select(col("l_orderkey"), col("l_partkey"))
 
+  /** Hot-key cap on the co-purchase projection: an order contributing
+    * more than this many DISTINCT parts is dropped from the edge build
+    * (the LSH screen's bucket-cap argument, applied to baskets): pair
+    * fan-out is quadratic in basket size, so one pathological
+    * mega-basket — a B2B bulk order, a data glitch — would contribute
+    * C(n,2) edge rows from a single `l_orderkey` shuffle key and
+    * dominate the whole build, while carrying no co-purchase signal
+    * ("everything with everything" is noise, exactly like an oversized
+    * LSH bucket). 64 bounds any basket's contribution at C(64,2) =
+    * 2,016 pairs; the fixture's largest basket is 17 distinct parts
+    * (sf0.1), so on contract data the cap is semantics-invisible —
+    * every graph oracle applies the same HAVING bound so the DECLARED
+    * semantics match at any scale, and GraphSpec proves the cutoff on
+    * a synthetic mega-order. */
+  private[graft] val MaxBasketParts = 64
+
+  /** Weighted co-purchase edge derivation over an (l_orderkey,
+    * l_partkey) incidence frame — factored out of the ViewStore build
+    * so GraphSpec can drive it with a synthetic mega-order without
+    * touching the store. */
+  private[graft] def edgesFrom(op: DataFrame, maxBasket: Int = MaxBasketParts): DataFrame =
+    // no pre-distinct: collect_set dedups parts within each basket, so
+    // a distinct here would just add a full extra exchange before the
+    // groupBy for identical view content
+    op.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) <= maxBasket) // hot-key cap, see MaxBasketParts
+      .select(
+        explode(
+          flatten(
+            expr(
+              "transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb)))"
+            )
+          )
+        ).as("e")
+      )
+      .select(col("e.pa"), col("e.pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("w"))
+
+  /** Shared oracle CTE prefix: the distinct (order, part) incidence
+    * `li`, its basket-capped restriction `cli` (the oracle spelling of
+    * [[edgesFrom]]'s [[MaxBasketParts]] hot-key cap — declared on both
+    * sides so Spark and DuckDB agree at ANY scale, not just on
+    * fixtures where the cap never fires) and the simple edge set `e`.
+    * Every consumer of the materialized edge view opens its oracle
+    * with this. */
+  private def oEdgeCtes: String =
+    "li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+      s"bk AS (SELECT l_orderkey FROM li GROUP BY 1 HAVING count(*) <= $MaxBasketParts), " +
+      "cli AS (SELECT li.l_orderkey, li.l_partkey FROM li JOIN bk USING (l_orderkey)), " +
+      "e AS (SELECT DISTINCT a.l_partkey pa, b.l_partkey pb FROM cli a JOIN cli b " +
+      "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"
+
   private val edgeTableCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), String]
 
@@ -70,28 +124,14 @@ object Graph {
         // with its weight alongside), and graph_lift reads w directly as
         // its pair support instead of re-running the basket pair
         // generation.
-        // buildVersion = 2: the r9 weighted rebuild added the w column —
-        // a v1 (pa, pb)-only store from an earlier binary must not
-        // satisfy the exists-check
-        graft.ViewStore.materialize(spark, "graft_graph_edges", dir, buildVersion = 2)(
-          // no pre-distinct: collect_set dedups parts within each
-          // basket, so a distinct here would just add a full extra
-          // exchange before the groupBy for identical view content
-          orderParts(spark, dir, lit(true))
-            .groupBy(col("l_orderkey"))
-            .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-            .select(
-              explode(
-                flatten(
-                  expr(
-                    "transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb)))"
-                  )
-                )
-              ).as("e")
-            )
-            .select(col("e.pa"), col("e.pb"))
-            .groupBy(col("pa"), col("pb"))
-            .agg(count(lit(1)).as("w")))
+        // buildVersion = 3: r9's v2 added the w column; r10's v3 added
+        // the MaxBasketParts hot-key cap to the derivation — content is
+        // identical on the fixture corpora (largest basket: 17), but
+        // the BUILD DEFINITION changed, and the rule is to bump on any
+        // derivation change rather than reason per-case about whether
+        // an old store happens to coincide
+        graft.ViewStore.materialize(spark, "graft_graph_edges", dir, buildVersion = 3)(
+          edgesFrom(orderParts(spark, dir, lit(true))))
       )
     }
 
@@ -117,9 +157,7 @@ object Graph {
   val graphDegree: Q = Q(
     "graph_degree",
     Some(
-      "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
-        "e AS (SELECT DISTINCT a.l_partkey pa, b.l_partkey pb FROM li a JOIN li b " +
-        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+      s"WITH $oEdgeCtes, " +
         "sym AS (SELECT pa p FROM e UNION ALL SELECT pb FROM e), " +
         "deg AS (SELECT p, count(*) AS dg FROM sym GROUP BY 1), " +
         "alln AS (SELECT part.p_partkey, coalesce(deg.dg, 0) AS degree " +
@@ -368,9 +406,7 @@ object Graph {
   val graphPowerlawFit: Q = Q(
     "graph_powerlaw_fit",
     Some(
-      "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
-        "e AS (SELECT DISTINCT a.l_partkey pa, b.l_partkey pb FROM li a JOIN li b " +
-        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+      s"WITH $oEdgeCtes, " +
         "sym AS (SELECT pa p FROM e UNION ALL SELECT pb FROM e), " +
         "deg AS (SELECT p, count(*) AS dg FROM sym GROUP BY 1), " +
         "hist AS (SELECT dg AS degree, count(*) AS n_parts FROM deg GROUP BY 1), " +
@@ -441,11 +477,17 @@ object Graph {
   val graphLift: Q = Q(
     "graph_lift",
     Some(
+      // n and ia are CORPUS stats (uncapped li — the basket count and
+      // item supports a lift denominator wants); only the PAIR support
+      // comes from the capped incidence, mirroring the Spark side where
+      // pr reads the capped edge view while n/ia scan the facts
       "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        s"bk AS (SELECT l_orderkey FROM li GROUP BY 1 HAVING count(*) <= $MaxBasketParts), " +
+        "cli AS (SELECT li.l_orderkey, li.l_partkey FROM li JOIN bk USING (l_orderkey)), " +
         "n AS (SELECT cast(count(DISTINCT l_orderkey) as bigint) AS nb FROM li), " +
         "ia AS (SELECT l_partkey, cast(count(*) as bigint) AS na FROM li GROUP BY 1), " +
         "pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, cast(count(*) as bigint) AS nab " +
-        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "FROM cli a JOIN cli b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
         "GROUP BY 1, 2 HAVING count(*) >= 3) " +
         "SELECT pa, pb, nab, " +
         Det.oRN("nab::DOUBLE / n.nb", 6) + " AS support, " +
@@ -515,9 +557,7 @@ object Graph {
   val graphJaccardNeighbors: Q = Q(
     "graph_jaccard_neighbors",
     Some(
-      "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
-        "e AS (SELECT DISTINCT a.l_partkey pa, b.l_partkey pb FROM li a JOIN li b " +
-        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+      s"WITH $oEdgeCtes, " +
         "sym AS (SELECT pa AS p, pb AS n FROM e UNION ALL SELECT pb, pa FROM e), " +
         "deg AS (SELECT p, cast(count(*) as bigint) AS dg FROM sym GROUP BY p), " +
         "w AS (SELECT a.p AS pa, b.p AS pb, cast(count(*) as bigint) AS common " +
@@ -586,9 +626,7 @@ object Graph {
   val graphBfsReach: Q = Q(
     "graph_bfs_reach",
     Some(
-      "WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
-        "e AS (SELECT DISTINCT a.l_partkey pa, b.l_partkey pb FROM li a JOIN li b " +
-        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+      s"WITH RECURSIVE $oEdgeCtes, " +
         "sym AS (SELECT pa AS s, pb AS d FROM e UNION ALL SELECT pb, pa FROM e), " +
         "seeds AS (SELECT p_partkey AS p FROM part WHERE p_partkey < 5), " +
         "walk AS (SELECT p, 0 AS dist FROM seeds " +

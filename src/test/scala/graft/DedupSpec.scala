@@ -184,6 +184,42 @@ class DedupSpec extends SparkSuite {
       "the top-32-bit derivation must reproduce the md5-prefix hash exactly")
   }
 
+  test("persisted minhash table equals the fresh build and isolates per input dir") {
+    // (a) the ViewStore-served FULL-CORPUS 16-wide table, restricted to
+    // the probe scope, must be row-for-row the fresh probe-scoped build
+    // — the serving path (what both contract LSH rows and the recall
+    // audit read since r10) is result-invisible
+    val served = spark.read
+      .parquet(operators.Dedup.minhashSigTablePath(spark, sf))
+      .filter(col("doc_id") < operators.Dedup.ClusterProbeScope)
+    val fresh = operators.Dedup
+      .minhashSignatures(spark, sf, operators.Dedup.MinhashA16, operators.Dedup.MinhashB16)
+    assert(served.exceptAll(fresh).isEmpty && fresh.exceptAll(served).isEmpty,
+      "persisted signature table must be bit-equal to the fresh build")
+    // (b) two input dirs resolve to two INDEPENDENT view paths (the r9
+    // sig16Cache accretion nit is closed by keying state on the
+    // ViewStore fingerprint, so a second corpus can never be served the
+    // first corpus's signatures; rebuild-on-regeneration is pinned
+    // end-to-end by ViewStoreSpec for the shared materialize path)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-mh-dir2").toFile
+    try {
+      val src = new java.io.File(sf)
+      Tables.documents(spark, sf).filter(col("doc_id") < 100)
+        .coalesce(1).write.mode("overwrite").parquet(s"${dir2.getAbsolutePath}/documents.parquet")
+      val p1 = operators.Dedup.minhashSigTablePath(spark, sf)
+      val p2 = operators.Dedup.minhashSigTablePath(spark, dir2.getAbsolutePath)
+      assert(p1 != p2, "distinct input dirs must map to distinct view paths")
+      assert(spark.read.parquet(p2).agg(max(col("doc_id"))).head().getLong(0) < 100L,
+        "second dir's table must be built from the second dir's corpus")
+      assert(src.exists())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(dir2)
+    }
+  }
+
   test("minhash LSH recall >= 0.5 vs exact jaccard >= 0.9 pairs") {
     val exact = operators.Dedup.dedupNearJaccard
       .run(spark, sf)

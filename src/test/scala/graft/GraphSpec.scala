@@ -61,6 +61,31 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("edge build drops a synthetic mega-order (hot-key cap) and keeps normal baskets intact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one pathological basket with MaxBasketParts+1 distinct parts
+    // (ids 1000+) plus two normal baskets sharing the pair (1, 2): the
+    // capped derivation must contribute ZERO edges from the mega-order
+    // — without the cap it would add C(65,2) = 2,080 pair rows from a
+    // single shuffle key — while the normal baskets' pairs and weights
+    // are untouched by the cap.
+    val mega    = (0 to operators.Graph.MaxBasketParts).map(i => (999L, 1000L + i))
+    val normal  = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L))
+    val op      = (mega ++ normal).toDF("l_orderkey", "l_partkey")
+    val edges   = operators.Graph.edgesFrom(op).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(!edges.keys.exists { case (a, b) => a >= 1000L || b >= 1000L },
+      s"mega-order parts must contribute no edges, got ${edges.keys.filter(_._1 >= 1000L)}")
+    assert(edges == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L),
+      s"normal-basket edges/weights wrong: $edges")
+    // with the cap lifted above the mega-basket, its pairs appear —
+    // proving the filter (not some other stage) is what drops them
+    val uncapped = operators.Graph.edgesFrom(op, maxBasket = 1000).count()
+    assert(uncapped == 3L + 2080L, // C(65,2) mega pairs + the 3 normal-basket pairs
+      s"uncapped build must keep the mega-basket pairs, got $uncapped")
+  }
+
   test("degree histogram covers every part and the handshake sum is even") {
     val rows = operators.Graph.graphDegree.run(spark, sf).collect()
     val nParts = spark.read.parquet(s"$sf/part.parquet").count()

@@ -52,7 +52,14 @@ class MultimodalSpec extends SparkSuite {
   test("binary metadata: payload length equals utf-8 byte count, kind constant") {
     val rows = operators.Multimodal.mmBinaryMeta.run(spark, sf).limit(200).collect()
     assert(rows.nonEmpty)
+    val textBytes = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8").length.toLong).toMap
     for (r <- rows) {
+      // the claim in the test name, asserted for real (r9 advice): the
+      // n_bytes column must be the payload's UTF-8 byte count
+      assert(r.getLong(1) == textBytes(r.getLong(0)),
+        s"doc ${r.getLong(0)}: n_bytes ${r.getLong(1)} != utf-8 byte count ${textBytes(r.getLong(0))}")
       assert(r.getString(3) == "text/plain")
       assert(r.getString(2).length == 64, "sha256 hex must be 64 chars")
     }

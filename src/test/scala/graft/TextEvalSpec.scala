@@ -109,12 +109,23 @@ class TextEvalSpec extends SparkSuite {
     assert(row.getDouble(3) >= 0 && row.getDouble(3) <= 1.0)
   }
 
-  test("persisted-index BM25 is bit-equal and scans the index, not documents") {
-    val fresh  = operators.TextAnalysis.textBm25Topk.run(spark, sf).collect().toSeq
-    val served = operators.TextAnalysis.textBm25Persisted.run(spark, sf)
-    assert(served.collect().toSeq == fresh, "index persistence must be result-invisible")
-    val plan = served.queryExecution.executedPlan.toString
-    assert(plan.contains("graft_bm25_index"), s"expected index scan in plan:\n${plan.take(2000)}")
-    assert(!plan.contains("documents.parquet"), "query-time plan must not re-read the corpus")
+  test("persisted-index BM25 is bit-equal to from-scratch and scans the index, not documents") {
+    import org.apache.spark.sql.functions.col
+    // the reference side tokenizes the corpus at query time — the
+    // derivation the index build must be result-invisible against
+    // (since r10 BOTH registry rows serve from the index, so the pin
+    // is against the kept-for-verification scratch implementation)
+    val fresh = operators.TextAnalysis
+      .bm25FrameScratch(spark, sf, Seq("spark", "join", "fast", "window"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+      .collect().toSeq
+    for (q <- Seq(operators.TextAnalysis.textBm25Topk, operators.TextAnalysis.textBm25Persisted)) {
+      val served = q.run(spark, sf)
+      assert(served.collect().toSeq == fresh, s"${q.name}: index persistence must be result-invisible")
+      val plan = served.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_bm25_index"), s"${q.name}: expected index scan in plan:\n${plan.take(2000)}")
+      assert(!plan.contains("documents.parquet"), s"${q.name}: query-time plan must not re-read the corpus")
+    }
   }
 }
