@@ -191,11 +191,21 @@ object Scans {
     * failing the job — the quarantine pattern a 100 TB ingest needs
     * (one bad line in a billion must not kill the pipeline; it must be
     * COUNTED and inspectable). Emits the good/corrupt row accounting.
-    * No oracle (filesystem staging); the quarantine assertions live in
-    * BadRecordsSpec (SourcesSpec.scala). */
+    *
+    * Oracle (since r10): the accounting is fully deterministic — the
+    * query itself stages EXACTLY two corrupt lines (wrong types; wrong
+    * arity) next to a clean dump of nation, so `corrupt` must read 2
+    * and `good` must equal |nation|. DuckDB recomputes the good count
+    * from the nation table; the corrupt constant is the staged shard's
+    * line count. This checks end-to-end that PERMISSIVE parsing
+    * quarantines precisely the corrupt shard and loses no good row —
+    * formerly a no-oracle row covered only by SourcesSpec. */
   val srcCsvBadRecords: Q = Q(
     "src_csv_badrecords",
-    None,
+    Some(
+      "SELECT 'corrupt' AS kind, 2::BIGINT AS n " +
+        "UNION ALL SELECT 'good', cast(count(*) as bigint) FROM nation ORDER BY kind"
+    ),
     (spark, dir) => {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_badcsv/data"
       Tables

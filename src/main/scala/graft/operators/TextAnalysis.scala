@@ -919,25 +919,40 @@ object TextAnalysis {
     * postings table is additionally partitioned/bucketed by token so a
     * query probe prunes to its terms' buckets; here it is a flat
     * parquet the term filter prunes by predicate. */
+  /** Postings projection (tok, doc_id, dl, tf) over ANY docs frame
+    * with (doc_id, text) — a pure PER-DOCUMENT function (no corpus
+    * state), which is what makes the index micro-batch-maintainable:
+    * the streaming ingest ([[graft.streaming.StreamDemos
+    * .streamedBm25Index]]) runs this same stateless projection per
+    * batch and merges by (tok, doc_id), and a replayed document
+    * recomputes the identical rows (idempotent upsert). Factored out
+    * of the batch build so stream and batch run literally the same
+    * plan — the [[graft.operators.Dedup.signaturesOf]] pattern. */
+  private[graft] def bm25PostingsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("tok"))
+      .groupBy(col("tok"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-doc (doc_id, dl) — the stats-side projection. From the
+    * DOCUMENTS frame, not a distinct over the postings: a zero-token
+    * document has no postings rows but still counts in n/avgdl
+    * (matching bm25Frame exactly). */
+  private[graft] def bm25DocLenOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(toks(col("text"))).as("dl"))
+
   private[graft] def bm25IndexPath(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): (String, String) =
     bm25IndexCache.synchronized {
       bm25IndexCache.getOrElseUpdate(
         (spark, dir), {
-          val d = Tables
-            .documents(spark, dir)
-            .select(col("doc_id"), toks(col("text")).as("toks"))
-            .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("tok"))
           val postings = graft.ViewStore.materialize(spark, "graft_bm25_index/postings", dir)(
-            d.groupBy(col("tok"), col("doc_id"), col("dl")).agg(count(lit(1)).as("tf"))
+            bm25PostingsOf(Tables.documents(spark, dir))
           )
-          // stats from the DOCUMENTS table, not from a distinct over
-          // the postings: a zero-token document has no postings rows
-          // but still counts in n/avgdl (matching bm25Frame exactly)
           val stats = graft.ViewStore.materialize(spark, "graft_bm25_index/stats", dir)(
-            Tables.documents(spark, dir)
-              .select(size(toks(col("text"))).as("dl"))
+            bm25DocLenOf(Tables.documents(spark, dir))
               .agg(count(lit(1)).as("n"), (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
           )
           (postings, stats)

@@ -315,6 +315,59 @@ object StreamDemos {
     )
   }
 
+  /** Streaming maintenance of the BM25 inverted index — the serving
+    * view that had no streaming-update story after r9 covered the
+    * dedup signature table: each micro-batch of incoming documents
+    * runs the SAME stateless postings projection the batch ingest uses
+    * ([[graft.operators.TextAnalysis.bm25PostingsOf]]) and merges by
+    * (tok, doc_id); postings are a pure per-document function, so a
+    * replayed document (copies ≥ 2) recomputes the identical rows and
+    * the merge is idempotent — exactly-once index content under
+    * at-least-once delivery, the same argument as [[screenedIngest]].
+    * Corpus stats (n, avgdl) derive from a per-doc dl map merged the
+    * same way, then one IEEE division — the batch build's op order.
+    * Driver-side maps stand in for the keyed MERGE-target tables of a
+    * real deployment (bounded here by the demo corpus); at 100 TB each
+    * batch MERGEs its postings partial into the postings table BY
+    * (tok, doc_id) and upserts (doc_id, dl) into a doc-length table —
+    * per-batch work is batch-sized, never corpus-sized, and the
+    * corpus text is read exactly once per document.
+    *
+    * Returns (postings, stats) frames; StreamingSpec asserts both
+    * bit-equal to the [[graft.operators.TextAnalysis.bm25IndexPath]]
+    * batch-built parquet. */
+  def streamedBm25Index(
+      spark: SparkSession,
+      dir: String,
+      copies: Int = 2): (DataFrame, DataFrame) = {
+    val postings = scala.collection.concurrent.TrieMap.empty[(String, Long), (Int, Long)]
+    val docDl    = scala.collection.concurrent.TrieMap.empty[Long, Int]
+    val q = docsStream(spark, dir, copies).writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.TextAnalysis
+          .bm25PostingsOf(batch)
+          .collect() // bounded by the demo batch's postings, never the corpus
+          .foreach(r => postings.put((r.getString(0), r.getLong(1)), (r.getInt(2), r.getLong(3))))
+        graft.operators.TextAnalysis
+          .bm25DocLenOf(batch)
+          .collect()
+          .foreach(r => docDl.put(r.getLong(0), r.getInt(1)))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import spark.implicits._
+    val postingsDf = postings.toSeq
+      .map { case ((tok, doc), (dl, tf)) => (tok, doc, dl, tf) }
+      .toDF("tok", "doc_id", "dl", "tf")
+    val n     = docDl.size.toLong
+    val sumDl = docDl.values.foldLeft(0L)(_ + _) // exact long sum, order-free
+    val statsDf = Seq((n, sumDl.toDouble / n)).toDF("n", "avgdl")
+    (postingsDf, statsDf)
+  }
+
   def runToCompletion(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
     val q: StreamingQuery = streamed.writeStream
       .format("memory")

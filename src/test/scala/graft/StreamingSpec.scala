@@ -236,4 +236,27 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty, "stream must emit verdicts")
     assert(streamed.toSeq == batch.toSeq, "streamed verdicts diverge from the batch screen")
   }
+
+  test("streamed BM25 index maintenance == batch-built index, replay-idempotent") {
+    // the inverted-index serving view's stream-update story: replayed
+    // micro-batches (copies=2) merge postings idempotently by
+    // (tok, doc_id), and the final index must be bit-equal to the
+    // write-once batch build — both content (postings rows, stats row)
+    // come from the same stateless projection, so persistence vs
+    // streaming maintenance is result-invisible
+    val (sPostings, sStats) = streaming.StreamDemos.streamedBm25Index(spark, sf, copies = 2)
+    val (pPath, stPath)     = operators.TextAnalysis.bm25IndexPath(spark, sf)
+    def pKey(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3))
+    val streamed = sPostings.collect().map(pKey).sortBy(k => (k._1, k._2))
+    val batch = spark.read.parquet(pPath)
+      .select(col("tok"), col("doc_id"), col("dl"), col("tf"))
+      .collect().map(pKey).sortBy(k => (k._1, k._2))
+    assert(streamed.nonEmpty, "stream must build postings")
+    assert(streamed.toSeq == batch.toSeq, "streamed postings diverge from the batch index")
+    val sRow = sStats.collect().head
+    val bRow = spark.read.parquet(stPath).select(col("n"), col("avgdl")).collect().head
+    assert(sRow.getLong(0) == bRow.getLong(0), "doc count diverges")
+    assert(sRow.getDouble(1) == bRow.getDouble(1), "avgdl must be bit-equal (same IEEE op order)")
+  }
 }
