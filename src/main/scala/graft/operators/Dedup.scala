@@ -595,6 +595,13 @@ object Dedup {
       .parquet(minhashSigTablePath(spark, dir))
       .join(broadcast(ids), Seq("doc_id"), "left_semi")
     val sig8  = sig16.select(col("doc_id") +: (0 until MinhashA.length).map(i => col(s"m$i")): _*)
+    // The two 16-perm screens are deliberately INDEPENDENT lazy
+    // subtrees, not a shared persist()ed candidate set: sharing was
+    // A/B-measured SLOWER (min-of-5 4.2 → 5.6 s at sf0.1/32) — the
+    // cache materialization serializes what the lazy three-screen
+    // union otherwise runs concurrently inside one job, and the
+    // est-threshold screen loses its map-side cut before the dedup
+    // shuffle.
     // verified: ALL banded 16-perm pairs (maxDist = 1.0 disables the
     // estimate threshold), exact-verified on the hashed token sets —
     // the same md5-token algebra nearJaccardPairs uses, so the 0.8
@@ -770,9 +777,10 @@ object Dedup {
     )
   }
 
-  /** Banded candidate pairs from a signature table with nH minhash
-    * columns — nH/2 bands of r=2. */
-  private[graft] def minhashPairsFromSig(docs: DataFrame, nH: Int, maxDist: Double): DataFrame = {
+  /** The banded-and-capped candidate join for a signature table with
+    * nH minhash columns — nH/2 bands of r=2, bucket-capped at 2000 —
+    * shared by the thresholded screen and the all-candidates path. */
+  private def minhashBandJoin(docs: DataFrame, nH: Int): DataFrame = {
     // nH/2 bands of r=2: band key packs two 31-bit minhashes into one long
     val banded = docs.select(
       col("doc_id") +: (0 until nH).map(i => col(s"m$i")) :+
@@ -794,6 +802,20 @@ object Dedup {
     )
     val a = capped.select(col("bk") +: col("doc_id").as("ida") +: (0 until nH).map(i => col(s"m$i").as(s"ma$i")): _*)
     val b = capped.select(col("bk") +: col("doc_id").as("idb") +: (0 until nH).map(i => col(s"m$i").as(s"mb$i")): _*)
+    a.join(b, Seq("bk")).filter(col("ida") < col("idb"))
+  }
+
+  /** The per-candidate agreement estimate — exact k/nH doubles, the
+    * same value from every band a pair collides in. */
+  private def estOf(nH: Int): Column =
+    (0 until nH)
+      .map(i => when(col(s"ma$i") === col(s"mb$i"), 1).otherwise(0))
+      .reduce(_ + _)
+      .cast("double") / nH
+
+  /** Banded candidate pairs from a signature table with nH minhash
+    * columns — nH/2 bands of r=2. */
+  private[graft] def minhashPairsFromSig(docs: DataFrame, nH: Int, maxDist: Double): DataFrame = {
     // est_jac is computed and thresholded MAP-SIDE, right after the band
     // join, so the dedup shuffle moves three narrow columns for the few
     // surviving pairs — not every candidate with two signatures.
@@ -804,18 +826,12 @@ object Dedup {
     // maxDist >= 1 means "band membership alone proposes" (the verified
     // screen): skip the agreement scoring entirely — the estimate would
     // be computed per candidate and then compared against 0.
-    val joined = a.join(b, Seq("bk")).filter(col("ida") < col("idb"))
+    val joined = minhashBandJoin(docs, nH)
     if (maxDist >= 1.0)
       joined.select(col("ida"), col("idb")).dropDuplicates("ida", "idb")
     else
       joined
-        .withColumn(
-          "est_jac",
-          (0 until nH)
-            .map(i => when(col(s"ma$i") === col(s"mb$i"), 1).otherwise(0))
-            .reduce(_ + _)
-            .cast("double") / nH
-        )
+        .withColumn("est_jac", estOf(nH))
         .filter(col("est_jac") >= 1.0 - maxDist)
         .select(col("ida"), col("idb"), Det.rN(col("est_jac"), 6).as("est_jac"))
         .dropDuplicates("ida", "idb")
