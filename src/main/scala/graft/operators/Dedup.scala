@@ -616,6 +616,13 @@ object Dedup {
       .join(dtok.select(col("doc_id").as("idb"), col("lang").as("lb"),
         col("t").as("tb"), col("nt").as("nb")), Seq("idb"))
       .filter(col("la") === col("lb"))
+      // length-ratio prefilter, result-invisible: jac >= 0.8 FORCES
+      // 5*min(na,nb) >= 4*max(na,nb) (|A∩B| >= 0.8|A∪B| bounds both
+      // set sizes from below), so this two-int codegen test only
+      // removes pairs that cannot pass the exact threshold — the
+      // sorted-intersect walk over the token arrays is skipped for
+      // them instead of computed and discarded
+      .filter(lit(5) * least(col("na"), col("nb")) >= lit(4) * greatest(col("na"), col("nb")))
       .withColumn("inter", SortedLongIntersectCount.count(col("ta"), col("tb")))
       .filter(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= 0.8)
       .select(col("ida"), col("idb"))
