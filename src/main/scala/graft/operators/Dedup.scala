@@ -531,15 +531,13 @@ object Dedup {
     * DedupSpec at a second scope so the demo bound is provably a knob,
     * not a load-bearing constant. */
   private[graft] def lshRecallFrame(spark: SparkSession, dir: String, scope: Column): DataFrame = {
-    import org.apache.spark.sql.graftx.SortedLongIntersectCount
-    // ONE tokenization for everything the persisted views don't cover:
-    // the hashed-token frame is truncated once and feeds (a) the
-    // scoped id list (truth restriction + signature-scan restriction)
-    // and (b) the exact-verify screen. Before r9 the truth join, the
-    // signature build and the verify screen each re-tokenized the
-    // scoped corpus; since r10 the signatures come from the ViewStore
-    // parquet and only the verify screen still needs token sets.
-    val dtok = graft.Lineage.truncate(tokenizedDocs(spark, dir, scope))
+    // Since r10 NOTHING in this report tokenizes the corpus: minhash
+    // signatures come from the write-once ViewStore parquet, exact
+    // pairs come from the pair manifest, and the scope is just an id
+    // list projected off the documents scan (pushed-filter, one
+    // column). r9 tokenized once and truncated three frames; r8
+    // tokenized three times.
+    val ids = Tables.documents(spark, dir).filter(scope).select(col("doc_id"))
     // truth = the EXACT jac >= 0.8 pairs inside the scope, reused by
     // all three report rows. Served from the materialized pair
     // manifest restricted to the scope — lossless (per-doc blocking:
@@ -550,8 +548,8 @@ object Dedup {
     // an opaque per-doc Column, so the restriction is two semi-joins
     // against the scoped id list (broadcast-sized) rather than a
     // re-screen of the scoped corpus. Truncated so the manifest scan +
-    // semi-joins run once, not three times.
-    val ids = dtok.select(col("doc_id"))
+    // semi-joins run once, not four times (three report blocks + the
+    // verified screen's exact side).
     val truth = graft.Lineage.truncate(
       sharedPairs(spark, dir)
         .join(broadcast(ids.select(col("doc_id").as("ida"))), Seq("ida"), "left_semi")
@@ -603,29 +601,23 @@ object Dedup {
     // est-threshold screen loses its map-side cut before the dedup
     // shuffle.
     // verified: ALL banded 16-perm pairs (maxDist = 1.0 disables the
-    // estimate threshold), exact-verified on the hashed token sets —
-    // the same md5-token algebra nearJaccardPairs uses, so the 0.8
-    // comparison selects identical pairs in both engines.
-    // lang is a BLOCKING key of the truth definition (nearJaccardPairs):
-    // the verified screen applies it too, or this tiny-vocab corpus's
-    // cross-lang token-set collisions would count as false positives
+    // estimate threshold), intersected with the EXACT jac >= 0.8 pair
+    // set. By definition the verified screen IS banded ∩ exact, and
+    // the exact side inside the scope is precisely `truth` (jac >= 0.8
+    // forces the length-ratio block, and lang is a blocking key of
+    // both the manifest and the inline verification it replaced) — so
+    // one broadcast semi-join against the already-truncated truth
+    // frame supplants the r9 shape, which re-joined the candidate set
+    // against two token-array sides and walked a codegen'd sorted
+    // intersect per candidate (min-of-5 3.8 → 3.4 s at sf0.1/32, and
+    // it removes the report's last tokenization dependency).
+    // NOT circular, same argument as the truth side: the manifest is
+    // the hash-verified blocked exact-intersect join, the thing under
+    // audit is the banding — and the DuckDB oracle recomputes BOTH
+    // sides from raw text, so the driver compare still proves the
+    // manifest path bit-equal to inline exact verification.
     val verified = minhashPairsFromSig(sig16, MinhashA16.length, 1.0)
-      .select(col("ida"), col("idb"))
-      .join(dtok.select(col("doc_id").as("ida"), col("lang").as("la"),
-        col("t").as("ta"), col("nt").as("na")), Seq("ida"))
-      .join(dtok.select(col("doc_id").as("idb"), col("lang").as("lb"),
-        col("t").as("tb"), col("nt").as("nb")), Seq("idb"))
-      .filter(col("la") === col("lb"))
-      // length-ratio prefilter, result-invisible: jac >= 0.8 FORCES
-      // 5*min(na,nb) >= 4*max(na,nb) (|A∩B| >= 0.8|A∪B| bounds both
-      // set sizes from below), so this two-int codegen test only
-      // removes pairs that cannot pass the exact threshold — the
-      // sorted-intersect walk over the token arrays is skipped for
-      // them instead of computed and discarded
-      .filter(lit(5) * least(col("na"), col("nb")) >= lit(4) * greatest(col("na"), col("nb")))
-      .withColumn("inter", SortedLongIntersectCount.count(col("ta"), col("tb")))
-      .filter(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= 0.8)
-      .select(col("ida"), col("idb"))
+      .join(truth.select(col("ida"), col("idb")), Seq("ida", "idb"), "left_semi")
     report("8perm_4x2_est80",
         minhashPairsFromSig(sig8, MinhashA.length, 0.2).select(col("ida"), col("idb")))
       .unionAll(report("16perm_8x2_est80",
