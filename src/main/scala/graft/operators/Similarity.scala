@@ -160,9 +160,14 @@ object Similarity {
     (spark, dir) => lshTopK(lshSignatures(spark, dir))
   )
 
-  /** The hyperplane sign-bucket signature frame (vec_id, embedding,
-    * bucket) every LSH ANN screen starts from. */
-  private[graft] def lshSignatures(spark: SparkSession, dir: String): DataFrame = {
+  /** The hyperplane sign-bucket signature transform over ANY frame
+    * with (vec_id, embedding) — a pure PER-VECTOR projection (no
+    * corpus state), shared by the batch build and the streaming index
+    * maintenance ([[graft.streaming.StreamDemos.streamedLshSigTable]]):
+    * a replayed vector recomputes the identical (vec_id, bucket) row,
+    * so micro-batch merges by vec_id are idempotent — the
+    * [[graft.operators.TextAnalysis.bm25PostingsOf]] pattern. */
+  private[graft] def lshSignaturesOf(embs: DataFrame): DataFrame = {
     val nPlanes = 8
     val planes = (0 until nPlanes).map(j => hyperplane(j, 64))
     def bucket(emb: Column): Column =
@@ -180,10 +185,13 @@ object Similarity {
           when(proj > 0, lit(1 << j)).otherwise(lit(0))
         }
         .reduce(_ + _)
-    Tables
-      .embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bucket"))
+    embs.select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bucket"))
   }
+
+  /** The hyperplane sign-bucket signature frame (vec_id, embedding,
+    * bucket) every LSH ANN screen starts from. */
+  private[graft] def lshSignatures(spark: SparkSession, dir: String): DataFrame =
+    lshSignaturesOf(Tables.embeddings(spark, dir))
 
   /** Bucket-join + exact re-rank over a signature frame — shared by the
     * recomputing and persisted LSH ANN rows. */

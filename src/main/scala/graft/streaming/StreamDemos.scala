@@ -368,6 +368,66 @@ object StreamDemos {
     (postingsDf, statsDf)
   }
 
+  /** A file-source stream over the embeddings table — [[docsStream]]'s
+    * staging pattern (copy the parquet into a stream dir `copies`
+    * times, one file per trigger) applied to the vector corpus. */
+  private def embStream(spark: SparkSession, dir: String, copies: Int = 1): DataFrame = {
+    val schema = Tables.embeddings(spark, dir).schema
+    val staged = java.nio.file.Paths
+      .get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_stream_embs",
+        dir.replaceAll("[^a-zA-Z0-9]", "_") + (if (copies > 1) s"_x$copies" else "")
+      )
+    java.nio.file.Files.createDirectories(staged)
+    (1 to copies).foreach { i =>
+      val target = staged.resolve(if (copies == 1) "embeddings.parquet" else s"embeddings_$i.parquet")
+      if (!java.nio.file.Files.exists(target))
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/embeddings.parquet"), target)
+    }
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+  }
+
+  /** Streaming maintenance of the hyperplane-LSH ANN signature table —
+    * the remaining serving view without a stream-update story after
+    * the BM25 index ([[streamedBm25Index]]): each micro-batch of
+    * incoming vectors runs the SAME stateless sign-bucket projection
+    * the batch ingest uses
+    * ([[graft.operators.Similarity.lshSignaturesOf]]) and merges by
+    * vec_id; the projection is a pure per-vector function, so a
+    * replayed vector (copies ≥ 2) recomputes the identical row and
+    * the merge is idempotent. The driver map stands in for a keyed
+    * MERGE-target table (bounded by the demo corpus); at 100 TB each
+    * batch upserts its signature partial BY vec_id — batch-sized
+    * work, and base embeddings are never re-projected at query time.
+    * StreamingSpec pins the streamed table bit-equal to the
+    * [[graft.operators.Similarity.lshSigTablePath]] batch build. */
+  def streamedLshSigTable(spark: SparkSession, dir: String, copies: Int = 2): DataFrame = {
+    import org.apache.spark.sql.Row
+    val sigs = scala.collection.concurrent.TrieMap.empty[Long, Row]
+    val q = embStream(spark, dir, copies).writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity
+          .lshSignaturesOf(batch)
+          .collect() // bounded by the demo batch, never the corpus
+          .foreach(r => sigs.put(r.getLong(0), r))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      sigs.values.toSeq.sortBy(_.getLong(0)).asJava,
+      graft.operators.Similarity
+        .lshSignaturesOf(Tables.embeddings(spark, dir).limit(0)).schema
+    )
+  }
+
   def runToCompletion(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
     val q: StreamingQuery = streamed.writeStream
       .format("memory")

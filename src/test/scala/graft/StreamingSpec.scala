@@ -259,4 +259,21 @@ class StreamingSpec extends SparkSuite {
     assert(sRow.getLong(0) == bRow.getLong(0), "doc count diverges")
     assert(sRow.getDouble(1) == bRow.getDouble(1), "avgdl must be bit-equal (same IEEE op order)")
   }
+
+  test("streamed LSH signature table == batch-built table, replay-idempotent") {
+    // the ANN serving view's stream-update story: replayed vectors
+    // merge idempotently by vec_id (the sign-bucket projection is a
+    // pure per-vector function), and the final table must be bit-equal
+    // to the write-once batch build — bucket AND embedding payload
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(2), r.getSeq[Float](1).toList)
+    val streamed = streaming.StreamDemos.streamedLshSigTable(spark, sf, copies = 2)
+      .collect().map(key).sortBy(_._1)
+    val batch = spark.read
+      .parquet(operators.Similarity.lshSigTablePath(spark, sf))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+      .collect().map(key).sortBy(_._1)
+    assert(streamed.nonEmpty, "stream must build signatures")
+    assert(streamed.toSeq == batch.toSeq, "streamed LSH signatures diverge from the batch table")
+  }
 }

@@ -43,6 +43,19 @@ class ViewStoreSpec extends SparkSuite {
     }
   }
 
+  test("resolution log records built on first materialize, hit on re-materialize") {
+    val root = Files.createTempDirectory("vstore_log").toFile
+    spark.conf.set("spark.graft.viewstore.dir", root.getPath)
+    try {
+      ViewStore.materialize(spark, "graft_test_log", sf)(spark.range(3).toDF("id"))
+      assert(ViewStore.resolutionLog.toMap.get("graft_test_log").contains("built"),
+        "first materialize must log built")
+      ViewStore.materialize(spark, "graft_test_log", sf)(spark.range(3).toDF("id"))
+      assert(ViewStore.resolutionLog.toMap.get("graft_test_log").contains("hit"),
+        "re-materialize against an existing store must log hit")
+    } finally spark.conf.unset("spark.graft.viewstore.dir")
+  }
+
   test("materialize sweeps crashed-writer tmp debris but not fresh in-flight dirs") {
     val root = Files.createTempDirectory("vstore_sweep").toFile
     spark.conf.set("spark.graft.viewstore.dir", root.getPath)
