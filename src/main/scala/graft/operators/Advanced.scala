@@ -163,18 +163,30 @@ object Advanced {
     * new JVM (two processes sharing a tmpdir could clobber each other
     * mid-read). The assignments build reads the materialized centroids
     * parquet, so both tables derive from one consistent quantizer. */
+  /** Nearest-list assignment of ANY (vec_id, embedding) frame against
+    * a FIXED centroid table — a pure per-vector function once the
+    * quantizer is frozen (broadcast argmin, map-side), which is what
+    * makes the inverted lists micro-batch-maintainable: the streaming
+    * ingest ([[graft.streaming.StreamDemos.streamedIvfAssignments]])
+    * runs this same projection per batch against the PERSISTED
+    * quantizer and merges by vec_id; a replayed vector recomputes the
+    * identical row. Retraining centroids is a new index build (a new
+    * buildVersion/snapshot), never a streaming concern — the standard
+    * IVF serving contract. */
+  private[graft] def ivfAssignmentsOf(embs: DataFrame, cent: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftx.TopKPerGroup
+    TopKPerGroup(withDist(embs, cent), Seq("vec_id"), Seq("d" -> true, "list_id" -> false), 1)
+      .select(col("vec_id"), col("embedding"), col("list_id"))
+  }
+
   private[graft] def ivfIndexPath(spark: org.apache.spark.sql.SparkSession, dir: String): (String, String) =
     ivfIndexCache.synchronized {
       ivfIndexCache.getOrElseUpdate(
         (spark, dir), {
           val centPath =
             graft.ViewStore.materialize(spark, "graft_ivf_index/centroids", dir)(centroidTable(spark, dir))
-          import org.apache.spark.sql.graftx.TopKPerGroup
           val asgPath = graft.ViewStore.materialize(spark, "graft_ivf_index/assignments", dir)(
-            TopKPerGroup(
-              withDist(Tables.embeddings(spark, dir), spark.read.parquet(centPath)),
-              Seq("vec_id"), Seq("d" -> true, "list_id" -> false), 1)
-              .select(col("vec_id"), col("embedding"), col("list_id"))
+            ivfAssignmentsOf(Tables.embeddings(spark, dir), spark.read.parquet(centPath))
           )
           (centPath, asgPath)
         }

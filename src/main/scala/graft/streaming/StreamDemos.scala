@@ -428,6 +428,44 @@ object StreamDemos {
     )
   }
 
+  /** Streaming maintenance of the IVF inverted lists — the third and
+    * last serving view to get a stream-update story (after the BM25
+    * index and the LSH signature table): each micro-batch of incoming
+    * vectors is assigned to its nearest list against the FROZEN
+    * persisted quantizer
+    * ([[graft.operators.Advanced.ivfAssignmentsOf]] over the
+    * centroids parquet — the standard IVF serving contract: new
+    * vectors join existing lists, retraining is a new index build,
+    * not a streaming concern) and merges by vec_id; assignment
+    * against fixed centroids is a pure per-vector function, so
+    * replayed vectors recompute identical rows and the merge is
+    * idempotent. StreamingSpec pins the streamed lists bit-equal to
+    * the batch-built assignments table. */
+  def streamedIvfAssignments(spark: SparkSession, dir: String, copies: Int = 2): DataFrame = {
+    import org.apache.spark.sql.Row
+    val (centPath, _) = graft.operators.Advanced.ivfIndexPath(spark, dir)
+    val cent = spark.read.parquet(centPath)
+    val asg = scala.collection.concurrent.TrieMap.empty[Long, Row]
+    val q = embStream(spark, dir, copies).writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Advanced
+          .ivfAssignmentsOf(batch, cent)
+          .collect() // bounded by the demo batch, never the corpus
+          .foreach(r => asg.put(r.getLong(0), r))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      asg.values.toSeq.sortBy(_.getLong(0)).asJava,
+      graft.operators.Advanced
+        .ivfAssignmentsOf(Tables.embeddings(spark, dir).limit(0), cent.limit(0)).schema
+    )
+  }
+
   def runToCompletion(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
     val q: StreamingQuery = streamed.writeStream
       .format("memory")

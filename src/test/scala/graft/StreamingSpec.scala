@@ -276,4 +276,20 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty, "stream must build signatures")
     assert(streamed.toSeq == batch.toSeq, "streamed LSH signatures diverge from the batch table")
   }
+
+  test("streamed IVF assignments == batch-built inverted lists, replay-idempotent") {
+    // new vectors are assigned against the FROZEN persisted quantizer
+    // and merge by vec_id — the standard IVF serving contract; the
+    // final lists must be bit-equal to the batch index build
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(2), r.getSeq[Float](1).toList)
+    val streamed = streaming.StreamDemos.streamedIvfAssignments(spark, sf, copies = 2)
+      .collect().map(key).sortBy(_._1)
+    val (_, asgPath) = operators.Advanced.ivfIndexPath(spark, sf)
+    val batch = spark.read.parquet(asgPath)
+      .select(col("vec_id"), col("embedding"), col("list_id"))
+      .collect().map(key).sortBy(_._1)
+    assert(streamed.nonEmpty, "stream must build assignments")
+    assert(streamed.toSeq == batch.toSeq, "streamed IVF assignments diverge from the batch lists")
+  }
 }
