@@ -88,6 +88,7 @@ object Bench {
       operators.Dedup.pairTablePath(spark, sfDir)
       operators.Dedup.minhashSigTablePath(spark, sfDir)
       operators.Dedup.ngramShingleTablePath(spark, sfDir)
+      operators.Dedup.simhashSigTablePath(spark, sfDir)
       operators.Graph.edgeTablePath(spark, sfDir)
       operators.Advanced.ivfIndexPath(spark, sfDir)
       operators.Similarity.lshSigTablePath(spark, sfDir)

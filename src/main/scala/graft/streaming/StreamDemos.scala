@@ -290,7 +290,7 @@ object StreamDemos {
     * `dedup_incremental_persisted`'s batch output bit-for-bit. */
   def screenedIngest(spark: SparkSession, dir: String, copies: Int = 2): DataFrame = {
     import org.apache.spark.sql.Row
-    val corpus = spark.read.parquet(graft.operators.Dedup.sigTablePath(spark, dir))
+    val corpus = graft.operators.Dedup.corpusSigTable(spark, dir)
     val verdicts = scala.collection.concurrent.TrieMap.empty[Long, Row]
     val q = docsStream(spark, dir, copies)
       .filter(col("doc_id") % 10 === 0)
