@@ -93,6 +93,7 @@ object Bench {
       operators.Advanced.ivfIndexPath(spark, sfDir)
       operators.Similarity.lshSigTablePath(spark, sfDir)
       operators.TextAnalysis.bm25IndexPath(spark, sfDir)
+      operators.TextAnalysis.contamShingleTablePath(spark, sfDir)
       (System.nanoTime() - t0) / 1e9
     }
     // Per-view serving disclosure (r9 judge ask): WHICH views the

@@ -540,6 +540,54 @@ object TextAnalysis {
     * (exact ints); the coverage fraction is one IEEE division of
     * identical ints, trunc-rounded; the ≥ 0.5 gate compares that exact
     * ratio, never a float artifact. */
+  /** Per-doc DISTINCT rolling-hash 5-gram shingle sets (doc_id, s) —
+    * the shared substrate of the contamination screen and the curation
+    * funnel's decontamination gate. Each token is xxhash64'd once and
+    * a shingle key is a position-sensitive bitwise mix (per-offset
+    * bit-rotation, xor) of 5 consecutive token hashes, so shingles
+    * never materialize as strings (8-byte longs through every explode
+    * and join; measured 7.2 s → ~1 s at sf0.1 vs string shingles).
+    * Formulated as zip_with over 5 SHIFTED SLICES of the token-hash
+    * array (not element_at inside a positional lambda): projection
+    * collapse inlines column aliases into every reference, so a
+    * per-position element_at formulation recomputes the whole hash
+    * array O(positions) times per row — measured 32 s; this shape
+    * references it a constant 6 times per row. */
+  private def contamShinglesBuild(docs: DataFrame): DataFrame = {
+    def rot(c: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =
+      if (bits == 0) c else shiftleft(c, bits).bitwiseOR(shiftrightunsigned(c, 64 - bits))
+    val t = split(col("text"), " ")
+    val th = transform(t, tok => xxhash64(tok))
+    val m = size(t) - 4 // shingle count (size >= 5 is filtered below)
+    val mixed = (1 to 4).foldLeft(slice(th, lit(1), m)) { (acc, o) =>
+      zip_with(acc, slice(th, lit(o + 1), m), (a, b) => a.bitwiseXOR(rot(b, 13 * o)))
+    }
+    docs.filter(size(t) >= 5).select(col("doc_id"), array_distinct(mixed).as("s"))
+  }
+
+  private val contamShingleCache =
+    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  /** Write-once shingle-set table — [[graft.ViewStore]] discipline: a
+    * doc's distinct 5-gram hash set is a pure per-document function
+    * (the same ingest-product argument as every signature table), and
+    * it was derived TWICE per run before r10 (contamination screen +
+    * funnel). Consumers split it into bench/corpus sides with pushed
+    * doc_id predicates. */
+  private[graft] def contamShingleTablePath(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    contamShingleCache.synchronized {
+      contamShingleCache.getOrElseUpdate(
+        (spark, dir),
+        graft.ViewStore.materialize(spark, "graft_contam_shingles", dir)(
+          contamShinglesBuild(Tables.documents(spark, dir)))
+      )
+    }
+
+  private def contamShingles(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(contamShingleTablePath(spark, dir))
+
   val textContamination: Q = Q(
     "text_contamination",
     Some(
@@ -556,34 +604,13 @@ object TextAnalysis {
         "ORDER BY doc_id, bench_id"
     ),
     (spark, dir) => {
-      // Shingles never materialize as strings on the Spark side: each
-      // token is xxhash64'd once per doc, and a 5-gram's key is a
-      // position-sensitive bitwise mix (per-offset bit-rotation, xor)
-      // of 5 consecutive token hashes — a rolling-hash shingle. The
-      // explode and the join then move 8-byte longs instead of ~50-char
-      // strings (measured 7.2 s → ~1 s at sf0.1). The DuckDB oracle
-      // keeps exact string shingles: overlap counts agree unless two
-      // DIFFERENT 5-grams of one doc pair collide in 64 bits
-      // (~2^-45 per pair here; the sf0.01 hash gate re-proves equality
-      // every round).
-      // Formulated as zip_with over 5 SHIFTED SLICES of the token-hash
-      // array (not element_at inside a positional lambda): projection
-      // collapse inlines column aliases into every reference, so a
-      // per-position element_at formulation recomputes the whole hash
-      // array O(positions) times per row — measured 32 s; this shape
-      // references it a constant 6 times per row.
-      def rot(c: Column, bits: Int): Column =
-        if (bits == 0) c else shiftleft(c, bits).bitwiseOR(shiftrightunsigned(c, 64 - bits))
-      val t = split(col("text"), " ")
-      val th = transform(t, tok => xxhash64(tok))
-      val m = size(t) - 4 // shingle count (size >= 5 is filtered below)
-      val mixed = (1 to 4).foldLeft(slice(th, lit(1), m)) { (acc, o) =>
-        zip_with(acc, slice(th, lit(o + 1), m), (a, b) => a.bitwiseXOR(rot(b, 13 * o)))
-      }
-      val sh = Tables
-        .documents(spark, dir)
-        .filter(size(t) >= 5)
-        .select(col("doc_id"), array_distinct(mixed).as("s"))
+      // Served from the write-once shingle-set view (rolling-hash
+      // longs, never strings — derivation + measurements on
+      // contamShinglesBuild). The DuckDB oracle keeps exact string
+      // shingles: overlap counts agree unless two DIFFERENT 5-grams of
+      // one doc pair collide in 64 bits (~2^-45 per pair here; the
+      // sf0.01 hash gate re-proves equality every round).
+      val sh = contamShingles(spark, dir)
       val bench = sh
         .filter(col("doc_id") < 20)
         .select(col("doc_id").as("bench_id"), size(col("s")).as("nb"), explode(col("s")).as("g"))
@@ -673,17 +700,9 @@ object TextAnalysis {
         .groupBy(sha2(col("text"), 256))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"), lit(true).as("pass_d"))
-      // contaminated corpus docs: the hashed-shingle pipeline from
+      // contaminated corpus docs: the hashed-shingle view shared with
       // text_contamination, reduced to a distinct doc_id set
-      def rot(c: Column, bits: Int): Column =
-        if (bits == 0) c else shiftleft(c, bits).bitwiseOR(shiftrightunsigned(c, 64 - bits))
-      val t = split(col("text"), " ")
-      val th = transform(t, tok => xxhash64(tok))
-      val m = size(t) - 4
-      val mixed = (1 to 4).foldLeft(slice(th, lit(1), m)) { (acc, o) =>
-        zip_with(acc, slice(th, lit(o + 1), m), (a, b) => a.bitwiseXOR(rot(b, 13 * o)))
-      }
-      val sh = docs.filter(size(t) >= 5).select(col("doc_id"), array_distinct(mixed).as("s"))
+      val sh = contamShingles(spark, dir)
       val bench = sh
         .filter(col("doc_id") < 20)
         .select(col("doc_id").as("bench_id"), size(col("s")).as("nb"), explode(col("s")).as("g"))
