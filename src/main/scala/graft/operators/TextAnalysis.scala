@@ -562,7 +562,10 @@ object TextAnalysis {
     val mixed = (1 to 4).foldLeft(slice(th, lit(1), m)) { (acc, o) =>
       zip_with(acc, slice(th, lit(o + 1), m), (a, b) => a.bitwiseXOR(rot(b, 13 * o)))
     }
-    docs.filter(size(t) >= 5).select(col("doc_id"), array_distinct(mixed).as("s"))
+    // `source` rides the view (one short column) so the novelty
+    // rollup reads shingles WITH provenance instead of paying a
+    // corpus-sized join back to documents at query time
+    docs.filter(size(t) >= 5).select(col("doc_id"), col("source"), array_distinct(mixed).as("s"))
   }
 
   private val contamShingleCache =
@@ -580,7 +583,12 @@ object TextAnalysis {
     contamShingleCache.synchronized {
       contamShingleCache.getOrElseUpdate(
         (spark, dir),
-        graft.ViewStore.materialize(spark, "graft_contam_shingles", dir)(
+        // buildVersion = 2: the source column was added to the build
+        // in the same round the family was born — the rule is bump on
+        // any derivation change, because the input fingerprint cannot
+        // see that a (doc_id, s)-only store from an earlier build of
+        // this same round would otherwise satisfy the exists-check
+        graft.ViewStore.materialize(spark, "graft_contam_shingles", dir, buildVersion = 2)(
           contamShinglesBuild(Tables.documents(spark, dir)))
       )
     }
@@ -1417,21 +1425,15 @@ object TextAnalysis {
         "FROM d GROUP BY source ORDER BY source"
     ),
     (spark, dir) => {
-      val t = toks(col("text"))
-      val sh = Tables
-        .documents(spark, dir)
-        .select(
-          col("doc_id"),
-          col("source"),
-          explode(
-            when(
-              size(t) >= 5,
-              transform(sequence(lit(1), size(t) - 4), i => array_join(slice(t, i, lit(5)), " "))
-            ).otherwise(array().cast("array<string>"))
-          ).as("s")
-        )
-        .select(col("doc_id"), col("source"), xxhash64(col("s")).as("h"))
-        .distinct()
+      // Served from the shingle-set view: its per-doc arrays are
+      // already DISTINCT, so the explode needs no dedup exchange, and
+      // `source` rides the view row. The view's rolling-hash keys
+      // partition shingles into the same equality classes as the
+      // oracle's string shingles (same injective-modulo-2^-45-collision
+      // argument as text_contamination; the sf0.01 hash gate re-proves
+      // it every round).
+      val sh = contamShingles(spark, dir)
+        .select(col("doc_id"), col("source"), explode(col("s")).as("h"))
       val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
       val d = sh
         .withColumn("first_doc", min(col("doc_id")).over(byShingle))
