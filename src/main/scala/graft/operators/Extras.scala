@@ -108,7 +108,7 @@ object Extras {
         "FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_returnflag ORDER BY l_returnflag"
     ),
     (spark, dir) => {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_snk_part"
+      val base = graft.Staging.dir("graft_snk_part")
       Tables
         .lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
@@ -151,7 +151,7 @@ object Extras {
     ),
     (spark, dir) => {
       val nBuckets = 8
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+      val base = graft.Staging.dir("graft_bucketed")
       // repartition(nBuckets, bucketCol) uses the SAME Murmur3
       // HashPartitioning as the bucketed write, so each task holds
       // exactly one bucket and writes exactly one file — without it
@@ -337,7 +337,7 @@ object Extras {
     None,
     (spark, dir) => {
       import org.apache.hadoop.fs.Path
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact"
+      val base = graft.Staging.dir("graft_compact")
       val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
       def stats(p: String): (Long, Long) = {
         val files = fs.listStatus(new Path(p)).filter(_.getPath.getName.endsWith(".parquet"))

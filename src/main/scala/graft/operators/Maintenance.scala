@@ -171,7 +171,7 @@ object Maintenance {
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"
     ),
     (spark, dir) => {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_dpp"
+      val base = graft.Staging.dir("graft_dpp")
       Tables
         .orders(spark, dir)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))

@@ -60,7 +60,7 @@ object Scans {
         "cast(n_regionkey as integer) AS n_regionkey FROM nation ORDER BY n_nationkey"
     ),
     (spark, dir) => {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_snk"
+      val base = graft.Staging.dir("graft_snk")
       val n = Tables.nation(spark, dir)
       n.write.mode("overwrite").option("header", "true").csv(s"$base/nation_csv")
       n.write.mode("overwrite").json(s"$base/nation_json")
@@ -95,7 +95,7 @@ object Scans {
         "FROM supplier WHERE s_acctbal > 0 ORDER BY s_suppkey"
     ),
     (spark, dir) => {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_snk/supplier_orc"
+      val base = graft.Staging.dir("graft_snk/supplier_orc")
       Tables.supplier(spark, dir).write.mode("overwrite").orc(base)
       spark.read
         .orc(base)
@@ -207,7 +207,7 @@ object Scans {
         "UNION ALL SELECT 'good', cast(count(*) as bigint) FROM nation ORDER BY kind"
     ),
     (spark, dir) => {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_badcsv/data"
+      val base = graft.Staging.dir("graft_badcsv/data")
       Tables
         .nation(spark, dir)
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
@@ -260,7 +260,7 @@ object Scans {
         "GROUP BY gen ORDER BY gen"
     ),
     (spark, dir) => {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_schema_evo"
+      val base = graft.Staging.dir("graft_schema_evo")
       val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
       o.filter(col("o_orderkey") % 2 === 0)
         .coalesce(1).write.mode("overwrite").parquet(s"$base/gen=1")

@@ -47,8 +47,7 @@ object StreamDemos {
       // single-copy path keeps the historical file name so re-runs
       // against an already-staged dir stay idempotent
       val target = staged.resolve(if (copies == 1) "events.parquet" else s"events_$i.parquet")
-      if (!java.nio.file.Files.exists(target))
-        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), target)
+      stageCopy(java.nio.file.Paths.get(s"$dir/events.parquet"), target)
     }
     val raw = spark.readStream
       .schema(rawSchema)
@@ -189,13 +188,32 @@ object StreamDemos {
     java.nio.file.Files.createDirectories(staged)
     (1 to copies).foreach { i =>
       val target = staged.resolve(if (copies == 1) "documents.parquet" else s"documents_$i.parquet")
-      if (!java.nio.file.Files.exists(target))
-        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"), target)
+      stageCopy(java.nio.file.Paths.get(s"$dir/documents.parquet"), target)
     }
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(staged.toString)
+  }
+
+  /** Copy `src` to `target` unless an up-to-date copy is already
+    * staged: a bare exists-check would keep streaming STALE bytes
+    * after the source corpus is regenerated in place (same path, new
+    * content — exactly the scenario [[graft.ViewStore]]'s fingerprint
+    * defends the batch views against), so staleness is judged on
+    * (size, mtime) and a mismatch re-copies. COPY_ATTRIBUTES carries
+    * the source mtime onto the staged file so the comparison is
+    * stable across runs. */
+  private def stageCopy(src: java.nio.file.Path, target: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val fresh = Files.exists(target) &&
+      Files.size(target) == Files.size(src) &&
+      Files.getLastModifiedTime(target) == Files.getLastModifiedTime(src)
+    if (!fresh) {
+      Files.copy(src, target,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.COPY_ATTRIBUTES)
+      ()
+    }
   }
 
   /** Streaming curation gate — the ingest-side of pipeline_curate:
@@ -382,8 +400,7 @@ object StreamDemos {
     java.nio.file.Files.createDirectories(staged)
     (1 to copies).foreach { i =>
       val target = staged.resolve(if (copies == 1) "embeddings.parquet" else s"embeddings_$i.parquet")
-      if (!java.nio.file.Files.exists(target))
-        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/embeddings.parquet"), target)
+      stageCopy(java.nio.file.Paths.get(s"$dir/embeddings.parquet"), target)
     }
     spark.readStream
       .schema(schema)

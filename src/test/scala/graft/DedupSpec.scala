@@ -200,12 +200,28 @@ class DedupSpec extends SparkSuite {
     // sig16Cache accretion nit is closed by keying state on the
     // ViewStore fingerprint, so a second corpus can never be served the
     // first corpus's signatures; rebuild-on-regeneration is pinned
-    // end-to-end by ViewStoreSpec for the shared materialize path)
+    // end-to-end by ViewStoreSpec for the shared materialize path).
+    // The second dir must hold a FLAT documents.parquet FILE like the
+    // real testdata contract — ViewStore.listInputs sees only files,
+    // so a directory-shaped table would leave the fingerprint keyed on
+    // the dir string alone and this test would pass vacuously. The
+    // store root is scoped to a temp dir so the test's materialized
+    // views don't accrete under the shared tmpdir across runs.
     val dir2 = java.nio.file.Files.createTempDirectory("graft-mh-dir2").toFile
+    val altRoot = java.nio.file.Files.createTempDirectory("graft-mh-root").toFile
+    spark.conf.set("spark.graft.viewstore.dir", altRoot.getPath)
     try {
       val src = new java.io.File(sf)
+      val scratch = new java.io.File(dir2, "scratch")
       Tables.documents(spark, sf).filter(col("doc_id") < 100)
-        .coalesce(1).write.mode("overwrite").parquet(s"${dir2.getAbsolutePath}/documents.parquet")
+        .coalesce(1).write.mode("overwrite").parquet(scratch.getPath)
+      val part = scratch.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(dir2, "documents.parquet").toPath)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(scratch)
       val p1 = operators.Dedup.minhashSigTablePath(spark, sf)
       val p2 = operators.Dedup.minhashSigTablePath(spark, dir2.getAbsolutePath)
       assert(p1 != p2, "distinct input dirs must map to distinct view paths")
@@ -213,10 +229,11 @@ class DedupSpec extends SparkSuite {
         "second dir's table must be built from the second dir's corpus")
       assert(src.exists())
     } finally {
+      spark.conf.unset("spark.graft.viewstore.dir")
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
-      rm(dir2)
+      rm(dir2); rm(altRoot)
     }
   }
 
