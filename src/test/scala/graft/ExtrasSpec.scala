@@ -11,7 +11,7 @@ class ExtrasSpec extends SparkSuite {
   test("partitioned sink read-back prunes to one partition") {
     // run the query once so the partitioned layout exists
     operators.Extras.snkPartitioned.run(spark, sf).collect()
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_snk_part"
+    val base = Staging.dir("graft_snk_part")
     val pruned = spark.read.parquet(base).filter(col("l_returnflag") === "R")
     val scan = pruned.queryExecution.executedPlan.toString
     // partition filter must appear as a PartitionFilters entry, and the
@@ -23,7 +23,7 @@ class ExtrasSpec extends SparkSuite {
 
   test("partitioned sink writes exactly one file per partition directory") {
     operators.Extras.snkPartitioned.run(spark, sf).collect()
-    val base = new java.io.File(s"${System.getProperty("java.io.tmpdir")}/graft_snk_part")
+    val base = new java.io.File(Staging.dir("graft_snk_part"))
     val dirs = base.listFiles().filter(f => f.isDirectory && f.getName.startsWith("l_returnflag="))
     assert(dirs.nonEmpty, s"no partition dirs under $base")
     for (d <- dirs) {
@@ -37,7 +37,7 @@ class ExtrasSpec extends SparkSuite {
   test("bucketed sink writes exactly one file per bucket") {
     operators.Extras.snkBucketed.run(spark, sf).collect()
     for (t <- Seq("lineitem", "orders")) {
-      val dir = new java.io.File(s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/$t")
+      val dir = new java.io.File(s"${Staging.dir("graft_bucketed")}/$t")
       val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
       // repartition(nBuckets, key) aligns with the write's Murmur3
       // bucket hash, so each task owns one whole bucket
