@@ -1517,6 +1517,117 @@ object Dedup {
       incrementalScreen(spark, dir, corpusSigTable(spark, dir))
   )
 
+  /** Incremental MinHash-LSH screen — the daily-ingest shape of the
+    * BANDED near-dup path, completing the incremental family: where
+    * [[dedupIncrementalPersisted]] screens the new batch by EXACT
+    * blocked Jaccard against the persisted token-set signatures, this
+    * row screens it by 8×2 banding against the persisted FULL-CORPUS
+    * 16-wide minhash table ([[minhashSigTablePath]]) — at 100 TB the
+    * exact screen's token arrays may be too wide to move per probe,
+    * and the minhash screen moves 17 longs per doc regardless of
+    * document length. Candidates = batch×corpus band collisions over
+    * corpus buckets with ≤ 2000 members (the corpus side's inverted
+    * band lists are the serving asset; an oversized bucket carries no
+    * signal and unbounded probe cost, the standing cap argument), kept
+    * at estimate ≥ 0.8, rolled up per batch doc as (n_dup_corpus,
+    * best_est, admitted) — the same verdict shape as the exact screen,
+    * so a pipeline can swap screens without touching downstream.
+    *
+    * Determinism: the same integer minhash algebra as
+    * [[dedupMinhashLsh]] (DuckDB replays it bit-exactly); the estimate
+    * is an exact k/16 double, its max and the trunc-rounding are
+    * order-free; counts are exact after the cross-band pair dedup
+    * (the estimate is band-invariant). Corpus-side text is never
+    * read — the only corpus input is the materialized view. */
+  val dedupMinhashIncremental: Q = Q(
+    "dedup_minhash_incremental",
+    Some {
+      val p  = MinhashP
+      val nH = MinhashA16.length
+      val mcols = MinhashA16.indices
+        .map(i => s"min((hv * ${MinhashA16(i)} + ${MinhashB16(i)}) % $p) AS m$i")
+        .mkString(", ")
+      val allM = MinhashA16.indices.map(i => s"m$i").mkString(", ")
+      val bands = (0 until nH / 2)
+        .map(j => s"SELECT doc_id, $allM, $j AS band, m${2 * j} * $p + m${2 * j + 1} AS bk FROM m")
+        .mkString(" UNION ALL ")
+      val agree = MinhashA16.indices.map(i => s"(a.m$i = c.m$i)::INT").mkString(" + ")
+      "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        s"h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % $p AS hv FROM t), " +
+        s"m AS (SELECT doc_id, $mcols FROM h GROUP BY doc_id), " +
+        s"bnd AS ($bands), " +
+        "cb AS (SELECT band, bk FROM bnd WHERE doc_id % 10 <> 0 GROUP BY 1, 2 HAVING count(*) <= 2000), " +
+        s"cand AS (SELECT DISTINCT a.doc_id AS bid, c.doc_id AS cid, ($agree)::DOUBLE / $nH AS ej " +
+        "FROM bnd a JOIN cb USING (band, bk) JOIN bnd c USING (band, bk) " +
+        "WHERE a.doc_id % 10 = 0 AND c.doc_id % 10 <> 0), " +
+        "p2 AS (SELECT bid, cid, ej FROM cand WHERE ej >= 0.8), " +
+        "ag AS (SELECT bid, count(*)::BIGINT AS n_dups, max(ej) AS best FROM p2 GROUP BY bid) " +
+        "SELECT d.doc_id, coalesce(ag.n_dups, 0) AS n_dup_corpus, " +
+        Det.oRN("coalesce(ag.best, 0.0)", 6) + " AS best_est, " +
+        "coalesce(ag.n_dups, 0) = 0 AS admitted " +
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d " +
+        "LEFT JOIN ag ON d.doc_id = ag.bid ORDER BY d.doc_id"
+    },
+    (spark, dir) => {
+      val nH  = MinhashA16.length
+      val all = spark.read.parquet(minhashSigTablePath(spark, dir))
+      def banded(df: DataFrame): DataFrame = df
+        .select(
+          col("doc_id") +: (0 until nH).map(i => col(s"m$i")) :+
+            explode(array((0 until nH / 2).map { j =>
+              struct(
+                lit(j).as("band"),
+                (col(s"m${2 * j}") * MinhashP + col(s"m${2 * j + 1}")).as("bk")
+              )
+            }: _*)).as("b"): _*
+        )
+        .select(col("doc_id") +: (0 until nH).map(i => col(s"m$i")) :+
+          col("b.band").as("band") :+ col("b.bk").as("bk"): _*)
+      val corpusB = banded(all.filter(col("doc_id") % 10 =!= 0))
+      val batchB  = banded(all.filter(col("doc_id") % 10 === 0))
+      // corpus-side bucket cap: project to the key before counting so
+      // the aggregate shuffles two longs per band row
+      val ok = corpusB
+        .select(col("band"), col("bk"))
+        .groupBy(col("band"), col("bk"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") <= 2000)
+        .select(col("band"), col("bk"))
+      val a = batchB.select(col("band") +: col("bk") +: col("doc_id").as("bid") +:
+        (0 until nH).map(i => col(s"m$i").as(s"ma$i")): _*)
+      val c = corpusB.select(col("band") +: col("bk") +: col("doc_id").as("cid") +:
+        (0 until nH).map(i => col(s"m$i").as(s"mb$i")): _*)
+      val est = (0 until nH)
+        .map(i => when(col(s"ma$i") === col(s"mb$i"), 1).otherwise(0))
+        .reduce(_ + _)
+        .cast("double") / nH
+      // threshold MAP-SIDE after the band join; the estimate is
+      // band-invariant, so the cross-band pair dedup is value-safe
+      val pairs = a
+        .join(ok, Seq("band", "bk"))
+        .join(c, Seq("band", "bk"))
+        .withColumn("ej", est)
+        .filter(col("ej") >= 0.8)
+        .select(col("bid"), col("cid"), col("ej"))
+        .dropDuplicates("bid", "cid")
+      val agg = pairs
+        .groupBy(col("bid"))
+        .agg(count(lit(1)).as("n_dups"), Det.rN(max(col("ej")), 6).as("best"))
+      Tables
+        .documents(spark, dir)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"))
+        .join(agg, col("doc_id") === col("bid"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dup_corpus"),
+          coalesce(col("best"), lit(0.0)).as("best_est"),
+          (coalesce(col("n_dups"), lit(0L)) === 0).as("admitted")
+        )
+        .orderBy(col("doc_id"))
+    }
+  )
+
   /** Positional k-token shingles ("spans") of the token stream, empty
     * when the doc is shorter than k. The size guard matters: Spark's
     * `sequence(1, n)` generates a DESCENDING [1, 0] when n = 0, where
@@ -1842,6 +1953,7 @@ object Dedup {
     dedupSoftWeights,
     dedupThresholdCurve,
     dedupBestOfCluster, dedupContainment, dedupIncremental, dedupIncrementalPersisted,
+    dedupMinhashIncremental,
     dedupSpanCoverage, dedupNgramExact, dedupSourceOverlap, dedupSourceUnique,
     dedupEditDistance
   )

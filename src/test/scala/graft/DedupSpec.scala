@@ -237,6 +237,21 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("incremental minhash screen: one verdict per batch doc, served from the view") {
+    val df = operators.Dedup.dedupMinhashIncremental.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_minhash_sigs"),
+      "corpus side must scan the persisted minhash table\n" + plan.take(2000))
+    val rows = df.collect()
+    val nBatch = Tables.documents(spark, sf).filter(col("doc_id") % 10 === 0).count()
+    assert(rows.length.toLong == nBatch, "one verdict row per batch doc")
+    for (r <- rows) {
+      assert(r.getBoolean(3) == (r.getLong(1) == 0L), s"admitted must mean zero dups: $r")
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0, s"best_est out of range: $r")
+      if (r.getLong(1) > 0) assert(r.getDouble(2) >= 0.8, s"flagged doc must carry est >= 0.8: $r")
+    }
+  }
+
   test("minhash LSH recall >= 0.5 vs exact jaccard >= 0.9 pairs") {
     val exact = operators.Dedup.dedupNearJaccard
       .run(spark, sf)
