@@ -729,15 +729,23 @@ object Dedup {
     * at INGEST, persist (doc_id, m0..m15), and every screen, audit and
     * incremental probe thereafter is a parquet scan — the corpus text
     * is never re-read. */
-  private def minhashSignaturesAll(spark: SparkSession, dir: String): DataFrame = {
+  private def minhashSignaturesAll(spark: SparkSession, dir: String): DataFrame =
+    minhashSignaturesOf(Tables.documents(spark, dir))
+
+  /** The 16-wide signature transform over ANY docs frame with
+    * (doc_id, text) — a pure per-document function, shared by the
+    * view build, the incremental screen's batch side and the
+    * streaming ingest screen (the [[signaturesOf]] /
+    * [[graft.operators.TextAnalysis.bm25PostingsOf]] pattern: one
+    * stateless projection, every ingest path runs literally it). */
+  private[graft] def minhashSignaturesOf(docs: DataFrame): DataFrame = {
     val hs = transform(toks(col("text")), x =>
       conv(substring(md5(x), 1, 8), 16, 10).cast("long") % MinhashP
     )
     val mcols = MinhashA16.indices.map { i =>
       array_min(transform(col("hs"), h => (h * MinhashA16(i) + MinhashB16(i)) % MinhashP)).as(s"m$i")
     }
-    Tables
-      .documents(spark, dir)
+    docs
       .select(col("doc_id"), hs.as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("doc_id") +: mcols: _*)
@@ -1568,65 +1576,82 @@ object Dedup {
         "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d " +
         "LEFT JOIN ag ON d.doc_id = ag.bid ORDER BY d.doc_id"
     },
-    (spark, dir) => {
-      val nH  = MinhashA16.length
-      val all = spark.read.parquet(minhashSigTablePath(spark, dir))
-      def banded(df: DataFrame): DataFrame = df
-        .select(
-          col("doc_id") +: (0 until nH).map(i => col(s"m$i")) :+
-            explode(array((0 until nH / 2).map { j =>
-              struct(
-                lit(j).as("band"),
-                (col(s"m${2 * j}") * MinhashP + col(s"m${2 * j + 1}")).as("bk")
-              )
-            }: _*)).as("b"): _*
-        )
-        .select(col("doc_id") +: (0 until nH).map(i => col(s"m$i")) :+
-          col("b.band").as("band") :+ col("b.bk").as("bk"): _*)
-      val corpusB = banded(all.filter(col("doc_id") % 10 =!= 0))
-      val batchB  = banded(all.filter(col("doc_id") % 10 === 0))
-      // corpus-side bucket cap: project to the key before counting so
-      // the aggregate shuffles two longs per band row
-      val ok = corpusB
-        .select(col("band"), col("bk"))
-        .groupBy(col("band"), col("bk"))
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n") <= 2000)
-        .select(col("band"), col("bk"))
-      val a = batchB.select(col("band") +: col("bk") +: col("doc_id").as("bid") +:
-        (0 until nH).map(i => col(s"m$i").as(s"ma$i")): _*)
-      val c = corpusB.select(col("band") +: col("bk") +: col("doc_id").as("cid") +:
-        (0 until nH).map(i => col(s"m$i").as(s"mb$i")): _*)
-      val est = (0 until nH)
-        .map(i => when(col(s"ma$i") === col(s"mb$i"), 1).otherwise(0))
-        .reduce(_ + _)
-        .cast("double") / nH
-      // threshold MAP-SIDE after the band join; the estimate is
-      // band-invariant, so the cross-band pair dedup is value-safe
-      val pairs = a
-        .join(ok, Seq("band", "bk"))
-        .join(c, Seq("band", "bk"))
-        .withColumn("ej", est)
-        .filter(col("ej") >= 0.8)
-        .select(col("bid"), col("cid"), col("ej"))
-        .dropDuplicates("bid", "cid")
-      val agg = pairs
-        .groupBy(col("bid"))
-        .agg(count(lit(1)).as("n_dups"), Det.rN(max(col("ej")), 6).as("best"))
-      Tables
-        .documents(spark, dir)
-        .filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"))
-        .join(agg, col("doc_id") === col("bid"), "left")
-        .select(
-          col("doc_id"),
-          coalesce(col("n_dups"), lit(0L)).as("n_dup_corpus"),
-          coalesce(col("best"), lit(0.0)).as("best_est"),
-          (coalesce(col("n_dups"), lit(0L)) === 0).as("admitted")
-        )
-        .orderBy(col("doc_id"))
-    }
+    // batch side signs ITSELF from text (the daily-ingest contract:
+    // new data is not in the table yet — the same split the exact
+    // screen uses); only the corpus side reads the persisted view
+    (spark, dir) =>
+      minhashScreenAgainst(
+        Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0),
+        spark.read.parquet(minhashSigTablePath(spark, dir)).filter(col("doc_id") % 10 =!= 0)
+      ).orderBy(col("doc_id"))
   )
+
+  /** Screen a docs frame (the incoming batch) against a corpus minhash
+    * signature table by 8×2 banding: batch signatures from the shared
+    * stateless projection ([[minhashSignaturesOf]]), corpus-side
+    * bucket cap at 2000, estimate ≥ 0.8, per-doc verdict rollup.
+    * Factored so the STREAMING ingest twin
+    * ([[graft.streaming.StreamDemos.minhashScreenedIngest]]) runs the
+    * identical plan per micro-batch — the banded sibling of
+    * [[screenSigsAgainst]]. Unsorted; batch callers append their own
+    * total order. */
+  private[graft] def minhashScreenAgainst(
+      batchDocs: DataFrame,
+      corpusSigs: DataFrame
+  ): DataFrame = {
+    val nH = MinhashA16.length
+    def banded(df: DataFrame): DataFrame = df
+      .select(
+        col("doc_id") +: (0 until nH).map(i => col(s"m$i")) :+
+          explode(array((0 until nH / 2).map { j =>
+            struct(
+              lit(j).as("band"),
+              (col(s"m${2 * j}") * MinhashP + col(s"m${2 * j + 1}")).as("bk")
+            )
+          }: _*)).as("b"): _*
+      )
+      .select(col("doc_id") +: (0 until nH).map(i => col(s"m$i")) :+
+        col("b.band").as("band") :+ col("b.bk").as("bk"): _*)
+    val corpusB = banded(corpusSigs)
+    val batchB  = banded(minhashSignaturesOf(batchDocs))
+    // corpus-side bucket cap: project to the key before counting so
+    // the aggregate shuffles two longs per band row
+    val ok = corpusB
+      .select(col("band"), col("bk"))
+      .groupBy(col("band"), col("bk"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= 2000)
+      .select(col("band"), col("bk"))
+    val a = batchB.select(col("band") +: col("bk") +: col("doc_id").as("bid") +:
+      (0 until nH).map(i => col(s"m$i").as(s"ma$i")): _*)
+    val c = corpusB.select(col("band") +: col("bk") +: col("doc_id").as("cid") +:
+      (0 until nH).map(i => col(s"m$i").as(s"mb$i")): _*)
+    val est = (0 until nH)
+      .map(i => when(col(s"ma$i") === col(s"mb$i"), 1).otherwise(0))
+      .reduce(_ + _)
+      .cast("double") / nH
+    // threshold MAP-SIDE after the band join; the estimate is
+    // band-invariant, so the cross-band pair dedup is value-safe
+    val pairs = a
+      .join(ok, Seq("band", "bk"))
+      .join(c, Seq("band", "bk"))
+      .withColumn("ej", est)
+      .filter(col("ej") >= 0.8)
+      .select(col("bid"), col("cid"), col("ej"))
+      .dropDuplicates("bid", "cid")
+    val agg = pairs
+      .groupBy(col("bid"))
+      .agg(count(lit(1)).as("n_dups"), Det.rN(max(col("ej")), 6).as("best"))
+    batchDocs
+      .select(col("doc_id"))
+      .join(agg, col("doc_id") === col("bid"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dup_corpus"),
+        coalesce(col("best"), lit(0.0)).as("best_est"),
+        (coalesce(col("n_dups"), lit(0L)) === 0).as("admitted")
+      )
+  }
 
   /** Positional k-token shingles ("spans") of the token stream, empty
     * when the doc is shorter than k. The size guard matters: Spark's

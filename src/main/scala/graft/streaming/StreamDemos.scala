@@ -445,6 +445,45 @@ object StreamDemos {
     )
   }
 
+  /** Streaming MinHash ingest screen — the banded sibling of
+    * [[screenedIngest]]: each micro-batch of incoming documents is
+    * minhash-signed by the shared stateless projection and screened by
+    * 8×2 banding against the persisted FULL-CORPUS 16-wide signature
+    * table ([[graft.operators.Dedup.minhashSigTablePath]], corpus
+    * split), running literally the batch row's plan per batch
+    * ([[graft.operators.Dedup.minhashScreenAgainst]]). Verdicts merge
+    * idempotently by doc_id — a replayed doc recomputes the identical
+    * verdict against the same static table. StreamingSpec pins the
+    * final verdict set bit-equal to `dedup_minhash_incremental`'s
+    * batch output. */
+  def minhashScreenedIngest(spark: SparkSession, dir: String, copies: Int = 2): DataFrame = {
+    import org.apache.spark.sql.Row
+    val corpus = spark.read
+      .parquet(graft.operators.Dedup.minhashSigTablePath(spark, dir))
+      .filter(col("doc_id") % 10 =!= 0)
+    val verdicts = scala.collection.concurrent.TrieMap.empty[Long, Row]
+    val q = docsStream(spark, dir, copies)
+      .filter(col("doc_id") % 10 === 0)
+      .writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup
+          .minhashScreenAgainst(batch, corpus)
+          .collect() // bounded: <= |demo batch| verdict rows per micro-batch
+          .foreach(r => verdicts.put(r.getLong(0), r))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      verdicts.values.toSeq.sortBy(_.getLong(0)).asJava,
+      graft.operators.Dedup
+        .minhashScreenAgainst(Tables.documents(spark, dir).limit(0), corpus.limit(0)).schema
+    )
+  }
+
   /** Streaming maintenance of the IVF inverted lists — the third and
     * last serving view to get a stream-update story (after the BM25
     * index and the LSH signature table): each micro-batch of incoming

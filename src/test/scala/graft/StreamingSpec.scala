@@ -277,6 +277,20 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSeq == batch.toSeq, "streamed LSH signatures diverge from the batch table")
   }
 
+  test("streaming minhash ingest screen == persisted-table batch screen, replay-idempotent") {
+    // the banded sibling of the exact-screen symmetry test: replayed
+    // micro-batches screen against the same static minhash table and
+    // merge verdicts idempotently by doc_id
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))
+    val streamed = streaming.StreamDemos.minhashScreenedIngest(spark, sf, copies = 2)
+      .collect().map(key).sortBy(_._1)
+    val batch = operators.Dedup.dedupMinhashIncremental.run(spark, sf)
+      .collect().map(key).sortBy(_._1)
+    assert(streamed.nonEmpty, "stream must emit verdicts")
+    assert(streamed.toSeq == batch.toSeq, "streamed minhash verdicts diverge from the batch screen")
+  }
+
   test("streamed IVF assignments == batch-built inverted lists, replay-idempotent") {
     // new vectors are assigned against the FROZEN persisted quantizer
     // and merge by vec_id — the standard IVF serving contract; the
