@@ -152,11 +152,14 @@ object ViewStore {
     * `spark.graft.viewstore.dir` — the serving-table twin of
     * `spark.graft.checkpoint.dir`: set it to an HDFS/object-store
     * path at submit time and every serving view lands in durable
-    * shared storage instead of node-local tmp. Old-fingerprint
-    * siblings are deliberately NOT deleted here: a reader of the
-    * previous corpus snapshot may still be mid-scan (the point of
-    * snapshot keying), so retention is an external janitor's policy,
-    * not a side effect of a build. */
+    * shared storage instead of node-local tmp. Superseded-generation
+    * retention is AGE-based (see [[sweepSiblings]]): a sibling
+    * generation is deleted only once it has gone unused for
+    * `spark.graft.viewstore.retention` seconds (default 7 days) —
+    * never synchronously on supersession, so a reader of the previous
+    * corpus snapshot mid-scan is not yanked (the point of snapshot
+    * keying), while the ten view families no longer accrete every
+    * stale (fingerprint, buildVersion) generation forever. */
   private[graft] def materialize(
       spark: SparkSession,
       family: String,
@@ -187,32 +190,83 @@ object ViewStore {
         val nested = new Path(base, tmp.getName)
         if (fs.exists(nested)) fs.delete(nested, true) // tie: we moved into the winner's dir
       }
-      // Opportunistic debris sweep: a writer that CRASHED mid-build
-      // leaves its .tmp-<uuid> dir behind forever (no rename ever
-      // happens). Sweep siblings of the family dir that are (a) tmp
-      // dirs by name and (b) QUIESCENT for over an hour — judged by
-      // the newest mtime anywhere under the dir, not the dir's own
-      // mtime: a live long-running writer keeps touching task files
-      // even when the top-level dir's mtime is stuck at creation
-      // time, so recursive-newest is what distinguishes "slow but
-      // alive" from "dead". Each level costs one listStatus (the
-      // returned FileStatus objects already carry child mtimes — no
-      // per-entry re-stat). Best-effort: a sweep failure must never
-      // fail the build.
-      scala.util.Try {
-        val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
-        def newestUnder(st: org.apache.hadoop.fs.FileStatus): Long = {
+    }
+    // Mark recency-of-USE on the resolved generation: the retention
+    // sweep below ages a generation from the last time anyone
+    // RESOLVED it, not from when it was built — a long-lived store
+    // whose input never changes keeps getting touched and never
+    // expires, while a superseded generation stops being resolved the
+    // moment its input regenerates and ages out from that point.
+    scala.util.Try(fs.setTimes(base, System.currentTimeMillis(), -1))
+    sweepSiblings(spark, fs, base, forced = !existed)
+    base.toString
+  }
+
+  /** Janitor pass over `base`'s family dir, two rules in one listing:
+    *
+    *  - crashed-writer DEBRIS (`.tmp-<uuid>` dirs whose rename never
+    *    happened) is deleted after one hour of quiescence;
+    *  - SUPERSEDED GENERATIONS (sibling fingerprint/buildVersion dirs
+    *    of the same family) are deleted after
+    *    `spark.graft.viewstore.retention` seconds (default 7 days;
+    *    <= 0 disables generation retention, debris sweep stays) of
+    *    quiescence — age-based, never count-based, so a concurrent
+    *    reader of a just-superseded generation is not yanked
+    *    mid-scan: supersession starts the clock, the generous default
+    *    ends it long after any real scan finishes. At 100 TB each
+    *    signature-table generation is terabytes, so without this the
+    *    ten view families are the deployment's first disk-pressure
+    *    incident.
+    *
+    * Quiescence is the newest mtime anywhere UNDER the dir, not the
+    * dir's own mtime — a live long-running writer keeps touching task
+    * files even when the top-level mtime is stuck at creation time.
+    * The recursion is only entered when the top-level mtime already
+    * looks old (newestUnder >= the dir's own mtime, so a fresh
+    * top-level mtime proves freshness without listing children) —
+    * and `materialize` touches the resolved generation's top-level
+    * mtime on every call, so in steady state every live generation is
+    * skipped at the pre-filter. Off the build path the sweep is
+    * additionally throttled per family dir, so a hit costs at most
+    * one extra listing per interval. Best-effort throughout: a sweep
+    * failure must never fail the build. */
+  private val lastSweep = scala.collection.mutable.Map.empty[String, Long]
+
+  private def sweepSiblings(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path,
+      forced: Boolean
+  ): Unit = scala.util.Try {
+    val now = System.currentTimeMillis()
+    val retentionMs = spark.conf
+      .getOption("spark.graft.viewstore.retention")
+      .map(_.toLong * 1000)
+      .getOrElse(7L * 24 * 3600 * 1000)
+    val throttleMs = math.min(math.max(retentionMs / 2, 1L), 60L * 1000)
+    val parent     = base.getParent.toString
+    val due = forced || lastSweep.synchronized(
+      lastSweep.get(parent).forall(_ < now - throttleMs))
+    if (due) {
+      lastSweep.synchronized(lastSweep.update(parent, now))
+      def newestUnder(st: org.apache.hadoop.fs.FileStatus): Long = {
+        if (!st.isDirectory) st.getModificationTime
+        else {
           val kids = fs.listStatus(st.getPath)
-          (st.getModificationTime +: kids.map { k =>
-            if (k.isDirectory) newestUnder(k) else k.getModificationTime
-          }.toSeq).max
+          (st.getModificationTime +: kids.map(newestUnder).toSeq).max
         }
-        fs.listStatus(base.getParent)
-          .filter(s => s.getPath.getName.contains(".tmp-"))
-          .filter(s => scala.util.Try(newestUnder(s)).getOrElse(Long.MaxValue) < cutoff)
-          .foreach(s => fs.delete(s.getPath, true))
+      }
+      for (s <- fs.listStatus(base.getParent) if s.getPath.getName != base.getName) {
+        val cutoff =
+          if (s.getPath.getName.contains(".tmp-")) Some(now - 60L * 60 * 1000)
+          else if (retentionMs > 0) Some(now - retentionMs)
+          else None // generation retention disabled
+        val stale = cutoff.exists { c =>
+          s.getModificationTime < c && // cheap pre-filter: fresh top-level mtime proves fresh
+            scala.util.Try(newestUnder(s)).getOrElse(Long.MaxValue) < c
+        }
+        if (stale) fs.delete(s.getPath, true)
       }
     }
-    base.toString
   }
 }

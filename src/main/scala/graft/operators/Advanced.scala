@@ -153,9 +153,6 @@ object Advanced {
     * `centroids` (the coarse quantizer, ~|lists| rows) and
     * `assignments` (vec_id, embedding, list_id — the inverted lists,
     * |base| rows, list_id-partitionable at scale). */
-  private val ivfIndexCache =
-    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession, String), (String, String)]
-
   /** (centroids path, assignments path) — two [[graft.ViewStore]]
     * materializations (input-fingerprinted staleness key, write-to-temp
     * + rename for the cross-JVM race) replacing an earlier ad-hoc cache
@@ -179,19 +176,14 @@ object Advanced {
       .select(col("vec_id"), col("embedding"), col("list_id"))
   }
 
-  private[graft] def ivfIndexPath(spark: org.apache.spark.sql.SparkSession, dir: String): (String, String) =
-    ivfIndexCache.synchronized {
-      ivfIndexCache.getOrElseUpdate(
-        (spark, dir), {
-          val centPath =
-            graft.ViewStore.materialize(spark, "graft_ivf_index/centroids", dir)(centroidTable(spark, dir))
-          val asgPath = graft.ViewStore.materialize(spark, "graft_ivf_index/assignments", dir)(
-            ivfAssignmentsOf(Tables.embeddings(spark, dir), spark.read.parquet(centPath))
-          )
-          (centPath, asgPath)
-        }
-      )
-    }
+  private[graft] def ivfIndexPath(spark: org.apache.spark.sql.SparkSession, dir: String): (String, String) = {
+    val centPath =
+      graft.ViewStore.materialize(spark, "graft_ivf_index/centroids", dir)(centroidTable(spark, dir))
+    val asgPath = graft.ViewStore.materialize(spark, "graft_ivf_index/assignments", dir)(
+      ivfAssignmentsOf(Tables.embeddings(spark, dir), spark.read.parquet(centPath))
+    )
+    (centPath, asgPath)
+  }
 
   /** IVF ANN served from the PERSISTED index: the quantizer and the
     * inverted lists are read back from parquet — only the 100 probe

@@ -322,22 +322,18 @@ object Dedup {
       )
   }
 
-  private val simhashSigTableCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), String]
-
   /** Write-once (doc_id, simhash) signature table — [[graft.ViewStore]]
     * discipline, the ninth serving view: a 60-bit simhash is a pure
     * per-document function (the same ingest-product argument as the
     * minhash and token-set signature tables), so both simhash rows
     * scan 8 bytes per doc from parquet instead of re-paying the token
-    * explode + 60-counter aggregate per run. */
+    * explode + 60-counter aggregate per run. No per-session path memo
+    * (r11, all ten view families): `materialize` re-resolves per call
+    * from the state-keyed fingerprint memo, so a regenerated dir is
+    * picked up MID-session and no (SparkSession, dir) map accretes for
+    * the JVM lifetime — a hit costs one dir listing + exists check. */
   private[graft] def simhashSigTablePath(spark: SparkSession, dir: String): String =
-    simhashSigTableCache.synchronized {
-      simhashSigTableCache.getOrElseUpdate(
-        (spark, dir),
-        graft.ViewStore.materialize(spark, "graft_simhash_sigs", dir)(simhashBuild(spark, dir))
-      )
-    }
+    graft.ViewStore.materialize(spark, "graft_simhash_sigs", dir)(simhashBuild(spark, dir))
 
   private def simhashFrame(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(simhashSigTablePath(spark, dir))
@@ -751,9 +747,6 @@ object Dedup {
       .select(col("doc_id") +: mcols: _*)
   }
 
-  private val minhashSigTableCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), String]
-
   /** Write-once FULL-CORPUS 16-wide minhash signature table —
     * [[graft.ViewStore]] discipline (input-fingerprinted path, race-safe
     * rename), same serving story as [[sigTablePath]]'s exact-Jaccard
@@ -763,17 +756,13 @@ object Dedup {
     * a fresh 8-perm build) AND the recall audit's three screens; before
     * r10 each consumer re-paid the tokenize + permutation scan (or, for
     * the two contract rows, a per-JVM driver collect that accreted in
-    * long-lived sessions — the r9 `sig16Cache` nit, now gone: the only
-    * per-session state left is this path string). Consumers apply their
+    * long-lived sessions — the r9 `sig16Cache` nit, now gone; since r11
+    * not even a path string is memoized per session — [[simhashSigTablePath]]'s
+    * rationale). Consumers apply their
     * scope as a filter/semi-join that prunes at the parquet scan. */
   private[graft] def minhashSigTablePath(spark: SparkSession, dir: String): String =
-    minhashSigTableCache.synchronized {
-      minhashSigTableCache.getOrElseUpdate(
-        (spark, dir),
-        graft.ViewStore.materialize(spark, "graft_minhash_sigs", dir)(
-          minhashSignaturesAll(spark, dir))
-      )
-    }
+    graft.ViewStore.materialize(spark, "graft_minhash_sigs", dir)(
+      minhashSignaturesAll(spark, dir))
 
   /** The persisted 16-wide signature table restricted to the contract
     * probe scope — what the two contract LSH rows screen. The doc_id
@@ -1420,9 +1409,6 @@ object Dedup {
       )
   }
 
-  private val sigTableCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), String]
-
   /** Write the FULL-CORPUS signature table ONCE per (session, sf dir):
     * (doc_id, lang, t sorted hashes, nt, bkt) for EVERY document.
     * Since r10 the table is unfiltered — the incremental-screen demo's
@@ -1443,13 +1429,8 @@ object Dedup {
     * instead of serving stale signatures, and concurrent JVMs settle
     * on one identical copy via write-to-temp + rename. */
   private[graft] def sigTablePath(spark: SparkSession, dir: String): String =
-    sigTableCache.synchronized {
-      sigTableCache.getOrElseUpdate(
-        (spark, dir),
-        graft.ViewStore.materialize(spark, "graft_dedup_sigs", dir, buildVersion = 2)(
-          signatures(spark, dir, lit(true)))
-      )
-    }
+    graft.ViewStore.materialize(spark, "graft_dedup_sigs", dir, buildVersion = 2)(
+      signatures(spark, dir, lit(true)))
 
   /** The incremental-screen demo's CORPUS side: the persisted
     * signature table restricted to the 90 % split — a pushed-down
@@ -1458,9 +1439,6 @@ object Dedup {
     * so both screen against literally the same frame. */
   private[graft] def corpusSigTable(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(sigTablePath(spark, dir)).filter(col("doc_id") % 10 =!= 0)
-
-  private val pairTableCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), String]
 
   /** Materialize the FULL-SCOPE jac ≥ 0.8 pair stream ONCE per
     * (session, data dir) and serve every full-scope consumer from the
@@ -1484,13 +1462,8 @@ object Dedup {
     * input-fingerprinted path (stale-proof against a regenerated
     * input dir), write-to-temp + rename for the cross-JVM race. */
   private[graft] def pairTablePath(spark: SparkSession, dir: String): String =
-    pairTableCache.synchronized {
-      pairTableCache.getOrElseUpdate(
-        (spark, dir),
-        graft.ViewStore.materialize(spark, "graft_dedup_pairs", dir)(
-          nearJaccardPairs(spark, dir, carry = Seq("source")))
-      )
-    }
+    graft.ViewStore.materialize(spark, "graft_dedup_pairs", dir)(
+      nearJaccardPairs(spark, dir, carry = Seq("source")))
 
   /** Full-scope jac ≥ 0.8 pairs served from the materialized view —
     * what the four full-scope pair consumers read instead of
@@ -1744,9 +1717,6 @@ object Dedup {
     * pairs. Dedup at corpus scale always carries such a hot-key cap
     * (spark.ml's MinHashLSH has the same issue uncapped — measured
     * degenerate in round 3). */
-  private val ngramShingleTableCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), String]
-
   /** Write-once 8-token-shingle EVIDENCE table: (h = xxhash64(shingle),
     * ds = sorted doc set) for every shingle whose document frequency is
     * in the pairing-evidence band [2, 8] — singletons carry no pair and
@@ -1758,22 +1728,17 @@ object Dedup {
     * snapshot (input-fingerprinted path, race-safe rename) and the
     * query serves from the parquet. Before r10 every run re-paid the
     * shingle build (#5 slowest in the r9 driver artifact). */
-  private[graft] def ngramShingleTablePath(spark: SparkSession, dir: String): String =
-    ngramShingleTableCache.synchronized {
-      ngramShingleTableCache.getOrElseUpdate(
-        (spark, dir), {
-          val t = split(col("text"), " ")
-          graft.ViewStore.materialize(spark, "graft_ngram_shingles", dir)(
-            Tables
-              .documents(spark, dir)
-              .select(col("doc_id"), explode(spans(t, 8)).as("s"))
-              .select(col("doc_id"), xxhash64(col("s")).as("h"))
-              .groupBy(col("h"))
-              .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-              .filter(size(col("ds")).between(2, 8)))
-        }
-      )
-    }
+  private[graft] def ngramShingleTablePath(spark: SparkSession, dir: String): String = {
+    val t = split(col("text"), " ")
+    graft.ViewStore.materialize(spark, "graft_ngram_shingles", dir)(
+      Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), explode(spans(t, 8)).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("h"))
+        .groupBy(col("h"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, 8)))
+  }
 
   val dedupNgramExact: Q = Q(
     "dedup_ngram_exact",

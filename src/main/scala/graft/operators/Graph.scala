@@ -92,9 +92,6 @@ object Graph {
       "e AS (SELECT DISTINCT a.l_partkey pa, b.l_partkey pb FROM cli a JOIN cli b " +
       "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"
 
-  private val edgeTableCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), String]
-
   /** Materialize the full-scope simple co-purchase edge list ONCE per
     * (session, data dir) and serve every consumer from the parquet —
     * the engine-internal MATERIALIZED EDGE VIEW. Four registry queries
@@ -113,27 +110,22 @@ object Graph {
     * input dir), write-to-temp + rename for the cross-JVM race.
     */
   private[graft] def edgeTablePath(spark: SparkSession, dir: String): String =
-    edgeTableCache.synchronized {
-      edgeTableCache.getOrElseUpdate(
-        (spark, dir),
-        // WEIGHTED edges (pa, pb, w): per-basket in-row pair generation
-        // over the distinct part set, COUNTED across baskets instead of
-        // distinct'd — same single groupBy shuffle as the simple-graph
-        // build, but the view now serves both consumer classes: the
-        // simple-graph queries project (pa, pb) (each pair appears once,
-        // with its weight alongside), and graph_lift reads w directly as
-        // its pair support instead of re-running the basket pair
-        // generation.
-        // buildVersion = 3: r9's v2 added the w column; r10's v3 added
-        // the MaxBasketParts hot-key cap to the derivation — content is
-        // identical on the fixture corpora (largest basket: 17), but
-        // the BUILD DEFINITION changed, and the rule is to bump on any
-        // derivation change rather than reason per-case about whether
-        // an old store happens to coincide
-        graft.ViewStore.materialize(spark, "graft_graph_edges", dir, buildVersion = 3)(
-          edgesFrom(orderParts(spark, dir, lit(true))))
-      )
-    }
+    // WEIGHTED edges (pa, pb, w): per-basket in-row pair generation
+    // over the distinct part set, COUNTED across baskets instead of
+    // distinct'd — same single groupBy shuffle as the simple-graph
+    // build, but the view now serves both consumer classes: the
+    // simple-graph queries project (pa, pb) (each pair appears once,
+    // with its weight alongside), and graph_lift reads w directly as
+    // its pair support instead of re-running the basket pair
+    // generation.
+    // buildVersion = 3: r9's v2 added the w column; r10's v3 added
+    // the MaxBasketParts hot-key cap to the derivation — content is
+    // identical on the fixture corpora (largest basket: 17), but
+    // the BUILD DEFINITION changed, and the rule is to bump on any
+    // derivation change rather than reason per-case about whether
+    // an old store happens to coincide
+    graft.ViewStore.materialize(spark, "graft_graph_edges", dir, buildVersion = 3)(
+      edgesFrom(orderParts(spark, dir, lit(true))))
 
   /** The (pa < pb) simple co-purchase edges served from the
     * materialized view — what the full-scope simple-graph consumers

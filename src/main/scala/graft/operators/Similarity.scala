@@ -217,18 +217,12 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private val lshSigCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), String]
-
   /** Write-once hyperplane signature table ([[graft.ViewStore]]
-    * discipline: input-fingerprinted path, cross-JVM-race-safe). */
+    * discipline: input-fingerprinted path, cross-JVM-race-safe; no
+    * per-session path memo — see
+    * [[graft.operators.Dedup.simhashSigTablePath]]'s rationale). */
   private[graft] def lshSigTablePath(spark: SparkSession, dir: String): String =
-    lshSigCache.synchronized {
-      lshSigCache.getOrElseUpdate(
-        (spark, dir),
-        graft.ViewStore.materialize(spark, "graft_lsh_sigs", dir)(lshSignatures(spark, dir))
-      )
-    }
+    graft.ViewStore.materialize(spark, "graft_lsh_sigs", dir)(lshSignatures(spark, dir))
 
   /** The LSH ANN screen served from the PERSISTED signature table —
     * the daily-serving shape: hash the base vectors once at ingest,

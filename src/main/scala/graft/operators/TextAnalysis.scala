@@ -568,30 +568,23 @@ object TextAnalysis {
     docs.filter(size(t) >= 5).select(col("doc_id"), col("source"), array_distinct(mixed).as("s"))
   }
 
-  private val contamShingleCache =
-    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession, String), String]
-
   /** Write-once shingle-set table — [[graft.ViewStore]] discipline: a
     * doc's distinct 5-gram hash set is a pure per-document function
     * (the same ingest-product argument as every signature table), and
     * it was derived TWICE per run before r10 (contamination screen +
     * funnel). Consumers split it into bench/corpus sides with pushed
-    * doc_id predicates. */
+    * doc_id predicates. No per-session path memo (r11 — see
+    * [[graft.operators.Dedup.simhashSigTablePath]]'s rationale). */
   private[graft] def contamShingleTablePath(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    contamShingleCache.synchronized {
-      contamShingleCache.getOrElseUpdate(
-        (spark, dir),
-        // buildVersion = 2: the source column was added to the build
-        // in the same round the family was born — the rule is bump on
-        // any derivation change, because the input fingerprint cannot
-        // see that a (doc_id, s)-only store from an earlier build of
-        // this same round would otherwise satisfy the exists-check
-        graft.ViewStore.materialize(spark, "graft_contam_shingles", dir, buildVersion = 2)(
-          contamShinglesBuild(Tables.documents(spark, dir)))
-      )
-    }
+    // buildVersion = 2: the source column was added to the build
+    // in the same round the family was born — the rule is bump on
+    // any derivation change, because the input fingerprint cannot
+    // see that a (doc_id, s)-only store from an earlier build of
+    // this same round would otherwise satisfy the exists-check
+    graft.ViewStore.materialize(spark, "graft_contam_shingles", dir, buildVersion = 2)(
+      contamShinglesBuild(Tables.documents(spark, dir)))
 
   private def contamShingles(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.parquet(contamShingleTablePath(spark, dir))
@@ -936,9 +929,6 @@ object TextAnalysis {
         .limit(20)
   )
 
-  private val bm25IndexCache =
-    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession, String), (String, String)]
-
   /** (postings path, stats path): the write-once BM25 index —
     * postings = (tok, doc_id, tf, dl) over the WHOLE vocabulary, stats
     * = the 1-row (n, avgdl). [[graft.ViewStore]] discipline
@@ -971,21 +961,16 @@ object TextAnalysis {
 
   private[graft] def bm25IndexPath(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String): (String, String) =
-    bm25IndexCache.synchronized {
-      bm25IndexCache.getOrElseUpdate(
-        (spark, dir), {
-          val postings = graft.ViewStore.materialize(spark, "graft_bm25_index/postings", dir)(
-            bm25PostingsOf(Tables.documents(spark, dir))
-          )
-          val stats = graft.ViewStore.materialize(spark, "graft_bm25_index/stats", dir)(
-            bm25DocLenOf(Tables.documents(spark, dir))
-              .agg(count(lit(1)).as("n"), (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-          )
-          (postings, stats)
-        }
-      )
-    }
+      dir: String): (String, String) = {
+    val postings = graft.ViewStore.materialize(spark, "graft_bm25_index/postings", dir)(
+      bm25PostingsOf(Tables.documents(spark, dir))
+    )
+    val stats = graft.ViewStore.materialize(spark, "graft_bm25_index/stats", dir)(
+      bm25DocLenOf(Tables.documents(spark, dir))
+        .agg(count(lit(1)).as("n"), (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    )
+    (postings, stats)
+  }
 
   /** BM25 served from the PERSISTED inverted index: the corpus is
     * tokenized once at ingest; a query batch touches only its terms'

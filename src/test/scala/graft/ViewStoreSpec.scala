@@ -83,6 +83,69 @@ class ViewStoreSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.viewstore.dir")
   }
 
+  test("age-based retention sweeps a superseded generation while a pre-opened reader completes") {
+    val root = Files.createTempDirectory("vstore_ret").toFile
+    val d    = Files.createTempDirectory("vstore_ret_in").toFile
+    spark.conf.set("spark.graft.viewstore.dir", root.getPath)
+    spark.conf.set("spark.graft.viewstore.retention", "1") // 1 s — test knob; default is 7 days
+    def local(p: String): java.io.File = new java.io.File(p.stripPrefix("file:"))
+    try {
+      Files.copy(
+        Paths.get(s"$sf/region.parquet"),
+        new java.io.File(d, "region.parquet").toPath,
+        StandardCopyOption.REPLACE_EXISTING
+      )
+      def build = spark.read.parquet(s"${d.getPath}/region.parquet").agg(count(lit(1)).as("n"))
+      val p1 = ViewStore.materialize(spark, "graft_test_ret", d.getPath)(build)
+      // regenerate the input → a NEW generation; the superseded one is
+      // younger than the retention age, so it must survive this build
+      val f = new java.io.File(d, "region.parquet")
+      assert(f.setLastModified(f.lastModified() + 60000))
+      val p2 = ViewStore.materialize(spark, "graft_test_ret", d.getPath)(build)
+      assert(p2 != p1, "regenerated input must get a new generation")
+      assert(local(p1).exists(), "a just-superseded generation must NOT be swept before the age elapses")
+      // a reader that opened the stale generation BEFORE it ages out...
+      val part = local(p1).listFiles().find(_.getName.endsWith(".parquet")).get
+      val in   = new java.io.FileInputStream(part)
+      Thread.sleep(1500) // let the 1 s retention age elapse
+      val p3 = ViewStore.materialize(spark, "graft_test_ret", d.getPath)(build)
+      assert(p3 == p2)
+      assert(!local(p1).exists(), "a quiescent superseded generation must be swept once the age elapses")
+      // ...still completes: POSIX keeps the open handle readable after unlink
+      val bytes = in.readAllBytes()
+      in.close()
+      assert(bytes.nonEmpty, "pre-opened reader of the swept generation must still read its bytes")
+      assert(local(p2).exists(), "the CURRENT generation is never swept")
+    } finally {
+      spark.conf.unset("spark.graft.viewstore.dir")
+      spark.conf.unset("spark.graft.viewstore.retention")
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+  }
+
+  test("a dir regenerated mid-session is re-resolved by consumer path functions (no stale path memo)") {
+    // r11: the ten per-(session, dir) path memos were deleted — every
+    // *TablePath consumer re-resolves through materialize's
+    // state-keyed fingerprint memo, so an input regenerated WITHIN a
+    // session maps to a fresh view path on the very next call.
+    val d = Files.createTempDirectory("vstore_regen").toFile
+    try {
+      Files.copy(
+        Paths.get(s"$sf/documents.parquet"),
+        new java.io.File(d, "documents.parquet").toPath,
+        StandardCopyOption.REPLACE_EXISTING
+      )
+      val p1 = operators.Dedup.simhashSigTablePath(spark, d.getPath)
+      assert(operators.Dedup.simhashSigTablePath(spark, d.getPath) == p1, "stable input, stable path")
+      val f = new java.io.File(d, "documents.parquet")
+      assert(f.setLastModified(f.lastModified() + 60000))
+      val p2 = operators.Dedup.simhashSigTablePath(spark, d.getPath)
+      assert(p2 != p1, "a regenerated dir must resolve to a NEW view path within the same session")
+    } finally {
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+  }
+
   test("a regenerated input dir rebuilds the view instead of serving the stale one") {
     val d = Files.createTempDirectory("vstore_in").toFile
     try {
