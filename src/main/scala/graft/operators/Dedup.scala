@@ -573,23 +573,32 @@ object Dedup {
         .select(col("ida"), col("idb"))
         .withColumn("in_truth", lit(1))
     )
-    def report(tag: String, cand: DataFrame): DataFrame =
-      truth
-        .join(cand.withColumn("in_cand", lit(1)), Seq("ida", "idb"), "full_outer")
-        .na.fill(0, Seq("in_truth", "in_cand"))
-        .agg(
-          sum(col("in_truth")).cast("long").as("n_truth"),
-          sum(col("in_cand")).cast("long").as("n_cand"),
-          sum(col("in_truth") * col("in_cand")).cast("long").as("n_hit")
-        )
-        .select(
-          lit(tag).as("geometry"),
-          col("n_truth"),
-          col("n_cand"),
-          col("n_hit"),
-          Det.rN(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"),
-          Det.rN(col("n_hit").cast("double") / col("n_cand"), 6).as("prec")
-        )
+    // ONE compiled aggregate for all three screens (r11): each screen's
+    // candidate pairs are tagged with their geometry and unioned BELOW
+    // a single groupBy(geometry) — the r10 shape built three
+    // near-identical full_outer + aggregate subplans (one per screen)
+    // whose codegen compile was the slowest row's residual (~1.5 s of
+    // the 5.3 s driver number against a 3.45 s min-of-N). The union's
+    // three subtrees still evaluate concurrently inside one job (the
+    // property the negative persist() A/B protects), the join with
+    // truth is one broadcast hash join streamed map-side, and the
+    // aggregate compiles once (BenchRepeat A/B: min-of-6 3.45 -> 3.06,
+    // second-run 5.06 -> 4.65). Counting algebra is unchanged:
+    // n_cand = |cand| (each screen dropDuplicates its pairs),
+    // n_hit = |cand INTERSECT truth| via the in_truth flag, and
+    // n_truth = |truth| rides in as a broadcast 1-row frame — the r10
+    // full_outer's truth-only rows only ever contributed to that
+    // constant. (Every screen proposes >= 1 candidate at any scope
+    // with a near-dup pair, so no geometry row drops out of the
+    // groupBy.)
+    // THIRD negative A/B, recorded so it isn't re-tried: deriving both
+    // 16-perm geometries from ONE shared banded-candidates pass
+    // (dedup ALL candidates with est, conditional sums in the
+    // aggregate — saves a whole sig16 band join, no persist()) was
+    // SLOWER (min-of-6 5.09 vs 3.06): the est80 screen loses its
+    // map-side est cut before the dedup exchange, and on this
+    // near-clique corpus the un-thresholded candidate dedup costs more
+    // than the band join it saves.
     // The 16-wide signature table is served from the write-once
     // ViewStore parquet (minhashSigTablePath) restricted to the scope —
     // a MATERIALIZED view needs no truncate (r10: this replaced the
@@ -632,13 +641,33 @@ object Dedup {
     // audit is the banding — and the DuckDB oracle recomputes BOTH
     // sides from raw text, so the driver compare still proves the
     // manifest path bit-equal to inline exact verification.
+    def tagged(tag: String, cand: DataFrame): DataFrame =
+      cand.select(lit(tag).as("geometry"), col("ida"), col("idb"))
     val verified = minhashPairsFromSig(sig16, MinhashA16.length, 1.0)
-      .join(truth.select(col("ida"), col("idb")), Seq("ida", "idb"), "left_semi")
-    report("8perm_4x2_est80",
+      .join(broadcast(truth.select(col("ida"), col("idb"))), Seq("ida", "idb"), "left_semi")
+    val cands = tagged("8perm_4x2_est80",
         minhashPairsFromSig(sig8, MinhashA.length, 0.2).select(col("ida"), col("idb")))
-      .unionAll(report("16perm_8x2_est80",
+      .unionAll(tagged("16perm_8x2_est80",
         minhashPairsFromSig(sig16, MinhashA16.length, 0.2).select(col("ida"), col("idb"))))
-      .unionAll(report("16perm_8x2_verified", verified))
+      .unionAll(tagged("16perm_8x2_verified", verified))
+    val nTruth = truth.agg(count(lit(1)).cast("long").as("n_truth"))
+    cands
+      .join(broadcast(truth), Seq("ida", "idb"), "left_outer")
+      .na.fill(0, Seq("in_truth"))
+      .groupBy(col("geometry"))
+      .agg(
+        count(lit(1)).cast("long").as("n_cand"),
+        sum(col("in_truth")).cast("long").as("n_hit")
+      )
+      .crossJoin(broadcast(nTruth))
+      .select(
+        col("geometry"),
+        col("n_truth"),
+        col("n_cand"),
+        col("n_hit"),
+        Det.rN(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"),
+        Det.rN(col("n_hit").cast("double") / col("n_cand"), 6).as("prec")
+      )
       .orderBy(col("geometry"))
   }
 
