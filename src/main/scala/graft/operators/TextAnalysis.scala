@@ -972,31 +972,111 @@ object TextAnalysis {
     (postings, stats)
   }
 
-  /** BM25 served from the PERSISTED inverted index: the corpus is
-    * tokenized once at ingest; a query batch touches only its terms'
-    * postings (tf and dl ride the postings row, df is a per-term count
-    * of the probed postings, corpus stats are a 1-row broadcast). The
-    * documents table is never re-read at query time. Shares
-    * [[textBm25Topk]]'s oracle — index persistence must be
-    * result-invisible (TextEvalSpec pins bit-equality and the
-    * index-path scan). */
-  /** DELIBERATELY identical to [[textBm25Topk]] since the r10
-    * convergence (the base row was asked to adopt the index-serving
-    * plan its twin demonstrated): the pair no longer contrasts
-    * recompute-vs-serve in the bench artifact — that contrast now
-    * lives in TextEvalSpec, which pins the index-served rows bit-equal
-    * to the kept-for-verification [[bm25FrameScratch]]. The row is
-    * retained (rather than folded into its twin) because both names
-    * are graded contract rows; its marginal cost is one ~0.4 s
-    * index-probe per run. */
+  /** The fixed serving batch for [[textBm25Persisted]] — three
+    * topic-targeted term-sets over the corpus vocabulary; "lexical" is
+    * exactly [[textBm25Topk]]'s query, which is what lets TextEvalSpec
+    * pin per-query equality between the batched and single paths.
+    * (Declared before the Q that bakes it into its oracle string —
+    * object vals initialize in declaration order.) */
+  private[graft] val Bm25QueryBatch: Seq[(String, Seq[String])] = Seq(
+    "lexical"   -> Seq("spark", "join", "fast", "window"),
+    "storage"   -> Seq("scan", "column", "table", "sort"),
+    "streaming" -> Seq("stream", "batch", "merge", "key")
+  )
+
+  /** MULTI-QUERY batch BM25 over the persisted inverted index — the
+    * realistic SERVING shape the index exists for, and what
+    * re-differentiates this row from [[textBm25Topk]] after the r10
+    * convergence left the pair byte-identical (the registry paid two
+    * bench/verify slots for one plan): a retrieval deployment scores
+    * query BATCHES, not one query per corpus pass. Three fixed
+    * term-sets ride a broadcast (query_id, tok) mapping joined onto
+    * ONE probe of the postings view (the scan is pruned to the UNION
+    * of all queries' terms); df is per-term and query-independent, so
+    * each shared term's (doc, term) score is computed once and fans
+    * out to its queries through the broadcast join; top-10 per query
+    * comes from the [[org.apache.spark.sql.graftx.TopKPerGroup]]
+    * operator (per-partition heaps + one bounded exchange — never a
+    * global sort).
+    *
+    * Determinism: identical per-(doc, term) IEEE chain as
+    * [[bm25Frame]]; the per-(query, doc) sum is decimal-cast
+    * order-independent and trunc-rounded BEFORE ranking; rank ties
+    * break on doc_id — a total order in both engines.
+    *
+    * 100 TB: the cost model is the point — one index probe of
+    * |union terms| postings serves Q queries; the per-query marginal
+    * cost is a broadcast-map fanout row, not a corpus scan. With the
+    * postings table bucketed by tok (the scale layout the
+    * [[bm25IndexPath]] scaladoc describes), the probe prunes to the
+    * union's buckets. TextEvalSpec pins the "lexical" slice bit-equal
+    * to [[textBm25Topk]] (persistence + batching must be
+    * result-invisible per query); PlanShapeSpec pins the two rows'
+    * plans DISTINCT. */
   val textBm25Persisted: Q = Q(
     "text_bm25_persisted",
-    textBm25Topk.oracle,
-    (spark, dir) =>
-      bm25Frame(spark, dir, Seq("spark", "join", "fast", "window"))
-        .orderBy(col("bm25").desc, col("doc_id"))
-        .limit(20)
+    Some {
+      val qvals = Bm25QueryBatch
+        .flatMap { case (q, ts) => ts.map(t => s"('$q','$t')") }
+        .mkString(", ")
+      val allToks = Bm25QueryBatch.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "dl AS (SELECT doc_id, len(toks) AS dl FROM t), " +
+        "stats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl), " +
+        s"q AS (SELECT * FROM (VALUES $qvals) AS v(query_id, tok)), " +
+        "tok AS (SELECT doc_id, unnest(toks) AS tok FROM t), " +
+        s"tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok WHERE tok IN ($allToks) GROUP BY doc_id, tok), " +
+        s"df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok WHERE tok IN ($allToks) GROUP BY tok), " +
+        "sc AS (SELECT q.query_id, tf.doc_id, " +
+        "ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * " +
+        "(tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score " +
+        "FROM tf JOIN q USING (tok) JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats), " +
+        "s AS (SELECT query_id, doc_id, " + Det.oRN(Det.oSum("term_score"), 6) + " AS bm25 " +
+        "FROM sc GROUP BY query_id, doc_id) " +
+        "SELECT query_id, cast(row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY bm25 DESC, doc_id) as bigint) AS rank, doc_id, bm25 " +
+        "FROM s QUALIFY rank <= 10 ORDER BY query_id, rank"
+    },
+    (spark, dir) => {
+      val scored = bm25MultiFrame(spark, dir, Bm25QueryBatch)
+      org.apache.spark.sql.graftx
+        .TopKPerGroup(scored, Seq("query_id"), Seq("bm25" -> true, "doc_id" -> false), 10, rnName = "rank")
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("doc_id"), col("bm25"))
+        .orderBy(col("query_id"), col("rank"))
+    }
   )
+
+  /** Per-(query, doc) BM25 scores for a BATCH of queries in one pass
+    * over the persisted postings view — [[bm25Frame]] generalized: the
+    * probe filter is the union of all queries' terms, and a broadcast
+    * (query_id, tok) mapping fans each (doc, term) score out to the
+    * queries that asked for it. Per-(doc, term) arithmetic is the
+    * identical IEEE chain, so any single query's slice is bit-equal to
+    * its [[bm25Frame]] run (TextEvalSpec pins it). */
+  private[graft] def bm25MultiFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: Seq[(String, Seq[String])]): DataFrame = {
+    import spark.implicits._
+    val (postingsPath, statsPath) = bm25IndexPath(spark, dir)
+    val allToks = queries.flatMap(_._2).distinct
+    val probed = spark.read.parquet(postingsPath).filter(col("tok").isin(allToks: _*))
+    val stats = spark.read.parquet(statsPath)
+    val df_ = probed.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val qmap = queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "tok")
+    val termScore =
+      log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+        (col("tf") * 2.2) / (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
+    probed
+      .join(broadcast(df_), Seq("tok"))
+      .join(broadcast(qmap), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), termScore.as("term_score"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(Det.rN(Det.dsum(col("term_score")), 6).as("bm25"))
+  }
 
   /** Per-doc BM25 score frame (doc_id, bm25) for an arbitrary query,
     * served from the PERSISTED inverted index ([[bm25IndexPath]]): a

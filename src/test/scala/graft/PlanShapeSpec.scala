@@ -138,6 +138,20 @@ class PlanShapeSpec extends SparkSuite {
     assert(exchanges <= 2, s"$exchanges exchanges — the SCD2 chain re-shuffled\n" + p.take(3000))
   }
 
+  test("text_bm25_persisted and text_bm25_topk run DISTINCT plans (batch vs single probe)") {
+    // r10 left the pair byte-identical (two bench slots, one plan);
+    // r11 re-differentiated the persisted row into multi-query batch
+    // scoring — the registry must never again pay two slots for one
+    // plan, and the batch row's distinguishing operators must be
+    // visible: the broadcast query-map join fanout and the per-query
+    // TopKPerGroup.
+    val single = plan("text_bm25_topk")
+    val batch  = plan("text_bm25_persisted")
+    assert(single != batch, "the two BM25 rows must not share one plan")
+    assert(batch.contains("TopKPerGroup"), s"batch row should rank per query via TopKPerGroup:\n${batch.take(2000)}")
+    assert(!single.contains("TopKPerGroup"), "single-query row keeps its TakeOrdered top-k")
+  }
+
   test("no unplanned cartesian product anywhere in the registry") {
     // CartesianProduct is the one physical operator that cannot survive
     // a 100x scale-up. Whitelist: the contract's deliberate small-table

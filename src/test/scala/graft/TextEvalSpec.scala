@@ -113,19 +113,40 @@ class TextEvalSpec extends SparkSuite {
     import org.apache.spark.sql.functions.col
     // the reference side tokenizes the corpus at query time — the
     // derivation the index build must be result-invisible against
-    // (since r10 BOTH registry rows serve from the index, so the pin
-    // is against the kept-for-verification scratch implementation)
+    // (the pin is against the kept-for-verification scratch
+    // implementation)
     val fresh = operators.TextAnalysis
       .bm25FrameScratch(spark, sf, Seq("spark", "join", "fast", "window"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(20)
       .collect().toSeq
-    for (q <- Seq(operators.TextAnalysis.textBm25Topk, operators.TextAnalysis.textBm25Persisted)) {
-      val served = q.run(spark, sf)
-      assert(served.collect().toSeq == fresh, s"${q.name}: index persistence must be result-invisible")
-      val plan = served.queryExecution.executedPlan.toString
-      assert(plan.contains("graft_bm25_index"), s"${q.name}: expected index scan in plan:\n${plan.take(2000)}")
-      assert(!plan.contains("documents.parquet"), s"${q.name}: query-time plan must not re-read the corpus")
-    }
+    val served = operators.TextAnalysis.textBm25Topk.run(spark, sf)
+    assert(served.collect().toSeq == fresh, "index persistence must be result-invisible")
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bm25_index"), s"expected index scan in plan:\n${plan.take(2000)}")
+    assert(!plan.contains("documents.parquet"), "query-time plan must not re-read the corpus")
+  }
+
+  test("multi-query BM25 batch: per-query slice equals the single-query path; plan stays on the index") {
+    import org.apache.spark.sql.functions.col
+    // batching must be result-invisible PER QUERY: the "lexical"
+    // term-set is exactly text_bm25_topk's query, so that slice of the
+    // batch row (rank <= 10) must reproduce the single-query row's
+    // first 10 (doc_id, bm25) pairs in order.
+    val single = operators.TextAnalysis.textBm25Topk
+      .run(spark, sf).collect().toSeq.take(10)
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val batch = operators.TextAnalysis.textBm25Persisted.run(spark, sf)
+    val lexical = batch.collect().toSeq
+      .filter(_.getString(0) == "lexical")
+      .sortBy(_.getLong(1))
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    assert(lexical == single, "lexical slice of the batch must equal the single-query top-10")
+    // every query in the fixed batch produces a full top-10
+    val byQuery = batch.collect().groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(byQuery == Map("lexical" -> 10, "storage" -> 10, "streaming" -> 10))
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bm25_index"), "batch scoring must probe the persisted index")
+    assert(!plan.contains("documents.parquet"), "batch scoring must not re-read the corpus")
   }
 }
