@@ -325,55 +325,79 @@ object Extras {
     * accumulate small files; scan cost and NameNode/listing pressure
     * grow with file COUNT, not bytes). Stage: orders sliced into 64
     * deliberately-small files; compact: read back and rewrite into
-    * max(1, ceil(bytes / 128 MB)) size-targeted files. Emits the
-    * before/after (n_files, n_rows, checksum) report, where checksum
-    * is an order-independent content hash (sum of per-row xxhash64
-    * over every column) — compaction must be value-invisible, and the
-    * report proves it, not just row-count-preserving. No oracle
-    * (filesystem side effect); ExtrasSpec asserts row AND checksum
-    * preservation and the file-count collapse. */
+    * max(1, ceil(bytes / 128 MB)) size-targeted files. Returns
+    * (smallPath, compactedPath, n_small_files, n_compacted_files) —
+    * shared by the registry row and the spec-side report. */
+  private def runCompaction(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String, Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val base = graft.Staging.dir("graft_compact")
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stats(p: String): (Long, Long) = {
+      val files = fs.listStatus(new Path(p)).filter(_.getPath.getName.endsWith(".parquet"))
+      (files.length.toLong, files.map(_.getLen).sum)
+    }
+    val src = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    src.repartition(64).write.mode("overwrite").parquet(s"$base/small")
+    val (nSmall, bytes) = stats(s"$base/small")
+    val target = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
+    spark.read.parquet(s"$base/small")
+      .repartition(target).write.mode("overwrite").parquet(s"$base/compacted")
+    val (nCompact, _) = stats(s"$base/compacted")
+    (s"$base/small", s"$base/compacted", nSmall, nCompact)
+  }
+
+  /** The registry row runs the FULL maintenance cycle (stage 64 small
+    * files → size-targeted rewrite) and returns the compacted table
+    * READ BACK in total key order — so the DuckDB oracle (the original
+    * orders projection, same ORDER BY) proves end-to-end that
+    * compaction preserved the exact row multiset and every value bit:
+    * any lost/duplicated row or corrupted cell hash-mismatches.
+    * (Graduated from no-oracle in r11 — the side effect itself isn't
+    * DuckDB-expressible, but its read-back content is, which is the
+    * same ratchet src_csv_badrecords took in r10.) File-count
+    * mechanics (64 before, collapsed after) stay pinned by ExtrasSpec
+    * via [[compactReport]]. */
   val maintCompact: Q = Q(
     "maint_compact",
-    None,
+    Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey"),
     (spark, dir) => {
-      import org.apache.hadoop.fs.Path
-      val base = graft.Staging.dir("graft_compact")
-      val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def stats(p: String): (Long, Long) = {
-        val files = fs.listStatus(new Path(p)).filter(_.getPath.getName.endsWith(".parquet"))
-        (files.length.toLong, files.map(_.getLen).sum)
-      }
-      val src = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      src.repartition(64).write.mode("overwrite").parquet(s"$base/small")
-      val (nSmall, bytes) = stats(s"$base/small")
-      val target = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
-      val readBack = spark.read.parquet(s"$base/small")
-      readBack.repartition(target).write.mode("overwrite").parquet(s"$base/compacted")
-      val (nCompact, _) = stats(s"$base/compacted")
-      // (n_rows, checksum) in one scan per phase; the checksum is the
-      // SUM of a 40-bit slice of the per-row xxhash64 over all columns
-      // (the pipeline_manifest spelling: order-independent, and 2^40 ·
-      // 150 k rows stays far inside a long, so ANSI sum can't
-      // overflow) — any value corruption, not just a lost row, flips
-      // the after-phase report
-      def audit(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-        val r = df
-          .agg(
-            count(lit(1)).as("n"),
-            sum(shiftrightunsigned(xxhash64(df.columns.map(col).toIndexedSeq: _*), 24)).as("chk")
-          )
-          .collect()(0)
-        (r.getLong(0), r.getLong(1))
-      }
-      val (nRowsSmall, chkSmall)     = audit(readBack)
-      val (nRowsCompact, chkCompact) = audit(spark.read.parquet(s"$base/compacted"))
-      import spark.implicits._
-      Seq(
-        ("before", nSmall, nRowsSmall, chkSmall),
-        ("after", nCompact, nRowsCompact, chkCompact)
-      ).toDF("phase", "n_files", "n_rows", "checksum").orderBy(col("phase"))
+      val (_, compacted, _, _) = runCompaction(spark, dir)
+      spark.read.parquet(compacted)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
     }
   )
+
+  /** Spec-side before/after (n_files, n_rows, checksum) report, where
+    * checksum is an order-independent content hash (sum of a 40-bit
+    * slice of the per-row xxhash64 over every column — the
+    * pipeline_manifest spelling; 2^40 · 150 k rows stays far inside a
+    * long, so ANSI sum can't overflow): compaction must be
+    * value-invisible, and ExtrasSpec asserts row AND checksum
+    * preservation plus the file-count collapse. */
+  private[graft] def compactReport(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val (small, compacted, nSmall, nCompact) = runCompaction(spark, dir)
+    def audit(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df
+        .agg(
+          count(lit(1)).as("n"),
+          sum(shiftrightunsigned(xxhash64(df.columns.map(col).toIndexedSeq: _*), 24)).as("chk")
+        )
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val (nRowsSmall, chkSmall)     = audit(spark.read.parquet(small))
+    val (nRowsCompact, chkCompact) = audit(spark.read.parquet(compacted))
+    import spark.implicits._
+    Seq(
+      ("before", nSmall, nRowsSmall, chkSmall),
+      ("after", nCompact, nRowsCompact, chkCompact)
+    ).toDF("phase", "n_files", "n_rows", "checksum").orderBy(col("phase"))
+  }
 
   def qs: Seq[Q] =
     Seq(aggPivot, aggUnpivot, aggPercentile, fnBitwise, snkPartitioned, snkBucketed, aggSalted,

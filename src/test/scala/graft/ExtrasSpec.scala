@@ -46,7 +46,7 @@ class ExtrasSpec extends SparkSuite {
   }
 
   test("compaction preserves rows AND content, and collapses the file count") {
-    val report = operators.Extras.maintCompact.run(spark, sf).collect()
+    val report = operators.Extras.compactReport(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     val (beforeFiles, beforeRows, beforeChk) = report("before")
     val (afterFiles, afterRows, afterChk) = report("after")
