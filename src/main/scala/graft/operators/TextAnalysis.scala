@@ -553,7 +553,7 @@ object TextAnalysis {
     * per-position element_at formulation recomputes the whole hash
     * array O(positions) times per row — measured 32 s; this shape
     * references it a constant 6 times per row. */
-  private def contamShinglesBuild(docs: DataFrame): DataFrame = {
+  private[graft] def contamShinglesBuild(docs: DataFrame): DataFrame = {
     def rot(c: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =
       if (bits == 0) c else shiftleft(c, bits).bitwiseOR(shiftrightunsigned(c, 64 - bits))
     val t = split(col("text"), " ")
@@ -589,6 +589,41 @@ object TextAnalysis {
   private def contamShingles(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.parquet(contamShingleTablePath(spark, dir))
 
+  /** The benchmark ("eval set") side of the contamination screen,
+    * exploded from the persisted shingle-set view: (bench_id, nb, g) —
+    * always tiny (eval suites are thousands of docs), so it broadcasts
+    * inside [[contamScreenAgainst]]. Shared by the batch registry row
+    * and the streaming ingest screen
+    * ([[graft.streaming.StreamDemos.contamScreenedIngest]]) so both
+    * screen against literally the same frame. */
+  private[graft] def contamBenchFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    contamShingles(spark, dir)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id").as("bench_id"), size(col("s")).as("nb"), explode(col("s")).as("g"))
+
+  /** The contamination verdict for ANY (doc_id, s) shingle-set frame
+    * against a broadcast bench side — a pure per-document function of
+    * the incoming doc given the frozen bench set, which is what makes
+    * the screen micro-batch-able: the streaming ingest runs this same
+    * plan per batch and a replayed doc recomputes the identical
+    * verdict rows (idempotent merge by (doc_id, bench_id)). UNSORTED;
+    * the registry row adds its contract ORDER BY. */
+  private[graft] def contamScreenAgainst(corpShingles: DataFrame, bench: DataFrame): DataFrame =
+    corpShingles
+      .select(col("doc_id"), explode(col("s")).as("g"))
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"), max(col("nb")).as("nb"))
+      .filter(col("n_shared").cast("double") / col("nb") >= 0.5)
+      .select(
+        col("doc_id"),
+        col("bench_id"),
+        col("n_shared"),
+        Det.rN(col("n_shared").cast("double") / col("nb"), 6).as("coverage")
+      )
+
   val textContamination: Q = Q(
     "text_contamination",
     Some(
@@ -611,23 +646,10 @@ object TextAnalysis {
       // shingles: overlap counts agree unless two DIFFERENT 5-grams of
       // one doc pair collide in 64 bits (~2^-45 per pair here; the
       // sf0.01 hash gate re-proves equality every round).
-      val sh = contamShingles(spark, dir)
-      val bench = sh
-        .filter(col("doc_id") < 20)
-        .select(col("doc_id").as("bench_id"), size(col("s")).as("nb"), explode(col("s")).as("g"))
-      val corp = sh.filter(col("doc_id") >= 20).select(col("doc_id"), explode(col("s")).as("g"))
-      corp
-        .join(broadcast(bench), Seq("g"))
-        .groupBy(col("doc_id"), col("bench_id"))
-        .agg(count(lit(1)).as("n_shared"), max(col("nb")).as("nb"))
-        .filter(col("n_shared").cast("double") / col("nb") >= 0.5)
-        .select(
-          col("doc_id"),
-          col("bench_id"),
-          col("n_shared"),
-          Det.rN(col("n_shared").cast("double") / col("nb"), 6).as("coverage")
-        )
-        .orderBy(col("doc_id"), col("bench_id"))
+      contamScreenAgainst(
+        contamShingles(spark, dir).filter(col("doc_id") >= 20),
+        contamBenchFrame(spark, dir)
+      ).orderBy(col("doc_id"), col("bench_id"))
     }
   )
 

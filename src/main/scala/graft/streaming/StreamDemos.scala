@@ -203,16 +203,30 @@ object StreamDemos {
     * defends the batch views against), so staleness is judged on
     * (size, mtime) and a mismatch re-copies. COPY_ATTRIBUTES carries
     * the source mtime onto the staged file so the comparison is
-    * stable across runs. */
+    * stable across runs. The staged dirs are fixed shared tmpdir
+    * paths ACROSS JVMs (deliberately — re-staging per JVM defeats the
+    * cache), so the replace must be ATOMIC: copy to a temp name in
+    * the same directory, then ATOMIC_MOVE over the target — a
+    * REPLACE_EXISTING copy is delete+create, and another graft JVM
+    * mid-stream could read a partially copied parquet file through
+    * that window (the same interleaving Staging.scala closed for the
+    * write-path queries). */
   private def stageCopy(src: java.nio.file.Path, target: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
     val fresh = Files.exists(target) &&
       Files.size(target) == Files.size(src) &&
       Files.getLastModifiedTime(target) == Files.getLastModifiedTime(src)
     if (!fresh) {
-      Files.copy(src, target,
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.COPY_ATTRIBUTES)
-      ()
+      val tmp = target.resolveSibling(s".${target.getFileName}.tmp-${java.util.UUID.randomUUID()}")
+      try {
+        Files.copy(src, tmp, StandardCopyOption.COPY_ATTRIBUTES)
+        Files.move(tmp, target,
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+        ()
+      } finally {
+        Files.deleteIfExists(tmp) // a failed move must not leave debris
+        ()
+      }
     }
   }
 
@@ -481,6 +495,49 @@ object StreamDemos {
       verdicts.values.toSeq.sortBy(_.getLong(0)).asJava,
       graft.operators.Dedup
         .minhashScreenAgainst(Tables.documents(spark, dir).limit(0), corpus.limit(0)).schema
+    )
+  }
+
+  /** Streaming decontamination screen — the third ingest screen,
+    * closing the family: the contamination check is exactly what a
+    * streaming corpus-ingest pipeline wants INLINE (gate every batch
+    * against the frozen eval suite before it lands in the training
+    * mix). Each micro-batch of incoming documents runs the SAME
+    * stateless rolling-hash shingle projection the persisted view
+    * build uses ([[graft.operators.TextAnalysis.contamShinglesBuild]])
+    * and is screened against the view's broadcast bench split by the
+    * shared screen plan
+    * ([[graft.operators.TextAnalysis.contamScreenAgainst]]); a
+    * verdict is a pure function of (doc, frozen bench set), so
+    * replayed docs (copies ≥ 2) recompute identical rows and the
+    * merge by (doc_id, bench_id) is idempotent — a doc can overlap
+    * several bench docs, hence the compound key. StreamingSpec pins
+    * the final verdict set bit-equal to `text_contamination`'s batch
+    * output. */
+  def contamScreenedIngest(spark: SparkSession, dir: String, copies: Int = 2): DataFrame = {
+    import org.apache.spark.sql.Row
+    val bench = graft.operators.TextAnalysis.contamBenchFrame(spark, dir)
+    val verdicts = scala.collection.concurrent.TrieMap.empty[(Long, Long), Row]
+    val q = docsStream(spark, dir, copies)
+      .filter(col("doc_id") >= 20)
+      .writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.TextAnalysis
+          .contamScreenAgainst(graft.operators.TextAnalysis.contamShinglesBuild(batch), bench)
+          .collect() // bounded: <= |batch| x |bench| verdict rows per micro-batch
+          .foreach(r => verdicts.put((r.getLong(0), r.getLong(1)), r))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      verdicts.values.toSeq.sortBy(r => (r.getLong(0), r.getLong(1))).asJava,
+      graft.operators.TextAnalysis.contamScreenAgainst(
+        graft.operators.TextAnalysis.contamShinglesBuild(Tables.documents(spark, dir).limit(0)),
+        bench.limit(0)).schema
     )
   }
 

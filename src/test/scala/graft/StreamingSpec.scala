@@ -291,6 +291,23 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSeq == batch.toSeq, "streamed minhash verdicts diverge from the batch screen")
   }
 
+  test("streaming contamination screen == batch screen over the persisted shingle view, replay-idempotent") {
+    // the third ingest screen: each micro-batch is shingle-projected
+    // by the view build's stateless function and screened against the
+    // broadcast bench split of the persisted view; verdicts merge
+    // idempotently by (doc_id, bench_id) — a doc can overlap several
+    // bench docs — so at-least-once replay is bit-equal to the batch
+    // text_contamination row
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val streamed = streaming.StreamDemos.contamScreenedIngest(spark, sf, copies = 2)
+      .collect().map(key).sortBy(k => (k._1, k._2))
+    val batch = operators.TextAnalysis.textContamination.run(spark, sf)
+      .collect().map(key).sortBy(k => (k._1, k._2))
+    assert(streamed.nonEmpty, "stream must emit contamination verdicts")
+    assert(streamed.toSeq == batch.toSeq, "streamed contamination verdicts diverge from the batch screen")
+  }
+
   test("streamed IVF assignments == batch-built inverted lists, replay-idempotent") {
     // new vectors are assigned against the FROZEN persisted quantizer
     // and merge by vec_id — the standard IVF serving contract; the
