@@ -20,6 +20,18 @@ object Det {
   /** Order-independent double sum. Oracle twin: `Det.oSum("expr")`. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 8))).cast("double")
 
+  /** Single-partition window key the optimizer cannot fold away:
+    * pmod(xxhash64(c), 1) is identically 0 but non-foldable (a literal
+    * key like lit(0) is constant-folded OUT of the partition spec,
+    * leaving the window partitionless again). Use for
+    * deliberately-global windows over BOUNDED frames (vocab ranks,
+    * bins, deciles, top-k lists): the execution is the same single
+    * partition a partitionless window uses, but WindowExec sees a real
+    * partition spec — keeping the "No Partition Defined" warning
+    * channel clean for REAL regressions (a global window over an
+    * unbounded table). */
+  def onePart(c: Column): Column = pmod(xxhash64(c), lit(1))
+
   /** Order-independent double avg. Oracle twin: `Det.oAvg("expr")`. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 

@@ -1194,7 +1194,7 @@ object Dedup {
     ),
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("bin").desc).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w = Window.partitionBy(Det.onePart(col("bin"))).orderBy(col("bin").desc).rowsBetween(Window.unboundedPreceding, Window.currentRow)
       sharedPairs(spark, dir) // materialized pair view — see pairTablePath
         .select((floor(col("jac") * 20) / 20).as("bin"))
         .groupBy(col("bin"))

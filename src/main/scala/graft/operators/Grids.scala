@@ -100,7 +100,7 @@ object Grids {
     val withB     = bucketed(df, v, desc, buckets, equiDepth)
     val totalAggs = sums.map { case (e, n) => sum(e).as(s"_t_$n") }
     val perBucket = withB.groupBy(col("_bkt")).agg(totalAggs.head, totalAggs.tail: _*)
-    val wOff      = Window.orderBy(col("_bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val wOff      = Window.partitionBy(graft.Det.onePart(col("_bkt"))).orderBy(col("_bkt")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = perBucket.select(
       col("_bkt") +: sums.map { case (_, n) =>
         coalesce(sum(col(s"_t_$n")).over(wOff), lit(0L)).as(s"_o_$n")

@@ -570,7 +570,7 @@ object Ml {
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
       val t = b.agg(sum(col("pos")).as("tpos"))
-      val w = Window.orderBy(col("bin").desc).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w = Window.partitionBy(Det.onePart(col("bin"))).orderBy(col("bin").desc).rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val p = col("tp").cast("double") / col("pred_pos")
       val r = col("tp").cast("double") / col("tpos")
       b.select(col("bin"), sum(col("n")).over(w).as("pred_pos"), sum(col("pos")).over(w).as("tp"))
@@ -643,7 +643,7 @@ object Ml {
         .crossJoin(broadcast(t))
         .select(Grids.ntileFromRank(col("rnk"), col("total"), 10).as("decile"), col("y"))
       val g = d.groupBy(col("decile")).agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
-      val w = Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w = Window.partitionBy(Det.onePart(col("decile"))).orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
       g.select(col("decile"), col("n"), col("pos"),
           sum(col("n")).over(w).as("cum_n"), sum(col("pos")).over(w).as("cum_pos"))
         .crossJoin(broadcast(t))

@@ -470,7 +470,7 @@ object Similarity {
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(60)
       val lexr = lex
-        .withColumn("lex_rank", row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .withColumn("lex_rank", row_number().over(Window.partitionBy(graft.Det.onePart(col("doc_id"))).orderBy(col("bm25").desc, col("doc_id"))))
         .select(col("doc_id"), col("lex_rank").cast("long").as("lex_rank"))
       // dense list: broadcast the single query vector over the streamed
       // base, exact cosine, top-60 cut, k-row rank window
@@ -483,7 +483,7 @@ object Similarity {
         .orderBy(col("cos").desc, col("doc_id"))
         .limit(60)
       val dnr = dn
-        .withColumn("dense_rank", row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+        .withColumn("dense_rank", row_number().over(Window.partitionBy(graft.Det.onePart(col("doc_id"))).orderBy(col("cos").desc, col("doc_id"))))
         .select(col("doc_id"), col("dense_rank").cast("long").as("dense_rank"))
       // fusion: two k-row lists, constant-size full outer join; the RRF
       // add is written lex-term-first to match the oracle bit-for-bit

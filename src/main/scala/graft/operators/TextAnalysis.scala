@@ -456,9 +456,9 @@ object TextAnalysis {
         .select(explode(toks(col("text"))).as("tok"))
         .groupBy(col("tok"))
         .agg(count(lit(1)).as("n"))
-      val ord = Window.orderBy(col("n").desc, col("tok"))
+      val ord = Window.partitionBy(Det.onePart(col("tok"))).orderBy(col("n").desc, col("tok"))
       val cumW = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val totW = Window.partitionBy() // global
+      val totW = Window.partitionBy(Det.onePart(col("tok"))) // global
       c.select(
         row_number().over(ord).cast("long").as("rnk"),
         col("tok"),
@@ -1445,7 +1445,7 @@ object TextAnalysis {
     ),
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val ord = Window.orderBy(col("n").desc, col("tok"))
+      val ord = Window.partitionBy(Det.onePart(col("tok"))).orderBy(col("n").desc, col("tok"))
       val m = Tables
         .documents(spark, dir)
         .select(explode(toks(col("text"))).as("tok"))

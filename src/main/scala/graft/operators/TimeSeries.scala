@@ -1018,7 +1018,7 @@ object TimeSeries {
         .groupBy(col("k"))
         .agg(Det.dsum(col("c")).as("a"), Det.dsum(col("sn")).as("b"))
       val pw = col("a") * col("a") + col("b") * col("b")
-      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(Det.onePart(col("k")))
       ab.crossJoin(broadcast(s))
         .select(
           col("k"),

@@ -70,9 +70,45 @@ class DedupSpec extends SparkSuite {
       .map(r => r.getString(0) -> r).toMap
     val v = rows("16perm_8x2_verified")
     assert(v.getDouble(4) >= 0.9, s"verified recall ${v.getDouble(4)}")
-    assert(v.getDouble(5) == 1.0, s"verified precision ${v.getDouble(5)} (exact check must not admit FPs)")
+    // prec == 1.0 is BY CONSTRUCTION on the Spark side (verified ≡
+    // banded ∩ truth, a semi-join against the manifest) — this line
+    // only pins that the construction didn't regress, not an
+    // independent exact check:
+    assert(v.getDouble(5) == 1.0, s"verified precision ${v.getDouble(5)} (construction invariant)")
     // and the 16-perm estimate-thresholded screen must beat the 8-perm one
     assert(rows("16perm_8x2_est80").getDouble(4) >= rows("8perm_4x2_est80").getDouble(4))
+  }
+
+  test("manifest-served truth boundary matches exact Jaccard recomputed from raw text") {
+    // The INDEPENDENT exact verification the report row itself no
+    // longer carries (ADVICE r10): the verified screen's precision is
+    // tautologically 1 against the manifest, so the spec recomputes
+    // jaccard from raw TEXT for banded candidates on BOTH sides of
+    // the truth boundary — proving the manifest's jac >= 0.8 cut is
+    // the text-level truth, not a self-consistent artifact. (The
+    // DuckDB oracle proves the same from SQL; this pins it
+    // driver-side, engine-free.)
+    import operators.Dedup
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("ida"), col("idb")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = pairSet(Dedup.minhashPairs(spark, sf, 1.0, Dedup.MinhashA16, Dedup.MinhashB16))
+    val truth  = pairSet(Dedup.nearJaccardPairs(spark, sf, col("doc_id") < 2000))
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 2000)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2).split(" ").toSet))
+      .toMap
+    val verified = (banded & truth).toSeq.sorted.take(50)
+    assert(verified.nonEmpty, "probe scope must produce verified pairs")
+    for ((a, b) <- verified)
+      assert(jac(docs(a)._2, docs(b)._2) >= 0.8,
+        s"manifest admitted ($a,$b) but raw-text jaccard is below 0.8")
+    val rejected = (banded -- truth).toSeq.sorted.take(50)
+    assert(rejected.nonEmpty, "banding must propose some below-threshold candidates")
+    for ((a, b) <- rejected)
+      assert(jac(docs(a)._2, docs(b)._2) < 0.8 || docs(a)._1 != docs(b)._1,
+        s"manifest rejected ($a,$b) but raw-text jaccard is >= 0.8 in-language")
   }
 
   test("recall report runs end-to-end at a hash-sampled second scope (the 100 TB protocol)") {

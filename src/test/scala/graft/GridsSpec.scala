@@ -5,7 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.operators.Grids
 
 /** Pins [[graft.operators.Grids]]' two-level cumulative decomposition to the
-  * naive partitionless global window it replaces — on a HIGH-cardinality
+  * naive single-partition global window it replaces (spelled with a
+  * constant partition key, which is the identical one-partition
+  * computation minus the per-task WindowExec warning — keeping the
+  * suite's warning channel clean for real regressions) — on a HIGH-cardinality
   * synthetic frame (≈40k distinct values over 50k rows, far above any bucket
   * count), exact equality, not approximation. This is the guard SCALING.md
   * promises for the KS/AUC grid scan: the bucketed path is the DEFAULT and it
@@ -26,7 +29,7 @@ class GridsSpec extends SparkSuite {
 
   test("runningSums equals the naive global window on a high-cardinality frame (asc)") {
     val d = synth
-    val w = Window.orderBy(col("v"), col("id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w = Window.partitionBy(Det.onePart(col("id"))).orderBy(col("v"), col("id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val naive = d.select(col("id"), sum(col("x")).over(w).as("cx"), sum(lit(1L)).over(w).as("rnk"))
     val fast = Grids
       .runningSums(d, "v", desc = false, Seq("id"), Seq((col("x"), "cx"), (lit(1L), "rnk")))
@@ -37,7 +40,7 @@ class GridsSpec extends SparkSuite {
   test("runningSums equals the naive global window (desc order)") {
     val d = synth
     val w =
-      Window.orderBy(col("v").desc, col("id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Window.partitionBy(Det.onePart(col("id"))).orderBy(col("v").desc, col("id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val naive = d.select(col("id"), sum(col("x")).over(w).as("cx"))
     val fast = Grids
       .runningSums(d, "v", desc = true, Seq("id"), Seq((col("x"), "cx")))
@@ -59,7 +62,7 @@ class GridsSpec extends SparkSuite {
     )
     for ((tag, d) <- frames; desc <- Seq(false, true)) {
       val ord = if (desc) Seq(col("v").desc, col("id")) else Seq(col("v"), col("id"))
-      val w = Window.orderBy(ord: _*).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w = Window.partitionBy(Det.onePart(col("id"))).orderBy(ord: _*).rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val naive = d.select(col("id"), sum(col("v")).over(w).as("cv"), sum(lit(1L)).over(w).as("rnk"))
       val fast = Grids
         .runningSums(d, "v", desc, Seq("id"), Seq((col("v"), "cv"), (lit(1L), "rnk")), buckets = 4)
@@ -72,7 +75,7 @@ class GridsSpec extends SparkSuite {
     val d = synth
     for (desc <- Seq(false, true)) {
       val ord   = if (desc) Seq(col("v").desc, col("id")) else Seq(col("v"), col("id"))
-      val w     = Window.orderBy(ord: _*).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w     = Window.partitionBy(Det.onePart(col("id"))).orderBy(ord: _*).rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val naive = d.select(col("id"), sum(col("x")).over(w).as("cx"), sum(lit(1L)).over(w).as("rnk"))
       val fast = Grids
         .runningSums(d, "v", desc, Seq("id"), Seq((col("x"), "cx"), (lit(1L), "rnk")), equiDepth = true)
@@ -111,7 +114,7 @@ class GridsSpec extends SparkSuite {
     assert(widthMax >= (n * 9) / 10, s"equal-width should collapse here (got max=$widthMax)")
     assert(depthMax <= 3L * n / B, s"equi-depth occupancy should stay ≈N/B (got max=$depthMax, N/B=${n / B})")
     // and the skewed frame still cumulates exactly under equi-depth
-    val w     = Window.orderBy(col("v"), col("id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w     = Window.partitionBy(Det.onePart(col("id"))).orderBy(col("v"), col("id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val naive = d.select(col("id"), sum(col("v")).over(w).as("cv"))
     val fast = Grids
       .runningSums(d, "v", desc = false, Seq("id"), Seq((col("v"), "cv")), buckets = B, equiDepth = true)
@@ -186,7 +189,7 @@ class GridsSpec extends SparkSuite {
     val n = o.agg(count(lit(1)).as("_n"))
     for (desc <- Seq(false, true)) {
       val ord   = if (desc) Seq(col("v").desc, col("o_orderkey")) else Seq(col("v"), col("o_orderkey"))
-      val naive = o.select(col("o_orderkey"), ntile(10).over(Window.orderBy(ord: _*)).cast("long").as("b"))
+      val naive = o.select(col("o_orderkey"), ntile(10).over(Window.partitionBy(Det.onePart(col("o_orderkey"))).orderBy(ord: _*)).cast("long").as("b"))
       val fast = Grids
         .globalRank(o, "v", desc, Seq("o_orderkey"), "rnk")
         .crossJoin(broadcast(n))
