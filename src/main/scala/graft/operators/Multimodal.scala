@@ -60,11 +60,33 @@ object Multimodal {
     * fixed-width feature row (byte count, mean byte value, distinct
     * byte count). The per-partition iterator is the batch boundary — a
     * real decoder would amortize model/codec init across the partition
-    * exactly here. No oracle: the decoder is engine-private; the
-    * feature math is covered by MultimodalSpec. */
+    * exactly here.
+    *
+    * ORACLE (graduated from no-oracle in r11, the maint_compact
+    * ratchet): the stub decoder is identity bytes, so the feature
+    * algebra is DuckDB-replayable — per-byte values via
+    * ascii(substr(...)) (the fixture corpus is pure ASCII, so byte i
+    * == char i; asserted by the octet_length guard CTE, which forces a
+    * row-count mismatch if a non-ASCII fixture ever invalidates the
+    * replay), exact integer sum → ONE IEEE division → the same
+    * floor(x·1e6 + 0.5)/1e6 rounding. A real codec would return this
+    * row to no-oracle; the plumbing (binary payload projection,
+    * mapPartitions batching) is unchanged. */
   val mmDecodeFeatures: Q = Q(
     "mm_decode_features",
-    None,
+    Some(
+      // guard: every doc must satisfy bytes == chars (pure ASCII) for
+      // the per-char replay of the byte stream to be valid; a
+      // violating doc is EXCLUDED here and so breaks the row-count
+      // compare loudly instead of silently hash-mismatching
+      "WITH ok AS (SELECT doc_id, text FROM documents WHERE octet_length(text::BLOB) = length(text)), " +
+        "b AS (SELECT doc_id, text, unnest(range(1, strlen(text) + 1)) AS i FROM ok), " +
+        "v AS (SELECT doc_id, ascii(substr(text, cast(i as int), 1)) AS bv FROM b) " +
+        "SELECT doc_id, count(*)::BIGINT AS n_bytes, " +
+        "floor((sum(bv)::DOUBLE / count(*)) * 1e6 + 0.5) / 1e6 AS mean_byte, " +
+        "count(DISTINCT bv)::BIGINT AS n_distinct_bytes " +
+        "FROM v GROUP BY doc_id ORDER BY doc_id"
+    ),
     (spark, dir) => {
       import spark.implicits._
       Tables
@@ -76,8 +98,8 @@ object Multimodal {
             val decoded = FakeDecoder.decode(payload)
             val n = decoded.length
             val mean = if (n == 0) 0.0 else decoded.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
-            val distinct = decoded.map(_ & 0xff).distinct.length
-            (id, n, math.floor(mean * 1e6 + 0.5) / 1e6, distinct)
+            val distinct = decoded.map(_ & 0xff).distinct.length.toLong
+            (id, n.toLong, math.floor(mean * 1e6 + 0.5) / 1e6, distinct)
           }
         }
         .toDF("doc_id", "n_bytes", "mean_byte", "n_distinct_bytes")

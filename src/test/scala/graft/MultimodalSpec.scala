@@ -2,16 +2,18 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing invariants. `mm_decode_features` is the one
-  * no-oracle row of the family (the decoder is engine-private), so its
-  * feature math gets a full driver-side recompute here; the other four
-  * rows are driver-oracle-checked and get cheap structural pins.
+/** Multimodal plumbing invariants. All five rows are
+  * driver-oracle-checked since r11 (the stub decoder is identity
+  * bytes, so its feature algebra is DuckDB-replayable on the ASCII
+  * fixture); `mm_decode_features` keeps its full driver-side
+  * recompute here anyway — it is the pin that survives when a REAL
+  * codec replaces the stub and the row returns to no-oracle.
   */
 class MultimodalSpec extends SparkSuite {
 
   test("decode features match a driver-side recompute doc-for-doc") {
     val feats = operators.Multimodal.mmDecodeFeatures.run(spark, sf).collect()
-      .map(r => r.getLong(0) -> (r.getInt(1).toLong, r.getDouble(2), r.getInt(3))).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
     val texts = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
