@@ -303,11 +303,19 @@ object Dedup {
     * explode materialized |tokens|·60 intermediate rows first. Sums of
     * ±1 integers are exact under any grouping, so the signatures — and
     * both rows' oracles — are bit-identical to the exploded spelling. */
-  private def simhashBuild(spark: SparkSession, dir: String): DataFrame = {
+  private def simhashBuild(spark: SparkSession, dir: String): DataFrame =
+    simhashOf(Tables.documents(spark, dir))
+
+  /** The 60-bit simhash transform over ANY docs frame with
+    * (doc_id, text) — a per-document aggregate (group key = doc_id, so
+    * each doc's signature depends on its own tokens alone), which is
+    * what makes the table micro-batch-maintainable
+    * ([[graft.streaming.StreamDemos.streamedSimhashSigTable]] runs
+    * literally this per batch and merges by doc_id). */
+  private[graft] def simhashOf(docs: DataFrame): DataFrame = {
     val bitSums = (0 until 60).map(b =>
       sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
-    Tables
-      .documents(spark, dir)
+    docs
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
       .select(col("doc_id"), conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
       .groupBy(col("doc_id"))

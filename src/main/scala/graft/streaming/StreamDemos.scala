@@ -498,6 +498,73 @@ object StreamDemos {
     )
   }
 
+  /** Generic micro-batch maintenance twin for any PER-DOCUMENT-pure
+    * serving view over the documents table: each micro-batch runs the
+    * view build's OWN stateless projection and merges rows
+    * idempotently by doc_id (column 0), so at-least-once replay
+    * (copies ≥ 2) reproduces the batch-built parquet bit-for-bit —
+    * the [[streamedBm25Index]]/[[streamedLshSigTable]] pattern,
+    * factored once now that FOUR more signature/shingle tables share
+    * it. The driver map stands in for a keyed MERGE-target table
+    * (bounded by the demo corpus); at 100 TB each batch MERGEs its
+    * projection partial BY doc_id — batch-sized work, corpus text
+    * read exactly once per document. Views that are NOT per-document
+    * pure (the pair manifest, the co-purchase edge view) deliberately
+    * have no such twin: their rows depend on cross-record joins, so
+    * their refresh story is a new snapshot build, not a row merge. */
+  private def streamedDocView(
+      spark: SparkSession,
+      dir: String,
+      copies: Int)(proj: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    val rows = scala.collection.concurrent.TrieMap.empty[Long, Row]
+    val q = docsStream(spark, dir, copies).writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        proj(batch)
+          .collect() // bounded by the demo batch's projection, never the corpus
+          .foreach(r => rows.put(r.getLong(0), r))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.values.toSeq.sortBy(_.getLong(0)).asJava,
+      proj(Tables.documents(spark, dir).limit(0)).schema)
+  }
+
+  /** Streaming maintenance of the FULL-CORPUS 16-wide minhash
+    * signature table — [[graft.operators.Dedup.minhashSignaturesOf]]
+    * per batch, merged by doc_id; StreamingSpec pins it bit-equal to
+    * the [[graft.operators.Dedup.minhashSigTablePath]] batch build. */
+  def streamedMinhashSigTable(spark: SparkSession, dir: String, copies: Int = 2): DataFrame =
+    streamedDocView(spark, dir, copies)(graft.operators.Dedup.minhashSignaturesOf)
+
+  /** Streaming maintenance of the exact-Jaccard token-signature table
+    * — [[graft.operators.Dedup.signaturesOf]] per batch, merged by
+    * doc_id; pinned against [[graft.operators.Dedup.sigTablePath]]. */
+  def streamedExactSigTable(spark: SparkSession, dir: String, copies: Int = 2): DataFrame =
+    streamedDocView(spark, dir, copies)(graft.operators.Dedup.signaturesOf)
+
+  /** Streaming maintenance of the simhash signature table —
+    * [[graft.operators.Dedup.simhashOf]] per batch (a per-document
+    * aggregate: each doc's 60-bit signature depends on its own tokens
+    * alone), merged by doc_id; pinned against
+    * [[graft.operators.Dedup.simhashSigTablePath]]. */
+  def streamedSimhashSigTable(spark: SparkSession, dir: String, copies: Int = 2): DataFrame =
+    streamedDocView(spark, dir, copies)(graft.operators.Dedup.simhashOf)
+
+  /** Streaming maintenance of the rolling-hash 5-gram shingle-set
+    * table — [[graft.operators.TextAnalysis.contamShinglesBuild]] per
+    * batch, merged by doc_id; pinned against
+    * [[graft.operators.TextAnalysis.contamShingleTablePath]]. A
+    * sub-5-token doc has no row in either build (the projection's own
+    * filter), so the merge map simply never sees it. */
+  def streamedContamShingleTable(spark: SparkSession, dir: String, copies: Int = 2): DataFrame =
+    streamedDocView(spark, dir, copies)(graft.operators.TextAnalysis.contamShinglesBuild)
+
   /** Streaming decontamination screen — the third ingest screen,
     * closing the family: the contamination check is exactly what a
     * streaming corpus-ingest pipeline wants INLINE (gate every batch

@@ -291,6 +291,36 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSeq == batch.toSeq, "streamed minhash verdicts diverge from the batch screen")
   }
 
+  test("every per-document-pure serving view has a replay-idempotent streaming maintenance twin") {
+    // the four signature/shingle tables that had no stream-update
+    // story after the three index views: each twin runs the view
+    // build's OWN projection per micro-batch and merges by doc_id, so
+    // at-least-once replay must reproduce the batch-built parquet
+    // bit-for-bit — arrays included
+    def canon(v: Any): Any = v match {
+      case s: scala.collection.Seq[_] => s.map(canon).toList
+      case x => x
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.map(canon).toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+    val twins: Seq[(String, org.apache.spark.sql.DataFrame, String)] = Seq(
+      ("minhash_sigs", streaming.StreamDemos.streamedMinhashSigTable(spark, sf, copies = 2),
+        operators.Dedup.minhashSigTablePath(spark, sf)),
+      ("dedup_sigs", streaming.StreamDemos.streamedExactSigTable(spark, sf, copies = 2),
+        operators.Dedup.sigTablePath(spark, sf)),
+      ("simhash_sigs", streaming.StreamDemos.streamedSimhashSigTable(spark, sf, copies = 2),
+        operators.Dedup.simhashSigTablePath(spark, sf)),
+      ("contam_shingles", streaming.StreamDemos.streamedContamShingleTable(spark, sf, copies = 2),
+        operators.TextAnalysis.contamShingleTablePath(spark, sf))
+    )
+    for ((name, streamed, batchPath) <- twins) {
+      val s = rows(streamed)
+      val b = rows(spark.read.parquet(batchPath))
+      assert(s.nonEmpty, s"$name: stream must build rows")
+      assert(s == b, s"$name: streamed view diverges from the batch-built parquet")
+    }
+  }
+
   test("streaming contamination screen == batch screen over the persisted shingle view, replay-idempotent") {
     // the third ingest screen: each micro-batch is shingle-projected
     // by the view build's stateless function and screened against the
