@@ -1596,6 +1596,78 @@ object Dedup {
       ).orderBy(col("doc_id"))
   )
 
+  /** Δ-MAINTENANCE of the pair manifest — the third member of the
+    * incremental family, and the one that maintains the VIEW rather
+    * than gating the batch: where the two screens above emit per-doc
+    * admit/reject verdicts, this row emits the exact jac ≥ 0.8 PAIRS
+    * the day's batch adds to the manifest, so
+    * `manifest(t+1) = manifest(t) ∪ Δ` (DedupSpec pins that identity:
+    * Δ ∪ corpus-only pairs == the full-manifest build, jac values
+    * included — per-doc blocking makes pair candidacy split-invariant,
+    * so the union is lossless). Cost shape is the point at 100 TB: the
+    * full manifest build is O(corpus²) through the blocked join, the
+    * Δ is O(batch × blocked-candidates) — the batch tokenizes ITSELF
+    * from text (daily-ingest contract, new docs are not in the
+    * signature table yet) and its partner pool is the PERSISTED
+    * token-signature view plus the batch itself; corpus text is never
+    * re-read.
+    *
+    * Pair dedup without a distinct: batch×corpus pairs appear once by
+    * construction (only batch docs probe), batch×batch pairs are kept
+    * only as ida < idb; output endpoints are least/greatest-normalized
+    * to the manifest's (ida < idb) convention. Same blocking, same
+    * codegen'd sorted-intersect, same 6 dp trunc-rounding as
+    * [[nearJaccardPairsFrom]]. */
+  val dedupPairsIncremental: Q = Q(
+    "dedup_pairs_incremental",
+    Some(
+      "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t FROM documents), " +
+        "p AS (SELECT a.doc_id ida, b.doc_id idb, " +
+        s"${oJac("a.t", "b.t")} AS jac " +
+        "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+        "AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0) " +
+        s"AND ${oLenRatio("a.t", "b.t")}) " +
+        "SELECT ida, idb, " + Det.oRN("jac", 6) + " AS jac FROM p WHERE jac >= 0.8 " +
+        "ORDER BY ida, idb"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.graftx.SortedLongIntersectCount
+      val batch = signaturesOf(Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0))
+      // partner pool: the persisted corpus signatures + the batch
+      // itself (batch×batch near-dups are part of the day's delta too)
+      val pool = corpusSigTable(spark, dir).unionByName(batch)
+      val a = batch.select(
+        col("doc_id").as("ida"),
+        col("lang"),
+        col("t").as("ta"),
+        col("nt").as("na"),
+        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("pb")
+      )
+      val b = pool.select(
+        col("doc_id").as("idb"),
+        col("lang"),
+        col("t").as("tb"),
+        col("nt").as("nb"),
+        col("bkt").as("pb")
+      )
+      a.join(b, Seq("lang", "pb"))
+        // corpus partners pair once by construction (only the batch
+        // probes); batch partners dedupe on ida < idb
+        .filter(col("ida") =!= col("idb") &&
+          (col("idb") % 10 =!= 0 || col("ida") < col("idb")))
+        .filter(lit(5) * least(col("na"), col("nb")) >= lit(4) * greatest(col("na"), col("nb")))
+        .withColumn("inter", SortedLongIntersectCount.count(col("ta"), col("tb")))
+        .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jac") >= 0.8)
+        .select(
+          least(col("ida"), col("idb")).as("ida"),
+          greatest(col("ida"), col("idb")).as("idb"),
+          Det.rN(col("jac"), 6).as("jac")
+        )
+        .orderBy(col("ida"), col("idb"))
+    }
+  )
+
   /** Screen a docs frame (the incoming batch) against a corpus minhash
     * signature table by 8×2 banding: batch signatures from the shared
     * stateless projection ([[minhashSignaturesOf]]), corpus-side
@@ -1980,7 +2052,7 @@ object Dedup {
     dedupSoftWeights,
     dedupThresholdCurve,
     dedupBestOfCluster, dedupContainment, dedupIncremental, dedupIncrementalPersisted,
-    dedupMinhashIncremental,
+    dedupMinhashIncremental, dedupPairsIncremental,
     dedupSpanCoverage, dedupNgramExact, dedupSourceOverlap, dedupSourceUnique,
     dedupEditDistance
   )

@@ -79,6 +79,24 @@ class DedupSpec extends SparkSuite {
     assert(rows("16perm_8x2_est80").getDouble(4) >= rows("8perm_4x2_est80").getDouble(4))
   }
 
+  test("incremental pair delta UNION corpus-only pairs == the full manifest (delta-maintenance identity)") {
+    // manifest(t+1) = manifest(t) ∪ Δ, exactly: per-doc blocking makes
+    // pair candidacy split-invariant, so the day's delta (batch×corpus
+    // ∪ batch×batch) unioned with the old corpus-only manifest must
+    // reproduce the full-corpus build pair-for-pair, jac included
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select(col("ida"), col("idb"), col("jac")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val delta      = rows(operators.Dedup.dedupPairsIncremental.run(spark, sf))
+    val corpusOnly = rows(operators.Dedup.nearJaccardPairs(spark, sf, col("doc_id") % 10 =!= 0))
+    val full       = rows(operators.Dedup.nearJaccardPairs(spark, sf))
+    assert(delta.nonEmpty, "the 10% batch must contribute pairs on this near-clique corpus")
+    assert(delta.forall { case (a, b, _) => a % 10 == 0 || b % 10 == 0 },
+      "every delta pair must touch the batch")
+    assert((delta & corpusOnly).isEmpty, "delta and old manifest must be disjoint")
+    assert((delta | corpusOnly) == full, "manifest(t+1) = manifest(t) UNION delta must hold exactly")
+  }
+
   test("manifest-served truth boundary matches exact Jaccard recomputed from raw text") {
     // The INDEPENDENT exact verification the report row itself no
     // longer carries (ADVICE r10): the verified screen's precision is
