@@ -160,6 +160,18 @@ object ViewStore {
     * corpus snapshot mid-scan is not yanked (the point of snapshot
     * keying), while the ten view families no longer accrete every
     * stale (fingerprint, buildVersion) generation forever. */
+  /** Per-generation build serialization WITHIN this JVM: the r11 memo
+    * removal (stale-path hazard) means concurrent threads — sbt runs
+    * suites in parallel in one JVM — can race to the same cold view;
+    * without this lock both would observe `exists == false` and both
+    * run the full Spark build (one rename wins, the loser's job is
+    * wasted work at exactly the expensive builds the views amortize).
+    * Keyed on the resolved base path, so distinct families/generations
+    * never contend and nested materializations of DIFFERENT views
+    * cannot deadlock. Cross-JVM the tmp+rename race handling remains
+    * the (unavoidable) story. */
+  private val buildLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private[graft] def materialize(
       spark: SparkSession,
       family: String,
@@ -180,27 +192,46 @@ object ViewStore {
     val ver  = if (buildVersion == 1) "" else s"-v$buildVersion"
     val base = new Path(s"$root/$family/${fingerprintCached(dir, conf)}$ver")
     val fs   = base.getFileSystem(conf)
-    val existed = fs.exists(base)
-    resolutions.synchronized(resolutions.update(family, if (existed) "hit" else "built"))
-    if (!existed) {
-      val tmp = new Path(base.getParent, s"${base.getName}.tmp-${java.util.UUID.randomUUID()}")
-      build.write.mode("overwrite").parquet(tmp.toString)
-      if (!fs.rename(tmp, base)) fs.delete(tmp, true) // lost the race outright
-      else {
-        val nested = new Path(base, tmp.getName)
-        if (fs.exists(nested)) fs.delete(nested, true) // tie: we moved into the winner's dir
+    val existed = buildLocks.computeIfAbsent(base.toString, _ => new Object).synchronized {
+      val there = fs.exists(base)
+      if (!there) {
+        val tmp = new Path(base.getParent, s"${base.getName}.tmp-${java.util.UUID.randomUUID()}")
+        build.write.mode("overwrite").parquet(tmp.toString)
+        if (!fs.rename(tmp, base)) fs.delete(tmp, true) // lost the race outright
+        else {
+          val nested = new Path(base, tmp.getName)
+          if (fs.exists(nested)) fs.delete(nested, true) // tie: we moved into the winner's dir
+        }
       }
+      there
     }
+    resolutions.synchronized(resolutions.update(family, if (existed) "hit" else "built"))
     // Mark recency-of-USE on the resolved generation: the retention
     // sweep below ages a generation from the last time anyone
     // RESOLVED it, not from when it was built — a long-lived store
     // whose input never changes keeps getting touched and never
     // expires, while a superseded generation stops being resolved the
     // moment its input regenerates and ages out from that point.
-    scala.util.Try(fs.setTimes(base, System.currentTimeMillis(), -1))
+    // Two channels, because setTimes is a NO-OP on object stores
+    // (S3A inherits FileSystem's empty default): (a) best-effort
+    // setTimes on the dir for POSIX-ish stores, (b) an overwritten
+    // `_USED` marker FILE inside the generation — a fresh PUT gets a
+    // fresh object mtime on every store, and `_`-prefixed files are
+    // invisible to parquet readers. Without (b), an S3-rooted store's
+    // live generations would age from BUILD time and the sweep could
+    // delete a generation in active use. Throttled per (JVM, base) so
+    // steady-state resolutions don't pay a PUT each.
+    val now = System.currentTimeMillis()
+    if (lastTouched.synchronized(lastTouched.get(base.toString).forall(_ < now - 60000))) {
+      lastTouched.synchronized(lastTouched.update(base.toString, now))
+      scala.util.Try(fs.setTimes(base, now, -1))
+      scala.util.Try(fs.create(new Path(base, "_USED"), true).close())
+    }
     sweepSiblings(spark, fs, base, forced = !existed)
     base.toString
   }
+
+  private val lastTouched = scala.collection.mutable.Map.empty[String, Long]
 
   /** Janitor pass over `base`'s family dir, two rules in one listing:
     *
@@ -243,7 +274,12 @@ object ViewStore {
       .getOption("spark.graft.viewstore.retention")
       .map(_.toLong * 1000)
       .getOrElse(7L * 24 * 3600 * 1000)
-    val throttleMs = math.min(math.max(retentionMs / 2, 1L), 60L * 1000)
+    // retention <= 0 means generation-GC is DISABLED — throttle at the
+    // cap, not at retentionMs/2 (which would collapse to ~1 ms and run
+    // the debris listing on every resolution, the opposite intent)
+    val throttleMs =
+      if (retentionMs <= 0) 60L * 1000
+      else math.min(math.max(retentionMs / 2, 1L), 60L * 1000)
     val parent     = base.getParent.toString
     val due = forced || lastSweep.synchronized(
       lastSweep.get(parent).forall(_ < now - throttleMs))

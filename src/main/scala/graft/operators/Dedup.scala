@@ -135,13 +135,33 @@ object Dedup {
   ): DataFrame =
     nearJaccardPairsFrom(tokenizedDocs(spark, dir, docFilter, carry), carry)
 
-  /** The blocked exact-Jaccard pair join over an already-tokenized doc
-    * frame — see [[nearJaccardPairs]] for the blocking rationale. */
-  private[graft] def nearJaccardPairsFrom(dtok: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+  /** The geometric length-blocking key every exact-Jaccard join
+    * shares: bucket by floor(log_{1.25} nt). Jac ≥ 0.8 forces
+    * 0.8 ≤ na/nb ≤ 1.25, so partners live in the same or an adjacent
+    * bucket — probe sides explode to ±1, pool sides keep their own. */
+  private def bktCol: org.apache.spark.sql.Column =
+    floor(log(col("nt").cast("double")) / math.log(1.25)).cast("int")
+
+  /** THE blocked exact-Jaccard pair join — ONE spelling of the
+    * blocking base, the ±1 bucket explode, the 4:5 length-ratio
+    * prefilter, the codegen'd sorted-intersect, and the jac formula,
+    * shared by the full manifest build ([[nearJaccardPairsFrom]],
+    * probe == pool) and the incremental Δ ([[dedupPairsIncremental]],
+    * probe = batch, pool = corpus ∪ batch). The
+    * `manifest(t+1) = manifest(t) ∪ Δ` identity DedupSpec pins depends
+    * on the two callers staying bit-identical, so the algebra must
+    * live in exactly one place. Inputs are signature frames
+    * (doc_id, lang, t, nt, bkt [, carry…]); output is unordered
+    * (ida, idb, jac-unrounded [, carry_a/carry_b…]) — callers own
+    * rounding, endpoint normalization and total order. */
+  private def blockedJacPairsCore(
+      probe: DataFrame,
+      pool: DataFrame,
+      pairKeep: org.apache.spark.sql.Column,
+      carry: Seq[String]
+  ): DataFrame = {
     import org.apache.spark.sql.graftx.SortedLongIntersectCount
-    val bkt = floor(log(col("nt").cast("double")) / math.log(1.25)).cast("int")
-    val d   = dtok.withColumn("bkt", bkt)
-    val a = d.select(
+    val a = probe.select(
       col("doc_id").as("ida") +:
         col("lang") +:
         col("t").as("ta") +:
@@ -149,7 +169,7 @@ object Dedup {
         explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("pb") +:
         carry.map(c => col(c).as(s"${c}_a")): _*
     )
-    val b = d.select(
+    val b = pool.select(
       col("doc_id").as("idb") +:
         col("lang") +:
         col("t").as("tb") +:
@@ -159,7 +179,7 @@ object Dedup {
     )
     a.join(b, Seq("lang", "pb"))
       .filter(
-        col("ida") < col("idb") &&
+        pairKeep &&
           lit(5) * least(col("na"), col("nb")) >= lit(4) * greatest(col("na"), col("nb"))
       )
       .withColumn("inter", SortedLongIntersectCount.count(col("ta"), col("tb")))
@@ -168,6 +188,13 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
       )
       .filter(col("jac") >= 0.8)
+  }
+
+  /** The blocked exact-Jaccard pair join over an already-tokenized doc
+    * frame — see [[nearJaccardPairs]] for the blocking rationale. */
+  private[graft] def nearJaccardPairsFrom(dtok: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val d = dtok.withColumn("bkt", bktCol)
+    blockedJacPairsCore(d, d, col("ida") < col("idb"), carry)
       .select(col("ida") +: col("idb") +: Det.rN(col("jac"), 6).as("jac") +:
         carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
   }
@@ -1383,7 +1410,7 @@ object Dedup {
         hs.as("t"),
         size(hs).as("nt")
       )
-      .withColumn("bkt", floor(log(col("nt").cast("double")) / math.log(1.25)).cast("int"))
+      .withColumn("bkt", bktCol)
   }
 
   private def signatures(spark: SparkSession, dir: String, docFilter: Column): DataFrame =
@@ -1631,34 +1658,18 @@ object Dedup {
         "ORDER BY ida, idb"
     ),
     (spark, dir) => {
-      import org.apache.spark.sql.graftx.SortedLongIntersectCount
       val batch = signaturesOf(Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0))
       // partner pool: the persisted corpus signatures + the batch
-      // itself (batch×batch near-dups are part of the day's delta too)
+      // itself (batch×batch near-dups are part of the day's delta too);
+      // corpus partners pair once by construction (only the batch
+      // probes), batch partners dedupe on ida < idb
       val pool = corpusSigTable(spark, dir).unionByName(batch)
-      val a = batch.select(
-        col("doc_id").as("ida"),
-        col("lang"),
-        col("t").as("ta"),
-        col("nt").as("na"),
-        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("pb")
+      blockedJacPairsCore(
+        batch,
+        pool,
+        col("ida") =!= col("idb") && (col("idb") % 10 =!= 0 || col("ida") < col("idb")),
+        Nil
       )
-      val b = pool.select(
-        col("doc_id").as("idb"),
-        col("lang"),
-        col("t").as("tb"),
-        col("nt").as("nb"),
-        col("bkt").as("pb")
-      )
-      a.join(b, Seq("lang", "pb"))
-        // corpus partners pair once by construction (only the batch
-        // probes); batch partners dedupe on ida < idb
-        .filter(col("ida") =!= col("idb") &&
-          (col("idb") % 10 =!= 0 || col("ida") < col("idb")))
-        .filter(lit(5) * least(col("na"), col("nb")) >= lit(4) * greatest(col("na"), col("nb")))
-        .withColumn("inter", SortedLongIntersectCount.count(col("ta"), col("tb")))
-        .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .filter(col("jac") >= 0.8)
         .select(
           least(col("ida"), col("idb")).as("ida"),
           greatest(col("ida"), col("idb")).as("idb"),

@@ -79,13 +79,17 @@ object Multimodal {
       // the per-char replay of the byte stream to be valid; a
       // violating doc is EXCLUDED here and so breaks the row-count
       // compare loudly instead of silently hash-mismatching
+      // LEFT JOIN (not a bare GROUP BY over the exploded chars) so an
+      // EMPTY payload keeps its row as (0, 0.0, 0) — matching the Spark
+      // side's explicit n == 0 branch — instead of vanishing from the
+      // per-char CTE and breaking the row-count compare
       "WITH ok AS (SELECT doc_id, text FROM documents WHERE octet_length(text::BLOB) = length(text)), " +
         "b AS (SELECT doc_id, text, unnest(range(1, strlen(text) + 1)) AS i FROM ok), " +
         "v AS (SELECT doc_id, ascii(substr(text, cast(i as int), 1)) AS bv FROM b) " +
-        "SELECT doc_id, count(*)::BIGINT AS n_bytes, " +
-        "floor((sum(bv)::DOUBLE / count(*)) * 1e6 + 0.5) / 1e6 AS mean_byte, " +
-        "count(DISTINCT bv)::BIGINT AS n_distinct_bytes " +
-        "FROM v GROUP BY doc_id ORDER BY doc_id"
+        "SELECT o.doc_id, count(v.bv)::BIGINT AS n_bytes, " +
+        "coalesce(floor((sum(v.bv)::DOUBLE / nullif(count(v.bv), 0)) * 1e6 + 0.5) / 1e6, 0.0) AS mean_byte, " +
+        "count(DISTINCT v.bv)::BIGINT AS n_distinct_bytes " +
+        "FROM ok o LEFT JOIN v ON o.doc_id = v.doc_id GROUP BY o.doc_id ORDER BY o.doc_id"
     ),
     (spark, dir) => {
       import spark.implicits._

@@ -185,10 +185,28 @@ class PlanShapeSpec extends SparkSuite {
       case l if l.nodeName == "LogicalRDD"              => true
       case other                                        => other.children.exists(unbounded)
     }
+    // A partition spec that is CONSTANT-VALUED is partitionless in
+    // everything but spelling: Det.onePart's pmod(xxhash64, 1) is
+    // identically 0 (non-foldable on purpose, so the optimizer can't
+    // strip it), and a foldable key folds to one partition outright.
+    // Without this, onePart would defeat both the WindowExec warning
+    // AND this gate — the exact regression class the gate exists for.
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, Pmod}
+    def constKey(e: Expression): Boolean = e.foldable || (e match {
+      case p: Pmod =>
+        p.right match {
+          case Literal(v, _) => v == 1 || v == 1L
+          case _             => false
+        }
+      case _ => false
+    })
     val offenders = for {
       q <- Registry.all
       w <- q.run(spark, sf).queryExecution.optimizedPlan.collect {
-        case w: Window if w.partitionSpec.isEmpty && unbounded(w.child) => w
+        case w: Window
+            if (w.partitionSpec.isEmpty || w.partitionSpec.forall(constKey)) &&
+              unbounded(w.child) =>
+          w
       }
     } yield s"${q.name}: Window[${w.windowExpressions.map(_.name).mkString(",")}]"
     assert(offenders.isEmpty, "partitionless windows over unaggregated input:\n" + offenders.mkString("\n"))

@@ -87,7 +87,11 @@ class ViewStoreSpec extends SparkSuite {
     val root = Files.createTempDirectory("vstore_ret").toFile
     val d    = Files.createTempDirectory("vstore_ret_in").toFile
     spark.conf.set("spark.graft.viewstore.dir", root.getPath)
-    spark.conf.set("spark.graft.viewstore.retention", "1") // 1 s — test knob; default is 7 days
+    // Generous retention for the SURVIVES phase — the assertion must
+    // not depend on p2's fingerprint+build+sweep finishing within the
+    // retention window on a loaded box (with a 1 s knob here, a slow
+    // parquet write made the "must NOT be swept" check a timing race).
+    spark.conf.set("spark.graft.viewstore.retention", "3600")
     def local(p: String): java.io.File = new java.io.File(p.stripPrefix("file:"))
     try {
       Files.copy(
@@ -107,6 +111,9 @@ class ViewStoreSpec extends SparkSuite {
       // a reader that opened the stale generation BEFORE it ages out...
       val part = local(p1).listFiles().find(_.getName.endsWith(".parquet")).get
       val in   = new java.io.FileInputStream(part)
+      // ...then drop the knob to 1 s for the SWEEPS phase: the sleep
+      // alone guarantees p1's age exceeds retention, no race either way
+      spark.conf.set("spark.graft.viewstore.retention", "1")
       Thread.sleep(1500) // let the 1 s retention age elapse
       val p3 = ViewStore.materialize(spark, "graft_test_ret", d.getPath)(build)
       assert(p3 == p2)

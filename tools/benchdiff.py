@@ -24,11 +24,23 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    args = []
     thr = 0.5
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1]) if "=" in a else thr
+            if "=" in a:
+                thr = float(a.split("=", 1)[1])
+            elif i + 1 < len(argv):  # space-separated form from the usage line
+                i += 1
+                thr = float(argv[i])
+            else:
+                sys.exit(__doc__)
+        else:
+            args.append(a)
+        i += 1
     if len(args) != 2:
         sys.exit(__doc__)
     a, b = load(args[0]), load(args[1])
@@ -53,9 +65,8 @@ def main():
             regressed.append((d, q))
     rows.sort(reverse=True)
     print(f"\nlargest deltas (B - A), raw s / calib-units ({len(shared)} shared):")
-    for d, dn, q in rows[:10]:
-        print(f"  {d:+7.2f}  {('%+7.2f' % dn) if dn is not None else '    n/a'}  {q}")
-    for d, dn, q in rows[-5:]:
+    shown = rows[:10] + [r for r in rows[-5:] if r not in rows[:10]]
+    for d, dn, q in shown:
         print(f"  {d:+7.2f}  {('%+7.2f' % dn) if dn is not None else '    n/a'}  {q}")
     if only_a:
         print(f"\nonly in A ({len(only_a)}): {', '.join(only_a[:8])}")
