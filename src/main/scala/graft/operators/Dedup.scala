@@ -1664,20 +1664,38 @@ object Dedup {
       // corpus partners pair once by construction (only the batch
       // probes), batch partners dedupe on ida < idb
       val pool = corpusSigTable(spark, dir).unionByName(batch)
-      blockedJacPairsCore(
+      pairDeltaAgainst(
         batch,
         pool,
-        col("ida") =!= col("idb") && (col("idb") % 10 =!= 0 || col("ida") < col("idb")),
-        Nil
-      )
-        .select(
-          least(col("ida"), col("idb")).as("ida"),
-          greatest(col("ida"), col("idb")).as("idb"),
-          Det.rN(col("jac"), 6).as("jac")
-        )
-        .orderBy(col("ida"), col("idb"))
+        col("ida") =!= col("idb") && (col("idb") % 10 =!= 0 || col("ida") < col("idb"))
+      ).orderBy(col("ida"), col("idb"))
     }
   )
+
+  /** The delta-pair screen shared by [[dedupPairsIncremental]] and its
+    * streaming twin
+    * ([[graft.streaming.StreamDemos.pairDeltaIngest]]): probe a batch
+    * signature frame against a partner pool through
+    * [[blockedJacPairsCore]], normalize endpoints to the manifest's
+    * (ida < idb) convention, round to the manifest's 6 dp. `pairKeep`
+    * differs by caller — the batch row prunes symmetric batch×batch
+    * duplicates inside the join (`idb` not-in-batch OR `ida < idb`),
+    * the streaming twin keeps every probe-side hit (`ida =!= idb`)
+    * because a pair spanning two micro-batches is only seen from the
+    * LATER side, and lets its idempotent (ida, idb)-keyed merge
+    * collapse the same-micro-batch symmetric duplicates. Unsorted;
+    * callers own the total order. */
+  private[graft] def pairDeltaAgainst(
+      batchSigs: DataFrame,
+      pool: DataFrame,
+      pairKeep: Column
+  ): DataFrame =
+    blockedJacPairsCore(batchSigs, pool, pairKeep, Nil)
+      .select(
+        least(col("ida"), col("idb")).as("ida"),
+        greatest(col("ida"), col("idb")).as("idb"),
+        Det.rN(col("jac"), 6).as("jac")
+      )
 
   /** Screen a docs frame (the incoming batch) against a corpus minhash
     * signature table by 8×2 banding: batch signatures from the shared

@@ -498,6 +498,62 @@ object StreamDemos {
     )
   }
 
+  /** Streaming pair-manifest delta maintenance — the stream side of
+    * [[graft.operators.Dedup.dedupPairsIncremental]], and the one
+    * CROSS-RECORD view with a streaming story: the day's batch arrives
+    * in micro-batches; each is signature-transformed by the shared
+    * stateless projection and probed against the corpus signatures
+    * PLUS every batch signature that has arrived so far (itself
+    * included), so a pair spanning two micro-batches is found when its
+    * LATER endpoint arrives. Pairs merge idempotently by (ida, idb):
+    * a replayed doc recomputes identical pairs against the same static
+    * corpus table and accumulated pool, and a same-micro-batch pair
+    * seen from both endpoints collapses to one row. The driver-side
+    * signature map stands in for the streamed signature table itself
+    * ([[streamedExactSigTable]]) — at 100 TB the arrived-signature
+    * pool IS that MERGE-maintained table, so per-batch work stays
+    * batch × blocked-candidates and corpus text is never re-read.
+    * StreamingSpec pins the final pair set bit-equal to the batch
+    * row's delta under copies = 2. */
+  def pairDeltaIngest(spark: SparkSession, dir: String, copies: Int = 2): DataFrame = {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val corpus = graft.operators.Dedup.corpusSigTable(spark, dir)
+    val sigSchema =
+      graft.operators.Dedup.signaturesOf(Tables.documents(spark, dir).limit(0)).schema
+    val arrived = scala.collection.concurrent.TrieMap.empty[Long, Row]
+    val pairs   = scala.collection.concurrent.TrieMap.empty[(Long, Long), Row]
+    val q = docsStream(spark, dir, copies)
+      .filter(col("doc_id") % 10 === 0)
+      .writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // sign once per arrival, reuse for probe AND pool accumulation
+        val sigs = graft.operators.Dedup.signaturesOf(batch).collect() // bounded by the micro-batch
+        sigs.foreach(r => arrived.put(r.getLong(0), r))
+        val probe = spark.createDataFrame(sigs.toSeq.asJava, sigSchema)
+        val pool = corpus.unionByName(
+          spark.createDataFrame(arrived.values.toSeq.asJava, sigSchema))
+        graft.operators.Dedup
+          .pairDeltaAgainst(probe, pool, col("ida") =!= col("idb"))
+          .collect() // bounded: the micro-batch's delta pairs
+          .foreach(r => pairs.put((r.getLong(0), r.getLong(1)), r))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.createDataFrame(
+      pairs.values.toSeq.sortBy(r => (r.getLong(0), r.getLong(1))).asJava,
+      graft.operators.Dedup
+        .pairDeltaAgainst(
+          spark.createDataFrame(Seq.empty[Row].asJava, sigSchema),
+          corpus.limit(0),
+          col("ida") =!= col("idb"))
+        .schema
+    )
+  }
+
   /** Generic micro-batch maintenance twin for any PER-DOCUMENT-pure
     * serving view over the documents table: each micro-batch runs the
     * view build's OWN stateless projection and merges rows
@@ -509,9 +565,10 @@ object StreamDemos {
     * (bounded by the demo corpus); at 100 TB each batch MERGEs its
     * projection partial BY doc_id — batch-sized work, corpus text
     * read exactly once per document. Views that are NOT per-document
-    * pure (the pair manifest, the co-purchase edge view) deliberately
-    * have no such twin: their rows depend on cross-record joins, so
-    * their refresh story is a new snapshot build, not a row merge. */
+    * pure cannot ride this helper: the pair manifest's stream story is
+    * the DELTA screen ([[pairDeltaIngest]] — new pairs, not re-merged
+    * rows), and the co-purchase edge view's refresh story remains a
+    * snapshot rebuild. */
   private def streamedDocView(
       spark: SparkSession,
       dir: String,

@@ -291,6 +291,22 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSeq == batch.toSeq, "streamed minhash verdicts diverge from the batch screen")
   }
 
+  test("streaming pair-manifest delta == batch delta row, replay-idempotent across micro-batches") {
+    // the one cross-record view with a stream story: each micro-batch
+    // probes corpus signatures PLUS everything arrived so far, so a
+    // pair spanning two micro-batches surfaces when its later endpoint
+    // arrives; merging by (ida, idb) collapses same-batch symmetric
+    // hits and replayed recomputations, so copies=2 must reproduce
+    // dedup_pairs_incremental's delta bit-for-bit, jac rounding included
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val streamed = streaming.StreamDemos.pairDeltaIngest(spark, sf, copies = 2)
+      .collect().map(key).sortBy(k => (k._1, k._2))
+    val batch = operators.Dedup.dedupPairsIncremental.run(spark, sf)
+      .collect().map(key).sortBy(k => (k._1, k._2))
+    assert(streamed.nonEmpty, "stream must emit delta pairs")
+    assert(streamed.toSeq == batch.toSeq, "streamed pair delta diverges from the batch delta row")
+  }
+
   test("every per-document-pure serving view has a replay-idempotent streaming maintenance twin") {
     // the four signature/shingle tables that had no stream-update
     // story after the three index views: each twin runs the view

@@ -17,10 +17,28 @@ import sys
 
 
 def load(path):
+    # Accepts: the driver's BENCH_r{N}.json (one object, bench line
+    # wrapped under "parsed"), a raw single-line capture, or a raw
+    # MULTI-line capture — graft.Bench prints the contract line (full
+    # per-query map) and a summary line (calib_sec/views/slowest, with
+    # only a slow-list excerpt under "queries"). Base = the line with
+    # the LARGEST queries map; scalar fields the base lacks (calib_sec)
+    # are adopted from the other lines.
     with open(path) as f:
-        d = json.load(f)
-    # the driver's BENCH_r{N}.json wraps the bench line under "parsed"
-    return d.get("parsed", d)
+        text = f.read()
+    try:
+        objs = [json.loads(text)]  # one (possibly pretty-printed) object
+    except json.JSONDecodeError:
+        objs = [json.loads(l) for l in text.splitlines() if l.strip().startswith("{")]
+    objs = [o.get("parsed", o) for o in objs]
+    if not objs:
+        sys.exit(f"{path}: no JSON object lines")
+    base = max(objs, key=lambda o: len(o.get("queries", {})))
+    for o in objs:
+        for k, v in o.items():
+            if k != "queries" and k not in base:
+                base[k] = v
+    return base
 
 
 def main():
