@@ -59,6 +59,20 @@ object Graph {
     * so GraphSpec can drive it with a synthetic mega-order without
     * touching the store. */
   private[graft] def edgesFrom(op: DataFrame, maxBasket: Int = MaxBasketParts): DataFrame =
+    basketPairs(op, maxBasket)
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("w"))
+
+  /** Per-BASKET pair generation — everything in [[edgesFrom]] except
+    * the final cross-basket weight aggregate, with `l_orderkey` kept on
+    * each pair row. Factored so the streaming edge-view twin
+    * ([[graft.streaming.StreamDemos.streamedEdgeView]]) can maintain
+    * per-order pair CONTRIBUTIONS (replace-by-order, which is what
+    * makes the hot-key cap retractable when a basket grows past it
+    * mid-stream) from literally the batch build's spelling; the batch
+    * path's optimizer prunes the carried key before the (pa, pb)
+    * exchange, so the view build's plan is unchanged. */
+  private[graft] def basketPairs(op: DataFrame, maxBasket: Int = MaxBasketParts): DataFrame =
     // no pre-distinct: collect_set dedups parts within each basket, so
     // a distinct here would just add a full extra exchange before the
     // groupBy for identical view content
@@ -66,6 +80,7 @@ object Graph {
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       .filter(size(col("ps")) <= maxBasket) // hot-key cap, see MaxBasketParts
       .select(
+        col("l_orderkey"),
         explode(
           flatten(
             expr(
@@ -74,9 +89,7 @@ object Graph {
           )
         ).as("e")
       )
-      .select(col("e.pa"), col("e.pb"))
-      .groupBy(col("pa"), col("pb"))
-      .agg(count(lit(1)).as("w"))
+      .select(col("l_orderkey"), col("e.pa"), col("e.pb"))
 
   /** Shared oracle CTE prefix: the distinct (order, part) incidence
     * `li`, its basket-capped restriction `cli` (the oracle spelling of

@@ -177,18 +177,30 @@ object StreamDemos {
     * copies > 1 replays the same file N times — an at-least-once
     * upstream). No nanos conversion needed: documents has no
     * timestamp column. */
-  private def docsStream(spark: SparkSession, dir: String, copies: Int = 1): DataFrame = {
-    val schema = Tables.documents(spark, dir).schema
+  private def docsStream(spark: SparkSession, dir: String, copies: Int = 1): DataFrame =
+    stagedTableStream(spark, dir, "documents", Tables.documents(spark, dir).schema, copies)
+
+  /** Shared staging core for the per-table file-source streams: copy
+    * `<dir>/<table>.parquet` into a fixed stream dir `copies` times
+    * (one file per trigger — copies > 1 is an at-least-once upstream)
+    * and open a schema-pinned file stream over it. */
+  private def stagedTableStream(
+      spark: SparkSession,
+      dir: String,
+      table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      copies: Int
+  ): DataFrame = {
     val staged = java.nio.file.Paths
       .get(
         System.getProperty("java.io.tmpdir"),
-        "graft_stream_docs",
+        s"graft_stream_$table",
         dir.replaceAll("[^a-zA-Z0-9]", "_") + (if (copies > 1) s"_x$copies" else "")
       )
     java.nio.file.Files.createDirectories(staged)
     (1 to copies).foreach { i =>
-      val target = staged.resolve(if (copies == 1) "documents.parquet" else s"documents_$i.parquet")
-      stageCopy(java.nio.file.Paths.get(s"$dir/documents.parquet"), target)
+      val target = staged.resolve(if (copies == 1) s"$table.parquet" else s"${table}_$i.parquet")
+      stageCopy(java.nio.file.Paths.get(s"$dir/$table.parquet"), target)
     }
     spark.readStream
       .schema(schema)
@@ -403,24 +415,8 @@ object StreamDemos {
   /** A file-source stream over the embeddings table — [[docsStream]]'s
     * staging pattern (copy the parquet into a stream dir `copies`
     * times, one file per trigger) applied to the vector corpus. */
-  private def embStream(spark: SparkSession, dir: String, copies: Int = 1): DataFrame = {
-    val schema = Tables.embeddings(spark, dir).schema
-    val staged = java.nio.file.Paths
-      .get(
-        System.getProperty("java.io.tmpdir"),
-        "graft_stream_embs",
-        dir.replaceAll("[^a-zA-Z0-9]", "_") + (if (copies > 1) s"_x$copies" else "")
-      )
-    java.nio.file.Files.createDirectories(staged)
-    (1 to copies).foreach { i =>
-      val target = staged.resolve(if (copies == 1) "embeddings.parquet" else s"embeddings_$i.parquet")
-      stageCopy(java.nio.file.Paths.get(s"$dir/embeddings.parquet"), target)
-    }
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(staged.toString)
-  }
+  private def embStream(spark: SparkSession, dir: String, copies: Int = 1): DataFrame =
+    stagedTableStream(spark, dir, "embeddings", Tables.embeddings(spark, dir).schema, copies)
 
   /** Streaming maintenance of the hyperplane-LSH ANN signature table —
     * the remaining serving view without a stream-update story after
@@ -621,6 +617,72 @@ object StreamDemos {
     * filter), so the merge map simply never sees it. */
   def streamedContamShingleTable(spark: SparkSession, dir: String, copies: Int = 2): DataFrame =
     streamedDocView(spark, dir, copies)(graft.operators.TextAnalysis.contamShinglesBuild)
+
+  /** Streaming maintenance of the co-purchase EDGE view — the last
+    * view family without a stream story, and the one whose rows are
+    * neither per-document pure nor append-only: an edge weight is a
+    * count over baskets, and a basket GROWS as its order's lineitems
+    * arrive, so the unit of maintenance is the ORDER, not the row.
+    * Per micro-batch: merge arrived (l_orderkey, l_partkey) incidence
+    * into the accumulated basket state, then recompute the TOUCHED
+    * orders' pair contributions with the batch build's own spelling
+    * ([[graft.operators.Graph.basketPairs]] over just those baskets)
+    * and REPLACE each touched order's contribution set wholesale.
+    * Replace-by-order is what makes every transition correct under
+    * replay: a replayed lineitem recomputes an identical set, a
+    * growing basket re-emits its superset, and a basket crossing
+    * [[graft.operators.Graph.MaxBasketParts]] RETRACTS all its pairs
+    * (basketPairs drops it, the replace stores empty). The served
+    * edge view is the weight aggregate over contributions. Driver
+    * maps stand in for two keyed MERGE-target tables (incidence BY
+    * (okey, pkey), contributions replaced BY okey) — per-batch work
+    * is touched-basket-sized, never lineitem-history-sized.
+    * StreamingSpec pins the copies = 2 result bit-equal to the
+    * batch-built [[graft.operators.Graph.edgeTablePath]] parquet. */
+  def streamedEdgeView(spark: SparkSession, dir: String, copies: Int = 2): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val baskets  = scala.collection.concurrent.TrieMap.empty[Long, Set[Long]]
+    val contribs = scala.collection.concurrent.TrieMap.empty[Long, Array[(Long, Long)]]
+    val q = stagedTableStream(spark, dir, "lineitem", Tables.lineitem(spark, dir).schema, copies)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val touched = batch
+          .distinct()
+          .collect() // bounded by the micro-batch's distinct incidence
+          .groupBy(_.getLong(0))
+          .map { case (okey, rs) =>
+            val merged = baskets.getOrElse(okey, Set.empty[Long]) ++ rs.map(_.getLong(1))
+            baskets.put(okey, merged)
+            okey
+          }
+        import spark.implicits._
+        val touchedIncidence = touched.toSeq
+          .flatMap(okey => baskets(okey).toSeq.map(p => (okey, p)))
+          .toDF("l_orderkey", "l_partkey")
+        val pairsByOrder = graft.operators.Graph
+          .basketPairs(touchedIncidence)
+          .collect() // bounded: C(MaxBasketParts,2) per touched order
+          .groupBy(_.getLong(0))
+        touched.foreach { okey =>
+          contribs.put(
+            okey,
+            pairsByOrder.getOrElse(okey, Array.empty).map(r => (r.getLong(1), r.getLong(2))))
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import spark.implicits._
+    contribs.values.toSeq.flatten
+      .groupBy(identity)
+      .map { case ((pa, pb), hits) => (pa, pb, hits.size.toLong) }
+      .toSeq
+      .sortBy(e => (e._1, e._2))
+      .toDF("pa", "pb", "w")
+  }
 
   /** Streaming decontamination screen — the third ingest screen,
     * closing the family: the contamination check is exactly what a

@@ -337,6 +337,24 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streamed co-purchase edge view == batch edge view, replace-by-order replay-idempotent") {
+    // the cross-record view whose unit of maintenance is the ORDER:
+    // arrived incidence merges into basket state, touched orders'
+    // pair contributions are recomputed with the batch build's own
+    // basketPairs spelling and replaced wholesale — so replayed
+    // lineitems (copies=2) and growing baskets both converge to the
+    // batch-built weighted edge view bit-for-bit
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val streamed = streaming.StreamDemos.streamedEdgeView(spark, sf, copies = 2)
+      .collect().map(key).sortBy(k => (k._1, k._2))
+    val batch = spark.read
+      .parquet(operators.Graph.edgeTablePath(spark, sf))
+      .select(col("pa"), col("pb"), col("w"))
+      .collect().map(key).sortBy(k => (k._1, k._2))
+    assert(streamed.nonEmpty, "stream must build edges")
+    assert(streamed.toSeq == batch.toSeq, "streamed edge view diverges from the batch build")
+  }
+
   test("streaming contamination screen == batch screen over the persisted shingle view, replay-idempotent") {
     // the third ingest screen: each micro-batch is shingle-projected
     // by the view build's stateless function and screened against the
