@@ -168,9 +168,44 @@ object ViewStore {
     * wasted work at exactly the expensive builds the views amortize).
     * Keyed on the resolved base path, so distinct families/generations
     * never contend and nested materializations of DIFFERENT views
-    * cannot deadlock. Cross-JVM the tmp+rename race handling remains
-    * the (unavoidable) story. */
+    * cannot deadlock. Cross-JVM, the tmp+rename race keeps the result
+    * CORRECT; the build-claim lease below additionally keeps it CHEAP. */
   private val buildLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Cross-JVM thundering-herd protection for cold views: before
+    * building, a JVM atomically creates `<base>.building-<uuid>` in
+    * the family dir; a second JVM arriving at the same cold generation
+    * sees a FRESH claim and polls for `base` instead of duplicating
+    * the build — at 100 TB a duplicated signature-table build is hours
+    * of cluster time that the rename tie-break would simply throw
+    * away. Best-effort by design: the lease
+    * (`spark.graft.viewstore.build.lease`, seconds, default 15 min;
+    * <= 0 disables claiming AND waiting) bounds how long a claim is
+    * believed, judged by the claim file's mtime — a builder that
+    * crashes mid-build delays its waiters at most one lease before
+    * they build themselves, and a build LONGER than the lease degrades
+    * to today's behavior (duplicate build, rename decides). Returns
+    * true if the peer's table appeared. */
+  private def awaitPeerBuild(
+      fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path,
+      leaseMs: Long
+  ): Boolean = {
+    if (leaseMs <= 0) return false
+    val deadline = scala.util.Try {
+      fs.listStatus(base.getParent)
+        .filter(_.getPath.getName.startsWith(base.getName + ".building-"))
+        .map(_.getModificationTime)
+        .reduceOption(_ max _)
+        .filter(_ > System.currentTimeMillis() - leaseMs) // stale claim = crashed builder
+        .map(_ + leaseMs)
+    }.toOption.flatten.getOrElse(return false) // no family dir / no live claim
+    while (System.currentTimeMillis() < deadline) {
+      if (fs.exists(base)) return true
+      Thread.sleep(200)
+    }
+    fs.exists(base)
+  }
 
   private[graft] def materialize(
       spark: SparkSession,
@@ -192,16 +227,27 @@ object ViewStore {
     val ver  = if (buildVersion == 1) "" else s"-v$buildVersion"
     val base = new Path(s"$root/$family/${fingerprintCached(dir, conf)}$ver")
     val fs   = base.getFileSystem(conf)
+    val leaseMs = spark.conf
+      .getOption("spark.graft.viewstore.build.lease")
+      .map(_.toLong * 1000)
+      .getOrElse(15L * 60 * 1000)
     val existed = buildLocks.computeIfAbsent(base.toString, _ => new Object).synchronized {
-      val there = fs.exists(base)
+      // Peer-claim check counts as a HIT when the peer's table appears:
+      // this JVM served without building, which is what the stanza means.
+      val there = fs.exists(base) || awaitPeerBuild(fs, base, leaseMs)
       if (!there) {
-        val tmp = new Path(base.getParent, s"${base.getName}.tmp-${java.util.UUID.randomUUID()}")
-        build.write.mode("overwrite").parquet(tmp.toString)
-        if (!fs.rename(tmp, base)) fs.delete(tmp, true) // lost the race outright
-        else {
-          val nested = new Path(base, tmp.getName)
-          if (fs.exists(nested)) fs.delete(nested, true) // tie: we moved into the winner's dir
-        }
+        val claim =
+          new Path(base.getParent, s"${base.getName}.building-${java.util.UUID.randomUUID()}")
+        if (leaseMs > 0) scala.util.Try(fs.create(claim, true).close()) // best-effort: never fail the build
+        try {
+          val tmp = new Path(base.getParent, s"${base.getName}.tmp-${java.util.UUID.randomUUID()}")
+          build.write.mode("overwrite").parquet(tmp.toString)
+          if (!fs.rename(tmp, base)) fs.delete(tmp, true) // lost the race outright
+          else {
+            val nested = new Path(base, tmp.getName)
+            if (fs.exists(nested)) fs.delete(nested, true) // tie: we moved into the winner's dir
+          }
+        } finally scala.util.Try(fs.delete(claim, false)) // crash-path claims go stale after one lease
       }
       there
     }
@@ -294,7 +340,12 @@ object ViewStore {
       }
       for (s <- fs.listStatus(base.getParent) if s.getPath.getName != base.getName) {
         val cutoff =
-          if (s.getPath.getName.contains(".tmp-")) Some(now - 60L * 60 * 1000)
+          // .tmp- write debris and .building- claim files share the
+          // debris cutoff: a claim is only BELIEVED for one lease
+          // (minutes), so an hour-old claim file is a crashed builder's
+          // leftover, not a live signal.
+          if (s.getPath.getName.contains(".tmp-") ||
+            s.getPath.getName.contains(".building-")) Some(now - 60L * 60 * 1000)
           else if (retentionMs > 0) Some(now - retentionMs)
           else None // generation retention disabled
         val stale = cutoff.exists { c =>
