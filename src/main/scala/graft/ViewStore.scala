@@ -192,17 +192,38 @@ object ViewStore {
       leaseMs: Long
   ): Boolean = {
     if (leaseMs <= 0) return false
-    val deadline = scala.util.Try {
+    def liveClaimDeadline(): Option[Long] = scala.util.Try {
       fs.listStatus(base.getParent)
         .filter(_.getPath.getName.startsWith(base.getName + ".building-"))
         .map(_.getModificationTime)
         .reduceOption(_ max _)
         .filter(_ > System.currentTimeMillis() - leaseMs) // stale claim = crashed builder
         .map(_ + leaseMs)
-    }.toOption.flatten.getOrElse(return false) // no family dir / no live claim
+    }.toOption.flatten
+    var deadline = liveClaimDeadline().getOrElse(return false) // no family dir / no live claim
+    // Exponential backoff, 200 ms doubling to a 5 s cap: the old flat
+    // 200 ms poll issued ~4,500 existence checks per waiter over a full
+    // 15 min lease — nontrivial request volume on an object store —
+    // for the same worst-case latency.
+    var sleepMs = 200L
+    var lastClaimCheck = System.currentTimeMillis()
     while (System.currentTimeMillis() < deadline) {
       if (fs.exists(base)) return true
-      Thread.sleep(200)
+      Thread.sleep(sleepMs)
+      sleepMs = math.min(sleepMs * 2, 5000L)
+      val now = System.currentTimeMillis()
+      if (now - lastClaimCheck >= 5000L) {
+        // Re-read the claims periodically: a live builder REFRESHES its
+        // claim's mtime while it works (see the toucher in materialize),
+        // so a build longer than one lease keeps its waiters waiting
+        // instead of stampeding; a claim that disappears without the
+        // table appearing is a crashed builder — stop waiting and build.
+        lastClaimCheck = now
+        liveClaimDeadline() match {
+          case Some(d) => deadline = d
+          case None    => return fs.exists(base)
+        }
+      }
     }
     fs.exists(base)
   }
@@ -239,6 +260,28 @@ object ViewStore {
         val claim =
           new Path(base.getParent, s"${base.getName}.building-${java.util.UUID.randomUUID()}")
         if (leaseMs > 0) scala.util.Try(fs.create(claim, true).close()) // best-effort: never fail the build
+        // Keep the claim's mtime FRESH while the build runs: a build
+        // longer than one lease would otherwise see its own claim go
+        // stale and every waiter stampede into a duplicate build — the
+        // exact case the lease knob targets. Refresh by re-PUT, not
+        // setTimes (a no-op on object stores), every lease/3 capped at
+        // 1 min. Daemon thread; interrupted in the finally, so a
+        // crashed builder's claim stops refreshing and goes stale after
+        // one lease as documented.
+        val toucher = if (leaseMs > 0) {
+          val period = math.max(1000L, math.min(leaseMs / 3, 60000L))
+          val t = new Thread(() =>
+            try {
+              while (true) {
+                Thread.sleep(period)
+                scala.util.Try(fs.create(claim, true).close())
+              }
+            } catch { case _: InterruptedException => }
+          )
+          t.setDaemon(true)
+          t.start()
+          Some(t)
+        } else None
         try {
           val tmp = new Path(base.getParent, s"${base.getName}.tmp-${java.util.UUID.randomUUID()}")
           build.write.mode("overwrite").parquet(tmp.toString)
@@ -247,7 +290,10 @@ object ViewStore {
             val nested = new Path(base, tmp.getName)
             if (fs.exists(nested)) fs.delete(nested, true) // tie: we moved into the winner's dir
           }
-        } finally scala.util.Try(fs.delete(claim, false)) // crash-path claims go stale after one lease
+        } finally {
+          toucher.foreach(_.interrupt())
+          scala.util.Try(fs.delete(claim, false)) // crash-path claims go stale after one lease
+        }
       }
       there
     }
@@ -338,14 +384,21 @@ object ViewStore {
           (st.getModificationTime +: kids.map(newestUnder).toSeq).max
         }
       }
+      // Debris cutoff: max(1 h, one lease) of quiescence. A live builder
+      // now refreshes its claim's mtime (and its .tmp- dir's contents
+      // keep getting written), so an UNtouched claim/tmp older than both
+      // an hour AND one lease is a crashed builder's leftover — a plain
+      // 1 h cutoff would sweep a LIVE claim mid-build exactly when the
+      // lease is configured above 3600 s for multi-hour builds.
+      val leaseMs = spark.conf
+        .getOption("spark.graft.viewstore.build.lease")
+        .map(_.toLong * 1000)
+        .getOrElse(15L * 60 * 1000)
+      val debrisCutoff = now - math.max(60L * 60 * 1000, leaseMs)
       for (s <- fs.listStatus(base.getParent) if s.getPath.getName != base.getName) {
         val cutoff =
-          // .tmp- write debris and .building- claim files share the
-          // debris cutoff: a claim is only BELIEVED for one lease
-          // (minutes), so an hour-old claim file is a crashed builder's
-          // leftover, not a live signal.
           if (s.getPath.getName.contains(".tmp-") ||
-            s.getPath.getName.contains(".building-")) Some(now - 60L * 60 * 1000)
+            s.getPath.getName.contains(".building-")) Some(debrisCutoff)
           else if (retentionMs > 0) Some(now - retentionMs)
           else None // generation retention disabled
         val stale = cutoff.exists { c =>

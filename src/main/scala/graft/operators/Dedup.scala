@@ -581,6 +581,11 @@ object Dedup {
     * protocol the scaladoc above describes, exercised end-to-end by
     * DedupSpec at a second scope so the demo bound is provably a knob,
     * not a load-bearing constant. */
+  /** The three audited screen geometries — one source of truth for the
+    * candidate tagging AND the fixed-tag left-join that guarantees every
+    * screen reports a row (the oracle's block names must match these). */
+  private val Geometries = Seq("8perm_4x2_est80", "16perm_8x2_est80", "16perm_8x2_verified")
+
   private[graft] def lshRecallFrame(spark: SparkSession, dir: String, scope: Column): DataFrame = {
     // Since r10 NOTHING in this report tokenizes the corpus: minhash
     // signatures come from the write-once ViewStore parquet, exact
@@ -623,9 +628,8 @@ object Dedup {
     // n_hit = |cand INTERSECT truth| via the in_truth flag, and
     // n_truth = |truth| rides in as a broadcast 1-row frame — the r10
     // full_outer's truth-only rows only ever contributed to that
-    // constant. (Every screen proposes >= 1 candidate at any scope
-    // with a near-dup pair, so no geometry row drops out of the
-    // groupBy.)
+    // constant. (A geometry whose screen proposes ZERO candidates still
+    // reports a row — see the fixed-tag left-join below.)
     // THIRD negative A/B, recorded so it isn't re-tried: deriving both
     // 16-perm geometries from ONE shared banded-candidates pass
     // (dedup ALL candidates with est, conditional sums in the
@@ -680,13 +684,13 @@ object Dedup {
       cand.select(lit(tag).as("geometry"), col("ida"), col("idb"))
     val verified = minhashPairsFromSig(sig16, MinhashA16.length, 1.0)
       .join(broadcast(truth.select(col("ida"), col("idb"))), Seq("ida", "idb"), "left_semi")
-    val cands = tagged("8perm_4x2_est80",
+    val cands = tagged(Geometries(0),
         minhashPairsFromSig(sig8, MinhashA.length, 0.2).select(col("ida"), col("idb")))
-      .unionAll(tagged("16perm_8x2_est80",
+      .unionAll(tagged(Geometries(1),
         minhashPairsFromSig(sig16, MinhashA16.length, 0.2).select(col("ida"), col("idb"))))
-      .unionAll(tagged("16perm_8x2_verified", verified))
+      .unionAll(tagged(Geometries(2), verified))
     val nTruth = truth.agg(count(lit(1)).cast("long").as("n_truth"))
-    cands
+    val perGeo = cands
       .join(broadcast(truth), Seq("ida", "idb"), "left_outer")
       .na.fill(0, Seq("in_truth"))
       .groupBy(col("geometry"))
@@ -694,14 +698,35 @@ object Dedup {
         count(lit(1)).cast("long").as("n_cand"),
         sum(col("in_truth")).cast("long").as("n_hit")
       )
+    // An audit must not FAIL OPEN: on a degenerate scope where a screen
+    // proposes zero candidates, the groupBy would silently omit that
+    // geometry's row instead of reporting recall 0. Left-joining the
+    // three fixed geometry tags guarantees a row per screen always
+    // (n_cand=0/recall=0 when empty); on any scope with candidates the
+    // join is the identity, so the contract row's values and hash are
+    // unchanged. The zero-guards on recall/prec only fire on the
+    // degenerate scopes (0/0 would otherwise emit null, not 0).
+    import spark.implicits._
+    val geoTags = Geometries.toDF("geometry")
+    geoTags
+      .join(perGeo, Seq("geometry"), "left_outer")
+      .na.fill(0L, Seq("n_cand", "n_hit"))
+      // Deliberate 1-row-build BroadcastNestedLoopJoin Cross: attaching
+      // the single n_truth stats row to 3 report rows — constant-size by
+      // construction, NOT the unbounded cartesian the registry-wide plan
+      // gate bans (that gate matches CartesianProduct, not this).
       .crossJoin(broadcast(nTruth))
       .select(
         col("geometry"),
         col("n_truth"),
         col("n_cand"),
         col("n_hit"),
-        Det.rN(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"),
-        Det.rN(col("n_hit").cast("double") / col("n_cand"), 6).as("prec")
+        Det.rN(
+          when(col("n_truth") === 0, lit(0.0))
+            .otherwise(col("n_hit").cast("double") / col("n_truth")), 6).as("recall"),
+        Det.rN(
+          when(col("n_cand") === 0, lit(0.0))
+            .otherwise(col("n_hit").cast("double") / col("n_cand")), 6).as("prec")
       )
       .orderBy(col("geometry"))
   }
@@ -971,8 +996,8 @@ object Dedup {
     * dedup_clusters (adds the contract sort) and dedup_report (joins
     * back to documents for the per-language curation summary).
     *
-    * Memoized per (session, sf dir): both consumers run in the same
-    * Verify/Bench session, and without the cache dedup_report re-pays
+    * Memoized per (manifest view path, scope): both consumers run in the
+    * same Verify/Bench session, and without the cache dedup_report re-pays
     * the full iterative clustering dedup_clusters just ran (~7.5 s each
     * at sf0.1). The cache holds COLLECTED values, not a DataFrame: the
     * label table is ≤ ClusterProbeScope rows by construction (tiny),
@@ -980,8 +1005,15 @@ object Dedup {
     * Bench's inter-query block cleanup legitimately drops. Rebuilding a
     * LocalRelation from values is immune to that and broadcast-joins
     * for free. */
+  // Keyed on (pair-manifest VIEW PATH, scope), not the SparkSession:
+  // the manifest path already encodes (input fingerprint, buildVersion),
+  // so an input regeneration invalidates mechanically, a second session
+  // over the same corpus reuses correctly (labels are a deterministic
+  // function of the manifest), and — the r11 lesson the path memos
+  // taught — no SparkSession is ever strongly retained by an
+  // object-lifetime cache.
   private val clusterCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String, Long), Seq[(Long, Long, Boolean)]]
+    scala.collection.mutable.Map.empty[(String, Long), Seq[(Long, Long, Boolean)]]
 
   /** Test hook: drop the memoized labels so a spec can force the
     * iterative path to actually re-run (CheckpointSpec re-exercises it
@@ -999,11 +1031,12 @@ object Dedup {
       dir: String,
       scope: Long = ClusterProbeScope
   ): DataFrame = {
-    val labels = clusterCache.synchronized(clusterCache.get((spark, dir, scope))) match {
+    val key = (pairTablePath(spark, dir), scope)
+    val labels = clusterCache.synchronized(clusterCache.get(key)) match {
       case Some(cached) => cached
       case None =>
         val computed = computeClusterLabels(spark, dir, scope)
-        clusterCache.synchronized(clusterCache.update((spark, dir, scope), computed))
+        clusterCache.synchronized(clusterCache.update(key, computed))
         computed
     }
     spark.createDataFrame(labels).toDF("doc_id", "cluster", "is_survivor")

@@ -153,6 +153,43 @@ class ViewStoreSpec extends SparkSuite {
     }
   }
 
+  test("a crashed builder (live claim + orphan tmp) delays a second builder at most one lease, then it builds") {
+    val root = Files.createTempDirectory("vstore_crash").toFile
+    spark.conf.set("spark.graft.viewstore.dir", root.getPath)
+    spark.conf.set("spark.graft.viewstore.build.lease", "2") // seconds
+    try {
+      // Simulate a builder that died mid-build: its claim file is FRESH
+      // (created just before the crash, never refreshed again) and its
+      // half-written tmp dir is long-cold. The fingerprint is what
+      // materialize will compute for the same (dir, version), so the
+      // fabricated debris sits exactly where a real crash would leave it.
+      val fam = new java.io.File(root, "graft_test_crash"); fam.mkdirs()
+      val fp  = ViewStore.fingerprint(sf)
+      val claim = new java.io.File(fam, s"$fp.building-deadbeef")
+      Files.write(claim.toPath, Array.emptyByteArray)
+      val orphan = new java.io.File(fam, s"$fp.tmp-orphan"); orphan.mkdirs()
+      orphan.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+      val t0 = System.nanoTime()
+      val p  = ViewStore.materialize(spark, "graft_test_crash", sf)(spark.range(4).toDF("id"))
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      assert(spark.read.parquet(p).count() == 4, "the waiter must build after the lease expires")
+      assert(ViewStore.resolutionLog.toMap.get("graft_test_crash").contains("built"),
+        "a crashed peer's claim must not be mistaken for a serving view")
+      // The claim was live (fresh mtime, never refreshed): the waiter
+      // must actually wait — but at most ~one lease (2 s) plus the poll
+      // overshoot, never the unbounded hang a claim without a lease
+      // would imply. The generous ceiling absorbs loaded-box build time.
+      assert(elapsed >= 1.5, f"waiter returned in $elapsed%.1f s — it never honored the live claim")
+      assert(elapsed <= 20.0, f"waiter took $elapsed%.1f s — far beyond one 2 s lease")
+      assert(!orphan.exists(), "the crashed builder's cold tmp dir must be swept by the post-build janitor")
+      assert(claim.exists(),
+        "a fresh claim is within the debris cutoff and must survive this sweep (it ages out later)")
+    } finally {
+      spark.conf.unset("spark.graft.viewstore.dir")
+      spark.conf.unset("spark.graft.viewstore.build.lease")
+    }
+  }
+
   test("a regenerated input dir rebuilds the view instead of serving the stale one") {
     val d = Files.createTempDirectory("vstore_in").toFile
     try {

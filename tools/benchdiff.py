@@ -96,7 +96,9 @@ def main():
             print(f"  +{d:.2f}s  {q}")
     else:
         print(f"\nno confirmed regression > {thr}s")
-    sys.exit(len(regressed))
+    # POSIX truncates exit codes mod 256: a count of exactly 256 would
+    # read as success. Any regression => nonzero, capped.
+    sys.exit(min(len(regressed), 255))
 
 
 if __name__ == "__main__":
