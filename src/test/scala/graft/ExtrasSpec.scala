@@ -68,8 +68,9 @@ class ExtrasSpec extends SparkSuite {
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
-    val approx = Registry.byName("agg_approx_distinct")
-      .run(spark, sf)
+    // the raw estimates (the registry row emits the oracle-checkable
+    // verdict since r12; the estimate frame stays pinned here)
+    val approx = operators.Aggregates.approxDistinctEstimates(spark, sf)
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
@@ -78,6 +79,9 @@ class ExtrasSpec extends SparkSuite {
       val e = exact(k).toDouble
       assert(math.abs(a - e) / e <= 0.05, s"$k: approx=$a exact=$e")
     }
+    // and the registry row's verdict must agree: every flag 1
+    val verdict = Registry.byName("agg_approx_distinct").run(spark, sf).collect()
+    assert(verdict.forall(_.getInt(2) == 1), "within_5pct verdict must hold")
   }
 
   test("pivot columns equal their unpivoted group counts") {

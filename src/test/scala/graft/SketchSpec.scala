@@ -44,7 +44,7 @@ class SketchSpec extends SparkSuite {
 
   test("HLL union-of-parts equals a direct whole-scan sketch and stays within 5% of exact") {
     val ev = Tables.events(spark, sf)
-    val rows = operators.Aggregates.aggHllMerge.run(spark, sf).collect()
+    val rows = operators.Aggregates.hllMergeEstimates(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exactAll = ev.select(col("user_id")).distinct().count()
     assert(math.abs(rows("ALL") - exactAll).toDouble / exactAll <= 0.05,
@@ -109,7 +109,7 @@ class SketchSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getDouble(1)))
       .groupBy(_._1)
       .map { case (t, rs) => t -> rs.map(_._2).sorted }
-    val rows = Aggregates.aggQuantileSketch.run(spark, sf).collect()
+    val rows = Aggregates.quantileSketchEstimates(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSet == byType.keySet)
     for (r <- rows; (p, i) <- Seq(0.5 -> 2, 0.9 -> 3, 0.99 -> 4)) {
       val t = r.getString(0)
@@ -124,8 +124,12 @@ class SketchSpec extends SparkSuite {
       )
     }
     // mergeability: partials from different partitionings agree
-    val a = Aggregates.aggQuantileSketch.run(spark, sf).collect().toSeq
-    val b = Aggregates.aggQuantileSketch.run(spark, sf).collect().toSeq
+    val a = Aggregates.quantileSketchEstimates(spark, sf).collect().toSeq
+    val b = Aggregates.quantileSketchEstimates(spark, sf).collect().toSeq
     assert(a == b, "sketch result must be deterministic run-to-run")
+    // and the registry row's rank-window verdict must hold wholesale
+    val verdict = Aggregates.aggQuantileSketch.run(spark, sf).collect()
+    assert(verdict.length == 15 && verdict.forall(_.getInt(5) == 1),
+      "every (event_type, quantile) estimate must land inside the guaranteed rank window")
   }
 }
