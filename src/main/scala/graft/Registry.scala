@@ -44,7 +44,8 @@ object Registry {
       operators.Advanced.qs ++
       operators.Ml.qs ++
       operators.Typed.qs ++
-      functions.Udx.qs
+      functions.Udx.qs ++
+      operators.StreamEquivalence.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

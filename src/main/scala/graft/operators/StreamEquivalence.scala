@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.{Q, ViewStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-visible evidence for the streaming story.
+  *
+  * Every serving-view family in this engine has a batch/stream
+  * symmetric story (SURVEY §14-§16): the batch build is a write-once
+  * [[graft.ViewStore]] parquet, and the streaming twin maintains the
+  * SAME content per micro-batch through the build's own stateless
+  * projection with an idempotent keyed merge. StreamingSpec pins each
+  * twin bit-equal under replay — but only scalatest sees that; the
+  * driver contract (§2.7) cannot accept a streaming DataFrame through
+  * `queries`. This row closes that visibility gap: it runs one BOUNDED
+  * REPLAY (AvailableNow trigger, copies = 2 → every record delivered
+  * at least twice) per view family INSIDE a batch query and emits one
+  * verdict row per family:
+  *
+  *   - `nonempty`   — both sides produced rows (the replay actually ran);
+  *   - `rows_match` — streamed row count == batch-built row count;
+  *   - `bit_equal`  — exact multiset equality (both-ways `exceptAll`,
+  *     arrays included — not a checksum), the replay-idempotence claim.
+  *
+  * The expected verdict is a CONSTANT (all 1), so the row is fully
+  * DuckDB-oracle-checkable even though no SQL engine can replay a
+  * Structured Streaming run: any twin drifting from its batch build
+  * flips a flag and fails the driver compare loudly. Results are
+  * memoized per (dir, input fingerprint) — the registry-wide plan/row
+  * gates and Verify all call `run`, and the twelve streaming runs are
+  * the expensive part, not the 12-row report.
+  *
+  * At 100 TB the same audit runs as a scheduled job: replay a bounded
+  * slice through the maintenance path and diff against the serving
+  * view — the standard backfill-vs-stream parity check for a lambda-
+  * style deployment.
+  */
+object StreamEquivalence {
+
+  private val reportCache =
+    scala.collection.mutable.Map.empty[String, Seq[(String, Int, Int, Int)]]
+
+  /** Test hook (mirrors Dedup.clearClusterCache): force a recompute. */
+  private[graft] def clearReportCache(): Unit =
+    reportCache.synchronized(reportCache.clear())
+
+  /** (nonempty, rows_match, bit_equal) for one twin pair. Column set is
+    * the STREAMED frame's (the batch view may carry extra columns the
+    * twin does not maintain, e.g. derived stats); comparison is exact
+    * multiset equality, never a checksum. */
+  private def verdict(streamed: DataFrame, batch: DataFrame): (Int, Int, Int) = {
+    val cols = streamed.columns.toIndexedSeq.map(col)
+    val s    = streamed.select(cols: _*)
+    val b    = batch.select(cols: _*)
+    val sN   = s.count()
+    val bN   = b.count()
+    val bitEq = sN == bN && s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty
+    (if (sN > 0 && bN > 0) 1 else 0, if (sN == bN) 1 else 0, if (bitEq) 1 else 0)
+  }
+
+  /** One entry per view family with a streaming twin — the same twelve
+    * pairings StreamingSpec pins, in one place. Keep this list and the
+    * oracle's VALUES list in lockstep. */
+  private def computeReport(spark: SparkSession, dir: String): Seq[(String, Int, Int, Int)] = {
+    import graft.streaming.StreamDemos
+    def bm25(): (String, (Int, Int, Int)) = {
+      val (sPost, sStats) = StreamDemos.streamedBm25Index(spark, dir, copies = 2)
+      val (pPath, stPath) = TextAnalysis.bm25IndexPath(spark, dir)
+      val (ne, rm, be)    = verdict(sPost, spark.read.parquet(pPath))
+      // the index's (n, avgdl) stats row must ALSO be bit-equal (same
+      // IEEE division over the same exact long sums)
+      val (_, _, beStats) = verdict(sStats, spark.read.parquet(stPath))
+      ("bm25_index", (ne, rm, math.min(be, beStats)))
+    }
+    def timed(f: () => (String, (Int, Int, Int))): (String, (Int, Int, Int)) = {
+      val t0 = System.nanoTime()
+      val r  = f()
+      System.err.println(f"[streameq] ${r._1}%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+    val rows: Seq[() => (String, (Int, Int, Int))] = Seq(
+      () => bm25(),
+      () => ("lsh_sigs", verdict(
+        StreamDemos.streamedLshSigTable(spark, dir, copies = 2),
+        spark.read.parquet(Similarity.lshSigTablePath(spark, dir)))),
+      () => ("ivf_assignments", {
+        val (_, asgPath) = Advanced.ivfIndexPath(spark, dir)
+        verdict(
+          StreamDemos.streamedIvfAssignments(spark, dir, copies = 2),
+          spark.read.parquet(asgPath))
+      }),
+      () => ("minhash_sigs", verdict(
+        StreamDemos.streamedMinhashSigTable(spark, dir, copies = 2),
+        spark.read.parquet(Dedup.minhashSigTablePath(spark, dir)))),
+      () => ("dedup_sigs", verdict(
+        StreamDemos.streamedExactSigTable(spark, dir, copies = 2),
+        spark.read.parquet(Dedup.sigTablePath(spark, dir)))),
+      () => ("simhash_sigs", verdict(
+        StreamDemos.streamedSimhashSigTable(spark, dir, copies = 2),
+        spark.read.parquet(Dedup.simhashSigTablePath(spark, dir)))),
+      () => ("contam_shingles", verdict(
+        StreamDemos.streamedContamShingleTable(spark, dir, copies = 2),
+        spark.read.parquet(TextAnalysis.contamShingleTablePath(spark, dir)))),
+      // edge_view audits a FIXED hash slice of baskets (1/8 of orders)
+      // against the batch derivation's own spelling over the same
+      // slice: the full-corpus twin re-derives every basket through a
+      // driver merge TWICE (copies = 2), which at sf0.1 alone cost
+      // 37.5 s of a 109 s report — the audit's parity claim is
+      // per-basket, so a basket slice proves it at bounded cost at any
+      // SF (full-corpus view equality stays pinned by StreamingSpec).
+      () => ("edge_view", {
+        val scope = pmod(col("l_orderkey"), lit(8)) === 0
+        verdict(
+          StreamDemos.streamedEdgeView(spark, dir, copies = 2, scope = scope),
+          Graph.edgesFrom(
+            graft.Tables.lineitem(spark, dir)
+              .select(col("l_orderkey"), col("l_partkey"))
+              .filter(scope)))
+      }),
+      () => ("pair_delta", verdict(
+        StreamDemos.pairDeltaIngest(spark, dir, copies = 2),
+        Dedup.dedupPairsIncremental.run(spark, dir))),
+      () => ("ingest_screen_exact", verdict(
+        StreamDemos.screenedIngest(spark, dir, copies = 2),
+        Dedup.dedupIncrementalPersisted.run(spark, dir))),
+      () => ("ingest_screen_minhash", verdict(
+        StreamDemos.minhashScreenedIngest(spark, dir, copies = 2),
+        Dedup.dedupMinhashIncremental.run(spark, dir))),
+      () => ("ingest_screen_contam", verdict(
+        StreamDemos.contamScreenedIngest(spark, dir, copies = 2),
+        TextAnalysis.textContamination.run(spark, dir)))
+    )
+    // The twelve audits are independent (separate streams, separate
+    // driver state, distinct or idempotently-shared staging dirs), and
+    // each one spends most of its wall time WAITING on small Spark
+    // jobs — run them concurrently on a dedicated pool so the report
+    // costs ~the slowest family, not the sum (109 s -> ~25 s at
+    // sf0.1/32 cores). Results are collected back in declaration
+    // order, so the report rows are deterministic.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(rows.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val done =
+      try Await.result(Future.sequence(rows.map(t => Future(timed(t)))), Duration.Inf)
+      finally pool.shutdown()
+    done.map { case (f, (ne, rm, be)) => (f, ne, rm, be) }
+  }
+
+  private[graft] def equivalenceReport(spark: SparkSession, dir: String): DataFrame = {
+    // memo key = (dir, input fingerprint): same invalidation story as
+    // Dedup.clusterCache — input regeneration recomputes, and no
+    // SparkSession is retained by an object-lifetime cache
+    val key = dir + "|" + ViewStore.fingerprint(dir, spark.sparkContext.hadoopConfiguration)
+    val rows = reportCache.synchronized(reportCache.get(key)) match {
+      case Some(cached) => cached
+      case None =>
+        val computed = computeReport(spark, dir)
+        reportCache.synchronized(reportCache.update(key, computed))
+        computed
+    }
+    import spark.implicits._
+    rows.toDF("family", "nonempty", "rows_match", "bit_equal").orderBy(col("family"))
+  }
+
+  val streamEquivalenceReport: Q = Q(
+    "stream_equivalence_report",
+    Some(
+      "SELECT * FROM (VALUES " +
+        "('bm25_index', 1, 1, 1), ('lsh_sigs', 1, 1, 1), " +
+        "('ivf_assignments', 1, 1, 1), ('minhash_sigs', 1, 1, 1), " +
+        "('dedup_sigs', 1, 1, 1), ('simhash_sigs', 1, 1, 1), " +
+        "('contam_shingles', 1, 1, 1), ('edge_view', 1, 1, 1), " +
+        "('pair_delta', 1, 1, 1), ('ingest_screen_exact', 1, 1, 1), " +
+        "('ingest_screen_minhash', 1, 1, 1), ('ingest_screen_contam', 1, 1, 1)" +
+        ") AS t(family, nonempty, rows_match, bit_equal) ORDER BY family"
+    ),
+    (spark, dir) => equivalenceReport(spark, dir)
+  )
+
+  val qs: Seq[Q] = Seq(streamEquivalenceReport)
+}

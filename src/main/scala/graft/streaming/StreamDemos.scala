@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -639,12 +639,24 @@ object StreamDemos {
     * is touched-basket-sized, never lineitem-history-sized.
     * StreamingSpec pins the copies = 2 result bit-equal to the
     * batch-built [[graft.operators.Graph.edgeTablePath]] parquet. */
-  def streamedEdgeView(spark: SparkSession, dir: String, copies: Int = 2): DataFrame = {
+  /** `scope` bounds the maintained basket universe (an `l_orderkey`
+    * predicate; default = everything, which StreamingSpec pins against
+    * the full batch view). The equivalence-report row audits a FIXED
+    * hash slice of orders so the audit cost stays bounded at any SF —
+    * lossless for the parity claim because an edge weight only ever
+    * aggregates over baskets, and a basket is in or out of the slice
+    * wholesale. */
+  def streamedEdgeView(
+      spark: SparkSession,
+      dir: String,
+      copies: Int = 2,
+      scope: Column = lit(true)): DataFrame = {
     import scala.jdk.CollectionConverters._
     val baskets  = scala.collection.concurrent.TrieMap.empty[Long, Set[Long]]
     val contribs = scala.collection.concurrent.TrieMap.empty[Long, Array[(Long, Long)]]
     val q = stagedTableStream(spark, dir, "lineitem", Tables.lineitem(spark, dir).schema, copies)
       .select(col("l_orderkey"), col("l_partkey"))
+      .filter(scope)
       .writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
