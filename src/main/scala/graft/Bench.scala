@@ -153,6 +153,56 @@ object Bench {
     }
     System.err.println(f"[bench] calib_sec=$calibSec%.3f (fixed 200M-row xxhash64 probe)")
 
+    // Storage-speed calibration: the I/O twin of calib_sec. calib_sec
+    // is CPU-only, so co-tenant DISK contention is invisible to it —
+    // r11's +26% per-calib total vs r10 was indistinguishable from I/O
+    // noise by the artifacts alone. This probe times reading a fixed
+    // 100 MB of the input dir's own parquet bytes with O_DIRECT
+    // (page-cache bypassed, so it measures the STORAGE path every
+    // round, not whether a prior round left the files cached), cycling
+    // files until the byte budget is met. -1 = O_DIRECT unsupported on
+    // this filesystem (probe skipped, not failed). A future reader
+    // comparing two rounds now has both axes: calib_sec for CPU drift,
+    // io_probe_sec for storage drift.
+    val ioProbeSec = {
+      import java.nio.channels.FileChannel
+      import java.nio.file.StandardOpenOption
+      val files = new java.io.File(sfDir)
+        .listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val targetBytes = 100L << 20
+      val align       = 4096
+      try {
+        val buf = java.nio.ByteBuffer.allocateDirect((1 << 20) + align).alignedSlice(align)
+        val t0  = System.nanoTime()
+        var read  = 0L
+        var stuck = false
+        // keep cycling the file list until the byte budget is met (a
+        // tiny sf dir is re-read many times — O_DIRECT hits storage
+        // every pass); bail only when a full cycle makes NO progress
+        while (read < targetBytes && files.nonEmpty && !stuck) {
+          val before = read
+          for (f <- files if read < targetBytes) {
+            val ch = FileChannel.open(
+              f.toPath, StandardOpenOption.READ,
+              com.sun.nio.file.ExtendedOpenOption.DIRECT)
+            try {
+              val size = ch.size()
+              var pos  = 0L
+              var n    = 0
+              while (pos < size && read < targetBytes && n >= 0) {
+                buf.clear()
+                n = ch.read(buf, pos)
+                if (n > 0) { pos += n; read += n }
+              }
+            } finally ch.close()
+          }
+          stuck = read == before
+        }
+        if (read >= targetBytes) (System.nanoTime() - t0) / 1e9 else -1.0
+      } catch { case _: Throwable => -1.0 }
+    }
+    System.err.println(f"[bench] io_probe_sec=$ioProbeSec%.3f (fixed 100 MB O_DIRECT read)")
+
     val only = args.toSet // optional local-profiling filter; driver passes no args
     // Bench-reading note (r9): the dedup signature table, the jac>=0.8
     // pair manifest and the co-purchase edge view are built in warm-up
@@ -185,6 +235,31 @@ object Bench {
       System.err.println(f"[bench] $qIdx%3d $name%-28s ${dt}%7.3f s  gc=$gcDt%5d ms  heap=${heapMb}%5d MB  bc=$dropped%3d")
       (name, dt, gcDt)
     }
+    // Min-of-2 for the slowest 10: one extra timed run each, artifact
+    // carries min(first, second). A first-run number inflated by a
+    // co-tenant I/O burst or a cold codegen compile shows a much lower
+    // min2; a genuinely expensive plan shows min2 ~= first — exactly
+    // the attribution the r11 verdict could not make from the artifact.
+    // Queries that memoize driver-side state are EXCLUDED: their second
+    // run measures the memo hit, not the plan (the cluster-label cache
+    // behind the four dedup cluster consumers, and the stream-parity
+    // report's per-fingerprint memo).
+    val memoized = Set("dedup_clusters", "dedup_report", "dedup_soft_weights",
+      "dedup_best_of_cluster", "stream_equivalence_report")
+    val min2 = results
+      .filter(r => !memoized(r._1))
+      .sortBy(-_._2)
+      .take(10)
+      .map { case (name, first, _) =>
+        val q  = Registry.byName(name)
+        val t0 = System.nanoTime()
+        try { q.run(spark, sfDir).count() } catch { case _: Throwable => () }
+        val second = (System.nanoTime() - t0) / 1e9
+        dropDeadBlocks()
+        System.err.println(f"[bench] min2 $name%-28s first=$first%7.3f s second=$second%7.3f s")
+        (name, math.min(first, second))
+      }
+    val min2Json = min2.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Per-query GC in the ARTIFACT, not only stderr: the full line
@@ -220,7 +295,7 @@ object Bench {
     // cross-round comparison divides out machine drift mechanically
     // (same-commit raw totals were observed to swing 121-209 s on this
     // class of shared box while the calib-normalized number held).
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","gc_sec":${gcMillis / 1000.0}%.1f,"calib_sec":$calibSec%.3f,"total_per_calib":${total / calibSec}%.1f,"warm_views_sec":$warmViewsSec%.3f,"views":$viewsJson,"queries":$compact$slowDetail,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","gc_sec":${gcMillis / 1000.0}%.1f,"calib_sec":$calibSec%.3f,"io_probe_sec":$ioProbeSec%.3f,"total_per_calib":${total / calibSec}%.1f,"warm_views_sec":$warmViewsSec%.3f,"views":$viewsJson,"queries":$compact,"min2":$min2Json$slowDetail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
