@@ -91,6 +91,7 @@ object Bench {
       operators.Dedup.simhashSigTablePath(spark, sfDir)
       operators.Graph.edgeTablePath(spark, sfDir)
       operators.Advanced.ivfIndexPath(spark, sfDir)
+      operators.Advanced.pqIndexPath(spark, sfDir)
       operators.Similarity.lshSigTablePath(spark, sfDir)
       operators.TextAnalysis.bm25IndexPath(spark, sfDir)
       operators.TextAnalysis.contamShingleTablePath(spark, sfDir)

@@ -333,5 +333,173 @@ object Advanced {
     }
   )
 
-  def qs: Seq[Q] = Seq(ivfCentroids, simAnnIvf, simAnnIvfPersisted, funnelVcp, dedupSemantic)
+  // ----------------------------------------------------------------
+  // Product quantization (PQ) — the memory-side ANN scale path, the
+  // complement of the IVF list pruning above: the 64-dim float vector
+  // (256 B) is compressed to M = 8 one-byte codes by quantizing each
+  // 8-dim SUBVECTOR against its own sub-codebook, and queries score
+  // candidates with an asymmetric-distance (ADC) table — M lookups +
+  // adds per candidate instead of a 64-wide float dot, over an index
+  // 32x smaller than the raw vectors (Jégou et al., TPAMI 2011). At
+  // 100 TB this is what keeps the base scan in memory: the codes
+  // table is bytes per vector, the per-query distance table is
+  // M x K = 80 floats, and the ADC scan is an equi-join on (m, code)
+  // against a broadcast table. Like the IVF quantizer, the
+  // sub-codebooks here are per-label subvector means — deterministic,
+  // engine-replayable "training" (the same move that made
+  // ivf_centroids oracle-checkable), so the ENTIRE
+  // codebook -> encode -> ADC cascade hash-matches a DuckDB replay:
+  // all distances go through the order-independent decimal sum and
+  // every argmin/top-k carries a total-order tie-break.
+  // ----------------------------------------------------------------
+
+  private val PqM      = 8 // subspaces
+  private val PqSubDim = 8 // dims per subspace (8 x 8 = the 64-dim contract)
+
+  /** Shared oracle fragments: per-component explode with subspace
+    * coordinates, and the sub-codebook (rounded per-label subvector
+    * means). Kept as one string so the codebook row and the ADC row
+    * can never drift apart. */
+  private val pqOracleCtes: String =
+    "e AS (SELECT vec_id, label, unnest(embedding) AS v, unnest(range(0, 64)) AS i " +
+      "FROM embeddings), " +
+      "cb AS (SELECT i // 8 AS m, label, i % 8 AS dim, " +
+      Det.oRS("cast(sum(cast(v::DOUBLE as decimal(30,8))) as double) / count(*)", 6) +
+      " AS c FROM e GROUP BY 1, 2, 3), " +
+      "s AS (SELECT vec_id, i // 8 AS m, i % 8 AS dim, v::DOUBLE AS v FROM e), " +
+      "sd AS (SELECT s.vec_id, s.m, cb.label, " +
+      Det.oSum("(s.v - cb.c) * (s.v - cb.c)") +
+      " AS d FROM s JOIN cb ON s.m = cb.m AND s.dim = cb.dim GROUP BY 1, 2, 3)"
+
+  /** The sub-codebooks as (m, label, dim, c) rows — [[ivfCentroids]]'
+    * proven mean spelling applied per subspace. */
+  val pqCodebooks: Q = Q(
+    "pq_codebooks",
+    Some(
+      s"WITH $pqOracleCtes SELECT m, label, dim, c FROM cb ORDER BY m, label, dim"
+    ),
+    (spark, dir) => codebookFrame(spark, dir).orderBy(col("m"), col("label"), col("dim"))
+  )
+
+  /** Per-(subspace, label) codeword components, rounded to 6 dp so the
+    * downstream squared-distance arithmetic starts from bit-identical
+    * doubles in both engines. */
+  private def codebookFrame(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(
+        col("label"),
+        (col("i") / lit(PqSubDim)).cast("long").as("m"),
+        (col("i") % lit(PqSubDim)).cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+      .groupBy(col("m"), col("label"), col("dim"))
+      .agg(Det.rS(Det.davg(col("v")), 6).as("c"))
+
+  /** Squared L2 of every input vector's m-th subvector to every
+    * codeword of subspace m — the one kernel both ENCODING (argmin
+    * over codewords) and the per-query ADC distance table are made of.
+    * Decimal-summed (order-independent), so cross-engine and
+    * cross-partitioning bit-equal. */
+  private def pqSubDists(vecs: DataFrame, cb: DataFrame): DataFrame =
+    vecs
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(
+        col("vec_id"),
+        (col("i") / lit(PqSubDim)).cast("long").as("m"),
+        (col("i") % lit(PqSubDim)).cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+      .join(broadcast(cb), Seq("m", "dim"))
+      .groupBy(col("vec_id"), col("m"), col("label"))
+      .agg(Det.dsum((col("v") - col("c")) * (col("v") - col("c"))).as("d"))
+
+  /** PQ-encode ANY (vec_id, embedding) frame against a FROZEN codebook
+    * — nearest codeword per subspace (ties to the smaller label),
+    * pivoted to ONE compact row (vec_id, c0..c7) per vector: the
+    * stored index is M small ints per vector, the whole point of PQ.
+    * A pure per-vector function once the codebook is frozen, so the
+    * streaming twin ([[graft.streaming.StreamDemos.streamedPqCodes]])
+    * merges micro-batches by vec_id idempotently — the
+    * [[ivfAssignmentsOf]] serving contract; re-training is a new
+    * buildVersion, never a streaming concern. */
+  private[graft] def pqCodesOf(embs: DataFrame, cb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftx.TopKPerGroup
+    val code = TopKPerGroup(
+      pqSubDists(embs, cb),
+      Seq("vec_id", "m"),
+      Seq("d" -> false, "label" -> false), 1)
+      .select(col("vec_id"), col("m"), col("label").as("code"))
+    val aggs = (0 until PqM).map(m =>
+      max(when(col("m") === m, col("code"))).as(s"c$m"))
+    code.groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Write-once PQ index: sub-codebooks + compact code rows, two paths
+    * in one [[graft.ViewStore]] family ([[ivfIndexPath]]'s shape). The
+    * codes build reads the MATERIALIZED codebook parquet, so both
+    * tables derive from one consistent quantizer. */
+  private[graft] def pqIndexPath(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = {
+    val cbPath =
+      graft.ViewStore.materialize(spark, "graft_pq_index/codebooks", dir)(
+        codebookFrame(spark, dir))
+    val codesPath = graft.ViewStore.materialize(spark, "graft_pq_index/codes", dir)(
+      pqCodesOf(Tables.embeddings(spark, dir), spark.read.parquet(cbPath)))
+    (cbPath, codesPath)
+  }
+
+  /** ADC top-3 over the PERSISTED PQ index: the 100 probe queries
+    * build their M x K distance table against the persisted codebook
+    * (8,000 rows — broadcast), and the base side is the compact codes
+    * parquet exploded to (neighbor, m, code) and scored by ONE
+    * equi-join + decimal sum — no float dot against base vectors
+    * anywhere, and the raw base embeddings are never scanned
+    * (AdvancedSpec pins both). The oracle replays codebook, encoding
+    * and ADC symbolically, so rows/schema/hash all check — an ANN row
+    * whose approximation is itself exact-verified. */
+  val simAnnPq: Q = Q(
+    "sim_ann_pq",
+    Some(
+      s"WITH $pqOracleCtes, " +
+        "code AS (SELECT vec_id, m, label AS code FROM " +
+        "(SELECT sd.*, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, label) AS rn " +
+        "FROM sd) WHERE rn = 1), " +
+        "adc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        Det.oRS(Det.oSum("q.d"), 6) + " AS adc " +
+        "FROM code c JOIN sd q ON q.m = c.m AND q.label = c.code " +
+        "AND q.vec_id < 100 AND q.vec_id != c.vec_id GROUP BY 1, 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) " +
+        "AS rank FROM adc) " +
+        "SELECT query_id, rank, neighbor_id, adc FROM r WHERE rank <= 3 " +
+        "ORDER BY query_id, rank"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.graftx.TopKPerGroup
+      val (cbPath, codesPath) = pqIndexPath(spark, dir)
+      val cb    = spark.read.parquet(cbPath)
+      val codes = spark.read.parquet(codesPath)
+      val dtab = pqSubDists(Tables.embeddings(spark, dir).filter(col("vec_id") < 100), cb)
+        .select(col("vec_id").as("query_id"), col("m"), col("label").as("code"), col("d"))
+      val base = codes
+        .select(
+          col("vec_id").as("neighbor_id"),
+          posexplode(array((0 until PqM).map(m => col(s"c$m")): _*)).as(Seq("m0", "code")))
+        .select(col("neighbor_id"), col("m0").cast("long").as("m"), col("code"))
+      val adc = base
+        .join(broadcast(dtab), Seq("m", "code"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(Det.rS(Det.dsum(col("d")), 6).as("adc"))
+      TopKPerGroup(adc, Seq("query_id"), Seq("adc" -> false, "neighbor_id" -> false), 3,
+        rnName = "rank")
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("adc"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+  )
+
+  def qs: Seq[Q] =
+    Seq(ivfCentroids, simAnnIvf, simAnnIvfPersisted, funnelVcp, dedupSemantic,
+      pqCodebooks, simAnnPq)
 }

@@ -777,6 +777,40 @@ object StreamDemos {
     )
   }
 
+  /** Streaming maintenance of the PQ codes table — new vectors are
+    * encoded against the FROZEN persisted sub-codebooks
+    * ([[graft.operators.Advanced.pqCodesOf]], a pure per-vector
+    * function once the quantizer is frozen) and merge by vec_id; the
+    * final compact code rows must be bit-equal to the batch-built
+    * index ([[graft.operators.Advanced.pqIndexPath]]). Re-training
+    * codebooks is a new buildVersion/snapshot, never a streaming
+    * concern — the same serving contract as
+    * [[streamedIvfAssignments]]. */
+  def streamedPqCodes(spark: SparkSession, dir: String, copies: Int = 2): DataFrame = {
+    import org.apache.spark.sql.Row
+    val (cbPath, _) = graft.operators.Advanced.pqIndexPath(spark, dir)
+    val cb    = spark.read.parquet(cbPath)
+    val codes = scala.collection.concurrent.TrieMap.empty[Long, Row]
+    val q = embStream(spark, dir, copies).writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Advanced
+          .pqCodesOf(batch, cb)
+          .collect() // bounded by the demo batch, never the corpus
+          .foreach(r => codes.put(r.getLong(0), r))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      codes.values.toSeq.sortBy(_.getLong(0)).asJava,
+      graft.operators.Advanced
+        .pqCodesOf(Tables.embeddings(spark, dir).limit(0), cb.limit(0)).schema
+    )
+  }
+
   def runToCompletion(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
     val q: StreamingQuery = streamed.writeStream
       .format("memory")

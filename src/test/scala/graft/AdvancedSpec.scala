@@ -36,6 +36,50 @@ class AdvancedSpec extends SparkSuite {
     assert(again.queryExecution.executedPlan.toString.contains("graft_ivf_index"))
   }
 
+  test("PQ codes: every stored code is the argmin codeword of its subvector") {
+    val (cbPath, codesPath) = operators.Advanced.pqIndexPath(spark, sf)
+    val cb = spark.read.parquet(cbPath).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val codes = spark.read.parquet(codesPath).collect()
+      .map(r => r.getLong(0) -> (0 until 8).map(m => r.getInt(1 + m))).toMap
+    val embs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(codes.keySet == embs.keySet, "one compact code row per vector")
+    val labels = cb.keys.map(_._2).toSet.toSeq.sorted
+    for ((vid, e) <- embs.toSeq.sortBy(_._1).take(50); m <- 0 until 8) {
+      def dist(lab: Int): Double =
+        (0 until 8).map { d =>
+          val diff = e(m * 8 + d).toDouble - cb((m.toLong, lab, d.toLong))
+          diff * diff
+        }.sum
+      val chosen = dist(codes(vid)(m))
+      val best   = labels.map(dist).min
+      // driver doubles vs the engine's decimal sums can differ in the
+      // last ulps — assert near-argmin, not bit equality (the EXACT
+      // argmin is pinned cross-engine by the DuckDB oracle replay)
+      assert(chosen <= best + 1e-6, s"vec $vid subspace $m: chosen=$chosen best=$best")
+    }
+  }
+
+  test("PQ ANN: dense ranks, nonzero recall@3 vs brute force, plan scans the persisted index") {
+    val pq = operators.Advanced.simAnnPq.run(spark, sf)
+    val rows = pq.collect()
+    assert(rows.nonEmpty)
+    for ((_, rs) <- rows.groupBy(_.getLong(0))) {
+      val ranks = rs.map(_.getLong(1)).sorted
+      assert(ranks.zipWithIndex.forall { case (r, i) => r == i + 1L })
+    }
+    val brute = operators.Similarity.simCosineTopk.run(spark, sf)
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall > 0.0, s"recall=$recall")
+    val plan = pq.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_pq_index"), s"expected PQ index scan in plan:\n$plan")
+  }
+
   test("funnel timestamps are monotone: view <= click <= purchase") {
     val f = operators.Advanced.funnelVcp.run(spark, sf).collect()
     assert(f.nonEmpty)

@@ -372,6 +372,22 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSeq == batch.toSeq, "streamed contamination verdicts diverge from the batch screen")
   }
 
+  test("streamed PQ codes == batch-built compact code rows, replay-idempotent") {
+    // new vectors are PQ-encoded against the FROZEN persisted
+    // sub-codebooks and merge by vec_id — same serving contract as the
+    // IVF lists; the final compact (vec_id, c0..c7) rows must be
+    // bit-equal to the batch index build
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), (1 to 8).map(r.getInt).toList)
+    val streamed = streaming.StreamDemos.streamedPqCodes(spark, sf, copies = 2)
+      .collect().map(key).sortBy(_._1)
+    val (_, codesPath) = operators.Advanced.pqIndexPath(spark, sf)
+    val batch = spark.read.parquet(codesPath)
+      .collect().map(key).sortBy(_._1)
+    assert(streamed.nonEmpty, "stream must build codes")
+    assert(streamed.toSeq == batch.toSeq, "streamed PQ codes diverge from the batch index")
+  }
+
   test("streamed IVF assignments == batch-built inverted lists, replay-idempotent") {
     // new vectors are assigned against the FROZEN persisted quantizer
     // and merge by vec_id — the standard IVF serving contract; the
