@@ -499,7 +499,82 @@ object Advanced {
     }
   )
 
+  /** Two-stage retrieval over the PQ index — the standard serving
+    * pattern at scale: a cheap ADC scan SHORTLISTS 10 candidates per
+    * query from the compact codes (approximate, recall stage), then
+    * ONLY those 10 rows join back to raw embeddings for an exact
+    * cosine re-rank to top-3 (precision stage). The expensive exact
+    * scoring touches |queries| x 10 vectors regardless of corpus size
+    * — that bounded re-join is the entire point. Oracle replays both
+    * stages symbolically (ADC via the [[simAnnPq]] algebra, re-rank
+    * via `list_dot_product` with the rounded-cos/neighbor total
+    * order), so the approximate-then-exact cascade hash-matches. */
+  val simAnnPqRerank: Q = Q(
+    "sim_ann_pq_rerank",
+    Some(
+      s"WITH $pqOracleCtes, " +
+        "code AS (SELECT vec_id, m, label AS code FROM " +
+        "(SELECT sd.*, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, label) AS rn " +
+        "FROM sd) WHERE rn = 1), " +
+        "adc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        Det.oRS(Det.oSum("q.d"), 6) + " AS adc " +
+        "FROM code c JOIN sd q ON q.m = c.m AND q.label = c.code " +
+        "AND q.vec_id < 100 AND q.vec_id != c.vec_id GROUP BY 1, 2), " +
+        "short AS (SELECT query_id, neighbor_id FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) " +
+        "AS srank FROM adc) WHERE srank <= 10), " +
+        "ex AS (SELECT s.query_id, s.neighbor_id, " +
+        Det.oRS("list_dot_product(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[])", 6) +
+        " AS cos FROM short s " +
+        "JOIN embeddings qe ON qe.vec_id = s.query_id " +
+        "JOIN embeddings ne ON ne.vec_id = s.neighbor_id), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) " +
+        "AS rank FROM ex) " +
+        "SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 3 " +
+        "ORDER BY query_id, rank"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.graftx.TopKPerGroup
+      val (cbPath, codesPath) = pqIndexPath(spark, dir)
+      val cb    = spark.read.parquet(cbPath)
+      val codes = spark.read.parquet(codesPath)
+      val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 100)
+      val dtab = pqSubDists(queries, cb)
+        .select(col("vec_id").as("query_id"), col("m"), col("label").as("code"), col("d"))
+      val base = codes
+        .select(
+          col("vec_id").as("neighbor_id"),
+          posexplode(array((0 until PqM).map(m => col(s"c$m")): _*)).as(Seq("m0", "code")))
+        .select(col("neighbor_id"), col("m0").cast("long").as("m"), col("code"))
+      val adc = base
+        .join(broadcast(dtab), Seq("m", "code"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(Det.rS(Det.dsum(col("d")), 6).as("adc"))
+      val short = TopKPerGroup(adc, Seq("query_id"),
+        Seq("adc" -> false, "neighbor_id" -> false), 10, rnName = "srank")
+        .select(col("query_id"), col("neighbor_id"))
+      // exact stage: |queries| x 10 rows join back to raw embeddings —
+      // the shortlist broadcasts, the base table is probed by join, and
+      // the float dot runs on 1,000 pairs however large the corpus is
+      val qe = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val ne = Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      val exact = broadcast(short)
+        .join(qe, Seq("query_id"))
+        .join(ne, Seq("neighbor_id"))
+        .withColumn("cos",
+          Det.rS(org.apache.spark.sql.graftx.FloatDot.dot(col("qe"), col("ne")), 6))
+        .select(col("query_id"), col("neighbor_id"), col("cos"))
+      TopKPerGroup(exact, Seq("query_id"), Seq("cos" -> true, "neighbor_id" -> false), 3,
+        rnName = "rank")
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+  )
+
   def qs: Seq[Q] =
     Seq(ivfCentroids, simAnnIvf, simAnnIvfPersisted, funnelVcp, dedupSemantic,
-      pqCodebooks, simAnnPq)
+      pqCodebooks, simAnnPq, simAnnPqRerank)
 }

@@ -190,6 +190,44 @@ class ViewStoreSpec extends SparkSuite {
     }
   }
 
+  test("a live builder refreshes its claim while the build outlives the lease") {
+    // lease 2 s, build ~4 s (a sleeping UDF): the toucher must re-PUT
+    // the claim (period = max(1 s, lease/3) = 1 s here) so a waiter
+    // re-reading claim liveness keeps waiting instead of stampeding
+    // into a duplicate build — the ADVICE r11 case where a build
+    // longer than its lease silently lost thundering-herd protection.
+    val root = Files.createTempDirectory("vstore_touch").toFile
+    spark.conf.set("spark.graft.viewstore.dir", root.getPath)
+    spark.conf.set("spark.graft.viewstore.build.lease", "2")
+    try {
+      val fam = new java.io.File(root, "graft_test_touch")
+      val mtimes = scala.collection.mutable.Set.empty[Long]
+      @volatile var watching = true
+      val watcher = new Thread(() => {
+        while (watching) {
+          val claims = Option(fam.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.contains(".building-"))
+          claims.foreach(c => mtimes.synchronized { mtimes += c.lastModified(); () })
+          Thread.sleep(100)
+        }
+      })
+      watcher.setDaemon(true)
+      watcher.start()
+      val slowRow = udf(() => { Thread.sleep(4000); 1 })
+      ViewStore.materialize(spark, "graft_test_touch", sf)(
+        spark.range(1).select(slowRow().as("x")))
+      watching = false
+      watcher.join(2000)
+      val distinct = mtimes.synchronized(mtimes.toSet)
+      assert(distinct.size >= 2,
+        s"claim mtime never advanced during a 4 s build (observed: $distinct) — " +
+          "a waiter would have declared the builder dead after one 2 s lease")
+    } finally {
+      spark.conf.unset("spark.graft.viewstore.dir")
+      spark.conf.unset("spark.graft.viewstore.build.lease")
+    }
+  }
+
   test("a regenerated input dir rebuilds the view instead of serving the stale one") {
     val d = Files.createTempDirectory("vstore_in").toFile
     try {
