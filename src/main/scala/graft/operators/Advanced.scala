@@ -476,28 +476,53 @@ object Advanced {
     ),
     (spark, dir) => {
       import org.apache.spark.sql.graftx.TopKPerGroup
-      val (cbPath, codesPath) = pqIndexPath(spark, dir)
-      val cb    = spark.read.parquet(cbPath)
-      val codes = spark.read.parquet(codesPath)
-      val dtab = pqSubDists(Tables.embeddings(spark, dir).filter(col("vec_id") < 100), cb)
-        .select(col("vec_id").as("query_id"), col("m"), col("label").as("code"), col("d"))
-      val base = codes
-        .select(
-          col("vec_id").as("neighbor_id"),
-          posexplode(array((0 until PqM).map(m => col(s"c$m")): _*)).as(Seq("m0", "code")))
-        .select(col("neighbor_id"), col("m0").cast("long").as("m"), col("code"))
-      val adc = base
-        .join(broadcast(dtab), Seq("m", "code"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .groupBy(col("query_id"), col("neighbor_id"))
-        .agg(Det.rS(Det.dsum(col("d")), 6).as("adc"))
-      TopKPerGroup(adc, Seq("query_id"), Seq("adc" -> false, "neighbor_id" -> false), 3,
-        rnName = "rank")
+      TopKPerGroup(pqAdcScores(spark, dir), Seq("query_id"),
+        Seq("adc" -> false, "neighbor_id" -> false), 3, rnName = "rank")
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("adc"))
         .orderBy(col("query_id"), col("rank"))
     }
   )
+
+  /** The ADC scan itself: (query_id, neighbor_id, adc) for every
+    * (probe query, base vector) pair, computed the way a real PQ
+    * engine does — the per-query distance tables ride along as ONE
+    * broadcast row per query (a nested m -> code -> d map, 100 rows x
+    * 80 entries), and each base code row scores every query with M
+    * map lookups + adds in a single projection. NO shuffle touches
+    * the scoring: the only exchange in the whole ANN row is the final
+    * top-k's partial-prune pass (the first spelling — explode codes,
+    * equi-join the 8,000-row table, shuffle 8x|base|x|queries| rows
+    * into a half-million-group aggregate — measured 3.5 s vs ~1 s at
+    * sf0.1/32 and is NOT the plan PQ promises). Each per-m term goes
+    * through the same decimal(30,8) cast the oracle's decimal sum
+    * applies, and decimal addition is exact, so the fixed m-ascending
+    * fold equals the oracle's order-independent sum bit-for-bit. */
+  private def pqAdcScores(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val (cbPath, codesPath) = pqIndexPath(spark, dir)
+    val cb    = spark.read.parquet(cbPath)
+    val codes = spark.read.parquet(codesPath)
+    val qdt = pqSubDists(Tables.embeddings(spark, dir).filter(col("vec_id") < 100), cb)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(map_from_arrays(collect_list(col("label")), collect_list(col("d"))).as("md"))
+      .groupBy(col("vec_id"))
+      .agg(map_from_arrays(collect_list(col("m")), collect_list(col("md"))).as("dt"))
+      .select(col("vec_id").as("query_id"), col("dt"))
+    val terms = (0 until PqM).map(m =>
+      element_at(element_at(col("dt"), lit(m.toLong)), col(s"c$m"))
+        .cast(DecimalType(30, 8)))
+    codes
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .crossJoin(broadcast(qdt)) // bounded build: one row per probe query
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        Det.rS(terms.reduce(_ + _).cast("double"), 6).as("adc"))
+  }
 
   /** Two-stage retrieval over the PQ index — the standard serving
     * pattern at scale: a cheap ADC scan SHORTLISTS 10 candidates per
@@ -535,23 +560,8 @@ object Advanced {
     ),
     (spark, dir) => {
       import org.apache.spark.sql.graftx.TopKPerGroup
-      val (cbPath, codesPath) = pqIndexPath(spark, dir)
-      val cb    = spark.read.parquet(cbPath)
-      val codes = spark.read.parquet(codesPath)
       val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 100)
-      val dtab = pqSubDists(queries, cb)
-        .select(col("vec_id").as("query_id"), col("m"), col("label").as("code"), col("d"))
-      val base = codes
-        .select(
-          col("vec_id").as("neighbor_id"),
-          posexplode(array((0 until PqM).map(m => col(s"c$m")): _*)).as(Seq("m0", "code")))
-        .select(col("neighbor_id"), col("m0").cast("long").as("m"), col("code"))
-      val adc = base
-        .join(broadcast(dtab), Seq("m", "code"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .groupBy(col("query_id"), col("neighbor_id"))
-        .agg(Det.rS(Det.dsum(col("d")), 6).as("adc"))
-      val short = TopKPerGroup(adc, Seq("query_id"),
+      val short = TopKPerGroup(pqAdcScores(spark, dir), Seq("query_id"),
         Seq("adc" -> false, "neighbor_id" -> false), 10, rnName = "srank")
         .select(col("query_id"), col("neighbor_id"))
       // exact stage: |queries| x 10 rows join back to raw embeddings —
@@ -574,7 +584,44 @@ object Advanced {
     }
   )
 
+  /** Per-subspace quantization distortion — the codebook-quality audit
+    * a pipeline tracks across corpus snapshots (rising distortion =
+    * the frozen quantizer has drifted off the data and the index needs
+    * a retrain/new buildVersion): for every vector the CHOSEN
+    * codeword's squared error, aggregated per subspace (count, mean,
+    * max). Real values, fully oracle-replayed — the sibling of the
+    * constant-verdict audits, proving the engine can also ship
+    * NUMERIC drift metrics through the same deterministic algebra. */
+  val pqDistortionReport: Q = Q(
+    "pq_distortion_report",
+    Some(
+      s"WITH $pqOracleCtes, " +
+        "chosen AS (SELECT vec_id, m, d FROM " +
+        "(SELECT sd.*, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, label) AS rn " +
+        "FROM sd) WHERE rn = 1) " +
+        "SELECT m, count(*) AS n_vecs, " +
+        Det.oRS(Det.oAvg("d"), 6) + " AS mean_sq_err, " +
+        Det.oRS("max(d)", 6) + " AS max_sq_err " +
+        "FROM chosen GROUP BY m ORDER BY m"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.graftx.TopKPerGroup
+      val (cbPath, _) = pqIndexPath(spark, dir)
+      val cb = spark.read.parquet(cbPath)
+      val chosen = TopKPerGroup(
+        pqSubDists(Tables.embeddings(spark, dir), cb),
+        Seq("vec_id", "m"), Seq("d" -> false, "label" -> false), 1)
+      chosen
+        .groupBy(col("m"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          Det.rS(Det.davg(col("d")), 6).as("mean_sq_err"),
+          Det.rS(max(col("d")), 6).as("max_sq_err"))
+        .orderBy(col("m"))
+    }
+  )
+
   def qs: Seq[Q] =
     Seq(ivfCentroids, simAnnIvf, simAnnIvfPersisted, funnelVcp, dedupSemantic,
-      pqCodebooks, simAnnPq, simAnnPqRerank)
+      pqCodebooks, simAnnPq, simAnnPqRerank, pqDistortionReport)
 }
