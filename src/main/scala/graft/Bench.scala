@@ -266,13 +266,11 @@ object Bench {
     // min2; a genuinely expensive plan shows min2 ~= first — exactly
     // the attribution the r11 verdict could not make from the artifact.
     // Queries that memoize driver-side state are EXCLUDED: their second
-    // run measures the memo hit, not the plan (the cluster-label cache
-    // behind the four dedup cluster consumers, and the stream-parity
-    // report's per-fingerprint memo).
-    val memoized = Set("dedup_clusters", "dedup_report", "dedup_soft_weights",
-      "dedup_best_of_cluster", "stream_equivalence_report")
+    // run measures the memo hit, not the plan. The flag lives on the Q
+    // itself (Registry.scala) so a future memoizing row cannot silently
+    // corrupt this pass by being missing from a list here.
     val min2 = results
-      .filter(r => !memoized(r._1))
+      .filter(r => !Registry.byName(r._1).memoizes)
       .sortBy(-_._2)
       .take(10)
       .map { case (name, first, _) =>

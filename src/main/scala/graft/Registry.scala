@@ -4,18 +4,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** One engine operator exposed through the driver contract.
   *
-  * @param name   key in `SparkEntry.queries`
-  * @param oracle equivalent ANSI SQL for DuckDB 1.0 over the same parquet
-  *               tables (bare table names, per the driver contract
-  *               example); None for non-SQL-expressible ops (driver then
-  *               records a weaker rows-only check).
-  * @param run    lazy plan constructor — must be deterministic and end in
-  *               a total-order sort (SURVEY §2.9.1).
+  * @param name     key in `SparkEntry.queries`
+  * @param oracle   equivalent ANSI SQL for DuckDB 1.0 over the same parquet
+  *                 tables (bare table names, per the driver contract
+  *                 example); None for non-SQL-expressible ops (driver then
+  *                 records a weaker rows-only check).
+  * @param run      lazy plan constructor — must be deterministic and end in
+  *                 a total-order sort (SURVEY §2.9.1).
+  * @param memoizes true when `run` caches driver-side state keyed on the
+  *                 input fingerprint (cluster labels, the stream-parity
+  *                 report), so a SECOND run in the same JVM measures the
+  *                 memo hit, not the plan — the bench's min-of-2 pass
+  *                 skips these. Set it on any new memoizing row; a stale
+  *                 flag silently corrupts min2's attribution.
   */
 final case class Q(
     name: String,
     oracle: Option[String],
-    run: (SparkSession, String) => DataFrame
+    run: (SparkSession, String) => DataFrame,
+    memoizes: Boolean = false
 )
 
 /** Central operator registry. `SparkEntry.queries`/`oracleSql` derive from

@@ -989,7 +989,8 @@ object Dedup {
   val dedupClusters: Q = Q(
     "dedup_clusters",
     Some(clustersOracleBody + " ORDER BY doc.doc_id"),
-    (spark, dir) => clustersFrame(spark, dir).orderBy(col("doc_id"))
+    (spark, dir) => clustersFrame(spark, dir).orderBy(col("doc_id")),
+    memoizes = true // clusterCache: a second run serves the label memo
   )
 
   /** Unsorted (doc_id, cluster, is_survivor) labeling — shared by
@@ -1184,7 +1185,8 @@ object Dedup {
           ).as("kept_ratio")
         )
         .orderBy(col("lang"))
-    }
+    },
+    memoizes = true // shares clusterCache with dedup_clusters
   )
 
   /** Soft dedup: instead of DROPPING near-dup copies, DOWN-WEIGHT
@@ -1237,7 +1239,8 @@ object Dedup {
           Det.rS(Det.dsum(col("w")) / sum(col("tokens")).cast("double"), 6).as("dedup_discount")
         )
         .orderBy(col("source"))
-    }
+    },
+    memoizes = true // shares clusterCache with dedup_clusters
   )
 
   /** Threshold-sensitivity curve: near-dup pair counts in 0.05-wide
@@ -1392,7 +1395,8 @@ object Dedup {
         .join(sizes, Seq("cluster"))
         .select(col("cluster"), col("kept_doc_id"), col("n_docs"), col("n_chars"))
         .orderBy(col("cluster"))
-    }
+    },
+    memoizes = true // shares clusterCache with dedup_clusters
   )
 
   /** Incremental dedup — the shape the daily job actually runs: a NEW

@@ -184,7 +184,8 @@ object StreamEquivalence {
         "('ingest_screen_minhash', 1, 1, 1), ('ingest_screen_contam', 1, 1, 1)" +
         ") AS t(family, nonempty, rows_match, bit_equal) ORDER BY family"
     ),
-    (spark, dir) => equivalenceReport(spark, dir)
+    (spark, dir) => equivalenceReport(spark, dir),
+    memoizes = true // reportCache: a second run serves the memoized verdicts
   )
 
   val qs: Seq[Q] = Seq(streamEquivalenceReport)

@@ -61,6 +61,18 @@ class AdvancedSpec extends SparkSuite {
     }
   }
 
+  test("PQ encoding is partition-invariant (decimal-sum distances, total-order argmin)") {
+    val (cbPath, _) = operators.Advanced.pqIndexPath(spark, sf)
+    val cb = spark.read.parquet(cbPath)
+    def codesOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Int])] =
+      operators.Advanced.pqCodesOf(df, cb).collect()
+        .map(r => r.getLong(0) -> (1 to 8).map(r.getInt))
+        .sortBy(_._1).toSeq
+    val e = Tables.embeddings(spark, sf)
+    assert(codesOf(e.repartition(13)) == codesOf(e.repartition(1)),
+      "PQ codes must not depend on the input partitioning")
+  }
+
   test("PQ ANN: dense ranks, nonzero recall@3 vs brute force, plan scans the persisted index") {
     val pq = operators.Advanced.simAnnPq.run(spark, sf)
     val rows = pq.collect()
