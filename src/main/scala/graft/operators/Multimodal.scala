@@ -238,5 +238,50 @@ object Multimodal {
     }
   )
 
-  def qs: Seq[Q] = Seq(mmBinaryMeta, mmDecodeFeatures, mmFrameSample, mmPhashDedup, mmSceneCuts)
+  /** Multimodal SAMPLE ASSEMBLY — the join a training-data pipeline
+    * runs last: pair every media payload (binary + typed metadata +
+    * token count) with its embedding vector (norm + label) into one
+    * training-record row. The keyed equi-join is the whole operator:
+    * at 100 TB both sides bucket by the shared id so the join is
+    * co-partitioned with no shuffle, payload bytes stay opaque (only
+    * metadata columns are computed), and the vector norm is an in-row
+    * codegen fold ([[org.apache.spark.sql.graftx.FloatDot]], bit-equal
+    * to DuckDB's list_dot_product) — no explode, no per-record UDF. */
+  val mmTrainingRecord: Q = Q(
+    "mm_training_record",
+    Some(
+      "SELECT d.doc_id, length(d.text) AS n_bytes, sha256(d.text) AS payload_sha, " +
+        "cast(len(string_split(d.text, ' ')) as bigint) AS tok_count, e.label, " +
+        Det.oRS("sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))", 6) +
+        " AS emb_norm " +
+        "FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id " +
+        "ORDER BY d.doc_id"
+    ),
+    (spark, dir) => {
+      val docs = Tables
+        .documents(spark, dir)
+        .select(
+          col("doc_id"),
+          length(col("text").cast("binary")).cast("long").as("n_bytes"),
+          sha2(col("text").cast("binary"), 256).as("payload_sha"),
+          size(split(col("text"), " ")).cast("long").as("tok_count"))
+      val vecs = Tables
+        .embeddings(spark, dir)
+        .select(
+          col("vec_id"),
+          col("label"),
+          Det.rS(
+            sqrt(org.apache.spark.sql.graftx.FloatDot.dot(col("embedding"), col("embedding"))),
+            6).as("emb_norm"))
+      docs
+        .join(vecs, docs("doc_id") === vecs("vec_id"))
+        .select(col("doc_id"), col("n_bytes"), col("payload_sha"),
+          col("tok_count"), col("label"), col("emb_norm"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  def qs: Seq[Q] =
+    Seq(mmBinaryMeta, mmDecodeFeatures, mmFrameSample, mmPhashDedup, mmSceneCuts,
+      mmTrainingRecord)
 }
