@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Det, Q, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** IVF-style similarity search and event-funnel analysis.
@@ -356,52 +356,80 @@ object Advanced {
   private val PqM      = 8 // subspaces
   private val PqSubDim = 8 // dims per subspace (8 x 8 = the 64-dim contract)
 
-  /** Shared oracle fragments: per-component explode with subspace
-    * coordinates, and the sub-codebook (rounded per-label subvector
-    * means). Kept as one string so the codebook row and the ADC row
-    * can never drift apart. */
-  private val pqOracleCtes: String =
-    "e AS (SELECT vec_id, label, unnest(embedding) AS v, unnest(range(0, 64)) AS i " +
-      "FROM embeddings), " +
-      "cb AS (SELECT i // 8 AS m, label, i % 8 AS dim, " +
-      Det.oRS("cast(sum(cast(v::DOUBLE as decimal(30,8))) as double) / count(*)", 6) +
-      " AS c FROM e GROUP BY 1, 2, 3), " +
-      "s AS (SELECT vec_id, i // 8 AS m, i % 8 AS dim, v::DOUBLE AS v FROM e), " +
-      "sd AS (SELECT s.vec_id, s.m, cb.label, " +
-      Det.oSum("(s.v - cb.c) * (s.v - cb.c)") +
-      " AS d FROM s JOIN cb ON s.m = cb.m AND s.dim = cb.dim GROUP BY 1, 2, 3)"
+  /** Lloyd refinement iterations over the label-mean seeds (cid = label*8 + vec_id%8, K = 80 codewords
+    * per subspace). Label means alone quantize POORLY — labels cluster the FULL vector, so the 10
+    * per-label subvector means are near-duplicates inside each
+    * subspace (measured recall@3 vs exact: 0.117). Each iteration is
+    * the deterministic, engine-replayable pair (argmin assignment with
+    * a total-order tie-break -> decimal-mean recompute, empty cells
+    * keeping their previous codeword), so the oracle replays the whole
+    * training loop symbolically. Measured at sf0.01 (recall@3 of the
+    * re-rank row vs exact cosine / mean distortion): label-mean seeds
+    * alone 0.22 / 0.109; +2 Lloyd iters 0.31 / 0.082; K=40 hash-split
+    * seeds 0.52 / 0.054; K=80 (shipped) 0.72 / 0.041 — the hash-split
+    * seeds start near-redundant (a random subset's mean ~= the label
+    * mean) but the assignment cells separate them within two
+    * iterations. */
+  private val PqIters = 2
 
-  /** The sub-codebooks as (m, label, dim, c) rows — [[ivfCentroids]]'
-    * proven mean spelling applied per subspace. */
+  /** Shared oracle fragments: per-component explode with subspace
+    * coordinates, the seed sub-codebooks (per-label subvector means),
+    * [[PqIters]] Lloyd refinements, and the final per-vector
+    * sub-distances `sd`. Kept as ONE generated string so the codebook
+    * row and the ADC rows can never drift apart. */
+  private val pqOracleCtes: String = {
+    // Squared subvector distance via the dot identity
+    // |s|^2 + |c|^2 - 2 s.c, each dot a list_dot_product — the
+    // sequential IEEE fold Spark's zip_with/aggregate HOF reproduces
+    // bit-for-bit (the equivalence the IVF oracle already rests on).
+    def sdCte(name: String, cbName: String): String =
+      s"${name}l AS (SELECT m, cid, list(c ORDER BY dim) AS carr FROM $cbName GROUP BY m, cid), " +
+        s"$name AS (SELECT sv.vec_id, sv.m, cbl.cid, " +
+        "list_dot_product(sv.sub, sv.sub) + list_dot_product(cbl.carr, cbl.carr) " +
+        "- 2 * list_dot_product(sv.sub, cbl.carr) AS d " +
+        s"FROM sv JOIN ${name}l cbl ON sv.m = cbl.m)"
+    val head =
+      "e AS (SELECT vec_id, label, unnest(embedding) AS v, unnest(range(0, 64)) AS i " +
+        "FROM embeddings), " +
+        "cb0 AS (SELECT i // 8 AS m, CAST(label * 8 + vec_id % 8 AS INT) AS cid, i % 8 AS dim, " +
+        Det.oRS("cast(sum(cast(v::DOUBLE as decimal(30,8))) as double) / count(*)", 6) +
+        " AS c FROM e GROUP BY 1, 2, 3), " +
+        "s AS (SELECT vec_id, i // 8 AS m, i % 8 AS dim, v::DOUBLE AS v FROM e), " +
+        "ms AS (SELECT unnest(range(0, 8)) AS m), " +
+        "sv AS (SELECT vec_id, ms.m, " +
+        "list_slice(embedding::DOUBLE[], ms.m * 8 + 1, ms.m * 8 + 8) AS sub " +
+        "FROM embeddings CROSS JOIN ms)"
+    val iters = (1 to PqIters).map { it =>
+      sdCte(s"sd${it - 1}", s"cb${it - 1}") + ", " +
+        s"asg$it AS (SELECT vec_id, m, cid FROM " +
+        s"(SELECT sd.*, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn " +
+        s"FROM sd${it - 1} sd) WHERE rn = 1), " +
+        s"ref$it AS (SELECT s.m, a.cid, s.dim, " +
+        Det.oRS("cast(sum(cast(s.v as decimal(30,8))) as double) / count(*)", 6) +
+        s" AS c FROM s JOIN asg$it a ON a.vec_id = s.vec_id AND a.m = s.m " +
+        "GROUP BY 1, 2, 3), " +
+        s"cb$it AS (SELECT cb.m, cb.cid, cb.dim, coalesce(r.c, cb.c) AS c " +
+        s"FROM cb${it - 1} cb LEFT JOIN ref$it r " +
+        "ON r.m = cb.m AND r.cid = cb.cid AND r.dim = cb.dim)"
+    }
+    (Seq(head) ++ iters ++ Seq(
+      s"cb AS (SELECT * FROM cb$PqIters)",
+      sdCte("sd", "cb"))).mkString(", ")
+  }
+
+  /** The refined sub-codebooks as (m, cid, dim, c) rows — codeword ids
+    * are the seeding labels; values are the Lloyd-refined means. */
   val pqCodebooks: Q = Q(
     "pq_codebooks",
     Some(
-      s"WITH $pqOracleCtes SELECT m, label, dim, c FROM cb ORDER BY m, label, dim"
+      s"WITH $pqOracleCtes SELECT m, cid, dim, c FROM cb ORDER BY m, cid, dim"
     ),
-    (spark, dir) => codebookFrame(spark, dir).orderBy(col("m"), col("label"), col("dim"))
+    (spark, dir) => codebookFrame(spark, dir).orderBy(col("m"), col("cid"), col("dim"))
   )
 
-  /** Per-(subspace, label) codeword components, rounded to 6 dp so the
-    * downstream squared-distance arithmetic starts from bit-identical
-    * doubles in both engines. */
-  private def codebookFrame(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    Tables
-      .embeddings(spark, dir)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
-      .select(
-        col("label"),
-        (col("i") / lit(PqSubDim)).cast("long").as("m"),
-        (col("i") % lit(PqSubDim)).cast("long").as("dim"),
-        col("v").cast("double").as("v"))
-      .groupBy(col("m"), col("label"), col("dim"))
-      .agg(Det.rS(Det.davg(col("v")), 6).as("c"))
-
-  /** Squared L2 of every input vector's m-th subvector to every
-    * codeword of subspace m — the one kernel both ENCODING (argmin
-    * over codewords) and the per-query ADC distance table are made of.
-    * Decimal-summed (order-independent), so cross-engine and
-    * cross-partitioning bit-equal. */
-  private def pqSubDists(vecs: DataFrame, cb: DataFrame): DataFrame =
+  /** Per-vector subspace components (vec_id, m, dim, v) — the explode
+    * both the codebook training and the distance kernel start from. */
+  private def pqComponents(vecs: DataFrame): DataFrame =
     vecs
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
       .select(
@@ -409,12 +437,79 @@ object Advanced {
         (col("i") / lit(PqSubDim)).cast("long").as("m"),
         (col("i") % lit(PqSubDim)).cast("long").as("dim"),
         col("v").cast("double").as("v"))
-      .join(broadcast(cb), Seq("m", "dim"))
-      .groupBy(col("vec_id"), col("m"), col("label"))
-      .agg(Det.dsum((col("v") - col("c")) * (col("v") - col("c"))).as("d"))
+
+  /** One Lloyd iteration: assign every subvector to its nearest
+    * codeword (total-order tie-break), recompute each cell's decimal
+    * mean, keep the PREVIOUS codeword for cells no subvector chose.
+    * Every step is deterministic and partitioning-independent, which
+    * is what lets the DuckDB oracle replay the training loop. */
+  private def pqRefineOnce(vecs: DataFrame, cb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftx.TopKPerGroup
+    val asg = TopKPerGroup(
+      pqSubDists(vecs, cb),
+      Seq("vec_id", "m"), Seq("d" -> false, "cid" -> false), 1)
+      .select(col("vec_id"), col("m"), col("cid"))
+    val refined = pqComponents(vecs)
+      .join(asg, Seq("vec_id", "m"))
+      .groupBy(col("m"), col("cid"), col("dim"))
+      .agg(Det.rS(Det.davg(col("v")), 6).as("rc"))
+    cb.join(refined, Seq("m", "cid", "dim"), "left_outer")
+      .select(col("m"), col("cid"), col("dim"), coalesce(col("rc"), col("c")).as("c"))
+  }
+
+  /** Seed + [[PqIters]] refinements = the trained codebook frame the
+    * view build materializes. Seeds are per-label subvector means
+    * through the proven decimal-mean spelling, rounded to 6 dp so all
+    * downstream squared-distance arithmetic starts from bit-identical
+    * doubles in both engines. */
+  private def codebookFrame(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+    val seed = pqComponents(vecs)
+      .join(vecs.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy(
+        col("m"),
+        (col("label").cast("int") * 8 + pmod(col("vec_id"), lit(8)).cast("int")).as("cid"),
+        col("dim"))
+      .agg(Det.rS(Det.davg(col("v")), 6).as("c"))
+    (1 to PqIters).foldLeft(seed)((cb, _) => pqRefineOnce(vecs, cb))
+  }
+
+  /** Squared L2 of every input vector's m-th subvector to every
+    * codeword of subspace m — the one kernel codebook training,
+    * ENCODING (argmin over codewords) and the per-query ADC distance
+    * table are all made of. Computed IN-ROW against a broadcast
+    * array-form codebook (|vecs| x M·K projected rows) — NOT by
+    * exploding components and shuffling into a (vec, m, cid)
+    * aggregate: at K = 80 that spelling moved 25.6 M rows into a
+    * 3.2 M-group decimal aggregate per pass and took the sf0.1 index
+    * build to 60 s (negative A/B, r12). The distance is the dot
+    * identity |s|² + |c|² − 2·s·c, each dot the sequential
+    * zip_with/aggregate IEEE fold that is bit-identical to DuckDB's
+    * list_dot_product (the equivalence the IVF and SemDeDup oracles
+    * already rest on) — an all-double kernel; the earlier per-term
+    * decimal(30,8) fold was exact but allocated 16 JVM Decimals per
+    * row (second negative A/B: 24 s build, 6.5 s distortion scan). */
+  private def pqSubDists(vecs: DataFrame, cb: DataFrame): DataFrame = {
+    val cbArr = cb
+      .groupBy(col("m"), col("cid"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
+      .select(col("m"), col("cid"), expr("transform(dc, x -> x.c)").as("carr"))
+    def fold(products: Column): Column =
+      aggregate(products, lit(0.0), (acc, x) => acc + x)
+    def dotFF(a: Column) = fold(zip_with(a, a, (x, y) => x.cast("double") * y.cast("double")))
+    def dotDD(a: Column) = fold(zip_with(a, a, (x, y) => x * y))
+    def dotFD(a: Column, b: Column) = fold(zip_with(a, b, (x, y) => x.cast("double") * y))
+    vecs
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cbArr)) // bounded build: M x K codeword rows
+      .withColumn("sub", slice(col("embedding"), (col("m") * PqSubDim + 1).cast("int"), lit(PqSubDim)))
+      .select(col("vec_id"), col("m"), col("cid"),
+        (dotFF(col("sub")) + dotDD(col("carr")) - lit(2.0) * dotFD(col("sub"), col("carr")))
+          .as("d"))
+  }
 
   /** PQ-encode ANY (vec_id, embedding) frame against a FROZEN codebook
-    * — nearest codeword per subspace (ties to the smaller label),
+    * — nearest codeword per subspace (ties to the smaller cid),
     * pivoted to ONE compact row (vec_id, c0..c7) per vector: the
     * stored index is M small ints per vector, the whole point of PQ.
     * A pure per-vector function once the codebook is frozen, so the
@@ -427,8 +522,8 @@ object Advanced {
     val code = TopKPerGroup(
       pqSubDists(embs, cb),
       Seq("vec_id", "m"),
-      Seq("d" -> false, "label" -> false), 1)
-      .select(col("vec_id"), col("m"), col("label").as("code"))
+      Seq("d" -> false, "cid" -> false), 1)
+      .select(col("vec_id"), col("m"), col("cid").as("code"))
     val aggs = (0 until PqM).map(m =>
       max(when(col("m") === m, col("code"))).as(s"c$m"))
     code.groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
@@ -437,14 +532,17 @@ object Advanced {
   /** Write-once PQ index: sub-codebooks + compact code rows, two paths
     * in one [[graft.ViewStore]] family ([[ivfIndexPath]]'s shape). The
     * codes build reads the MATERIALIZED codebook parquet, so both
-    * tables derive from one consistent quantizer. */
+    * tables derive from one consistent quantizer. buildVersion 3: the
+    * r12 post-close Lloyd refinement (v2), the hash-split seeds (v3/v4) and the dot-identity kernel (v5) each changed the codebook DERIVATION
+    * (seed-only v1 stores must not satisfy the exists-check). */
   private[graft] def pqIndexPath(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): (String, String) = {
     val cbPath =
-      graft.ViewStore.materialize(spark, "graft_pq_index/codebooks", dir)(
+      graft.ViewStore.materialize(spark, "graft_pq_index/codebooks", dir, buildVersion = 5)(
         codebookFrame(spark, dir))
-    val codesPath = graft.ViewStore.materialize(spark, "graft_pq_index/codes", dir)(
+    val codesPath = graft.ViewStore.materialize(
+      spark, "graft_pq_index/codes", dir, buildVersion = 5)(
       pqCodesOf(Tables.embeddings(spark, dir), spark.read.parquet(cbPath)))
     (cbPath, codesPath)
   }
@@ -462,12 +560,12 @@ object Advanced {
     "sim_ann_pq",
     Some(
       s"WITH $pqOracleCtes, " +
-        "code AS (SELECT vec_id, m, label AS code FROM " +
-        "(SELECT sd.*, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, label) AS rn " +
+        "code AS (SELECT vec_id, m, cid AS code FROM " +
+        "(SELECT sd.*, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn " +
         "FROM sd) WHERE rn = 1), " +
         "adc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
         Det.oRS(Det.oSum("q.d"), 6) + " AS adc " +
-        "FROM code c JOIN sd q ON q.m = c.m AND q.label = c.code " +
+        "FROM code c JOIN sd q ON q.m = c.m AND q.cid = c.code " +
         "AND q.vec_id < 100 AND q.vec_id != c.vec_id GROUP BY 1, 2), " +
         "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) " +
         "AS rank FROM adc) " +
@@ -507,7 +605,7 @@ object Advanced {
     val codes = spark.read.parquet(codesPath)
     val qdt = pqSubDists(Tables.embeddings(spark, dir).filter(col("vec_id") < 100), cb)
       .groupBy(col("vec_id"), col("m"))
-      .agg(map_from_arrays(collect_list(col("label")), collect_list(col("d"))).as("md"))
+      .agg(map_from_arrays(collect_list(col("cid")), collect_list(col("d"))).as("md"))
       .groupBy(col("vec_id"))
       .agg(map_from_arrays(collect_list(col("m")), collect_list(col("md"))).as("dt"))
       .select(col("vec_id").as("query_id"), col("dt"))
@@ -538,16 +636,16 @@ object Advanced {
     "sim_ann_pq_rerank",
     Some(
       s"WITH $pqOracleCtes, " +
-        "code AS (SELECT vec_id, m, label AS code FROM " +
-        "(SELECT sd.*, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, label) AS rn " +
+        "code AS (SELECT vec_id, m, cid AS code FROM " +
+        "(SELECT sd.*, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn " +
         "FROM sd) WHERE rn = 1), " +
         "adc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
         Det.oRS(Det.oSum("q.d"), 6) + " AS adc " +
-        "FROM code c JOIN sd q ON q.m = c.m AND q.label = c.code " +
+        "FROM code c JOIN sd q ON q.m = c.m AND q.cid = c.code " +
         "AND q.vec_id < 100 AND q.vec_id != c.vec_id GROUP BY 1, 2), " +
         "short AS (SELECT query_id, neighbor_id FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) " +
-        "AS srank FROM adc) WHERE srank <= 10), " +
+        "AS srank FROM adc) WHERE srank <= 20), " +
         "ex AS (SELECT s.query_id, s.neighbor_id, " +
         Det.oRS("list_dot_product(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[])", 6) +
         " AS cos FROM short s " +
@@ -562,7 +660,7 @@ object Advanced {
       import org.apache.spark.sql.graftx.TopKPerGroup
       val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 100)
       val short = TopKPerGroup(pqAdcScores(spark, dir), Seq("query_id"),
-        Seq("adc" -> false, "neighbor_id" -> false), 10, rnName = "srank")
+        Seq("adc" -> false, "neighbor_id" -> false), 20, rnName = "srank")
         .select(col("query_id"), col("neighbor_id"))
       // exact stage: |queries| x 10 rows join back to raw embeddings —
       // the shortlist broadcasts, the base table is probed by join, and
@@ -597,7 +695,7 @@ object Advanced {
     Some(
       s"WITH $pqOracleCtes, " +
         "chosen AS (SELECT vec_id, m, d FROM " +
-        "(SELECT sd.*, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, label) AS rn " +
+        "(SELECT sd.*, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn " +
         "FROM sd) WHERE rn = 1) " +
         "SELECT m, count(*) AS n_vecs, " +
         Det.oRS(Det.oAvg("d"), 6) + " AS mean_sq_err, " +
@@ -610,7 +708,7 @@ object Advanced {
       val cb = spark.read.parquet(cbPath)
       val chosen = TopKPerGroup(
         pqSubDists(Tables.embeddings(spark, dir), cb),
-        Seq("vec_id", "m"), Seq("d" -> false, "label" -> false), 1)
+        Seq("vec_id", "m"), Seq("d" -> false, "cid" -> false), 1)
       chosen
         .groupBy(col("m"))
         .agg(
