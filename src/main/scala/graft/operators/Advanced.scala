@@ -100,22 +100,32 @@ object Advanced {
     * tiebreaks — so the full quantize→probe→re-rank cascade
     * hash-matches SQL; recall vs brute force stays property-tested in
     * AdvancedSpec. */
+  /** The coarse-quantizer CTE fragment shared by the IVF rows and the
+    * IVF-PQ row: decimal-mean centroids `cl`, full-corpus nearest-list
+    * assignment `asg` (label/embedding carried for downstream residual
+    * computation), and the nprobe=2 probe side `pro`. `cl` is
+    * MATERIALIZED — the residual chain references it three times and
+    * DuckDB's default inlining re-evaluates a CTE per reference. */
+  private val ivfCoarseCtes: String =
+    "u AS (SELECT label, unnest(embedding) AS v, unnest(range(1, 65)) AS dim " +
+      "FROM embeddings), " +
+      "cm AS (SELECT label, dim, " +
+      "cast(sum(cast(v::DOUBLE as decimal(30,8))) as double) / count(*) AS c " +
+      "FROM u GROUP BY label, dim), " +
+      "cl AS MATERIALIZED (SELECT label AS list_id, list(c ORDER BY dim) AS centroid " +
+      "FROM cm GROUP BY label), " +
+      "ad AS (SELECT e.vec_id, e.label, e.embedding, cl.list_id, " +
+      "list_dot_product(e.embedding::DOUBLE[], cl.centroid) AS d " +
+      "FROM embeddings e CROSS JOIN cl), " +
+      "asg AS (SELECT vec_id, label, embedding, list_id FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, list_id) AS r FROM ad) " +
+      "WHERE r = 1), " +
+      "pro AS (SELECT vec_id AS query_id, embedding AS qe, list_id FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, list_id) AS r " +
+      "FROM ad WHERE vec_id < 100) WHERE r <= 2)"
+
   private val ivfOracleSql: String =
-      "WITH u AS (SELECT label, unnest(embedding) AS v, unnest(range(1, 65)) AS dim " +
-        "FROM embeddings), " +
-        "cm AS (SELECT label, dim, " +
-        "cast(sum(cast(v::DOUBLE as decimal(30,8))) as double) / count(*) AS c " +
-        "FROM u GROUP BY label, dim), " +
-        "cl AS (SELECT label AS list_id, list(c ORDER BY dim) AS centroid FROM cm GROUP BY label), " +
-        "ad AS (SELECT e.vec_id, e.embedding, cl.list_id, " +
-        "list_dot_product(e.embedding::DOUBLE[], cl.centroid) AS d " +
-        "FROM embeddings e CROSS JOIN cl), " +
-        "asg AS (SELECT vec_id, embedding, list_id FROM " +
-        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, list_id) AS r FROM ad) " +
-        "WHERE r = 1), " +
-        "pro AS (SELECT vec_id AS query_id, embedding AS qe, list_id FROM " +
-        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, list_id) AS r " +
-        "FROM ad WHERE vec_id < 100) WHERE r <= 2), " +
+      s"WITH $ivfCoarseCtes, " +
         "cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
         Det.oRS("list_dot_product(p.qe::DOUBLE[], a.embedding::DOUBLE[])", 6) + " AS cos, " +
         "a.list_id FROM pro p JOIN asg a USING (list_id) WHERE p.query_id != a.vec_id), " +
@@ -372,12 +382,27 @@ object Advanced {
     * iterations. */
   private val PqIters = 2
 
-  /** Shared oracle fragments: per-component explode with subspace
-    * coordinates, the seed sub-codebooks (per-label subvector means),
-    * [[PqIters]] Lloyd refinements, and the final per-vector
-    * sub-distances `sd`. Kept as ONE generated string so the codebook
-    * row and the ADC rows can never drift apart. */
-  private val pqOracleCtes: String = {
+  /** Generate the training CTE chain over any source table carrying
+    * (vec_id, label, <vector>): seeds (cid = label*split + vec_id%split
+    * — K = 10*split codewords per subspace), [[PqIters]] Lloyd
+    * refinements, final `cb`/`sdl`/`sd`. The base PQ family
+    * instantiates it over raw `embeddings` (split = 8); the IVF-PQ row
+    * instantiates it over the residual CTE (split = [[IvfPqSeedSplit]]
+    * — residuals carry far less variance, so a smaller codebook
+    * suffices). `cb{i}` CTEs are MATERIALIZED: each is referenced twice
+    * by the next iteration and DuckDB's default inlining re-evaluates
+    * the whole chain per reference.
+    *
+    * @param tbl       source CTE/table name
+    * @param embUnnest column to unnest for per-component rows
+    * @param embList   DOUBLE[]-typed expression for list_slice
+    * @param seedSplit per-label hash-split fan-out of the seeds
+    */
+  private def pqTrainCtes(
+      tbl: String,
+      embUnnest: String,
+      embList: String,
+      seedSplit: Int): String = {
     // Squared subvector distance via the dot identity
     // |s|^2 + |c|^2 - 2 s.c, each dot a list_dot_product — the
     // sequential IEEE fold Spark's zip_with/aggregate HOF reproduces
@@ -389,16 +414,17 @@ object Advanced {
         "- 2 * list_dot_product(sv.sub, cbl.carr) AS d " +
         s"FROM sv JOIN ${name}l cbl ON sv.m = cbl.m)"
     val head =
-      "e AS (SELECT vec_id, label, unnest(embedding) AS v, unnest(range(0, 64)) AS i " +
-        "FROM embeddings), " +
-        "cb0 AS (SELECT i // 8 AS m, CAST(label * 8 + vec_id % 8 AS INT) AS cid, i % 8 AS dim, " +
+      s"e AS (SELECT vec_id, label, unnest($embUnnest) AS v, unnest(range(0, 64)) AS i " +
+        s"FROM $tbl), " +
+        s"cb0 AS (SELECT i // 8 AS m, CAST(label * $seedSplit + vec_id % $seedSplit AS INT) " +
+        "AS cid, i % 8 AS dim, " +
         Det.oRS("cast(sum(cast(v::DOUBLE as decimal(30,8))) as double) / count(*)", 6) +
         " AS c FROM e GROUP BY 1, 2, 3), " +
         "s AS (SELECT vec_id, i // 8 AS m, i % 8 AS dim, v::DOUBLE AS v FROM e), " +
         "ms AS (SELECT unnest(range(0, 8)) AS m), " +
         "sv AS (SELECT vec_id, ms.m, " +
-        "list_slice(embedding::DOUBLE[], ms.m * 8 + 1, ms.m * 8 + 8) AS sub " +
-        "FROM embeddings CROSS JOIN ms)"
+        s"list_slice($embList, ms.m * 8 + 1, ms.m * 8 + 8) AS sub " +
+        s"FROM $tbl CROSS JOIN ms)"
     val iters = (1 to PqIters).map { it =>
       sdCte(s"sd${it - 1}", s"cb${it - 1}") + ", " +
         s"asg$it AS (SELECT vec_id, m, cid FROM " +
@@ -408,7 +434,7 @@ object Advanced {
         Det.oRS("cast(sum(cast(s.v as decimal(30,8))) as double) / count(*)", 6) +
         s" AS c FROM s JOIN asg$it a ON a.vec_id = s.vec_id AND a.m = s.m " +
         "GROUP BY 1, 2, 3), " +
-        s"cb$it AS (SELECT cb.m, cb.cid, cb.dim, coalesce(r.c, cb.c) AS c " +
+        s"cb$it AS MATERIALIZED (SELECT cb.m, cb.cid, cb.dim, coalesce(r.c, cb.c) AS c " +
         s"FROM cb${it - 1} cb LEFT JOIN ref$it r " +
         "ON r.m = cb.m AND r.cid = cb.cid AND r.dim = cb.dim)"
     }
@@ -416,6 +442,9 @@ object Advanced {
       s"cb AS (SELECT * FROM cb$PqIters)",
       sdCte("sd", "cb"))).mkString(", ")
   }
+
+  private val pqOracleCtes: String =
+    pqTrainCtes("embeddings", "embedding", "embedding::DOUBLE[]", seedSplit = 8)
 
   /** The refined sub-codebooks as (m, cid, dim, c) rows — codeword ids
     * are the seeding labels; values are the Lloyd-refined means. */
@@ -429,9 +458,9 @@ object Advanced {
 
   /** Per-vector subspace components (vec_id, m, dim, v) — the explode
     * both the codebook training and the distance kernel start from. */
-  private def pqComponents(vecs: DataFrame): DataFrame =
+  private def pqComponents(vecs: DataFrame, embCol: String = "embedding"): DataFrame =
     vecs
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), posexplode(col(embCol)).as(Seq("i", "v")))
       .select(
         col("vec_id"),
         (col("i") / lit(PqSubDim)).cast("long").as("m"),
@@ -443,13 +472,13 @@ object Advanced {
     * mean, keep the PREVIOUS codeword for cells no subvector chose.
     * Every step is deterministic and partitioning-independent, which
     * is what lets the DuckDB oracle replay the training loop. */
-  private def pqRefineOnce(vecs: DataFrame, cb: DataFrame): DataFrame = {
+  private def pqRefineOnce(vecs: DataFrame, cb: DataFrame, embCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.graftx.TopKPerGroup
     val asg = TopKPerGroup(
-      pqSubDists(vecs, cb),
+      pqSubDists(vecs, cb, embCol),
       Seq("vec_id", "m"), Seq("d" -> false, "cid" -> false), 1)
       .select(col("vec_id"), col("m"), col("cid"))
-    val refined = pqComponents(vecs)
+    val refined = pqComponents(vecs, embCol)
       .join(asg, Seq("vec_id", "m"))
       .groupBy(col("m"), col("cid"), col("dim"))
       .agg(Det.rS(Det.davg(col("v")), 6).as("rc"))
@@ -462,16 +491,22 @@ object Advanced {
     * through the proven decimal-mean spelling, rounded to 6 dp so all
     * downstream squared-distance arithmetic starts from bit-identical
     * doubles in both engines. */
-  private def codebookFrame(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val vecs = Tables.embeddings(spark, dir)
-    val seed = pqComponents(vecs)
+  private def codebookFrame(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    codebookFrameOf(Tables.embeddings(spark, dir), "embedding", seedSplit = 8)
+
+  /** Seed + refine over ANY (vec_id, label, vector) frame — the base PQ
+    * family trains on raw embeddings, the IVF-PQ family on coarse
+    * residuals; same loop, same oracle algebra ([[pqTrainCtes]]). */
+  private def codebookFrameOf(vecs: DataFrame, embCol: String, seedSplit: Int): DataFrame = {
+    val seed = pqComponents(vecs, embCol)
       .join(vecs.select(col("vec_id"), col("label")), Seq("vec_id"))
       .groupBy(
         col("m"),
-        (col("label").cast("int") * 8 + pmod(col("vec_id"), lit(8)).cast("int")).as("cid"),
+        (col("label").cast("int") * seedSplit + pmod(col("vec_id"), lit(seedSplit)).cast("int"))
+          .as("cid"),
         col("dim"))
       .agg(Det.rS(Det.davg(col("v")), 6).as("c"))
-    (1 to PqIters).foldLeft(seed)((cb, _) => pqRefineOnce(vecs, cb))
+    (1 to PqIters).foldLeft(seed)((cb, _) => pqRefineOnce(vecs, cb, embCol))
   }
 
   /** Squared L2 of every input vector's m-th subvector to every
@@ -489,7 +524,11 @@ object Advanced {
     * already rest on) — an all-double kernel; the earlier per-term
     * decimal(30,8) fold was exact but allocated 16 JVM Decimals per
     * row (second negative A/B: 24 s build, 6.5 s distortion scan). */
-  private def pqSubDists(vecs: DataFrame, cb: DataFrame): DataFrame = {
+  private def pqSubDists(
+      vecs: DataFrame,
+      cb: DataFrame,
+      embCol: String = "embedding",
+      keys: Seq[String] = Seq("vec_id")): DataFrame = {
     val cbArr = cb
       .groupBy(col("m"), col("cid"))
       .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
@@ -500,12 +539,12 @@ object Advanced {
     def dotDD(a: Column) = fold(zip_with(a, a, (x, y) => x * y))
     def dotFD(a: Column, b: Column) = fold(zip_with(a, b, (x, y) => x.cast("double") * y))
     vecs
-      .select(col("vec_id"), col("embedding"))
+      .select(keys.map(col) :+ col(embCol): _*)
       .crossJoin(broadcast(cbArr)) // bounded build: M x K codeword rows
-      .withColumn("sub", slice(col("embedding"), (col("m") * PqSubDim + 1).cast("int"), lit(PqSubDim)))
-      .select(col("vec_id"), col("m"), col("cid"),
+      .withColumn("sub", slice(col(embCol), (col("m") * PqSubDim + 1).cast("int"), lit(PqSubDim)))
+      .select(keys.map(col) ++ Seq(col("m"), col("cid"),
         (dotFF(col("sub")) + dotDD(col("carr")) - lit(2.0) * dotFD(col("sub"), col("carr")))
-          .as("d"))
+          .as("d")): _*)
   }
 
   /** PQ-encode ANY (vec_id, embedding) frame against a FROZEN codebook
@@ -719,7 +758,170 @@ object Advanced {
     }
   )
 
+  // ----------------------------------------------------------------
+  // IVF-PQ (residual ADC) — the composition of the two quantizers
+  // above into the architecture large-scale ANN actually deploys
+  // (FAISS "IVFADC", Jégou et al. §IV): the coarse quantizer prunes
+  // WHICH inverted lists a query reads (the I/O win), and product
+  // quantization compresses WHAT is stored per vector — applied to the
+  // RESIDUAL r = x − centroid(list), which carries far less variance
+  // than x itself, so a smaller codebook ([[IvfPqSeedSplit]] → K = 40
+  // vs the flat family's 80) quantizes it better. Serving shape at
+  // 100 TB: the codes table is (list_id, vec_id, 8 small ints) —
+  // list_id-partitionable; a query quantizes against the ~10-row
+  // coarse table map-side, builds one M x K distance table per probed
+  // list from its RESIDUAL, and the candidate scan is an EQUI-JOIN on
+  // list_id (the IVF prune) with M map lookups + adds per code row (the
+  // ADC scan) — no float dot and no full-corpus scan anywhere. The
+  // whole cascade (coarse assign → residual → codebook training →
+  // encode → probe → residual distance tables → ADC) is deterministic
+  // and replayed symbolically by the oracle.
+  // ----------------------------------------------------------------
+
+  /** Seed fan-out of the residual codebooks (K = 10 labels × 4). */
+  private val IvfPqSeedSplit = 4
+
+  /** Coarse-assign ANY (vec_id, …, embedding) frame against a FIXED
+    * centroid table and attach the residual `emb` = embedding −
+    * centroid(list) as a DOUBLE array. Pure per-vector once the
+    * quantizer is frozen — the same serving contract as
+    * [[ivfAssignmentsOf]]/[[pqCodesOf]], which is what makes the codes
+    * view micro-batch-maintainable
+    * ([[graft.streaming.StreamDemos.streamedIvfPqCodes]]). */
+  private[graft] def residualsOf(embs: DataFrame, cent: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftx.TopKPerGroup
+    TopKPerGroup(withDist(embs, cent), Seq("vec_id"), Seq("d" -> true, "list_id" -> false), 1)
+      .join(broadcast(cent.select(col("list_id"), col("centroid"))), Seq("list_id"))
+      .withColumn("emb", zip_with(col("embedding"), col("centroid"), (x, c) => x.cast("double") - c))
+      .drop("centroid", "d", "rn", "embedding")
+  }
+
+  /** PQ-encode a residual frame (vec_id, list_id, emb) against a frozen
+    * residual codebook → ONE compact (vec_id, list_id, c0..c7) row per
+    * vector: the stored IVF-PQ index row is a list pointer plus M small
+    * ints. */
+  private[graft] def ivfPqCodesOf(resid: DataFrame, cb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftx.TopKPerGroup
+    val code = TopKPerGroup(
+      pqSubDists(resid, cb, "emb", Seq("vec_id", "list_id")),
+      Seq("vec_id", "m"), Seq("d" -> false, "cid" -> false), 1)
+      .select(col("vec_id"), col("list_id"), col("m"), col("cid").as("code"))
+    val aggs = (0 until PqM).map(m => max(when(col("m") === m, col("code"))).as(s"c$m"))
+    code.groupBy(col("vec_id"), col("list_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Write-once IVF-PQ index: residual sub-codebooks + compact code
+    * rows. The coarse quantizer is the SAME persisted centroid table
+    * the IVF family serves from ([[ivfIndexPath]]) — one quantizer,
+    * two indexes, the production layout. The residual frame is
+    * persisted across the two builds so the coarse assignment runs
+    * once, not once per materialization (a no-op when both views
+    * already exist — persist is lazy and the build lambdas never
+    * fire). */
+  private[graft] def ivfPqIndexPath(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = {
+    val cent  = spark.read.parquet(ivfIndexPath(spark, dir)._1)
+    val resid = residualsOf(Tables.embeddings(spark, dir), cent)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cbPath =
+        graft.ViewStore.materialize(spark, "graft_ivfpq_index/codebooks", dir)(
+          codebookFrameOf(resid, "emb", IvfPqSeedSplit))
+      val codesPath = graft.ViewStore.materialize(spark, "graft_ivfpq_index/codes", dir)(
+        ivfPqCodesOf(resid, spark.read.parquet(cbPath)))
+      (cbPath, codesPath)
+    } finally resid.unpersist(blocking = false)
+  }
+
+  /** The IVF-PQ candidate scan: probes pick their nearest 2 lists
+    * (map-side argmin against the broadcast coarse table), build one
+    * M x K distance table per (query, probed list) from the query's
+    * RESIDUAL in that list, and the codes table joins them by ONE
+    * equi-join on list_id — candidates outside the probed lists are
+    * never read (the IVF prune), and each candidate costs M map
+    * lookups + decimal adds (the ADC scan, [[pqAdcScores]]'s
+    * broadcast-table spelling). */
+  private def ivfPqAdcScores(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.graftx.TopKPerGroup
+    val (cbPath, codesPath) = ivfPqIndexPath(spark, dir)
+    val cb    = spark.read.parquet(cbPath)
+    val codes = spark.read.parquet(codesPath)
+    val cent  = spark.read.parquet(ivfIndexPath(spark, dir)._1)
+    val probes = TopKPerGroup(
+      withDist(Tables.embeddings(spark, dir).filter(col("vec_id") < 100), cent),
+      Seq("vec_id"), Seq("d" -> true, "list_id" -> false), 2) // nprobe = 2
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("list_id"))
+    val qres = probes
+      .join(broadcast(cent.select(col("list_id"), col("centroid"))), Seq("list_id"))
+      .withColumn("emb", zip_with(col("qe"), col("centroid"), (x, c) => x.cast("double") - c))
+      .select(col("query_id"), col("list_id"), col("emb"))
+    val qdt = pqSubDists(qres, cb, "emb", Seq("query_id", "list_id"))
+      .groupBy(col("query_id"), col("list_id"), col("m"))
+      .agg(map_from_arrays(collect_list(col("cid")), collect_list(col("d"))).as("md"))
+      .groupBy(col("query_id"), col("list_id"))
+      .agg(map_from_arrays(collect_list(col("m")), collect_list(col("md"))).as("dt"))
+    val terms = (0 until PqM).map(m =>
+      element_at(element_at(col("dt"), lit(m.toLong)), col(s"c$m"))
+        .cast(DecimalType(30, 8)))
+    codes
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(qdt), Seq("list_id")) // the IVF prune: equi-join on probed lists
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        col("list_id"),
+        Det.rS(terms.reduce(_ + _).cast("double"), 6).as("adc"))
+  }
+
+  /** ADC top-3 within the probed inverted lists over the PERSISTED
+    * IVF-PQ index. Oracle replays coarse quantizer, residuals, the
+    * residual codebook TRAINING loop, encoding, probe selection, and
+    * the per-list ADC — rows/schema/hash all check. */
+  val simAnnIvfPq: Q = Q(
+    "sim_ann_ivfpq",
+    Some(
+      s"WITH $ivfCoarseCtes, " +
+        "rsv AS MATERIALIZED (SELECT a.vec_id, a.label, a.list_id, " +
+        "list_transform(list_zip(a.embedding::DOUBLE[], cl.centroid), x -> x[1] - x[2]) AS emb " +
+        "FROM asg a JOIN cl ON a.list_id = cl.list_id), " +
+        s"${pqTrainCtes("rsv", "emb", "emb", IvfPqSeedSplit)}, " +
+        "code AS MATERIALIZED (SELECT c.vec_id, r2.list_id, c.m, c.code FROM " +
+        "(SELECT vec_id, m, cid AS code FROM " +
+        "(SELECT sd.*, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn " +
+        "FROM sd) WHERE rn = 1) c JOIN rsv r2 ON c.vec_id = r2.vec_id), " +
+        "qres AS (SELECT p.query_id, p.list_id, " +
+        "list_transform(list_zip(p.qe::DOUBLE[], cl.centroid), x -> x[1] - x[2]) AS emb " +
+        "FROM pro p JOIN cl ON p.list_id = cl.list_id), " +
+        "qsv AS (SELECT query_id, list_id, ms.m, " +
+        "list_slice(emb, ms.m * 8 + 1, ms.m * 8 + 8) AS sub FROM qres CROSS JOIN ms), " +
+        "qsd AS (SELECT q.query_id, q.list_id, q.m, c.cid, " +
+        "list_dot_product(q.sub, q.sub) + list_dot_product(c.carr, c.carr) " +
+        "- 2 * list_dot_product(q.sub, c.carr) AS d FROM qsv q JOIN sdl c ON q.m = c.m), " +
+        "adc AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.list_id, " +
+        Det.oRS(Det.oSum("q.d"), 6) + " AS adc " +
+        "FROM code c JOIN qsd q ON q.list_id = c.list_id AND q.m = c.m AND q.cid = c.code " +
+        "AND q.query_id != c.vec_id GROUP BY 1, 2, 3), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) " +
+        "AS rank FROM adc) " +
+        "SELECT query_id, rank, neighbor_id, adc, list_id FROM r WHERE rank <= 3 " +
+        "ORDER BY query_id, rank"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.graftx.TopKPerGroup
+      TopKPerGroup(ivfPqAdcScores(spark, dir), Seq("query_id"),
+        Seq("adc" -> false, "neighbor_id" -> false), 3, rnName = "rank")
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("adc"), col("list_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+  )
+
   def qs: Seq[Q] =
     Seq(ivfCentroids, simAnnIvf, simAnnIvfPersisted, funnelVcp, dedupSemantic,
-      pqCodebooks, simAnnPq, simAnnPqRerank, pqDistortionReport)
+      pqCodebooks, simAnnPq, simAnnPqRerank, pqDistortionReport, simAnnIvfPq)
 }

@@ -28,8 +28,8 @@ import org.apache.spark.sql.functions._
   * Structured Streaming run: any twin drifting from its batch build
   * flips a flag and fails the driver compare loudly. Results are
   * memoized per (dir, input fingerprint) — the registry-wide plan/row
-  * gates and Verify all call `run`, and the thirteen streaming runs are
-  * the expensive part, not the 13-row report.
+  * gates and Verify all call `run`, and the fourteen streaming runs are
+  * the expensive part, not the 14-row report.
   *
   * At 100 TB the same audit runs as a scheduled job: replay a bounded
   * slice through the maintenance path and diff against the serving
@@ -59,7 +59,7 @@ object StreamEquivalence {
     (if (sN > 0 && bN > 0) 1 else 0, if (sN == bN) 1 else 0, if (bitEq) 1 else 0)
   }
 
-  /** One entry per view family with a streaming twin — the same thirteen
+  /** One entry per view family with a streaming twin — the same fourteen
     * pairings StreamingSpec pins, in one place. Keep this list and the
     * oracle's VALUES list in lockstep. */
   private def computeReport(spark: SparkSession, dir: String): Seq[(String, Int, Int, Int)] = {
@@ -94,6 +94,12 @@ object StreamEquivalence {
         val (_, codesPath) = Advanced.pqIndexPath(spark, dir)
         verdict(
           StreamDemos.streamedPqCodes(spark, dir, copies = 2),
+          spark.read.parquet(codesPath))
+      }),
+      () => ("ivfpq_codes", {
+        val (_, codesPath) = Advanced.ivfPqIndexPath(spark, dir)
+        verdict(
+          StreamDemos.streamedIvfPqCodes(spark, dir, copies = 2),
           spark.read.parquet(codesPath))
       }),
       () => ("minhash_sigs", verdict(
@@ -137,7 +143,7 @@ object StreamEquivalence {
         StreamDemos.contamScreenedIngest(spark, dir, copies = 2),
         TextAnalysis.textContamination.run(spark, dir)))
     )
-    // The thirteen audits are independent (separate streams, separate
+    // The fourteen audits are independent (separate streams, separate
     // driver state, distinct or idempotently-shared staging dirs), and
     // each one spends most of its wall time WAITING on small Spark
     // jobs — run them concurrently on a dedicated pool so the report
@@ -177,6 +183,7 @@ object StreamEquivalence {
       "SELECT * FROM (VALUES " +
         "('bm25_index', 1, 1, 1), ('lsh_sigs', 1, 1, 1), " +
         "('ivf_assignments', 1, 1, 1), ('pq_codes', 1, 1, 1), " +
+        "('ivfpq_codes', 1, 1, 1), " +
         "('minhash_sigs', 1, 1, 1), " +
         "('dedup_sigs', 1, 1, 1), ('simhash_sigs', 1, 1, 1), " +
         "('contam_shingles', 1, 1, 1), ('edge_view', 1, 1, 1), " +

@@ -811,6 +811,46 @@ object StreamDemos {
     )
   }
 
+  /** Streaming maintenance of the IVF-PQ codes table — each micro-batch
+    * of incoming vectors is coarse-assigned and residualized against
+    * the FROZEN centroid table, then PQ-encoded against the FROZEN
+    * residual sub-codebooks
+    * ([[graft.operators.Advanced.residualsOf]] then
+    * [[graft.operators.Advanced.ivfPqCodesOf]] — the composition is a
+    * pure per-vector function once both quantizers are frozen) and
+    * merges by vec_id. Replayed vectors recompute identical
+    * (list_id, c0..c7) rows, so the merge is idempotent; retraining
+    * either quantizer is a new buildVersion/snapshot, never a streaming
+    * concern — the same serving contract as [[streamedPqCodes]]. */
+  def streamedIvfPqCodes(spark: SparkSession, dir: String, copies: Int = 2): DataFrame = {
+    import org.apache.spark.sql.Row
+    val (cbPath, _) = graft.operators.Advanced.ivfPqIndexPath(spark, dir)
+    val cb    = spark.read.parquet(cbPath)
+    val cent  = spark.read.parquet(graft.operators.Advanced.ivfIndexPath(spark, dir)._1)
+    val codes = scala.collection.concurrent.TrieMap.empty[Long, Row]
+    val q = embStream(spark, dir, copies).writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Advanced
+          .ivfPqCodesOf(graft.operators.Advanced.residualsOf(batch, cent), cb)
+          .collect() // bounded by the demo batch, never the corpus
+          .foreach(r => codes.put(r.getLong(0), r))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      codes.values.toSeq.sortBy(_.getLong(0)).asJava,
+      graft.operators.Advanced
+        .ivfPqCodesOf(
+          graft.operators.Advanced.residualsOf(
+            Tables.embeddings(spark, dir).limit(0), cent.limit(0)),
+          cb.limit(0)).schema
+    )
+  }
+
   def runToCompletion(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
     val q: StreamingQuery = streamed.writeStream
       .format("memory")

@@ -92,6 +92,47 @@ class AdvancedSpec extends SparkSuite {
     assert(plan.contains("graft_pq_index"), s"expected PQ index scan in plan:\n$plan")
   }
 
+  test("IVF-PQ ANN: dense ranks, candidates stay in probed lists, plan scans the persisted index") {
+    val q = operators.Advanced.simAnnIvfPq.run(spark, sf)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    for ((_, rs) <- rows.groupBy(_.getLong(0))) {
+      val ranks = rs.map(_.getLong(1)).sorted
+      assert(ranks.zipWithIndex.forall { case (r, i) => r == i + 1L })
+      // nprobe = 2: the top-3 of a query can span at most 2 lists
+      assert(rs.map(_.getInt(4)).distinct.length <= 2)
+    }
+    // every (neighbor, list) pair must be the neighbor's own inverted
+    // list — the candidate came from the index, not a recompute
+    val (_, codesPath) = operators.Advanced.ivfPqIndexPath(spark, sf)
+    val listOf = spark.read.parquet(codesPath).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (r <- rows) assert(listOf(r.getLong(2)) == r.getInt(4))
+    // recall@3 vs brute force is nonzero (coarse pruning + residual
+    // quantization is lossy, but not useless)
+    val brute = operators.Similarity.simCosineTopk.run(spark, sf)
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert((brute & got).nonEmpty)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_ivfpq_index"), s"expected IVF-PQ index scan in plan:\n$plan")
+  }
+
+  test("IVF-PQ encoding is partition-invariant") {
+    val (cbPath, _) = operators.Advanced.ivfPqIndexPath(spark, sf)
+    val cb   = spark.read.parquet(cbPath)
+    val cent = spark.read.parquet(operators.Advanced.ivfIndexPath(spark, sf)._1)
+    def codesOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Seq[Int])] =
+      operators.Advanced.ivfPqCodesOf(operators.Advanced.residualsOf(df, cent), cb).collect()
+        .map(r => (r.getLong(0), r.getInt(1), (2 to 9).map(r.getInt)))
+        .sortBy(_._1).toSeq
+    val e = Tables.embeddings(spark, sf)
+    assert(codesOf(e.repartition(13)) == codesOf(e.repartition(1)),
+      "IVF-PQ codes must not depend on the input partitioning")
+  }
+
   test("funnel timestamps are monotone: view <= click <= purchase") {
     val f = operators.Advanced.funnelVcp.run(spark, sf).collect()
     assert(f.nonEmpty)

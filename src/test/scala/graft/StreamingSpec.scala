@@ -388,6 +388,22 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSeq == batch.toSeq, "streamed PQ codes diverge from the batch index")
   }
 
+  test("streamed IVF-PQ codes == batch-built residual code rows, replay-idempotent") {
+    // new vectors are coarse-assigned + residualized against the FROZEN
+    // centroids, then encoded against the FROZEN residual sub-codebooks
+    // — the composition is pure per-vector, so the replayed merge must
+    // reproduce the batch index bit-exactly
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), (2 to 9).map(r.getInt).toList)
+    val streamed = streaming.StreamDemos.streamedIvfPqCodes(spark, sf, copies = 2)
+      .collect().map(key).sortBy(_._1)
+    val (_, codesPath) = operators.Advanced.ivfPqIndexPath(spark, sf)
+    val batch = spark.read.parquet(codesPath)
+      .collect().map(key).sortBy(_._1)
+    assert(streamed.nonEmpty, "stream must build IVF-PQ codes")
+    assert(streamed.toSeq == batch.toSeq, "streamed IVF-PQ codes diverge from the batch index")
+  }
+
   test("streamed IVF assignments == batch-built inverted lists, replay-idempotent") {
     // new vectors are assigned against the FROZEN persisted quantizer
     // and merge by vec_id — the standard IVF serving contract; the
