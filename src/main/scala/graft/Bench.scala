@@ -92,9 +92,11 @@ object Bench {
       operators.Graph.edgeTablePath(spark, sfDir)
       operators.Advanced.ivfIndexPath(spark, sfDir)
       operators.Advanced.pqIndexPath(spark, sfDir)
+      operators.Advanced.ivfPqIndexPath(spark, sfDir)
       operators.Similarity.lshSigTablePath(spark, sfDir)
       operators.TextAnalysis.bm25IndexPath(spark, sfDir)
       operators.TextAnalysis.contamShingleTablePath(spark, sfDir)
+      operators.TextAnalysis.bpeIndexPath(spark, sfDir)
       (System.nanoTime() - t0) / 1e9
     }
     // Codegen pre-compile for the one mega-plan row: the recall audit

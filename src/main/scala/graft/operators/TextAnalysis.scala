@@ -1614,11 +1614,205 @@ object TextAnalysis {
     }
   )
 
+  // ----------------------------------------------------------------
+  // BPE tokenizer TRAINING — the iterative companion of
+  // [[textBpePairs]] (which counts one round's candidates): learn the
+  // top [[BpeMerges]] merges by replaying the classic loop — count
+  // adjacent symbol pairs weighted by word frequency, merge the argmax
+  // pair everywhere, repeat (Sennrich et al., ACL 2016). Like the PQ
+  // Lloyd loop, every step is deterministic (exact integer counts,
+  // argmax with a total-order (count desc, pair asc) tie-break, and a
+  // fixed [[BpePasses]]-pass literal string replace), so the DuckDB
+  // oracle replays the WHOLE training loop symbolically.
+  //
+  // 100 TB: the corpus is scanned ONCE into a word-frequency table
+  // (vocabulary-sized — the standard trick: BPE statistics are
+  // invariant to collapsing repeated words), persisted, and every
+  // iteration runs on that table alone: one vocab-sized pair aggregate
+  // plus a ONE-row argmax fetch (the kmeans-style bounded model
+  // fetch). Encoding afterwards is a broadcast vocab join. This is
+  // exactly how distributed BPE trainers (e.g. the BigScience/Gopher
+  // pipelines) structure the job.
+  //
+  // Merge application uses a space-delimited symbol string (' k e y ')
+  // and replaces ' A B ' -> ' AB ' in [[BpePasses]] left-to-right
+  // passes. Because the pattern carries both delimiting spaces, a
+  // match can never split a symbol; consecutive occurrences sharing a
+  // delimiter are caught by the later passes. (For odd runs >= 5 of a
+  // self-pair this deviates from the canonical leftmost-greedy scan —
+  // 'a a a a a' becomes 'aa a aa' not 'aa aa a' — but both engines'
+  // replace() has identical continue-after-match semantics, so the
+  // loop is engine-portable and self-consistent, which is the contract
+  // here.)
+  // ----------------------------------------------------------------
+
+  private val BpeMerges = 10
+  private val BpePasses = 3
+
+  /** (tok, freq, st): corpus word frequencies with the initial
+    * space-wrapped character-symbol state. */
+  private def bpeWords(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn(
+        "st",
+        concat(lit(" "), array_join(expr("regexp_extract_all(tok, '.', 0)"), " "), lit(" ")))
+
+  /** Adjacent-pair counts of a word-state frame: (pr = 'A B', n). */
+  private def bpePairCounts(w: DataFrame): DataFrame = {
+    val c = split(trim(col("st")), " ")
+    w.select(
+        col("freq"),
+        explode(
+          filter(
+            zip_with(
+              c,
+              slice(c, lit(2), greatest(size(c) - 1, lit(0))),
+              (a, b) => concat(a, lit(" "), b)),
+            v => v.isNotNull)).as("pr"))
+      .groupBy(col("pr"))
+      .agg(sum(col("freq")).as("n"))
+  }
+
+  /** One merge applied [[BpePasses]] times to a state column. */
+  private def bpeApply(st: Column, pr: String): Column = {
+    val pat = lit(" " + pr + " ")
+    val rep = lit(" " + pr.replace(" ", "") + " ")
+    (1 to BpePasses).foldLeft(st)((e, _) => replace(e, pat, rep))
+  }
+
+  /** Run the training loop: returns the merge list (rank, pair, count).
+    * Driver-iterated like the k-means Lloyd loop — each pass is one
+    * vocab-sized pair aggregate plus a ONE-row argmax fetch. Called
+    * ONLY from inside the [[bpeIndexPath]] merges build, so the loop
+    * runs once per input fingerprint ever; every consumer reads the
+    * write-once view. */
+  private def bpeTrainLoop(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Int, String, Long)] = {
+    // one corpus scan; every iteration reads this vocab-sized cache
+    val w0 = bpeWords(spark, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var st: Column = col("st")
+    for (i <- 1 to BpeMerges) {
+      // the i-th state is i*BpePasses stacked literal replaces over the
+      // cached vocab rows — re-evaluated per iteration, which is cheap
+      // precisely because the frame is vocabulary-sized, not corpus-sized
+      val best = bpePairCounts(w0.withColumn("st", st))
+        .orderBy(col("n").desc, col("pr"))
+        .limit(1)
+        .collect() // ONE row: the model fetch of this iteration
+      val pr = best(0).getString(0)
+      merges += ((i, pr, best(0).getLong(1)))
+      st = bpeApply(st, pr)
+    }
+    w0.unpersist(blocking = false)
+    merges.toSeq
+  }
+
+  /** Write-once BPE tokenizer index: the learned merge table
+    * (rank, lhs, rhs, merged, n) and the final per-word symbol states
+    * (tok, freq, st) — the vocabulary under the frozen tokenizer. The
+    * vocab build does NOT retrain: it re-applies the [[BpeMerges]]
+    * persisted merges (a bounded 10-row fetch + stacked literal
+    * replaces over the vocab-sized word table), so the expensive loop
+    * runs exactly once per input and serving queries are view probes —
+    * the same freeze-then-serve contract as the IVF/PQ quantizers. */
+  private[graft] def bpeIndexPath(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = {
+    val mergesPath = graft.ViewStore.materialize(spark, "graft_bpe_index/merges", dir) {
+      import spark.implicits._
+      bpeTrainLoop(spark, dir)
+        .map { case (rank, pr, n) =>
+          val Array(l, r) = pr.split(" ", 2)
+          (rank, l, r, pr.replace(" ", ""), n)
+        }
+        .toDF("rank", "lhs", "rhs", "merged", "n")
+    }
+    val vocabPath = graft.ViewStore.materialize(spark, "graft_bpe_index/vocab", dir) {
+      val ms = spark.read.parquet(mergesPath).orderBy(col("rank")).collect()
+        .map(r => r.getString(1) + " " + r.getString(2)) // bounded: BpeMerges rows
+      bpeWords(spark, dir).withColumn("st", ms.foldLeft(col("st"))(bpeApply))
+    }
+    (mergesPath, vocabPath)
+  }
+
+  /** Oracle CTE chain replaying the training loop: wf/w0 + per-merge
+    * (p{i} pair counts, b{i} argmax, w{i} replaced states). w{i} CTEs
+    * are MATERIALIZED: each is referenced twice (by p{i+1} and w{i+1}),
+    * so the default inlining re-evaluates the chain exponentially
+    * (measured 46 s -> 0.1 s at sf0.01). */
+  private def bpeOracleCtes: String = {
+    val head =
+      "wf AS (SELECT tok, cast(count(*) as bigint) AS freq FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY tok), " +
+        "w0 AS (SELECT tok, freq, " +
+        "' ' || array_to_string(regexp_extract_all(tok, '.'), ' ') || ' ' AS st FROM wf)"
+    val iters = (1 to BpeMerges).map { i =>
+      val rep = (1 to BpePasses).foldLeft("st")((e, _) =>
+        s"replace($e, ' '||b.pr||' ', ' '||replace(b.pr,' ','')||' ')")
+      s"p$i AS (SELECT pr, cast(sum(freq) as bigint) AS n FROM " +
+        "(SELECT freq, unnest(list_filter(list_transform(list_zip(c, c[2:]), " +
+        "x -> x[1] || ' ' || x[2]), v -> v IS NOT NULL)) AS pr " +
+        s"FROM (SELECT freq, string_split(trim(st), ' ') AS c FROM w${i - 1})) GROUP BY pr), " +
+        s"b$i AS (SELECT $i AS rank, pr, n FROM p$i ORDER BY n DESC, pr LIMIT 1), " +
+        s"w$i AS MATERIALIZED (SELECT tok, freq, $rep AS st FROM w${i - 1}, b$i b)"
+    }
+    (head +: iters).mkString(", ")
+  }
+
+  /** The learned merge table — rank, the two merged symbols, the new
+    * symbol, and the weighted pair count that won the round. */
+  val textBpeTrain: Q = Q(
+    "text_bpe_train",
+    Some(
+      s"WITH $bpeOracleCtes, " +
+        (1 to BpeMerges).map(i => s"SELECT * FROM b$i").mkString("allb AS (", " UNION ALL ", ") ") +
+        "SELECT cast(rank as int) AS rank, split_part(pr, ' ', 1) AS lhs, " +
+        "split_part(pr, ' ', 2) AS rhs, replace(pr, ' ', '') AS merged, n " +
+        "FROM allb ORDER BY rank"
+    ),
+    (spark, dir) =>
+      spark.read.parquet(bpeIndexPath(spark, dir)._1).orderBy(col("rank"))
+  )
+
+  /** Encoding under the learned tokenizer: per-document word and
+    * BPE-token counts. The final word states are a vocabulary-sized
+    * table — the exploded corpus joins it by token (broadcast-able at
+    * any corpus size), the same serve shape as tf-idf's df join. */
+  val textBpeEncode: Q = Q(
+    "text_bpe_encode",
+    Some(
+      s"WITH $bpeOracleCtes, " +
+        "dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "SELECT d.doc_id, cast(count(*) as bigint) AS n_words, " +
+        "cast(sum(len(string_split(trim(w.st), ' '))) as bigint) AS n_bpe_tokens " +
+        s"FROM dt d JOIN w$BpeMerges w ON d.tok = w.tok " +
+        "GROUP BY d.doc_id ORDER BY d.doc_id"
+    ),
+    (spark, dir) => {
+      val vocab = spark.read.parquet(bpeIndexPath(spark, dir)._2)
+        .select(col("tok"), size(split(trim(col("st")), " ")).cast("long").as("n_toks"))
+      Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .join(broadcast(vocab), Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     textStats, textTfidfTop, textLangid, textQuality, textTokens, textFingerprint,
     textPiiRedact, reportScores, textBigramLm, textChunk, textVocab, pipelineCurate,
     textContamination, textHeavyHitters, pipelineFunnel, pipelineManifest, textEntropy,
     pipelineCurriculum, textBm25Topk, textBm25Persisted, textPerplexity, textRepetition,
-    textInvertedIndex, textBpePairs, textZipfFit, textNgramNovelty, pipelineDatasetCard
+    textInvertedIndex, textBpePairs, textZipfFit, textNgramNovelty, pipelineDatasetCard,
+    textBpeTrain, textBpeEncode
   )
 }

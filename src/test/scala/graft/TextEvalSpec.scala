@@ -149,4 +149,59 @@ class TextEvalSpec extends SparkSuite {
     assert(plan.contains("graft_bm25_index"), "batch scoring must probe the persisted index")
     assert(!plan.contains("documents.parquet"), "batch scoring must not re-read the corpus")
   }
+
+  test("BPE training: an independent driver-side greedy replay reproduces the merge list") {
+    // full independent recomputation of the training loop: word freqs
+    // from the raw corpus, pair counts by hand, argmax with the
+    // (n desc, pair asc) total order, and the same 3-pass literal
+    // replace (java.lang.String.replace has the identical left-to-right
+    // continue-after-match semantics as both engines' replace()).
+    val wf = Tables.documents(spark, sf).collect()
+      .flatMap(_.getAs[String]("text").split(" ", -1))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var st: Map[String, String] =
+      wf.keys.map(w => w -> w.toCharArray.mkString(" ", " ", " ")).toMap
+    val expected = (1 to 10).map { rank =>
+      val counts = collection.mutable.Map.empty[String, Long]
+      for ((w, s) <- st) {
+        val toks = s.trim.split(" ", -1)
+        for (Array(a, b) <- toks.sliding(2) if toks.length > 1)
+          counts(a + " " + b) = counts.getOrElse(a + " " + b, 0L) + wf(w)
+      }
+      val (pr, n) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      val pat = " " + pr + " "; val rep = " " + pr.replace(" ", "") + " "
+      st = st.view.mapValues(s => s.replace(pat, rep).replace(pat, rep).replace(pat, rep)).toMap
+      (rank, pr.split(" ")(0), pr.split(" ")(1), pr.replace(" ", ""), n)
+    }
+    val got = operators.TextAnalysis.textBpeTrain.run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected, s"merge list drifted:\n got=$got\n exp=$expected")
+    // winning counts are non-increasing: a pair created by a merge
+    // cannot occur more often than the merged pair that created it
+    assert(got.map(_._5).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("BPE encode: per-doc token counts are bounded and consistent with the corpus") {
+    val enc = operators.TextAnalysis.textBpeEncode.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("text")).toMap
+    assert(enc.map(_._1).toSet == docs.keySet, "one row per document")
+    for ((id, nWords, nBpe) <- enc) {
+      val words = docs(id).split(" ", -1)
+      assert(nWords == words.length.toLong)
+      // merging only ever shrinks: chars-per-word is the start state,
+      // one token per word the floor
+      assert(nBpe <= words.map(_.length.max(1)).sum.toLong)
+      assert(nBpe >= nWords)
+    }
+    // rank-1 of the training row is exactly text_bpe_pairs' top pair:
+    // per-instance pair counts over the corpus == freq-weighted counts
+    // over distinct words
+    val top = operators.TextAnalysis.textBpePairs.run(spark, sf).collect().head
+    val m1  = operators.TextAnalysis.textBpeTrain.run(spark, sf).collect().head
+    assert(top.getString(0) == m1.getString(1) + m1.getString(2))
+    assert(top.getLong(1) == m1.getLong(4))
+  }
 }
