@@ -28,8 +28,8 @@ import org.apache.spark.sql.functions._
   * Structured Streaming run: any twin drifting from its batch build
   * flips a flag and fails the driver compare loudly. Results are
   * memoized per (dir, input fingerprint) — the registry-wide plan/row
-  * gates and Verify all call `run`, and the fourteen streaming runs are
-  * the expensive part, not the 14-row report.
+  * gates and Verify all call `run`, and the fifteen streaming runs are
+  * the expensive part, not the 15-row report.
   *
   * At 100 TB the same audit runs as a scheduled job: replay a bounded
   * slice through the maintenance path and diff against the serving
@@ -59,7 +59,7 @@ object StreamEquivalence {
     (if (sN > 0 && bN > 0) 1 else 0, if (sN == bN) 1 else 0, if (bitEq) 1 else 0)
   }
 
-  /** One entry per view family with a streaming twin — the same fourteen
+  /** One entry per view family with a streaming twin — the same fifteen
     * pairings StreamingSpec pins, in one place. Keep this list and the
     * oracle's VALUES list in lockstep. */
   private def computeReport(spark: SparkSession, dir: String): Seq[(String, Int, Int, Int)] = {
@@ -141,9 +141,12 @@ object StreamEquivalence {
         Dedup.dedupMinhashIncremental.run(spark, dir))),
       () => ("ingest_screen_contam", verdict(
         StreamDemos.contamScreenedIngest(spark, dir, copies = 2),
-        TextAnalysis.textContamination.run(spark, dir)))
+        TextAnalysis.textContamination.run(spark, dir))),
+      () => ("bpe_vocab", verdict(
+        StreamDemos.streamedBpeVocab(spark, dir, copies = 2),
+        spark.read.parquet(TextAnalysis.bpeIndexPath(spark, dir)._2)))
     )
-    // The fourteen audits are independent (separate streams, separate
+    // The fifteen audits are independent (separate streams, separate
     // driver state, distinct or idempotently-shared staging dirs), and
     // each one spends most of its wall time WAITING on small Spark
     // jobs — run them concurrently on a dedicated pool so the report
@@ -183,7 +186,7 @@ object StreamEquivalence {
       "SELECT * FROM (VALUES " +
         "('bm25_index', 1, 1, 1), ('lsh_sigs', 1, 1, 1), " +
         "('ivf_assignments', 1, 1, 1), ('pq_codes', 1, 1, 1), " +
-        "('ivfpq_codes', 1, 1, 1), " +
+        "('ivfpq_codes', 1, 1, 1), ('bpe_vocab', 1, 1, 1), " +
         "('minhash_sigs', 1, 1, 1), " +
         "('dedup_sigs', 1, 1, 1), ('simhash_sigs', 1, 1, 1), " +
         "('contam_shingles', 1, 1, 1), ('edge_view', 1, 1, 1), " +

@@ -1649,6 +1649,32 @@ object TextAnalysis {
   private val BpeMerges = 10
   private val BpePasses = 3
 
+  /** The initial space-wrapped character-symbol state of a `tok`
+    * column — shared by the training loop, the persisted vocab build,
+    * and the streaming twin so the spelling can never fork. */
+  private def bpeInitSt: Column =
+    concat(lit(" "), array_join(expr("regexp_extract_all(tok, '.', 0)"), " "), lit(" "))
+
+  /** Per-document token counts (doc_id, tok, cnt) — the PER-DOCUMENT
+    * PURE projection the streaming twin merges by (doc_id, tok): a
+    * replayed document recomputes identical rows, so the keyed merge
+    * is idempotent even though the vocab itself is a corpus
+    * aggregate. */
+  private[graft] def bpeDocTokenCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The served vocab (tok, freq, st) from merged per-doc counts under
+    * a FROZEN merge list — the single spelling behind the persisted
+    * view and [[graft.streaming.StreamDemos.streamedBpeVocab]]. */
+  private[graft] def bpeVocabOf(docTokCounts: DataFrame, merges: Seq[String]): DataFrame =
+    docTokCounts
+      .groupBy(col("tok"))
+      .agg(sum(col("cnt")).as("freq"))
+      .withColumn("st", merges.foldLeft(bpeInitSt)(bpeApply))
+
   /** (tok, freq, st): corpus word frequencies with the initial
     * space-wrapped character-symbol state. */
   private def bpeWords(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
@@ -1657,9 +1683,7 @@ object TextAnalysis {
       .select(explode(toks(col("text"))).as("tok"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("freq"))
-      .withColumn(
-        "st",
-        concat(lit(" "), array_join(expr("regexp_extract_all(tok, '.', 0)"), " "), lit(" ")))
+      .withColumn("st", bpeInitSt)
 
   /** Adjacent-pair counts of a word-state frame: (pr = 'A B', n). */
   private def bpePairCounts(w: DataFrame): DataFrame = {
@@ -1713,6 +1737,14 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** The frozen merge list ('lhs rhs' strings in rank order) from a
+    * persisted merges view — a bounded [[BpeMerges]]-row fetch. */
+  private[graft] def bpeMergeList(
+      spark: org.apache.spark.sql.SparkSession,
+      mergesPath: String): Seq[String] =
+    spark.read.parquet(mergesPath).orderBy(col("rank")).collect()
+      .map(r => r.getString(1) + " " + r.getString(2)).toSeq
+
   /** Write-once BPE tokenizer index: the learned merge table
     * (rank, lhs, rhs, merged, n) and the final per-word symbol states
     * (tok, freq, st) — the vocabulary under the frozen tokenizer. The
@@ -1733,10 +1765,13 @@ object TextAnalysis {
         }
         .toDF("rank", "lhs", "rhs", "merged", "n")
     }
-    val vocabPath = graft.ViewStore.materialize(spark, "graft_bpe_index/vocab", dir) {
-      val ms = spark.read.parquet(mergesPath).orderBy(col("rank")).collect()
-        .map(r => r.getString(1) + " " + r.getString(2)) // bounded: BpeMerges rows
-      bpeWords(spark, dir).withColumn("st", ms.foldLeft(col("st"))(bpeApply))
+    // buildVersion 2: derivation respelled onto the shared
+    // bpeDocTokenCounts/bpeVocabOf helpers (identical content — freq is
+    // the same instance count — but the §14 rule is unconditional)
+    val vocabPath = graft.ViewStore.materialize(spark, "graft_bpe_index/vocab", dir, buildVersion = 2) {
+      bpeVocabOf(
+        bpeDocTokenCounts(Tables.documents(spark, dir)),
+        bpeMergeList(spark, mergesPath))
     }
     (mergesPath, vocabPath)
   }

@@ -851,6 +851,47 @@ object StreamDemos {
     )
   }
 
+  /** Streaming maintenance of the BPE vocab view — the first twin
+    * whose served rows are a CORPUS aggregate (freq sums over
+    * documents) rather than per-document pure: the unit of maintenance
+    * is the per-document token-count row
+    * ([[graft.operators.TextAnalysis.bpeDocTokenCounts]], pure per
+    * document), merged by (doc_id, tok) so a replayed document
+    * recomputes identical rows and the merge is idempotent; the served
+    * vocab re-aggregates the merged counts and applies the FROZEN
+    * persisted merge list per token
+    * ([[graft.operators.TextAnalysis.bpeVocabOf]] — the batch build's
+    * own spelling). Retraining merges is a new buildVersion, never a
+    * streaming concern — the tokenizer-freeze contract every serving
+    * stack assumes. At 100 TB the driver map stands in for a keyed
+    * MERGE-target table BY (doc_id, tok) and the vocab aggregate is a
+    * scheduled view refresh over it — batch-sized ingest work, one
+    * vocab-sized aggregate to serve. */
+  def streamedBpeVocab(spark: SparkSession, dir: String, copies: Int = 2): DataFrame = {
+    import org.apache.spark.sql.Row
+    val (mergesPath, _) = graft.operators.TextAnalysis.bpeIndexPath(spark, dir)
+    val merges = graft.operators.TextAnalysis.bpeMergeList(spark, mergesPath)
+    val counts = scala.collection.concurrent.TrieMap.empty[(Long, String), Row]
+    val q = docsStream(spark, dir, copies).writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.TextAnalysis
+          .bpeDocTokenCounts(batch)
+          .collect() // bounded by the demo batch, never the corpus
+          .foreach(r => counts.put((r.getLong(0), r.getString(1)), r))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val mergedCounts = spark.createDataFrame(
+      counts.values.toSeq.sortBy(r => (r.getLong(0), r.getString(1))).asJava,
+      graft.operators.TextAnalysis
+        .bpeDocTokenCounts(Tables.documents(spark, dir).limit(0)).schema)
+    graft.operators.TextAnalysis.bpeVocabOf(mergedCounts, merges)
+  }
+
   def runToCompletion(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
     val q: StreamingQuery = streamed.writeStream
       .format("memory")

@@ -404,6 +404,23 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSeq == batch.toSeq, "streamed IVF-PQ codes diverge from the batch index")
   }
 
+  test("streamed BPE vocab == batch-built vocab view, replay-idempotent") {
+    // the vocab's freq is a CORPUS aggregate, so the twin merges the
+    // per-document-pure (doc_id, tok, cnt) rows keyed by (doc_id, tok)
+    // and re-aggregates; the frozen merge list applies per token — the
+    // served (tok, freq, st) rows must be bit-equal to the view build
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getString(2))
+    val streamed = streaming.StreamDemos.streamedBpeVocab(spark, sf, copies = 2)
+      .collect().map(key).sortBy(_._1)
+    val (_, vocabPath) = operators.TextAnalysis.bpeIndexPath(spark, sf)
+    val batch = spark.read.parquet(vocabPath)
+      .select(col("tok"), col("freq"), col("st"))
+      .collect().map(key).sortBy(_._1)
+    assert(streamed.nonEmpty, "stream must build the vocab")
+    assert(streamed.toSeq == batch.toSeq, "streamed BPE vocab diverges from the batch view")
+  }
+
   test("streamed IVF assignments == batch-built inverted lists, replay-idempotent") {
     // new vectors are assigned against the FROZEN persisted quantizer
     // and merge by vec_id — the standard IVF serving contract; the
