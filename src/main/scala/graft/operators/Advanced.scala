@@ -878,6 +878,35 @@ object Advanced {
         Det.rS(terms.reduce(_ + _).cast("double"), 6).as("adc"))
   }
 
+  /** The oracle CTE chain shared by [[simAnnIvfPq]] and
+    * [[simAnnIvfPqRerank]] — everything through the per-list `adc`
+    * scores: coarse quantizer, residuals, the residual codebook
+    * TRAINING loop, encoding, probe selection, per-(query, list)
+    * distance tables, and the ADC join. ONE string so the top-3 row
+    * and the rerank row can never drift. */
+  private val ivfPqAdcCtes: String =
+    s"$ivfCoarseCtes, " +
+      "rsv AS MATERIALIZED (SELECT a.vec_id, a.label, a.list_id, " +
+      "list_transform(list_zip(a.embedding::DOUBLE[], cl.centroid), x -> x[1] - x[2]) AS emb " +
+      "FROM asg a JOIN cl ON a.list_id = cl.list_id), " +
+      s"${pqTrainCtes("rsv", "emb", "emb", IvfPqSeedSplit)}, " +
+      "code AS MATERIALIZED (SELECT c.vec_id, r2.list_id, c.m, c.code FROM " +
+      "(SELECT vec_id, m, cid AS code FROM " +
+      "(SELECT sd.*, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn " +
+      "FROM sd) WHERE rn = 1) c JOIN rsv r2 ON c.vec_id = r2.vec_id), " +
+      "qres AS (SELECT p.query_id, p.list_id, " +
+      "list_transform(list_zip(p.qe::DOUBLE[], cl.centroid), x -> x[1] - x[2]) AS emb " +
+      "FROM pro p JOIN cl ON p.list_id = cl.list_id), " +
+      "qsv AS (SELECT query_id, list_id, ms.m, " +
+      "list_slice(emb, ms.m * 8 + 1, ms.m * 8 + 8) AS sub FROM qres CROSS JOIN ms), " +
+      "qsd AS (SELECT q.query_id, q.list_id, q.m, c.cid, " +
+      "list_dot_product(q.sub, q.sub) + list_dot_product(c.carr, c.carr) " +
+      "- 2 * list_dot_product(q.sub, c.carr) AS d FROM qsv q JOIN sdl c ON q.m = c.m), " +
+      "adc AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.list_id, " +
+      Det.oRS(Det.oSum("q.d"), 6) + " AS adc " +
+      "FROM code c JOIN qsd q ON q.list_id = c.list_id AND q.m = c.m AND q.cid = c.code " +
+      "AND q.query_id != c.vec_id GROUP BY 1, 2, 3)"
+
   /** ADC top-3 within the probed inverted lists over the PERSISTED
     * IVF-PQ index. Oracle replays coarse quantizer, residuals, the
     * residual codebook TRAINING loop, encoding, probe selection, and
@@ -885,27 +914,7 @@ object Advanced {
   val simAnnIvfPq: Q = Q(
     "sim_ann_ivfpq",
     Some(
-      s"WITH $ivfCoarseCtes, " +
-        "rsv AS MATERIALIZED (SELECT a.vec_id, a.label, a.list_id, " +
-        "list_transform(list_zip(a.embedding::DOUBLE[], cl.centroid), x -> x[1] - x[2]) AS emb " +
-        "FROM asg a JOIN cl ON a.list_id = cl.list_id), " +
-        s"${pqTrainCtes("rsv", "emb", "emb", IvfPqSeedSplit)}, " +
-        "code AS MATERIALIZED (SELECT c.vec_id, r2.list_id, c.m, c.code FROM " +
-        "(SELECT vec_id, m, cid AS code FROM " +
-        "(SELECT sd.*, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn " +
-        "FROM sd) WHERE rn = 1) c JOIN rsv r2 ON c.vec_id = r2.vec_id), " +
-        "qres AS (SELECT p.query_id, p.list_id, " +
-        "list_transform(list_zip(p.qe::DOUBLE[], cl.centroid), x -> x[1] - x[2]) AS emb " +
-        "FROM pro p JOIN cl ON p.list_id = cl.list_id), " +
-        "qsv AS (SELECT query_id, list_id, ms.m, " +
-        "list_slice(emb, ms.m * 8 + 1, ms.m * 8 + 8) AS sub FROM qres CROSS JOIN ms), " +
-        "qsd AS (SELECT q.query_id, q.list_id, q.m, c.cid, " +
-        "list_dot_product(q.sub, q.sub) + list_dot_product(c.carr, c.carr) " +
-        "- 2 * list_dot_product(q.sub, c.carr) AS d FROM qsv q JOIN sdl c ON q.m = c.m), " +
-        "adc AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.list_id, " +
-        Det.oRS(Det.oSum("q.d"), 6) + " AS adc " +
-        "FROM code c JOIN qsd q ON q.list_id = c.list_id AND q.m = c.m AND q.cid = c.code " +
-        "AND q.query_id != c.vec_id GROUP BY 1, 2, 3), " +
+      s"WITH $ivfPqAdcCtes, " +
         "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) " +
         "AS rank FROM adc) " +
         "SELECT query_id, rank, neighbor_id, adc, list_id FROM r WHERE rank <= 3 " +
@@ -921,7 +930,61 @@ object Advanced {
     }
   )
 
+  /** Two-stage retrieval over the IVF-PQ index — the full IVFADC
+    * serving cascade (the [[simAnnPqRerank]] pattern with the coarse
+    * prune in front): the ADC scan SHORTLISTS 20 candidates per query
+    * from the probed lists' compact codes, then ONLY those rows join
+    * back to raw embeddings for an exact cosine re-rank to top-3. The
+    * exact stage touches |queries| x 20 vectors regardless of corpus
+    * size, and the approximate stage never leaves the probed lists —
+    * at 100 TB this is the query path: one coarse argmin map-side, a
+    * few inverted lists read, a bounded exact re-join. Oracle replays
+    * the shared ADC chain plus the re-rank. */
+  val simAnnIvfPqRerank: Q = Q(
+    "sim_ann_ivfpq_rerank",
+    Some(
+      s"WITH $ivfPqAdcCtes, " +
+        "short AS (SELECT query_id, neighbor_id FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) " +
+        "AS srank FROM adc) WHERE srank <= 20), " +
+        "ex AS (SELECT s.query_id, s.neighbor_id, " +
+        Det.oRS("list_dot_product(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[])", 6) +
+        " AS cos FROM short s " +
+        "JOIN embeddings qe ON qe.vec_id = s.query_id " +
+        "JOIN embeddings ne ON ne.vec_id = s.neighbor_id), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) " +
+        "AS rank FROM ex) " +
+        "SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 3 " +
+        "ORDER BY query_id, rank"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.graftx.TopKPerGroup
+      val short = TopKPerGroup(ivfPqAdcScores(spark, dir), Seq("query_id"),
+        Seq("adc" -> false, "neighbor_id" -> false), 20, rnName = "srank")
+        .select(col("query_id"), col("neighbor_id"))
+      val qe = Tables.embeddings(spark, dir).filter(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val ne = Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      // exact stage: the shortlist broadcasts, the base table is probed
+      // by join, and the float dot runs on |queries| x 20 pairs however
+      // large the corpus is — same shape as sim_ann_pq_rerank
+      val exact = broadcast(short)
+        .join(qe, Seq("query_id"))
+        .join(ne, Seq("neighbor_id"))
+        .withColumn("cos",
+          Det.rS(org.apache.spark.sql.graftx.FloatDot.dot(col("qe"), col("ne")), 6))
+        .select(col("query_id"), col("neighbor_id"), col("cos"))
+      TopKPerGroup(exact, Seq("query_id"), Seq("cos" -> true, "neighbor_id" -> false), 3,
+        rnName = "rank")
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+  )
+
   def qs: Seq[Q] =
     Seq(ivfCentroids, simAnnIvf, simAnnIvfPersisted, funnelVcp, dedupSemantic,
-      pqCodebooks, simAnnPq, simAnnPqRerank, pqDistortionReport, simAnnIvfPq)
+      pqCodebooks, simAnnPq, simAnnPqRerank, pqDistortionReport, simAnnIvfPq,
+      simAnnIvfPqRerank)
 }

@@ -120,6 +120,29 @@ class AdvancedSpec extends SparkSuite {
     assert(plan.contains("graft_ivfpq_index"), s"expected IVF-PQ index scan in plan:\n$plan")
   }
 
+  test("IVF-PQ rerank: exact re-rank does not lose recall vs plain ADC, top-3 is a shortlist subset") {
+    val rer = operators.Advanced.simAnnIvfPqRerank.run(spark, sf).collect()
+    assert(rer.nonEmpty)
+    for ((_, rs) <- rer.groupBy(_.getLong(0))) {
+      val ranks = rs.map(_.getLong(1)).sorted
+      assert(ranks.zipWithIndex.forall { case (r, i) => r == i + 1L })
+    }
+    val brute = operators.Similarity.simCosineTopk.run(spark, sf)
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(rows: Set[(Long, Long)]) = (brute & rows).size.toDouble / brute.size
+    val adc = operators.Advanced.simAnnIvfPq.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rr = rer.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // the exact stage can only improve the ORDER of the probed
+    // shortlist: whenever a true neighbor is in the probed lists at
+    // all, re-ranking surfaces it — so rerank recall must dominate
+    assert(recallOf(rr) >= recallOf(adc),
+      s"rerank recall ${recallOf(rr)} < ADC recall ${recallOf(adc)}")
+    assert(recallOf(rr) > 0.0)
+  }
+
   test("IVF-PQ encoding is partition-invariant") {
     val (cbPath, _) = operators.Advanced.ivfPqIndexPath(spark, sf)
     val cb   = spark.read.parquet(cbPath)
