@@ -1842,12 +1842,81 @@ object TextAnalysis {
     }
   )
 
+  /** Tokenizer-drift audit under the FROZEN tokenizer — the retrain
+    * trigger, and the sibling of `pq_distortion_report` (every frozen
+    * model artifact in this engine ships its drift metric: IVF/PQ
+    * report quantization distortion, the tokenizer reports compression).
+    * Per language: words, BPE tokens, characters, chars-per-token,
+    * tokens-per-word, and the slice's chars-per-token drift vs the
+    * corpus baseline — a slice whose compression falls below baseline
+    * is one the merges were not trained for (new language, new domain),
+    * which is exactly when production tokenizers get retrained (a new
+    * buildVersion, never an in-place mutation). Serve shape: one
+    * corpus scan joined to the broadcast vocab view, a |langs|-sized
+    * aggregate, and a 1-row broadcast baseline attach (a
+    * BroadcastNestedLoopJoin with a single build row — bounded by
+    * construction, not a data-shaped cartesian). All ratios are IEEE
+    * divisions of exact long sums, so the DuckDB replay is
+    * bit-equal. */
+  val textBpeDrift: Q = Q(
+    "text_bpe_drift",
+    Some(
+      s"WITH $bpeOracleCtes, " +
+        "dt AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "per AS (SELECT d.lang, cast(count(*) as bigint) AS n_words, " +
+        "cast(sum(len(string_split(trim(w.st), ' '))) as bigint) AS n_bpe_tokens, " +
+        "cast(sum(len(d.tok)) as bigint) AS n_chars " +
+        s"FROM dt d JOIN w$BpeMerges w ON d.tok = w.tok GROUP BY d.lang), " +
+        "corp AS (SELECT cast(sum(n_chars) as double) / cast(sum(n_bpe_tokens) as double) " +
+        "AS gcpt FROM per) " +
+        "SELECT lang, n_words, n_bpe_tokens, n_chars, " +
+        Det.oRS("cast(n_chars as double) / cast(n_bpe_tokens as double)", 6) +
+        " AS chars_per_token, " +
+        Det.oRS("cast(n_bpe_tokens as double) / cast(n_words as double)", 6) +
+        " AS tokens_per_word, " +
+        Det.oRS("cast(n_chars as double) / cast(n_bpe_tokens as double) - gcpt", 6) +
+        " AS cpt_drift " +
+        "FROM per, corp ORDER BY lang"
+    ),
+    (spark, dir) => {
+      val vocab = spark.read.parquet(bpeIndexPath(spark, dir)._2)
+        .select(
+          col("tok"),
+          size(split(trim(col("st")), " ")).cast("long").as("n_toks"),
+          length(col("tok")).cast("long").as("tlen"))
+      val per = Tables
+        .documents(spark, dir)
+        .select(col("lang"), explode(toks(col("text"))).as("tok"))
+        .join(broadcast(vocab), Seq("tok"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(col("n_toks")).as("n_bpe_tokens"),
+          sum(col("tlen")).as("n_chars"))
+      val glob = per.agg(
+        (sum(col("n_chars")).cast("double") / sum(col("n_bpe_tokens")).cast("double"))
+          .as("gcpt"))
+      per
+        .crossJoin(broadcast(glob)) // bounded build: ONE baseline row
+        .select(
+          col("lang"), col("n_words"), col("n_bpe_tokens"), col("n_chars"),
+          Det.rS(col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"), 6)
+            .as("chars_per_token"),
+          Det.rS(col("n_bpe_tokens").cast("double") / col("n_words").cast("double"), 6)
+            .as("tokens_per_word"),
+          Det.rS(
+            col("n_chars").cast("double") / col("n_bpe_tokens").cast("double") - col("gcpt"),
+            6).as("cpt_drift"))
+        .orderBy(col("lang"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     textStats, textTfidfTop, textLangid, textQuality, textTokens, textFingerprint,
     textPiiRedact, reportScores, textBigramLm, textChunk, textVocab, pipelineCurate,
     textContamination, textHeavyHitters, pipelineFunnel, pipelineManifest, textEntropy,
     pipelineCurriculum, textBm25Topk, textBm25Persisted, textPerplexity, textRepetition,
     textInvertedIndex, textBpePairs, textZipfFit, textNgramNovelty, pipelineDatasetCard,
-    textBpeTrain, textBpeEncode
+    textBpeTrain, textBpeEncode, textBpeDrift
   )
 }

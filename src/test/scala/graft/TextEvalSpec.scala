@@ -204,4 +204,25 @@ class TextEvalSpec extends SparkSuite {
     assert(top.getString(0) == m1.getString(1) + m1.getString(2))
     assert(top.getLong(1) == m1.getLong(4))
   }
+
+  test("BPE drift: per-lang slices reconcile exactly with the corpus encode and the baseline") {
+    val drift = operators.TextAnalysis.textBpeDrift.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(drift.nonEmpty)
+    // slice sums == the per-document encode's corpus totals
+    val enc = operators.TextAnalysis.textBpeEncode.run(spark, sf).collect()
+    assert(drift.map(_._2).sum == enc.map(_.getLong(1)).sum, "word totals reconcile")
+    assert(drift.map(_._3).sum == enc.map(_.getLong(2)).sum, "token totals reconcile")
+    for ((lang, nw, nb, nc, cpt, tpw, _) <- drift) {
+      assert(nb >= nw, s"$lang: merging never makes more tokens than words")
+      assert(nc >= nb, s"$lang: a BPE token is at least one char")
+      assert(math.abs(cpt - nc.toDouble / nb) < 1e-5)
+      assert(math.abs(tpw - nb.toDouble / nw) < 1e-5)
+    }
+    // the baseline is the token-weighted mean: weighted drift sums to ~0
+    val weighted = drift.map { case (_, _, nb, _, _, _, d) => d * nb }.sum
+    assert(math.abs(weighted) < drift.map(_._3).sum * 1e-5,
+      s"token-weighted cpt drift should cancel, got $weighted")
+  }
 }
