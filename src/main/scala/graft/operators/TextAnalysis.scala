@@ -1737,6 +1737,21 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** Encode ANY frame carrying a `tok` column under a FROZEN merge
+    * list by applying the merges directly to the token's character
+    * state — no vocabulary join. This is the OOV-safe serving path:
+    * the persisted vocab view is a MEMO for tokens seen at training
+    * time (one replace-chain evaluation per distinct word instead of
+    * per instance), never a semantic dependency — a token outside the
+    * training vocabulary still encodes (its characters simply take
+    * whatever merges apply), which is what makes the frozen tokenizer
+    * total over future corpora. BpeSpec pins memo == direct on every
+    * trained token. */
+  private[graft] def bpeEncodeStates(withTok: DataFrame, merges: Seq[String]): DataFrame =
+    withTok
+      .withColumn("st", merges.foldLeft(bpeInitSt)(bpeApply))
+      .withColumn("n_toks", size(split(trim(col("st")), " ")).cast("long"))
+
   /** The frozen merge list ('lhs rhs' strings in rank order) from a
     * persisted merges view — a bounded [[BpeMerges]]-row fetch. */
   private[graft] def bpeMergeList(

@@ -205,6 +205,42 @@ class TextEvalSpec extends SparkSuite {
     assert(top.getLong(1) == m1.getLong(4))
   }
 
+  test("BPE encode is OOV-total: direct merge application == the vocab memo, unseen tokens still encode") {
+    val (mergesPath, vocabPath) = operators.TextAnalysis.bpeIndexPath(spark, sf)
+    val merges = operators.TextAnalysis.bpeMergeList(spark, mergesPath)
+    // memo == direct on every trained token: the vocab view is an
+    // optimization, not a semantic dependency
+    val vocab = spark.read.parquet(vocabPath)
+      .select(col("tok"), col("st")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val direct = operators.TextAnalysis
+      .bpeEncodeStates(spark.createDataFrame(
+        vocab.keys.toSeq.sorted.map(Tuple1(_))).toDF("tok"), merges)
+      .select(col("tok"), col("st")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(direct == vocab, "direct merge application diverges from the persisted vocab states")
+    // a token the training corpus never saw still encodes: no dropped
+    // rows, >= 1 symbols, and any applicable merge applies to it too
+    val lhsRhs = merges.head.replace(" ", "") // the rank-1 merged symbol
+    // pick novel chars from outside every learned merge so no merge can
+    // touch the all-novel token (the merge list is data-learned, so the
+    // choice must be dynamic)
+    val mergeChars = merges.flatMap(_.replace(" ", "")).toSet
+    val novel = "zqxjvw0123456789".filterNot(mergeChars).take(4)
+    assert(novel.length == 4, s"fixture exhausted the novel-char pool: merges=$merges")
+    val allNovel = novel + novel.reverse // 8 chars, no learnable pair
+    val unseen = Seq(allNovel, lhsRhs + novel)
+    val got = operators.TextAnalysis
+      .bpeEncodeStates(spark.createDataFrame(unseen.map(Tuple1(_))).toDF("tok"), merges)
+      .select(col("tok"), col("n_toks"), col("st")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.size == unseen.size, "OOV tokens must not be dropped")
+    assert(got(allNovel)._1 == allNovel.length.toLong,
+      "no merge applies to an all-novel token: one symbol per char")
+    assert(got(lhsRhs + novel)._1 < (lhsRhs + novel).length.toLong,
+      "the rank-1 merge must apply inside an unseen token that contains its pair")
+  }
+
   test("BPE drift: per-lang slices reconcile exactly with the corpus encode and the baseline") {
     val drift = operators.TextAnalysis.textBpeDrift.run(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
