@@ -106,7 +106,7 @@ object Advanced {
     * computation), and the nprobe=2 probe side `pro`. `cl` is
     * MATERIALIZED — the residual chain references it three times and
     * DuckDB's default inlining re-evaluates a CTE per reference. */
-  private val ivfCoarseCtes: String =
+  private def ivfCoarseCtesK(probeK: Int): String =
     "u AS (SELECT label, unnest(embedding) AS v, unnest(range(1, 65)) AS dim " +
       "FROM embeddings), " +
       "cm AS (SELECT label, dim, " +
@@ -120,9 +120,11 @@ object Advanced {
       "asg AS (SELECT vec_id, label, embedding, list_id FROM " +
       "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, list_id) AS r FROM ad) " +
       "WHERE r = 1), " +
-      "pro AS (SELECT vec_id AS query_id, embedding AS qe, list_id FROM " +
+      "pro AS (SELECT vec_id AS query_id, embedding AS qe, list_id, r AS prank FROM " +
       "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, list_id) AS r " +
-      "FROM ad WHERE vec_id < 100) WHERE r <= 2)"
+      s"FROM ad WHERE vec_id < 100) WHERE r <= $probeK)"
+
+  private val ivfCoarseCtes: String = ivfCoarseCtesK(2)
 
   private val ivfOracleSql: String =
       s"WITH $ivfCoarseCtes, " +
@@ -844,7 +846,8 @@ object Advanced {
     * broadcast-table spelling). */
   private def ivfPqAdcScores(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
+      dir: String,
+      probeK: Int = 2): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     import org.apache.spark.sql.graftx.TopKPerGroup
     val (cbPath, codesPath) = ivfPqIndexPath(spark, dir)
@@ -853,16 +856,18 @@ object Advanced {
     val cent  = spark.read.parquet(ivfIndexPath(spark, dir)._1)
     val probes = TopKPerGroup(
       withDist(Tables.embeddings(spark, dir).filter(col("vec_id") < 100), cent),
-      Seq("vec_id"), Seq("d" -> true, "list_id" -> false), 2) // nprobe = 2
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("list_id"))
+      Seq("vec_id"), Seq("d" -> true, "list_id" -> false), probeK, rnName = "prank")
+      .select(
+        col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("list_id"), col("prank").cast("long").as("prank"))
     val qres = probes
       .join(broadcast(cent.select(col("list_id"), col("centroid"))), Seq("list_id"))
       .withColumn("emb", zip_with(col("qe"), col("centroid"), (x, c) => x.cast("double") - c))
-      .select(col("query_id"), col("list_id"), col("emb"))
-    val qdt = pqSubDists(qres, cb, "emb", Seq("query_id", "list_id"))
-      .groupBy(col("query_id"), col("list_id"), col("m"))
+      .select(col("query_id"), col("list_id"), col("prank"), col("emb"))
+    val qdt = pqSubDists(qres, cb, "emb", Seq("query_id", "list_id", "prank"))
+      .groupBy(col("query_id"), col("list_id"), col("prank"), col("m"))
       .agg(map_from_arrays(collect_list(col("cid")), collect_list(col("d"))).as("md"))
-      .groupBy(col("query_id"), col("list_id"))
+      .groupBy(col("query_id"), col("list_id"), col("prank"))
       .agg(map_from_arrays(collect_list(col("m")), collect_list(col("md"))).as("dt"))
     val terms = (0 until PqM).map(m =>
       element_at(element_at(col("dt"), lit(m.toLong)), col(s"c$m"))
@@ -875,6 +880,7 @@ object Advanced {
         col("query_id"),
         col("neighbor_id"),
         col("list_id"),
+        col("prank"),
         Det.rS(terms.reduce(_ + _).cast("double"), 6).as("adc"))
   }
 
@@ -884,8 +890,8 @@ object Advanced {
     * TRAINING loop, encoding, probe selection, per-(query, list)
     * distance tables, and the ADC join. ONE string so the top-3 row
     * and the rerank row can never drift. */
-  private val ivfPqAdcCtes: String =
-    s"$ivfCoarseCtes, " +
+  private def ivfPqAdcCtesK(probeK: Int): String =
+    s"${ivfCoarseCtesK(probeK)}, " +
       "rsv AS MATERIALIZED (SELECT a.vec_id, a.label, a.list_id, " +
       "list_transform(list_zip(a.embedding::DOUBLE[], cl.centroid), x -> x[1] - x[2]) AS emb " +
       "FROM asg a JOIN cl ON a.list_id = cl.list_id), " +
@@ -894,18 +900,22 @@ object Advanced {
       "(SELECT vec_id, m, cid AS code FROM " +
       "(SELECT sd.*, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn " +
       "FROM sd) WHERE rn = 1) c JOIN rsv r2 ON c.vec_id = r2.vec_id), " +
-      "qres AS (SELECT p.query_id, p.list_id, " +
+      "qres AS (SELECT p.query_id, p.list_id, p.prank, " +
       "list_transform(list_zip(p.qe::DOUBLE[], cl.centroid), x -> x[1] - x[2]) AS emb " +
       "FROM pro p JOIN cl ON p.list_id = cl.list_id), " +
-      "qsv AS (SELECT query_id, list_id, ms.m, " +
+      "qsv AS (SELECT query_id, list_id, prank, ms.m, " +
       "list_slice(emb, ms.m * 8 + 1, ms.m * 8 + 8) AS sub FROM qres CROSS JOIN ms), " +
-      "qsd AS (SELECT q.query_id, q.list_id, q.m, c.cid, " +
+      "qsd AS (SELECT q.query_id, q.list_id, q.prank, q.m, c.cid, " +
       "list_dot_product(q.sub, q.sub) + list_dot_product(c.carr, c.carr) " +
       "- 2 * list_dot_product(q.sub, c.carr) AS d FROM qsv q JOIN sdl c ON q.m = c.m), " +
-      "adc AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.list_id, " +
+      // prank is functionally dependent on (query_id, list_id) — the
+      // extra GROUP BY key cannot split a group
+      "adc AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.list_id, q.prank, " +
       Det.oRS(Det.oSum("q.d"), 6) + " AS adc " +
       "FROM code c JOIN qsd q ON q.list_id = c.list_id AND q.m = c.m AND q.cid = c.code " +
-      "AND q.query_id != c.vec_id GROUP BY 1, 2, 3)"
+      "AND q.query_id != c.vec_id GROUP BY 1, 2, 3, 4)"
+
+  private val ivfPqAdcCtes: String = ivfPqAdcCtesK(2)
 
   /** ADC top-3 within the probed inverted lists over the PERSISTED
     * IVF-PQ index. Oracle replays coarse quantizer, residuals, the
@@ -983,8 +993,74 @@ object Advanced {
     }
   )
 
+  /** The nprobe tuning curve — recall@3 AND candidate-scan cost per
+    * nprobe ∈ {1,2,3}, in one hash-checked report. nprobe is THE knob
+    * an IVF deployment turns: each +1 reads one more inverted list per
+    * query (cost grows ~linearly in n_cand) and can only add recall
+    * (tier nprobe ⊆ tier nprobe+1, spec-pinned monotone). Computing
+    * the curve IN the engine over the persisted index makes the
+    * cost/recall tradeoff a pipeline artifact instead of a notebook
+    * anecdote — at 100 TB this runs on a sampled probe set exactly as
+    * spelled here (the exact arm is the broadcast-probe brute-force
+    * scan, affordable because probes are few). The candidate frame is
+    * computed ONCE at probeK = 3; the per-tier views are prank
+    * filters, so the report never rescans the lists per tier. */
+  val simAnnIvfPqNprobeReport: Q = Q(
+    "sim_ann_ivfpq_nprobe_report",
+    Some(
+      s"WITH ${ivfPqAdcCtesK(3)}, " +
+        "np AS (SELECT cast(unnest([1, 2, 3]) as bigint) AS nprobe), " +
+        "tier AS (SELECT np.nprobe, a.* FROM adc a JOIN np ON a.prank <= np.nprobe), " +
+        "top3 AS (SELECT nprobe, query_id, neighbor_id FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY nprobe, query_id " +
+        "ORDER BY adc, neighbor_id) AS rnk FROM tier) WHERE rnk <= 3), " +
+        "bc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        Det.oRS("list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])", 6) +
+        " AS cos FROM embeddings a JOIN embeddings b " +
+        "ON a.vec_id < 100 AND a.vec_id != b.vec_id), " +
+        "br AS (SELECT query_id, neighbor_id FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank " +
+        "FROM bc) WHERE rank <= 3), " +
+        "nq AS (SELECT cast(count(distinct query_id) as bigint) AS nq FROM br), " +
+        "h AS (SELECT t.nprobe, cast(count(b.neighbor_id) as bigint) AS n_hits " +
+        "FROM top3 t LEFT JOIN br b ON t.query_id = b.query_id " +
+        "AND t.neighbor_id = b.neighbor_id GROUP BY 1), " +
+        "cn AS (SELECT nprobe, cast(count(*) as bigint) AS n_cand FROM tier GROUP BY 1) " +
+        "SELECT cn.nprobe, cn.n_cand, h.n_hits, " +
+        Det.oRN("h.n_hits::DOUBLE / (nq.nq::DOUBLE * 3.0)", 6) + " AS recall_at_3 " +
+        "FROM cn JOIN h USING (nprobe), nq ORDER BY nprobe"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.graftx.TopKPerGroup
+      val cand = ivfPqAdcScores(spark, dir, probeK = 3)
+      val np = spark.range(1, 4).select(col("id").as("nprobe"))
+      // non-equi broadcast join against a THREE-row build side: each
+      // candidate lands in every tier whose nprobe covers its probe rank
+      val tier = cand.join(broadcast(np), col("prank") <= col("nprobe"))
+      val top3 = TopKPerGroup(tier, Seq("nprobe", "query_id"),
+        Seq("adc" -> false, "neighbor_id" -> false), 3)
+        .select(col("nprobe"), col("query_id"), col("neighbor_id"))
+      val brute = Similarity.pairsTopK(spark, dir, 100, 3)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("m"))
+      val hits = top3
+        .join(brute, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("nprobe"))
+        .agg(sum(coalesce(col("m"), lit(0L))).as("n_hits"))
+      val cnt = tier.groupBy(col("nprobe")).agg(count(lit(1)).as("n_cand"))
+      val nq = brute.agg(countDistinct(col("query_id")).as("nq"))
+      cnt
+        .join(hits, Seq("nprobe"))
+        .crossJoin(broadcast(nq)) // bounded build: ONE denominator row
+        .select(
+          col("nprobe"), col("n_cand"), col("n_hits"),
+          Det.rN(col("n_hits").cast("double") / (col("nq").cast("double") * 3.0), 6)
+            .as("recall_at_3"))
+        .orderBy(col("nprobe"))
+    }
+  )
+
   def qs: Seq[Q] =
     Seq(ivfCentroids, simAnnIvf, simAnnIvfPersisted, funnelVcp, dedupSemantic,
       pqCodebooks, simAnnPq, simAnnPqRerank, pqDistortionReport, simAnnIvfPq,
-      simAnnIvfPqRerank)
+      simAnnIvfPqRerank, simAnnIvfPqNprobeReport)
 }

@@ -42,7 +42,7 @@ object Similarity {
   private def fdot(a: Column, b: Column): Column =
     org.apache.spark.sql.graftx.FloatDot.dot(a, b)
 
-  private def pairsTopK(spark: SparkSession, dir: String, nProbe: Int, k: Int): DataFrame = {
+  private[graft] def pairsTopK(spark: SparkSession, dir: String, nProbe: Int, k: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val probe = e
       .filter(col("vec_id") < nProbe)

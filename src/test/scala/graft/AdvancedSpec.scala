@@ -143,6 +143,28 @@ class AdvancedSpec extends SparkSuite {
     assert(recallOf(rr) > 0.0)
   }
 
+  test("IVF-PQ nprobe report: cost and recall are monotone, tier 2 reconciles with the serving row") {
+    val rep = operators.Advanced.simAnnIvfPqNprobeReport.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rep.map(_._1).toSeq == Seq(1L, 2L, 3L), "one row per tier")
+    // tier nprobe is a subset of tier nprobe+1: candidates and hits
+    // can only grow with probes
+    assert(rep.sliding(2).forall { case Array(a, b) => a._2 < b._2 && a._3 <= b._3 })
+    assert(rep.forall { case (_, _, h, r) => math.abs(r - h / 300.0) < 1e-6 },
+      "recall must be hits / (3 x 100 probes)")
+    // the nprobe=2 tier must reproduce the serving row's recall exactly
+    // (same index, same algebra, independent spelling)
+    val brute = operators.Similarity.simCosineTopk.run(spark, sf)
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val serving = operators.Advanced.simAnnIvfPq.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(rep(1)._3 == (brute & serving).size.toLong,
+      "nprobe=2 hits must equal the serving row's brute-force intersection")
+  }
+
   test("IVF-PQ encoding is partition-invariant") {
     val (cbPath, _) = operators.Advanced.ivfPqIndexPath(spark, sf)
     val cb   = spark.read.parquet(cbPath)
