@@ -281,7 +281,71 @@ object Multimodal {
     }
   )
 
+  /** Resize target: buckets per payload — the "thumbnail" width. */
+  private val ResizeBuckets = 16
+
+  /** RESIZE over the decoded byte stream — the stand-in for image
+    * resize, structurally the identical pass: decode in the batched
+    * mapPartitions stage, then AREA-RESAMPLE the sample stream into a
+    * fixed [[ResizeBuckets]]-bucket thumbnail (byte i → bucket
+    * i·T div n, exact integer arithmetic in both engines; per-bucket
+    * mean = one IEEE division of exact integer sums). Swap
+    * [[FakeDecoder]] for a codec and this same per-partition loop
+    * emits resized pixels; nothing else changes — the point of the
+    * plumbing. Output is long-form (doc_id, bucket, n_src_bytes,
+    * mean_byte): fixed ≤ T rows per record however large the payload,
+    * zero shuffle until the final sort.
+    *
+    * ORACLE: the identity-bytes decoder makes the resample
+    * DuckDB-replayable per byte via ascii(substr(...)) with the same
+    * octet-length ASCII guard as [[mmDecodeFeatures]] (a non-ASCII
+    * fixture breaks the row-count compare loudly, never silently). */
+  val mmResize: Q = Q(
+    "mm_resize",
+    Some(
+      "WITH ok AS (SELECT doc_id, text FROM documents " +
+        "WHERE octet_length(text::BLOB) = length(text) AND length(text) > 0 AND doc_id < 100), " +
+        "b AS (SELECT doc_id, text, unnest(range(0, strlen(text))) AS i FROM ok), " +
+        s"v AS (SELECT doc_id, (i * $ResizeBuckets) // strlen(text) AS bucket, " +
+        "ascii(substr(text, cast(i + 1 as int), 1)) AS bv FROM b) " +
+        "SELECT doc_id, cast(bucket as bigint) AS bucket, " +
+        "cast(count(*) as bigint) AS n_src_bytes, " +
+        "floor((sum(bv)::DOUBLE / count(*)) * 1e6 + 0.5) / 1e6 AS mean_byte " +
+        "FROM v GROUP BY doc_id, bucket ORDER BY doc_id, bucket"
+    ),
+    (spark, dir) => {
+      import spark.implicits._
+      val t = ResizeBuckets
+      Tables
+        .documents(spark, dir)
+        .filter(col("doc_id") < 100 && length(col("text")) > 0)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.flatMap { case (id, payload) =>
+            val d = FakeDecoder.decode(payload)
+            val n = d.length
+            val sums = new Array[Long](t)
+            val cnts = new Array[Long](t)
+            var i = 0
+            while (i < n) {
+              val k = (i.toLong * t / n).toInt
+              sums(k) += (d(i) & 0xff)
+              cnts(k) += 1
+              i += 1
+            }
+            (0 until t).iterator
+              .filter(cnts(_) > 0) // a sub-T-byte payload leaves trailing buckets empty
+              .map(k =>
+                (id, k.toLong, cnts(k), math.floor(sums(k).toDouble / cnts(k) * 1e6 + 0.5) / 1e6))
+          }
+        }
+        .toDF("doc_id", "bucket", "n_src_bytes", "mean_byte")
+        .orderBy(col("doc_id"), col("bucket"))
+    }
+  )
+
   def qs: Seq[Q] =
     Seq(mmBinaryMeta, mmDecodeFeatures, mmFrameSample, mmPhashDedup, mmSceneCuts,
-      mmTrainingRecord)
+      mmTrainingRecord, mmResize)
 }

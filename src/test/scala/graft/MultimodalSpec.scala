@@ -66,4 +66,26 @@ class MultimodalSpec extends SparkSuite {
       assert(r.getString(2).length == 64, "sha256 hex must be 64 chars")
     }
   }
+
+  test("resize: buckets partition every byte, means bounded, driver recompute matches") {
+    val rows = operators.Multimodal.mmResize.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 100).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("text").getBytes("UTF-8")).toMap
+    // per doc: bucket byte counts partition the payload exactly, and an
+    // independent driver-side area-resample reproduces every mean
+    for ((id, rs) <- rows.groupBy(_._1)) {
+      val d = docs(id)
+      assert(rs.map(_._3).sum == d.length.toLong, s"doc $id: buckets must partition the payload")
+      assert(rs.forall { case (_, b, _, m) => b >= 0 && b < 16 && m >= 0.0 && m <= 255.0 })
+      if (d.length >= 16) assert(rs.length == 16, s"doc $id: >=16 bytes must fill all buckets")
+      val sums = new Array[Long](16); val cnts = new Array[Long](16)
+      for (i <- d.indices) { val k = (i.toLong * 16 / d.length).toInt; sums(k) += (d(i) & 0xff); cnts(k) += 1 }
+      for ((_, b, n, m) <- rs) {
+        assert(cnts(b.toInt) == n)
+        assert(m == math.floor(sums(b.toInt).toDouble / cnts(b.toInt) * 1e6 + 0.5) / 1e6)
+      }
+    }
+  }
 }
