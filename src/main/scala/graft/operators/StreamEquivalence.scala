@@ -155,7 +155,13 @@ object StreamEquivalence {
     // order, so the report rows are deterministic.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(rows.size)
+    val poolSize = spark.conf
+      .getOption("spark.graft.streameq.pool")
+      .map(_.toInt)
+      .getOrElse(rows.size)
+      .max(1)
+      .min(rows.size)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val done =
