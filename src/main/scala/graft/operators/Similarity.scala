@@ -677,7 +677,70 @@ object Similarity {
     }
   )
 
+  /** Hard-negative mining — the contrastive-pair op embedding-training
+    * pipelines run over their corpus: for every probe query, the
+    * nearest SAME-label neighbor (the positive) and the nearest
+    * DIFFERENT-label neighbor (the hard negative — the most confusable
+    * wrong answer, exactly the example a contrastive loss learns most
+    * from), plus the margin between them. A small/negative margin
+    * flags the queries whose neighborhoods are label-impure — the
+    * slice a curriculum mines first.
+    *
+    * Scale shape: identical to [[simCosineTopk]]'s — probes broadcast,
+    * the base table streams, and TopKPerGroup bounds candidates to ONE
+    * row per (query, same-label?) group MAP-SIDE, so the only shuffle
+    * carries 2 rows per probe however large the corpus. The final
+    * pivot is a |probes|-group aggregate. Determinism: rounded cosines
+    * with neighbor_id tiebreaks; the margin subtracts two
+    * already-rounded doubles (identical IEEE operands in both
+    * engines) and rounds once more. */
+  val simHardNegatives: Q = Q(
+    "sim_hard_negatives",
+    Some(
+      "WITH p AS (SELECT a.vec_id AS query_id, a.label AS qlabel, " +
+        "b.vec_id AS neighbor_id, b.label AS nlabel, " +
+        Det.oRS("list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])", 6) + " AS cos " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < 100 AND a.vec_id != b.vec_id), " +
+        "t AS (SELECT *, row_number() OVER (PARTITION BY query_id, qlabel = nlabel " +
+        "ORDER BY cos DESC, neighbor_id) AS r FROM p), " +
+        "w AS (SELECT query_id, max(qlabel) AS qlabel, " +
+        "max(CASE WHEN qlabel = nlabel THEN neighbor_id END) AS pos_id, " +
+        "max(CASE WHEN qlabel = nlabel THEN cos END) AS pos_cos, " +
+        "max(CASE WHEN qlabel != nlabel THEN neighbor_id END) AS neg_id, " +
+        "max(CASE WHEN qlabel != nlabel THEN cos END) AS neg_cos " +
+        "FROM t WHERE r = 1 GROUP BY query_id) " +
+        "SELECT query_id, qlabel, pos_id, pos_cos, neg_id, neg_cos, " +
+        Det.oRS("pos_cos - neg_cos", 6) + " AS margin " +
+        "FROM w ORDER BY query_id"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.graftx.TopKPerGroup
+      val e = Tables.embeddings(spark, dir)
+      val probe = e
+        .filter(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label").as("qlabel"))
+      val scored = e
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("label").as("nlabel"))
+        .join(broadcast(probe), col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", Det.rS(fdot(col("qe"), col("ne")), 6))
+        .withColumn("same", col("qlabel") === col("nlabel"))
+        .select(col("query_id"), col("qlabel"), col("neighbor_id"), col("cos"), col("same"))
+      val best = TopKPerGroup(scored, Seq("query_id", "same"),
+        Seq("cos" -> true, "neighbor_id" -> false), 1)
+      best
+        .groupBy(col("query_id"))
+        .agg(
+          max(col("qlabel")).as("qlabel"),
+          max(when(col("same"), col("neighbor_id"))).as("pos_id"),
+          max(when(col("same"), col("cos"))).as("pos_cos"),
+          max(when(!col("same"), col("neighbor_id"))).as("neg_id"),
+          max(when(!col("same"), col("cos"))).as("neg_cos"))
+        .withColumn("margin", Det.rS(col("pos_cos") - col("neg_cos"), 6))
+        .orderBy(col("query_id"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(simCosineTopk, simKnnClassify, simAnnLsh, simAnnLshPersisted,
     simAnnMultiprobe, simQuantizedTopk, simCoarseRerank, simHybridRrf, simAnnRecallReport,
-    simMmrRerank)
+    simMmrRerank, simHardNegatives)
 }

@@ -166,6 +166,37 @@ class SimilaritySpec extends SparkSuite {
     assert(diversified >= 19, s"only $diversified/20 queries diversified")
   }
 
+  test("hard negatives: labels correct, both picks are true per-side maxima, margin reconciles") {
+    val rows = operators.Similarity.simHardNegatives.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.length == 100, "one row per probe query")
+    val labelOf = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    for ((q, ql, pos, posCos, neg, negCos, margin) <- rows) {
+      assert(labelOf(q) == ql)
+      assert(labelOf(pos) == ql, s"query $q: positive must share the label")
+      assert(labelOf(neg) != ql, s"query $q: hard negative must differ in label")
+      assert(math.abs(margin - (posCos - negCos)) < 1e-6)
+    }
+    // spot-check 5 queries against the already-verified brute ranking:
+    // the positive is the best same-label neighbor and the negative the
+    // best different-label one, so each must dominate its side of the
+    // brute top-10 whenever that side appears there
+    val brute = operators.Similarity.simCosineTopk.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    for ((q, ql, pos, posCos, neg, negCos, _) <- rows.take(5)) {
+      val ranked = brute(q).sortBy(t => (-t._3, t._2))
+      ranked.find(t => labelOf(t._2) == ql).foreach { best =>
+        assert((best._2, best._3) == (pos, posCos), s"query $q: positive disagrees with brute")
+      }
+      ranked.find(t => labelOf(t._2) != ql).foreach { best =>
+        assert((best._2, best._3) == (neg, negCos), s"query $q: negative disagrees with brute")
+      }
+    }
+  }
+
   test("persisted-signature LSH ANN is bit-equal and scans the signature table") {
     val fresh = operators.Similarity.simAnnLsh.run(spark, sf).collect().toSeq
     val served = operators.Similarity.simAnnLshPersisted.run(spark, sf)
