@@ -118,6 +118,15 @@ class AdvancedSpec extends SparkSuite {
     assert((brute & got).nonEmpty)
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("graft_ivfpq_index"), s"expected IVF-PQ index scan in plan:\n$plan")
+    // the IVF prune must stay an EQUI-join keyed on list_id: a hash
+    // join probes only the probed lists' code rows, where a
+    // nested-loop over the codes table would re-scan every code row
+    // per query — the regression that would erase the family's 100 TB
+    // story. (The plan's BroadcastNestedLoopJoin Cross nodes are the
+    // DOCUMENTED bounded quantizer broadcasts — 10 centroids, M x K
+    // codewords — on the QUERY side, never the codes scan.)
+    assert(plan.contains("BroadcastHashJoin [list_id"),
+      s"IVF prune must be a hash equi-join on list_id:\n$plan")
   }
 
   test("IVF-PQ rerank: exact re-rank does not lose recall vs plain ADC, top-3 is a shortlist subset") {
