@@ -99,21 +99,25 @@ object Bench {
       operators.TextAnalysis.bpeIndexPath(spark, sfDir)
       (System.nanoTime() - t0) / 1e9
     }
-    // Codegen pre-compile for the one mega-plan row: the recall audit
-    // unions three screen geometries below one compiled aggregate, and
-    // its first-run-in-JVM number was measured carrying ~1.7 s of
+    // Codegen pre-compile for the mega-plan rows: a large composed plan's
+    // first-run-in-JVM number was measured carrying multiple seconds of
     // whole-stage codegen COMPILE over the same plan's warm cost
-    // (driver r11: 5.15 s vs 3.44 s min-of-N). Compiling the generated
-    // sources here (debug.codegenStringSeq runs doCodeGen + compile,
-    // which fills the same Guava cache execution hits) moves that
-    // one-time JVM cost into warm-up where the scan sweep and exchange
-    // warmers already live — measured and emitted, never hidden.
+    // (driver r11: recall audit 5.15 s vs 3.44 s min-of-N; driver r12:
+    // ml_confusion_matrix 12.61 s first vs 1.65 min2, ml_auc 8.03 vs
+    // 0.84 — ~18 s of the r12 total was JIT, not plans). Compiling the
+    // generated sources here (debug.codegenStringSeq runs doCodeGen +
+    // compile, which fills the same Guava cache execution hits) moves
+    // that one-time JVM cost into warm-up where the scan sweep and
+    // exchange warmers already live — measured and emitted, never
+    // hidden. The list is the known composed-plan offenders, all
+    // non-memoizing (a memoized row's run here would corrupt its
+    // measured number — the memo, not codegen, would serve it).
     // AQE-replanned stages can still compile variants at run time, so
     // this is a floor-raiser, not a guarantee; min2 below carries the
     // fully-warm number either way.
     val codegenWarmSec = {
       val t0 = System.nanoTime()
-      Seq("dedup_lsh_recall_report").foreach { n =>
+      Seq("dedup_lsh_recall_report", "ml_confusion_matrix", "ml_auc").foreach { n =>
         scala.util.Try {
           val plan = Registry.byName(n).run(spark, sfDir).queryExecution.executedPlan
           org.apache.spark.sql.execution.debug.codegenStringSeq(plan)
@@ -194,8 +198,12 @@ object Bench {
     val ioProbeSec = {
       import java.nio.channels.FileChannel
       import java.nio.file.StandardOpenOption
-      val files = new java.io.File(sfDir)
-        .listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      // listFiles is null (not empty) for a missing/non-local dir — keep
+      // that inside the probe's skip contract (-1), never an NPE that
+      // kills the whole bench (ADVICE r12)
+      val files = Option(new java.io.File(sfDir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       val targetBytes = 100L << 20
       val align       = 4096
       try {
@@ -278,13 +286,51 @@ object Bench {
       .map { case (name, first, _) =>
         val q  = Registry.byName(name)
         val t0 = System.nanoTime()
-        try { q.run(spark, sfDir).count() } catch { case _: Throwable => () }
-        val second = (System.nanoTime() - t0) / 1e9
+        // A FAILED rerun must not contribute its time-to-failure as
+        // `second`: a fast crash (OOM, lost executor) would yield an
+        // artificially tiny min(first, second) — inverting exactly the
+        // cold-vs-expensive attribution this pass exists to make
+        // (ADVICE r12). MaxValue makes min() keep the honest first run.
+        val second =
+          try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => Double.MaxValue }
         dropDeadBlocks()
-        System.err.println(f"[bench] min2 $name%-28s first=$first%7.3f s second=$second%7.3f s")
+        System.err.println(f"[bench] min2 $name%-28s first=$first%7.3f s second=${math.min(second, 9999.0)}%7.3f s")
         (name, math.min(first, second))
       }
     val min2Json = min2.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    // Memo-cleared second run for MEMOIZED rows in the slowest 10: min2
+    // above excludes them because their plain second run measures the
+    // memo hit — which left this r12 gap: the two benchdiff-flagged raw
+    // regressions (dedup_clusters +1.07 s) could not be cleared from
+    // the artifact alone (VERDICT r12 #2). Here each memoized row gets
+    // its memos DROPPED (Registry.clearMemos) and one full recompute
+    // timed — an artifact-native second reading whose min(first,second)
+    // attributes I/O-window noise vs real plan cost exactly like min2.
+    val min2MemoCleared = results
+      .filter(r => Registry.byName(r._1).memoizes)
+      .sortBy(-_._2)
+      .take(10)
+      .filter { case (_, first, _) =>
+        // only rows slow enough to matter: reruns below the slowest
+        // non-memoized min2 threshold add wall time without attribution
+        // value (every memoized row shares the cheap label-memo shape)
+        min2.isEmpty || first >= min2.map(_._2).min
+      }
+      .map { case (name, first, _) =>
+        Registry.clearMemos()
+        val q  = Registry.byName(name)
+        val t0 = System.nanoTime()
+        val second =
+          try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => Double.MaxValue }
+        dropDeadBlocks()
+        System.err.println(
+          f"[bench] min2mc $name%-28s first=$first%7.3f s second=${math.min(second, 9999.0)}%7.3f s (memo cleared)")
+        (name, math.min(first, second))
+      }
+    val min2McJson =
+      min2MemoCleared.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Per-query GC in the ARTIFACT, not only stderr: the full line
@@ -313,6 +359,18 @@ object Bench {
       val idx = results.indexWhere(_._1 == n) + 1
       f""","slowest":{"name":"$n","sec":$v%.3f,"gc_ms":$g,"order":$idx}"""
     }.getOrElse("")
+    // Per-family decomposition of the stream-parity audit, its OWN
+    // stdout line (the compact line below must stay inside the
+    // harness's 2 KB tail buffer): which of the 15 families absorbed
+    // the wall time is now readable from the artifact, not only from
+    // a quiet-window rerun (VERDICT r12 #3). Families run concurrently,
+    // so entries overlap — they attribute, they don't sum to the row.
+    val streamEqFams = operators.StreamEquivalence.lastFamilySeconds
+    if (streamEqFams.nonEmpty) {
+      val famJson = streamEqFams.toSeq.sortBy(-_._2)
+        .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+      println(s"""{"metric":"stream_eq_families","unit":"sec","concurrent":true,"seconds":$famJson}""")
+    }
     // gc_sec = whole-run driver GC time: the harness-health signal that
     // diagnoses any future bench-tail anomaly from the artifact alone
     // (round 5's 7x regression was GC, invisible in per-query seconds).
@@ -320,7 +378,7 @@ object Bench {
     // cross-round comparison divides out machine drift mechanically
     // (same-commit raw totals were observed to swing 121-209 s on this
     // class of shared box while the calib-normalized number held).
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","gc_sec":${gcMillis / 1000.0}%.1f,"calib_sec":$calibSec%.3f,"io_probe_sec":$ioProbeSec%.3f,"total_per_calib":${total / calibSec}%.1f,"warm_views_sec":$warmViewsSec%.3f,"views":$viewsJson,"queries":$compact,"min2":$min2Json$slowDetail,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","gc_sec":${gcMillis / 1000.0}%.1f,"calib_sec":$calibSec%.3f,"io_probe_sec":$ioProbeSec%.3f,"total_per_calib":${total / calibSec}%.1f,"warm_views_sec":$warmViewsSec%.3f,"views":$viewsJson,"queries":$compact,"min2":$min2Json,"min2_memo_cleared":$min2McJson$slowDetail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -55,4 +55,16 @@ object Registry {
       operators.StreamEquivalence.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+
+  /** Drop every driver-side memo a `memoizes = true` row serves from
+    * (cluster labels, the stream-parity verdicts). The bench's
+    * memo-cleared second-run pass uses this so a memoized row's second
+    * reading measures the RECOMPUTE, not the memo hit — keep this in
+    * lockstep with the memo sites (a new memoizing row must both set
+    * `memoizes = true` and clear here, or min2_memo_cleared silently
+    * reports its memo hit as plan cost). */
+  def clearMemos(): Unit = {
+    operators.Dedup.clearClusterCache()
+    operators.StreamEquivalence.clearReportCache()
+  }
 }

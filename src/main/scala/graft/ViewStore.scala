@@ -201,13 +201,22 @@ object ViewStore {
         .map(_ + leaseMs)
     }.toOption.flatten
     var deadline = liveClaimDeadline().getOrElse(return false) // no family dir / no live claim
+    // TOTAL wait cap: the live-claim REFRESH below extends `deadline`
+    // while the builder keeps touching its claim — correct for a slow
+    // honest build, but a wedged-but-ALIVE builder (hung FS call with
+    // a healthy toucher thread) would otherwise keep its waiters
+    // parked indefinitely where the pre-refresh behavior degraded to
+    // a duplicate build after one lease (ADVICE r12). Four leases is
+    // the backstop: after that a waiter stops believing the claim and
+    // builds — the tmp+rename race keeps the duplicated result correct.
+    val hardDeadline = System.currentTimeMillis() + 4 * leaseMs
     // Exponential backoff, 200 ms doubling to a 5 s cap: the old flat
     // 200 ms poll issued ~4,500 existence checks per waiter over a full
     // 15 min lease — nontrivial request volume on an object store —
     // for the same worst-case latency.
     var sleepMs = 200L
     var lastClaimCheck = System.currentTimeMillis()
-    while (System.currentTimeMillis() < deadline) {
+    while (System.currentTimeMillis() < math.min(deadline, hardDeadline)) {
       if (fs.exists(base)) return true
       Thread.sleep(sleepMs)
       sleepMs = math.min(sleepMs * 2, 5000L)
@@ -291,7 +300,15 @@ object ViewStore {
             if (fs.exists(nested)) fs.delete(nested, true) // tie: we moved into the winner's dir
           }
         } finally {
-          toucher.foreach(_.interrupt())
+          // Interrupt AND join (bounded) BEFORE deleting the claim: an
+          // in-flight toucher re-PUT racing the delete would recreate
+          // the claim file after it was removed, making a failed
+          // build's waiters believe a live builder for up to one full
+          // lease (ADVICE r12). The join bound keeps a wedged FS call
+          // in the toucher from hanging the build path; in that
+          // pathological case the claim goes stale after one lease as
+          // on the crash path.
+          toucher.foreach { t => t.interrupt(); scala.util.Try(t.join(5000)) }
           scala.util.Try(fs.delete(claim, false)) // crash-path claims go stale after one lease
         }
       }

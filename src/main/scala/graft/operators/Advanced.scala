@@ -573,9 +573,9 @@ object Advanced {
   /** Write-once PQ index: sub-codebooks + compact code rows, two paths
     * in one [[graft.ViewStore]] family ([[ivfIndexPath]]'s shape). The
     * codes build reads the MATERIALIZED codebook parquet, so both
-    * tables derive from one consistent quantizer. buildVersion 3: the
+    * tables derive from one consistent quantizer. buildVersion 5: the
     * r12 post-close Lloyd refinement (v2), the hash-split seeds (v3/v4) and the dot-identity kernel (v5) each changed the codebook DERIVATION
-    * (seed-only v1 stores must not satisfy the exists-check). */
+    * (stores from any older derivation must not satisfy the exists-check). */
   private[graft] def pqIndexPath(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): (String, String) = {
@@ -664,11 +664,11 @@ object Advanced {
   }
 
   /** Two-stage retrieval over the PQ index — the standard serving
-    * pattern at scale: a cheap ADC scan SHORTLISTS 10 candidates per
+    * pattern at scale: a cheap ADC scan SHORTLISTS 20 candidates per
     * query from the compact codes (approximate, recall stage), then
-    * ONLY those 10 rows join back to raw embeddings for an exact
+    * ONLY those 20 rows join back to raw embeddings for an exact
     * cosine re-rank to top-3 (precision stage). The expensive exact
-    * scoring touches |queries| x 10 vectors regardless of corpus size
+    * scoring touches |queries| x 20 vectors regardless of corpus size
     * — that bounded re-join is the entire point. Oracle replays both
     * stages symbolically (ADC via the [[simAnnPq]] algebra, re-rank
     * via `list_dot_product` with the rounded-cos/neighbor total
@@ -703,9 +703,9 @@ object Advanced {
       val short = TopKPerGroup(pqAdcScores(spark, dir), Seq("query_id"),
         Seq("adc" -> false, "neighbor_id" -> false), 20, rnName = "srank")
         .select(col("query_id"), col("neighbor_id"))
-      // exact stage: |queries| x 10 rows join back to raw embeddings —
+      // exact stage: |queries| x 20 rows join back to raw embeddings —
       // the shortlist broadcasts, the base table is probed by join, and
-      // the float dot runs on 1,000 pairs however large the corpus is
+      // the float dot runs on 2,000 pairs however large the corpus is
       val qe = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       val ne = Tables.embeddings(spark, dir)
         .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))

@@ -250,7 +250,12 @@ object Multimodal {
   val mmTrainingRecord: Q = Q(
     "mm_training_record",
     Some(
-      "SELECT d.doc_id, length(d.text) AS n_bytes, sha256(d.text) AS payload_sha, " +
+      // octet_length, not length: the engine emits UTF-8 BYTE length
+      // (length over the binary cast) while DuckDB length(VARCHAR) is
+      // CHARACTER count — they agree only on all-ASCII corpora. The
+      // byte-typed oracle keeps a future non-ASCII fixture a value
+      // MATCH instead of a confusing value diff (ADVICE r12).
+      "SELECT d.doc_id, octet_length(d.text::BLOB) AS n_bytes, sha256(d.text) AS payload_sha, " +
         "cast(len(string_split(d.text, ' ')) as bigint) AS tok_count, e.label, " +
         Det.oRS("sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))", 6) +
         " AS emb_norm " +

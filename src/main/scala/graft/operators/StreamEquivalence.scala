@@ -45,6 +45,18 @@ object StreamEquivalence {
   private[graft] def clearReportCache(): Unit =
     reportCache.synchronized(reportCache.clear())
 
+  /** Per-family wall seconds of the LAST computed (non-memo-hit) report
+    * in this JVM, for the bench artifact's `stream_eq_families` stanza
+    * (VERDICT r12 #3): the report rode 72 s in BENCH_r12 vs 28.9 s on a
+    * quiet window with no way to see WHICH of the 15 families absorbed
+    * the I/O noise. Families run CONCURRENTLY on the dedicated pool, so
+    * each reading includes time spent waiting on executor slots behind
+    * its siblings — the numbers attribute wall time under the report's
+    * real execution shape, they do not sum to the report's total. */
+  private val familySeconds = scala.collection.mutable.Map.empty[String, Double]
+  private[graft] def lastFamilySeconds: Map[String, Double] =
+    familySeconds.synchronized(familySeconds.toMap)
+
   /** (nonempty, rows_match, bit_equal) for one twin pair. Column set is
     * the STREAMED frame's (the batch view may carry extra columns the
     * twin does not maintain, e.g. derived stats); comparison is exact
@@ -76,7 +88,9 @@ object StreamEquivalence {
     def timed(f: () => (String, (Int, Int, Int))): (String, (Int, Int, Int)) = {
       val t0 = System.nanoTime()
       val r  = f()
-      System.err.println(f"[streameq] ${r._1}%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      val dt = (System.nanoTime() - t0) / 1e9
+      familySeconds.synchronized(familySeconds.update(r._1, dt))
+      System.err.println(f"[streameq] ${r._1}%-22s $dt%7.2f s")
       r
     }
     val rows: Seq[() => (String, (Int, Int, Int))] = Seq(
