@@ -27,6 +27,27 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("join_broadcast_dims pins 4 broadcast hash joins, no shuffle join, 2 exchanges") {
+    // The one headline shape that measured above baseline in r12
+    // (2.27 s vs 1.58; attributed to an I/O-pressured window, not a
+    // plan change) — pin the exact plan so a planner regression can
+    // never again hide behind io_probe noise (VERDICT r12 #4). The
+    // star's only shuffles are the 25-group aggregation and the final
+    // sort; every join builds a broadcast hash table: orders' join
+    // side is pruned to (o_orderkey, o_custkey) so even the
+    // fact-to-fact edge broadcasts at any SF where those two columns
+    // fit the threshold, and at cluster scale AQE re-plans it from the
+    // same declarative shape.
+    val p     = plan("join_broadcast_dims")
+    val bhj   = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj == 4, s"expected exactly 4 BroadcastHashJoins, saw $bhj\n" + p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "star join must not shuffle either side\n" + p.take(3000))
+    val exchanges =
+      p.linesIterator.count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(exchanges <= 2, s"$exchanges shuffle exchanges — expected agg + final sort only\n" + p.take(3000))
+  }
+
   test("sim_cosine_topk broadcasts the probe side (no shuffle of the base)") {
     val p = plan("sim_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
