@@ -21,13 +21,57 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** The decoder SWAP POINT: payload bytes → decoded sample stream.
+    * Serializable because instances ride into mapPartitions closures.
+    * A real deployment implements this once (JPEG, PCM, video
+    * keyframes) and every mm_* pipeline picks it up unchanged —
+    * MultimodalCodecSpec proves the claim by swapping [[RleCodec]] in
+    * over re-encoded payloads and asserting bit-identical output. */
+  private[graft] trait PayloadDecoder extends Serializable {
+    def decode(payload: Array[Byte]): Array[Byte]
+  }
+
   /** STUB decoder — stands in for an image/audio codec that is absent
     * from this container. Deterministic: returns the payload bytes
     * unchanged as the "decoded sample stream". A real deployment swaps
     * this one function for e.g. a JPEG or PCM decoder; nothing else in
     * the pipeline changes. */
-  private[graft] object FakeDecoder {
-    def decode(payload: Array[Byte]): Array[Byte] = payload
+  private[graft] object FakeDecoder extends PayloadDecoder {
+    override def decode(payload: Array[Byte]): Array[Byte] = payload
+  }
+
+  /** Second in-tree codec — a trivial run-length coding. Exists ONLY to
+    * prove the [[PayloadDecoder]] boundary is a real swap point rather
+    * than documentation: the spec RLE-encodes every payload, runs the
+    * SAME per-partition pipelines with this decoder, and asserts the
+    * feature/resize outputs are bit-identical to the identity-decoder
+    * run over raw payloads (same decoded stream ⇒ same rows, whatever
+    * the wire format). Format: (count: unsigned byte 1..255, value)
+    * pairs. Not in any registry row. */
+  private[graft] object RleCodec extends PayloadDecoder {
+    def encode(raw: Array[Byte]): Array[Byte] = {
+      val out = new scala.collection.mutable.ArrayBuffer[Byte](raw.length / 2 + 8)
+      var i   = 0
+      while (i < raw.length) {
+        var n = 1
+        while (n < 255 && i + n < raw.length && raw(i + n) == raw(i)) n += 1
+        out += n.toByte
+        out += raw(i)
+        i += n
+      }
+      out.toArray
+    }
+    override def decode(payload: Array[Byte]): Array[Byte] = {
+      val out = new scala.collection.mutable.ArrayBuffer[Byte](payload.length * 2)
+      var i   = 0
+      while (i + 1 < payload.length) {
+        val n = payload(i) & 0xff
+        var k = 0
+        while (k < n) { out += payload(i + 1); k += 1 }
+        i += 2
+      }
+      out.toArray
+    }
   }
 
   /** Binary ingest + typed metadata: payload = utf-8 bytes of text
@@ -93,23 +137,37 @@ object Multimodal {
     ),
     (spark, dir) => {
       import spark.implicits._
-      Tables
-        .documents(spark, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
-        .mapPartitions { rows =>
-          rows.map { case (id, payload) =>
-            val decoded = FakeDecoder.decode(payload)
-            val n = decoded.length
-            val mean = if (n == 0) 0.0 else decoded.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
-            val distinct = decoded.map(_ & 0xff).distinct.length.toLong
-            (id, n.toLong, math.floor(mean * 1e6 + 0.5) / 1e6, distinct)
-          }
-        }
-        .toDF("doc_id", "n_bytes", "mean_byte", "n_distinct_bytes")
-        .orderBy(col("doc_id"))
+      decodeFeatureRows(
+        Tables
+          .documents(spark, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])],
+        FakeDecoder)
     }
   )
+
+  /** The decode+feature pipeline, parameterized on the decoder — the
+    * registry row binds [[FakeDecoder]]; MultimodalCodecSpec re-binds
+    * [[RleCodec]] over re-encoded payloads to prove the plumbing
+    * (schema, per-partition batching, feature algebra, ordering) is
+    * decoder-invariant. */
+  private[graft] def decodeFeatureRows(
+      payloads: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
+      decoder: PayloadDecoder): org.apache.spark.sql.DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val decoded = decoder.decode(payload)
+          val n = decoded.length
+          val mean = if (n == 0) 0.0 else decoded.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
+          val distinct = decoded.map(_ & 0xff).distinct.length.toLong
+          (id, n.toLong, math.floor(mean * 1e6 + 0.5) / 1e6, distinct)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "mean_byte", "n_distinct_bytes")
+      .orderBy(col("doc_id"))
+  }
 
   /** Frame sampling: treat the payload as fixed 16-byte frames, keep
     * every 4th frame, emit (doc_id, frame_idx, frame md5). Pure array
@@ -320,35 +378,46 @@ object Multimodal {
     ),
     (spark, dir) => {
       import spark.implicits._
-      val t = ResizeBuckets
-      Tables
-        .documents(spark, dir)
-        .filter(col("doc_id") < 100 && length(col("text")) > 0)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
-        .mapPartitions { rows =>
-          rows.flatMap { case (id, payload) =>
-            val d = FakeDecoder.decode(payload)
-            val n = d.length
-            val sums = new Array[Long](t)
-            val cnts = new Array[Long](t)
-            var i = 0
-            while (i < n) {
-              val k = (i.toLong * t / n).toInt
-              sums(k) += (d(i) & 0xff)
-              cnts(k) += 1
-              i += 1
-            }
-            (0 until t).iterator
-              .filter(cnts(_) > 0) // a sub-T-byte payload leaves trailing buckets empty
-              .map(k =>
-                (id, k.toLong, cnts(k), math.floor(sums(k).toDouble / cnts(k) * 1e6 + 0.5) / 1e6))
-          }
-        }
-        .toDF("doc_id", "bucket", "n_src_bytes", "mean_byte")
-        .orderBy(col("doc_id"), col("bucket"))
+      resizeRows(
+        Tables
+          .documents(spark, dir)
+          .filter(col("doc_id") < 100 && length(col("text")) > 0)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])],
+        FakeDecoder)
     }
   )
+
+  /** The decode+resample pipeline, parameterized on the decoder — same
+    * invariance contract as [[decodeFeatureRows]]. */
+  private[graft] def resizeRows(
+      payloads: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
+      decoder: PayloadDecoder): org.apache.spark.sql.DataFrame = {
+    import payloads.sparkSession.implicits._
+    val t = ResizeBuckets
+    payloads
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val d = decoder.decode(payload)
+          val n = d.length
+          val sums = new Array[Long](t)
+          val cnts = new Array[Long](t)
+          var i = 0
+          while (i < n) {
+            val k = (i.toLong * t / n).toInt
+            sums(k) += (d(i) & 0xff)
+            cnts(k) += 1
+            i += 1
+          }
+          (0 until t).iterator
+            .filter(cnts(_) > 0) // a sub-T-byte payload leaves trailing buckets empty
+            .map(k =>
+              (id, k.toLong, cnts(k), math.floor(sums(k).toDouble / cnts(k) * 1e6 + 0.5) / 1e6))
+        }
+      }
+      .toDF("doc_id", "bucket", "n_src_bytes", "mean_byte")
+      .orderBy(col("doc_id"), col("bucket"))
+  }
 
   def qs: Seq[Q] =
     Seq(mmBinaryMeta, mmDecodeFeatures, mmFrameSample, mmPhashDedup, mmSceneCuts,

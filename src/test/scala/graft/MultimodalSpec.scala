@@ -88,4 +88,57 @@ class MultimodalSpec extends SparkSuite {
       }
     }
   }
+
+  // ---- decoder pluggability (VERDICT r12 #8) -------------------------
+  // The claimed swap point is PayloadDecoder: a real deployment replaces
+  // FakeDecoder with a codec and NOTHING else changes. Prove it with a
+  // second in-tree codec: RLE-encode every payload (a genuinely
+  // different wire format), run the SAME pipelines with RleCodec, and
+  // demand bit-identical output — same decoded stream, same rows,
+  // whatever the bytes on the wire look like.
+
+  test("RleCodec round-trips every corpus payload and changes the wire format") {
+    import operators.Multimodal.RleCodec
+    val texts = Tables.documents(spark, sf).select(col("text")).collect().map(_.getString(0))
+    assert(texts.nonEmpty)
+    var anyDiffers = false
+    for (t <- texts) {
+      val raw = t.getBytes("UTF-8")
+      val enc = RleCodec.encode(raw)
+      assert(RleCodec.decode(enc).sameElements(raw), "RLE round-trip diverged")
+      if (!enc.sameElements(raw)) anyDiffers = true
+    }
+    // if every encoding were byte-identical to its input, the
+    // invariance tests below would be vacuous (identity vs identity)
+    assert(anyDiffers, "RLE never changed the wire format on this corpus")
+    // boundary cases the corpus may not cover: empty, and a >255 run
+    assert(RleCodec.decode(RleCodec.encode(Array.empty[Byte])).isEmpty)
+    val longRun = Array.fill[Byte](700)(7)
+    assert(RleCodec.decode(RleCodec.encode(longRun)).sameElements(longRun))
+  }
+
+  test("decode-features plumbing is decoder-invariant (FakeDecoder/raw == RleCodec/encoded)") {
+    import spark.implicits._
+    import operators.Multimodal.{decodeFeatureRows, FakeDecoder, RleCodec}
+    val raw = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    val encoded = raw.map { case (id, p) => (id, RleCodec.encode(p)) }
+    val a = decodeFeatureRows(raw, FakeDecoder).collect().toSeq
+    val b = decodeFeatureRows(encoded, RleCodec).collect().toSeq
+    assert(a == b, "feature rows differ between decoders — the swap point leaks")
+  }
+
+  test("resize plumbing is decoder-invariant (FakeDecoder/raw == RleCodec/encoded)") {
+    import spark.implicits._
+    import operators.Multimodal.{resizeRows, FakeDecoder, RleCodec}
+    val raw = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 100 && length(col("text")) > 0)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    val encoded = raw.map { case (id, p) => (id, RleCodec.encode(p)) }
+    val a = resizeRows(raw, FakeDecoder).collect().toSeq
+    val b = resizeRows(encoded, RleCodec).collect().toSeq
+    assert(a == b, "resize rows differ between decoders — the swap point leaks")
+  }
 }
