@@ -97,6 +97,7 @@ object Bench {
       operators.TextAnalysis.bm25IndexPath(spark, sfDir)
       operators.TextAnalysis.contamShingleTablePath(spark, sfDir)
       operators.TextAnalysis.bpeIndexPath(spark, sfDir)
+      operators.TextAnalysis.bpeWideMergesPath(spark, sfDir)
       (System.nanoTime() - t0) / 1e9
     }
     // Codegen pre-compile for the mega-plan rows: a large composed plan's

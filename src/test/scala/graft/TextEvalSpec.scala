@@ -261,4 +261,75 @@ class TextEvalSpec extends SparkSuite {
     assert(math.abs(weighted) < drift.map(_._3).sum * 1e-5,
       s"token-weighted cpt drift should cancel, got $weighted")
   }
+
+  test("wide BPE training (budget 100) extends the 10-merge view as an exact prefix, to exhaustion") {
+    // Greedy BPE is prefix-stable: rank i's argmax depends only on
+    // merges 1..i-1, so training deeper can never rewrite the head.
+    // This pins the incremental-state trainer at depth against the
+    // 10-merge view (itself driver-oracle-replayed): a drift anywhere
+    // in the first 10 rounds would mean the materialized-state
+    // advance diverged from the stacked-expression algebra. The
+    // fixture corpus's 31-word vocabulary exhausts its pair pool
+    // before the 100-merge budget — the loop must stop exactly there
+    // (every word one symbol), never pad or loop.
+    val wide = operators.TextAnalysis.textBpeTrainWide.run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val narrow = operators.TextAnalysis.textBpeTrain.run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(wide.length > 50 && wide.length <= 100, s"implausible merge count ${wide.length}")
+    assert(wide.take(narrow.length).toSeq == narrow.toSeq,
+      "deeper training rewrote the head of the merge list")
+    assert(wide.map(_._1).toSeq == (1 to wide.length), "ranks must be dense")
+    if (wide.length < 100) {
+      // exhaustion claim: the merges consumed every pair — total symbol
+      // count merged down to one per word means sum over the vocab of
+      // (chars(tok) - 1) merge APPLICATIONS happened, and no pair can
+      // remain. Verify directly: apply all merges to the corpus vocab
+      // and demand single-symbol states everywhere.
+      val merges = wide.map(m => m._2 + " " + m._3).toSeq
+      val states = operators.TextAnalysis
+        .bpeEncodeStates(
+          Tables.documents(spark, sf)
+            .select(org.apache.spark.sql.functions.explode(
+              org.apache.spark.sql.functions.split(col("text"), " ")).as("tok"))
+            .distinct(),
+          merges)
+        .select(col("n_toks")).collect().map(_.getLong(0))
+      assert(states.forall(_ == 1L),
+        "loop stopped early but some word still has a mergeable pair")
+    }
+  }
+
+  test("BPE trainer handles true depth: 128 merges on a synthetic 200-word vocabulary") {
+    // The fixture corpus can't exercise >=100 merges (31 words), so
+    // prove depth on a synthetic word-frequency table: 200 distinct
+    // 8-char pseudo-words over a 20-char alphabet, deterministic
+    // frequencies. The incremental-state loop must learn the full 128
+    // budget with dense ranks and strictly-valid merge rows. (Cost
+    // linearity in merge count is recorded in SCALING.md — timing is
+    // not asserted here because suite boxes are co-tenant.)
+    import spark.implicits._
+    val alphabet = "abcdefghijklmnopqrst"
+    val words = (0 until 200).map { i =>
+      val chars = (0 until 8).map(k => alphabet(((i * 31 + k * 7 + (i >> 3) * k) % 20)))
+      (chars.mkString, (i % 13) + 1L)
+    }
+    val w = words.toDF("tok", "freq")
+      .withColumn("st", operators.TextAnalysis.bpeInitSt)
+    val merges = operators.TextAnalysis.bpeTrainLoopOn(w, 128)
+    assert(merges.length == 128, s"expected the full 128-merge budget, got ${merges.length}")
+    assert(merges.map(_._1) == (1 to 128), "ranks must be dense 1..128")
+    // each merge row is internally consistent: positive weighted count,
+    // pair of non-empty symbols
+    for ((rank, pr, n) <- merges) {
+      val parts = pr.split(" ")
+      assert(parts.length == 2 && parts.forall(_.nonEmpty), s"rank $rank: bad pair '$pr'")
+      assert(n > 0, s"rank $rank: non-positive count")
+    }
+    // counts weakly decrease in rank EXCEPT where a merge creates a new
+    // frequent pair — so don't pin monotonicity; pin instead that the
+    // first merge is the global argmax of raw pair counts
+    val firstCount = merges.head._3
+    assert(merges.forall(_._3 <= firstCount), "rank 1 must be the global argmax")
+  }
 }
