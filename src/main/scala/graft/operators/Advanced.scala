@@ -1059,8 +1059,129 @@ object Advanced {
     }
   )
 
+  /** The cross-family ANN comparison — LSH vs IVF vs flat PQ vs IVF-PQ
+    * in ONE hash-checked table, the page a deployment reads when
+    * choosing its serving index (VERDICT r12 #7; the per-family audits
+    * [[Similarity.simAnnRecallReport]] and [[simAnnIvfPqNprobeReport]]
+    * stay as the deep dives — AdvancedSpec pins this row reconciling
+    * with both). One row per family:
+    *
+    *   - `n_cand`   — candidate rows the family's FIRST-STAGE score
+    *     touches across the 100 probes: LSH = same-bucket pairs, IVF
+    *     and IVF-PQ = members of the nprobe=2 probed lists (identical
+    *     sets by construction — one coarse quantizer, two indexes; the
+    *     difference is the per-candidate cost: IVF does a float dot,
+    *     IVF-PQ does M code-table lookups), flat PQ = the WHOLE corpus
+    *     minus self (an ADC scan prunes nothing — that is its cost
+    *     profile, visible here next to its recall).
+    *   - `mean_cand` — n_cand / queries, the per-query read cost.
+    *   - `n_hits` / `recall_at_3` — the family's SERVED top-3 (its own
+    *     registry row verbatim: LSH/IVF exact-rerank every candidate;
+    *     PQ/IVF-PQ shortlist 20 by ADC then exact-rerank, the equal
+    *     20-candidate exact budget) against the brute-force truth.
+    *
+    * Every family list is that family's already-oracle-checked
+    * statement nested verbatim (engine AND oracle), so this table can
+    * never drift from the rows it summarizes. Determinism: exact
+    * counts; each ratio is one IEEE division of exact longs, rounded.
+    *
+    * 100 TB: brute truth runs on the sampled 100-probe set (the
+    * standard offline audit); every family arm is its serving shape
+    * (persisted views, broadcast probes, equi-join candidate
+    * generation); the report itself aggregates to 4 rows. */
+  val simAnnFamilyReport: Q = Q(
+    "sim_ann_family_report",
+    Some {
+      val nested = Seq(
+        "lsh3"  -> Similarity.simAnnLsh.oracle.get,
+        "ivf3"  -> ivfOracleSql,
+        "pq3"   -> simAnnPqRerank.oracle.get,
+        "ipq3"  -> simAnnIvfPqRerank.oracle.get
+      ).map { case (n, sql) => s"$n AS (SELECT query_id, neighbor_id FROM ($sql))" }
+        .mkString(", ")
+      "WITH " + nested + ", " +
+        "bc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        Det.oRS("list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])", 6) +
+        " AS cos FROM embeddings a JOIN embeddings b " +
+        "ON a.vec_id < 100 AND a.vec_id != b.vec_id), " +
+        "br AS (SELECT query_id, neighbor_id FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank " +
+        "FROM bc) WHERE rank <= 3), " +
+        "nq AS (SELECT cast(count(distinct query_id) as bigint) AS nq FROM br), " +
+        "sg AS (SELECT vec_id, " + Similarity.bucketSql + " AS bucket FROM embeddings), " +
+        "lshc AS (SELECT cast(count(*) as bigint) AS n_cand FROM sg p JOIN sg b " +
+        "ON p.bucket = b.bucket AND p.vec_id < 100 AND p.vec_id != b.vec_id), " +
+        s"ivfc AS (SELECT cast(count(*) as bigint) AS n_cand FROM (WITH $ivfCoarseCtes " +
+        "SELECT p.query_id FROM pro p JOIN asg a USING (list_id) WHERE p.query_id != a.vec_id)), " +
+        "pqc AS (SELECT (SELECT cast(count(*) as bigint) FROM embeddings WHERE vec_id < 100) * " +
+        "((SELECT cast(count(*) as bigint) FROM embeddings) - 1) AS n_cand), " +
+        "hl AS (SELECT cast(count(*) as bigint) AS n_hits FROM lsh3 t JOIN br b USING (query_id, neighbor_id)), " +
+        "hi AS (SELECT cast(count(*) as bigint) AS n_hits FROM ivf3 t JOIN br b USING (query_id, neighbor_id)), " +
+        "hp AS (SELECT cast(count(*) as bigint) AS n_hits FROM pq3 t JOIN br b USING (query_id, neighbor_id)), " +
+        "hq AS (SELECT cast(count(*) as bigint) AS n_hits FROM ipq3 t JOIN br b USING (query_id, neighbor_id)), " +
+        "fam AS (SELECT 'lsh' AS family, lshc.n_cand, hl.n_hits FROM lshc, hl " +
+        "UNION ALL SELECT 'ivf', ivfc.n_cand, hi.n_hits FROM ivfc, hi " +
+        "UNION ALL SELECT 'pq', pqc.n_cand, hp.n_hits FROM pqc, hp " +
+        "UNION ALL SELECT 'ivfpq', ivfc.n_cand, hq.n_hits FROM ivfc, hq) " +
+        "SELECT family, n_cand, " +
+        Det.oRN("n_cand::DOUBLE / nq.nq::DOUBLE", 6) + " AS mean_cand, n_hits, " +
+        Det.oRN("n_hits::DOUBLE / (nq.nq::DOUBLE * 3.0)", 6) + " AS recall_at_3 " +
+        "FROM fam, nq ORDER BY family"
+    },
+    (spark, dir) => {
+      import org.apache.spark.sql.graftx.TopKPerGroup
+      val brute = Similarity.pairsTopK(spark, dir, 100, 3)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("m"))
+      val nqF = brute.agg(countDistinct(col("query_id")).as("nq"))
+      def hitsOf(top3: DataFrame): DataFrame =
+        top3
+          .select(col("query_id"), col("neighbor_id"))
+          .join(brute, Seq("query_id", "neighbor_id"), "left")
+          .agg(sum(coalesce(col("m"), lit(0L))).as("n_hits"))
+      // first-stage candidate counts, each from the family's PERSISTED
+      // serving view (structural counts — no scores evaluated)
+      val sigs = spark.read.parquet(Similarity.lshSigTablePath(spark, dir))
+      val lshCand = broadcast(
+        sigs.filter(col("vec_id") < 100).select(col("vec_id").as("query_id"), col("bucket")))
+        .join(sigs.select(col("vec_id").as("neighbor_id"), col("bucket")), Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .agg(count(lit(1)).as("n_cand"))
+      val (centPath, asgPath) = ivfIndexPath(spark, dir)
+      val probes = TopKPerGroup(
+        withDist(Tables.embeddings(spark, dir).filter(col("vec_id") < 100),
+          spark.read.parquet(centPath)),
+        Seq("vec_id"), Seq("d" -> true, "list_id" -> false), 2)
+        .select(col("vec_id").as("query_id"), col("list_id"))
+      val ivfCand = broadcast(probes)
+        .join(spark.read.parquet(asgPath).select(col("vec_id").as("neighbor_id"), col("list_id")),
+          Seq("list_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .agg(count(lit(1)).as("n_cand"))
+      val pqCand = Tables.embeddings(spark, dir)
+        .agg(count(lit(1)).as("nb"))
+        .crossJoin(broadcast(nqF))
+        .select((col("nq") * (col("nb") - lit(1L))).as("n_cand"))
+      def famRow(fam: String, top3: DataFrame, cand: DataFrame): DataFrame =
+        hitsOf(top3)
+          .crossJoin(broadcast(cand)) // bounded: every side is ONE row
+          .crossJoin(broadcast(nqF))
+          .select(
+            lit(fam).as("family"),
+            col("n_cand"),
+            Det.rN(col("n_cand").cast("double") / col("nq").cast("double"), 6).as("mean_cand"),
+            col("n_hits"),
+            Det.rN(col("n_hits").cast("double") / (col("nq").cast("double") * 3.0), 6)
+              .as("recall_at_3"))
+      famRow("lsh", Similarity.simAnnLshPersisted.run(spark, dir), lshCand)
+        .unionByName(famRow("ivf", simAnnIvfPersisted.run(spark, dir), ivfCand))
+        .unionByName(famRow("pq", simAnnPqRerank.run(spark, dir), pqCand))
+        .unionByName(famRow("ivfpq", simAnnIvfPqRerank.run(spark, dir), ivfCand))
+        .orderBy(col("family"))
+    }
+  )
+
   def qs: Seq[Q] =
     Seq(ivfCentroids, simAnnIvf, simAnnIvfPersisted, funnelVcp, dedupSemantic,
       pqCodebooks, simAnnPq, simAnnPqRerank, pqDistortionReport, simAnnIvfPq,
-      simAnnIvfPqRerank, simAnnIvfPqNprobeReport)
+      simAnnIvfPqRerank, simAnnIvfPqNprobeReport, simAnnFamilyReport)
 }

@@ -128,7 +128,7 @@ object Similarity {
   private def planeLit(j: Int): String =
     hyperplane(j, 64).map(_.toString).mkString("[", ",", "]::DOUBLE[]")
 
-  private def bucketSql: String =
+  private[graft] def bucketSql: String =
     (0 until 8)
       .map(j =>
         s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${planeLit(j)}) > 0 " +

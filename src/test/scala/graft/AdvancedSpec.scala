@@ -187,6 +187,40 @@ class AdvancedSpec extends SparkSuite {
       "IVF-PQ codes must not depend on the input partitioning")
   }
 
+  test("family report reconciles with both per-family audits and its own arithmetic") {
+    val rep = operators.Advanced.simAnnFamilyReport.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(rep.keySet == Set("lsh", "ivf", "pq", "ivfpq"))
+    // (1) the LSH row must reproduce sim_ann_recall_report's totals —
+    // same index, same truth, independent spelling
+    val lshHits = operators.Similarity.simAnnRecallReport.run(spark, sf).collect()
+      .map(_.getLong(1)).sum
+    assert(rep("lsh")._3 == lshHits,
+      s"family-report lsh hits ${rep("lsh")._3} != recall-report total $lshHits")
+    // (2) the IVF-PQ row must reproduce the nprobe report's nprobe=2
+    // candidate count (one coarse quantizer, one candidate set)
+    val np2 = operators.Advanced.simAnnIvfPqNprobeReport.run(spark, sf).collect()
+      .find(_.getLong(0) == 2L).get
+    assert(rep("ivfpq")._1 == np2.getLong(1),
+      "family-report ivfpq candidates != nprobe-report nprobe=2 candidates")
+    // (3) IVF and IVF-PQ share the candidate set by construction; PQ
+    // scans the whole corpus minus self
+    assert(rep("ivf")._1 == rep("ivfpq")._1)
+    val nBase = Tables.embeddings(spark, sf).count()
+    assert(rep("pq")._1 == 100L * (nBase - 1))
+    // (4) internal arithmetic: recall = hits / 300, mean = cand / 100
+    for ((f, (cand, mean, hits, rec)) <- rep) {
+      assert(math.abs(rec - hits / 300.0) < 1e-6, s"$f recall arithmetic")
+      assert(math.abs(mean - cand / 100.0) < 1e-6, s"$f mean_cand arithmetic")
+    }
+    // (5) the exact-rerank families dominate their own first stage:
+    // ivfpq (ADC within probed lists + exact rerank) cannot beat the
+    // IVF exact scan of the SAME candidates
+    assert(rep("ivfpq")._3 <= rep("ivf")._3,
+      "compressed scoring of one candidate set cannot out-recall exact scoring of it")
+  }
+
   test("funnel timestamps are monotone: view <= click <= purchase") {
     val f = operators.Advanced.funnelVcp.run(spark, sf).collect()
     assert(f.nonEmpty)
