@@ -1067,13 +1067,15 @@ object Advanced {
     * with both). One row per family:
     *
     *   - `n_cand`   — candidate rows the family's FIRST-STAGE score
-    *     touches across the 100 probes: LSH = same-bucket pairs, IVF
-    *     and IVF-PQ = members of the nprobe=2 probed lists (identical
-    *     sets by construction — one coarse quantizer, two indexes; the
-    *     difference is the per-candidate cost: IVF does a float dot,
-    *     IVF-PQ does M code-table lookups), flat PQ = the WHOLE corpus
-    *     minus self (an ADC scan prunes nothing — that is its cost
-    *     profile, visible here next to its recall).
+    *     touches across the 100 probes: LSH = same-bucket pairs
+    *     (`lsh_multi` adds the 8 Hamming-1 probe buckets, distinct
+    *     pairs — the recall amplifier's cost visible next to its
+    *     gain), IVF and IVF-PQ = members of the nprobe=2 probed lists
+    *     (identical sets by construction — one coarse quantizer, two
+    *     indexes; the difference is the per-candidate cost: IVF does a
+    *     float dot, IVF-PQ does M code-table lookups), flat PQ = the
+    *     WHOLE corpus minus self (an ADC scan prunes nothing — that is
+    *     its cost profile, visible here next to its recall).
     *   - `mean_cand` — n_cand / queries, the per-query read cost.
     *   - `n_hits` / `recall_at_3` — the family's SERVED top-3 (its own
     *     registry row verbatim: LSH/IVF exact-rerank every candidate;
@@ -1094,6 +1096,7 @@ object Advanced {
     Some {
       val nested = Seq(
         "lsh3"  -> Similarity.simAnnLsh.oracle.get,
+        "lshm3" -> Similarity.simAnnMultiprobe.oracle.get,
         "ivf3"  -> ivfOracleSql,
         "pq3"   -> simAnnPqRerank.oracle.get,
         "ipq3"  -> simAnnIvfPqRerank.oracle.get
@@ -1111,15 +1114,22 @@ object Advanced {
         "sg AS (SELECT vec_id, " + Similarity.bucketSql + " AS bucket FROM embeddings), " +
         "lshc AS (SELECT cast(count(*) as bigint) AS n_cand FROM sg p JOIN sg b " +
         "ON p.bucket = b.bucket AND p.vec_id < 100 AND p.vec_id != b.vec_id), " +
+        "lsmc AS (SELECT cast(count(*) as bigint) AS n_cand FROM (SELECT DISTINCT p.query_id, b.vec_id " +
+        "FROM (SELECT vec_id AS query_id, unnest([bucket" +
+        (0 until 8).map(j => s", xor(bucket, ${1 << j})").mkString +
+        "]) AS bucket FROM sg WHERE vec_id < 100) p " +
+        "JOIN sg b USING (bucket) WHERE p.query_id != b.vec_id)), " +
         s"ivfc AS (SELECT cast(count(*) as bigint) AS n_cand FROM (WITH $ivfCoarseCtes " +
         "SELECT p.query_id FROM pro p JOIN asg a USING (list_id) WHERE p.query_id != a.vec_id)), " +
         "pqc AS (SELECT (SELECT cast(count(*) as bigint) FROM embeddings WHERE vec_id < 100) * " +
         "((SELECT cast(count(*) as bigint) FROM embeddings) - 1) AS n_cand), " +
         "hl AS (SELECT cast(count(*) as bigint) AS n_hits FROM lsh3 t JOIN br b USING (query_id, neighbor_id)), " +
+        "hm AS (SELECT cast(count(*) as bigint) AS n_hits FROM lshm3 t JOIN br b USING (query_id, neighbor_id)), " +
         "hi AS (SELECT cast(count(*) as bigint) AS n_hits FROM ivf3 t JOIN br b USING (query_id, neighbor_id)), " +
         "hp AS (SELECT cast(count(*) as bigint) AS n_hits FROM pq3 t JOIN br b USING (query_id, neighbor_id)), " +
         "hq AS (SELECT cast(count(*) as bigint) AS n_hits FROM ipq3 t JOIN br b USING (query_id, neighbor_id)), " +
         "fam AS (SELECT 'lsh' AS family, lshc.n_cand, hl.n_hits FROM lshc, hl " +
+        "UNION ALL SELECT 'lsh_multi', lsmc.n_cand, hm.n_hits FROM lsmc, hm " +
         "UNION ALL SELECT 'ivf', ivfc.n_cand, hi.n_hits FROM ivfc, hi " +
         "UNION ALL SELECT 'pq', pqc.n_cand, hp.n_hits FROM pqc, hp " +
         "UNION ALL SELECT 'ivfpq', ivfc.n_cand, hq.n_hits FROM ivfc, hq) " +
@@ -1145,6 +1155,17 @@ object Advanced {
         sigs.filter(col("vec_id") < 100).select(col("vec_id").as("query_id"), col("bucket")))
         .join(sigs.select(col("vec_id").as("neighbor_id"), col("bucket")), Seq("bucket"))
         .filter(col("query_id") =!= col("neighbor_id"))
+        .agg(count(lit(1)).as("n_cand"))
+      val multiProbes = sigs
+        .filter(col("vec_id") < 100)
+        .select(
+          col("vec_id").as("query_id"),
+          explode(array(col("bucket") +: (0 until 8).map(j =>
+            col("bucket").bitwiseXOR(lit(1 << j))): _*)).as("bucket"))
+      val lshMultiCand = broadcast(multiProbes)
+        .join(sigs.select(col("vec_id").as("neighbor_id"), col("bucket")), Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .dropDuplicates("query_id", "neighbor_id") // a neighbor can match via several probes
         .agg(count(lit(1)).as("n_cand"))
       val (centPath, asgPath) = ivfIndexPath(spark, dir)
       val probes = TopKPerGroup(
@@ -1173,6 +1194,7 @@ object Advanced {
             Det.rN(col("n_hits").cast("double") / (col("nq").cast("double") * 3.0), 6)
               .as("recall_at_3"))
       famRow("lsh", Similarity.simAnnLshPersisted.run(spark, dir), lshCand)
+        .unionByName(famRow("lsh_multi", Similarity.simAnnMultiprobe.run(spark, dir), lshMultiCand))
         .unionByName(famRow("ivf", simAnnIvfPersisted.run(spark, dir), ivfCand))
         .unionByName(famRow("pq", simAnnPqRerank.run(spark, dir), pqCand))
         .unionByName(famRow("ivfpq", simAnnIvfPqRerank.run(spark, dir), ivfCand))

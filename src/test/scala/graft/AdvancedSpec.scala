@@ -191,7 +191,11 @@ class AdvancedSpec extends SparkSuite {
     val rep = operators.Advanced.simAnnFamilyReport.run(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
       .toMap
-    assert(rep.keySet == Set("lsh", "ivf", "pq", "ivfpq"))
+    assert(rep.keySet == Set("lsh", "lsh_multi", "ivf", "pq", "ivfpq"))
+    // multiprobe widens the candidate set (own bucket ⊆ own + 8 flips)
+    // and its recall dominates single-probe on the same corpus
+    assert(rep("lsh_multi")._1 >= rep("lsh")._1)
+    assert(rep("lsh_multi")._3 >= rep("lsh")._3)
     // (1) the LSH row must reproduce sim_ann_recall_report's totals —
     // same index, same truth, independent spelling
     val lshHits = operators.Similarity.simAnnRecallReport.run(spark, sf).collect()
