@@ -111,4 +111,43 @@ class ExtrasSpec extends SparkSuite {
     assert(!beforeAgg.contains("Exchange hashpartitioning"), joinSection.take(1500))
   }
 
+  test("z-ordered files bound BOTH dimensions; date-sorted files leave price at full range") {
+    // The locality report (maint_zorder_locality) proves the cell math;
+    // this proves the step that matters at 100 TB: rows WRITTEN in
+    // z-order land in parquet files whose per-file min/max price spans
+    // shrink ~10x+ vs a date-sorted layout — min/max stats then let a
+    // price predicate skip most z-files where it scans every date-file.
+    import org.apache.spark.sql.functions._
+    val keyed = Tables.orders(spark, sf).select(
+      datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1992-01-01")))
+        .cast("long").as("x"),
+      floor(col("o_totalprice") / 64).cast("long").as("y"))
+    // 32 files: a contiguous z range's per-dimension span halves with
+    // every TWO extra file-split bits (the bits alternate dims), so 8
+    // files only buys a 4x price-span cut — 32 makes the contrast
+    // decisive (~8x) while keeping files big enough to be realistic
+    val base = graft.Staging.dir("graft_zorder_spec")
+    keyed.withColumn("z", operators.Extras.zValueOf(col("x"), col("y")))
+      .repartitionByRange(32, col("z")).sortWithinPartitions(col("z")).drop("z")
+      .write.mode("overwrite").parquet(s"$base/zsorted")
+    keyed
+      .repartitionByRange(32, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(s"$base/xsorted")
+    def avgFileSpan(path: String, dim: String): Double = {
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col(dim)) - min(col(dim))).as("span"))
+        .collect().map(_.getLong(1))
+      assert(spans.length >= 4, s"expected several files, got ${spans.length}")
+      spans.sum.toDouble / spans.length
+    }
+    val zy = avgFileSpan(s"$base/zsorted", "y")
+    val xy = avgFileSpan(s"$base/xsorted", "y")
+    val zx = avgFileSpan(s"$base/zsorted", "x")
+    val xx = avgFileSpan(s"$base/xsorted", "x")
+    assert(zy * 4 < xy, s"z-files' price span $zy should be <1/4 of date-files' $xy")
+    assert(zx < 2555 && zy < 2048,
+      s"z-files must bound both dims (x $zx, y $zy) — interleave broken?")
+    assert(xx < zx, "date-sorted files should bound the date dim tighter than z-files")
+  }
 }
