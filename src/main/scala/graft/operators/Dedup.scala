@@ -2112,6 +2112,79 @@ object Dedup {
     }
   )
 
+  /** TRAIN/VAL SPLIT-LEAKAGE AUDIT — the eval-integrity check every
+    * training pipeline must run before trusting a validation number:
+    * split the corpus on the engine's standard deterministic hash
+    * boundary ([[Sampling.hkey]] % 10 — the same cut
+    * `sample_holdout`-style rows and [[Ml.mlNaiveBayes]] use), then
+    * count jac ≥ 0.8 near-duplicate pairs that STRADDLE the split.
+    * Every straddling pair is a validation document whose near-copy
+    * was trained on — its eval signal is memorization, not
+    * generalization. One summary row: split sizes, manifest pairs,
+    * leaking pairs, distinct contaminated val docs, and the two rates.
+    *
+    * Scale shape: the pair stream is the persisted manifest (never
+    * recomputed), and the split flag is a PURE FUNCTION of doc_id —
+    * computed inline on each endpoint, so NO join ever touches the
+    * pair stream: the whole audit is map-side projections into two
+    * bounded aggregates (one countDistinct over the leaking val ids,
+    * bounded by the leak count). A hash split is exactly what makes
+    * this free — a random split would need a doc-keyed join per
+    * endpoint. Determinism: md5-derived split (cross-engine exact),
+    * exact counts, two IEEE divisions of exact longs. */
+  val pipelineSplitLeakage: Q = Q(
+    "pipeline_split_leakage",
+    Some(
+      "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t FROM documents), " +
+        "p AS (SELECT a.doc_id ida, b.doc_id idb, " +
+        s"${oJac("a.t", "b.t")} AS jac " +
+        "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+        s"AND ${oLenRatio("a.t", "b.t")}), " +
+        "pr AS (SELECT ida, idb FROM p WHERE jac >= 0.8), " +
+        s"fl AS (SELECT ida, idb, CASE WHEN ${Sampling.oHkey("ida")} % 10 = 0 THEN 1 ELSE 0 END AS va, " +
+        s"CASE WHEN ${Sampling.oHkey("idb")} % 10 = 0 THEN 1 ELSE 0 END AS vb FROM pr), " +
+        "leak AS (SELECT CASE WHEN va = 1 THEN ida ELSE idb END AS vid FROM fl WHERE va != vb), " +
+        s"s AS (SELECT CASE WHEN ${Sampling.oHkey("doc_id")} % 10 = 0 THEN 1 ELSE 0 END AS is_val FROM documents) " +
+        "SELECT " +
+        "(SELECT cast(count(*) as bigint) FROM s WHERE is_val = 0) AS n_train, " +
+        "(SELECT cast(count(*) as bigint) FROM s WHERE is_val = 1) AS n_val, " +
+        "(SELECT cast(count(*) as bigint) FROM pr) AS n_pairs, " +
+        "(SELECT cast(count(*) as bigint) FROM leak) AS n_leak, " +
+        "(SELECT cast(count(DISTINCT vid) as bigint) FROM leak) AS n_val_contam, " +
+        Det.oRN("(SELECT count(*) FROM leak)::DOUBLE / (SELECT count(*) FROM pr)::DOUBLE", 6) +
+        " AS leak_rate, " +
+        Det.oRN(
+          "(SELECT count(DISTINCT vid) FROM leak)::DOUBLE / (SELECT count(*) FROM s WHERE is_val = 1)::DOUBLE",
+          6) + " AS contam_rate"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.functions.broadcast
+      val isVal = (c: Column) => when(Sampling.hkey(c) % 10 === 0, 1).otherwise(0)
+      val splits = Tables.documents(spark, dir)
+        .select(isVal(col("doc_id")).as("is_val"))
+        .agg(
+          sum(when(col("is_val") === 0, 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("is_val") === 1, 1L).otherwise(0L)).as("n_val"))
+      val flagged = sharedPairs(spark, dir)
+        .select(col("ida"), col("idb"),
+          isVal(col("ida")).as("va"), isVal(col("idb")).as("vb"))
+      val pairTotals = flagged.agg(count(lit(1)).as("n_pairs"))
+      val leaks = flagged
+        .filter(col("va") =!= col("vb"))
+        .select(when(col("va") === 1, col("ida")).otherwise(col("idb")).as("vid"))
+        .agg(count(lit(1)).as("n_leak"), countDistinct(col("vid")).as("n_val_contam"))
+      splits
+        .crossJoin(broadcast(pairTotals)) // bounded: every side is ONE row
+        .crossJoin(broadcast(leaks))
+        .select(
+          col("n_train"), col("n_val"), col("n_pairs"), col("n_leak"), col("n_val_contam"),
+          Det.rN(col("n_leak").cast("double") / col("n_pairs").cast("double"), 6)
+            .as("leak_rate"),
+          Det.rN(col("n_val_contam").cast("double") / col("n_val").cast("double"), 6)
+            .as("contam_rate"))
+    }
+  )
+
   def qs: Seq[Q] = Seq(
     dedupExact, dedupNearJaccard, dedupEmbedCosine, dedupNgramJaccard, dedupSimhash,
     dedupSimhashPairs, dedupMinhashLsh, dedupMinhashLsh16, dedupLshRecallReport, dedupClusters, dedupReport,
@@ -2120,6 +2193,6 @@ object Dedup {
     dedupBestOfCluster, dedupContainment, dedupIncremental, dedupIncrementalPersisted,
     dedupMinhashIncremental, dedupPairsIncremental,
     dedupSpanCoverage, dedupNgramExact, dedupSourceOverlap, dedupSourceUnique,
-    dedupEditDistance
+    dedupEditDistance, pipelineSplitLeakage
   )
 }
