@@ -416,85 +416,14 @@ object Extras {
       }
       .reduce(_ bitwiseOR _)
 
-  private def zValueSql(x: String, y: String, bits: Int): String =
-    (0 until bits)
-      .map(i => s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})")
-      .mkString("(", " | ", ")")
-
-  /** Z-ORDER LOCALITY REPORT — the measured case for multi-dimensional
-    * clustering, as a hash-checked row: orders keyed by
-    * (order date in days, price bucket) — both domains FIXED across
-    * scale factors (TPC-H widens row counts, not value ranges) — are
-    * cellified two ways with comparable cell counts: `zorder` cells =
-    * top 10 bits of the 28-bit interleave (per-cell span bounded in
-    * BOTH dims by construction: ≤512 days AND ≤512 price buckets),
-    * `xmajor` cells = date >> 5 (≤32-day spans, price UNBOUNDED — the
-    * single-sort layout). One corpus scan (the two layouts explode
-    * map-side from the same row), per-cell exact min/max spans, then a
-    * 2-row per-layout rollup: cells, rows, avg/max span per dimension.
-    * The xmajor row's max_span_y ≈ the full price range while zorder's
-    * is 512 — the number that becomes "files skipped" once rows are
-    * written in cell order (LayoutSpec proves that step on real files:
-    * z-sorted parquet's per-file price spans shrink ~10×+ vs
-    * date-sorted). Determinism: integer shifts/masks, exact min/max;
-    * the two avgs are one IEEE division each of exact longs. */
-  val maintZorderLocality: Q = Q(
-    "maint_zorder_locality",
-    Some {
-      val x = "date_diff('day', DATE '1992-01-01', o_orderdate::DATE)::BIGINT"
-      val y = "cast(floor(o_totalprice / 64) as bigint)"
-      "WITH k AS MATERIALIZED (SELECT " + x + " AS x, " + y + " AS y FROM orders), " +
-        "z AS (SELECT x, y, " + zValueSql("x", "y", 14) + " AS zv FROM k), " +
-        "cells AS (SELECT layout, cell, x, y FROM (" +
-        "SELECT 'zorder' AS layout, zv >> 18 AS cell, x, y FROM z " +
-        "UNION ALL SELECT 'xmajor', x >> 5, x, y FROM z)), " +
-        "per AS (SELECT layout, cell, count(*) AS n, " +
-        "max(x) - min(x) AS sx, max(y) - min(y) AS sy " +
-        "FROM cells GROUP BY layout, cell) " +
-        "SELECT layout, cast(count(*) as bigint) AS n_cells, " +
-        "cast(sum(n) as bigint) AS n_rows, " +
-        Det.oRN("sum(sx)::DOUBLE / count(*)", 6) + " AS avg_span_x, " +
-        "cast(max(sx) as bigint) AS max_span_x, " +
-        Det.oRN("sum(sy)::DOUBLE / count(*)", 6) + " AS avg_span_y, " +
-        "cast(max(sy) as bigint) AS max_span_y " +
-        "FROM per GROUP BY layout ORDER BY layout"
-    },
-    (spark, dir) => {
-      val keyed = Tables
-        .orders(spark, dir)
-        .select(
-          datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1992-01-01")))
-            .cast("long").as("x"),
-          floor(col("o_totalprice") / 64).cast("long").as("y"))
-        .withColumn("zv", zValue(col("x"), col("y"), 14))
-      val cells = keyed.select(
-        explode(array(
-          struct(lit("zorder").as("layout"), shiftright(col("zv"), 18).as("cell")),
-          struct(lit("xmajor").as("layout"), shiftright(col("x"), 5).as("cell")))).as("lc"),
-        col("x"), col("y"))
-        .select(col("lc.layout").as("layout"), col("lc.cell").as("cell"), col("x"), col("y"))
-      cells
-        .groupBy(col("layout"), col("cell"))
-        .agg(
-          count(lit(1)).as("n"),
-          (max(col("x")) - min(col("x"))).as("sx"),
-          (max(col("y")) - min(col("y"))).as("sy"))
-        .groupBy(col("layout"))
-        .agg(
-          count(lit(1)).as("n_cells"),
-          sum(col("n")).as("n_rows"),
-          Det.rN(sum(col("sx")).cast("double") / count(lit(1)), 6).as("avg_span_x"),
-          max(col("sx")).as("max_span_x"),
-          Det.rN(sum(col("sy")).cast("double") / count(lit(1)), 6).as("avg_span_y"),
-          max(col("sy")).as("max_span_y"))
-        .orderBy(col("layout"))
-    }
-  )
-
-  /** Expose the z-value for LayoutSpec's real-file skipping proof. */
+  /** Expose the z-value for ExtrasSpec's real-file skipping proof —
+    * the on-disk step the `maint_zorder` row's bucket-span report
+    * (Maintenance.scala) argues for: that spec WRITES the two layouts
+    * and measures per-FILE spans, completing cells → files. No second
+    * registry row: the cell math is maint_zorder's. */
   private[graft] def zValueOf(x: Column, y: Column): Column = zValue(x, y, 14)
 
   def qs: Seq[Q] =
     Seq(aggPivot, aggUnpivot, aggPercentile, fnBitwise, snkPartitioned, snkBucketed, aggSalted,
-      mergeUpsert, eventsAnomaly, maintCompact, maintZorderLocality)
+      mergeUpsert, eventsAnomaly, maintCompact)
 }
