@@ -520,7 +520,71 @@ object Maintenance {
     }
   )
 
+  /** RIGHT-TO-BE-FORGOTTEN PROPAGATION REPORT — the takedown audit a
+    * 100 TB pipeline runs when a deletion request lands: for EVERY
+    * id-keyed serving view in the engine (the three dedup signature
+    * tables, the LSH signatures, the IVF inverted lists, both PQ code
+    * tables, the BM25 postings), how many physical rows reference the
+    * doomed ids (here the demo predicate `id % 97 = 0`) and how many
+    * survive the delete. Because every view row carries its source
+    * doc/vec id, the delete itself is a MAP-SIDE anti-filter per view
+    * — no join, no re-derivation from text — and this report is its
+    * coverage proof.
+    *
+    * The oracle never reads the views: it derives each view's expected
+    * row counts from the BASE tables (per-doc views = |documents|,
+    * per-vector views = |embeddings|, postings = distinct (doc, token)
+    * pairs), so the driver compare doubles as a VIEW-INTEGRITY check —
+    * a stale, duplicated, or short view fails this row's hash even if
+    * every other consumer happens to mask it. Determinism: exact
+    * counts, integer modulus. */
+  val maintForgetReport: Q = Q(
+    "maint_forget_report",
+    Some(
+      "WITH dn AS (SELECT cast(count(*) as bigint) AS n, " +
+        "cast(count(*) FILTER (WHERE doc_id % 97 = 0) as bigint) AS f FROM documents), " +
+        "en AS (SELECT cast(count(*) as bigint) AS n, " +
+        "cast(count(*) FILTER (WHERE vec_id % 97 = 0) as bigint) AS f FROM embeddings), " +
+        "pn AS (SELECT cast(count(*) as bigint) AS n, " +
+        "cast(count(*) FILTER (WHERE doc_id % 97 = 0) as bigint) AS f FROM " +
+        "(SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)) " +
+        "SELECT view, n_rows, n_forget, n_rows - n_forget AS n_kept FROM (" +
+        "SELECT 'bm25_postings' AS view, n AS n_rows, f AS n_forget FROM pn " +
+        "UNION ALL SELECT 'dedup_sigs', n, f FROM dn " +
+        "UNION ALL SELECT 'ivf_assignments', n, f FROM en " +
+        "UNION ALL SELECT 'ivfpq_codes', n, f FROM en " +
+        "UNION ALL SELECT 'lsh_sigs', n, f FROM en " +
+        "UNION ALL SELECT 'minhash_sigs', n, f FROM dn " +
+        "UNION ALL SELECT 'pq_codes', n, f FROM en " +
+        "UNION ALL SELECT 'simhash_sigs', n, f FROM dn" +
+        ") ORDER BY view"
+    ),
+    (spark, dir) => {
+      def viewRow(name: String, path: String, idCol: String): DataFrame =
+        spark.read
+          .parquet(path)
+          .select(col(idCol).as("id"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("id") % 97 === 0, 1L).otherwise(0L)).as("n_forget"))
+          .select(
+            lit(name).as("view"), col("n_rows"), col("n_forget"),
+            (col("n_rows") - col("n_forget")).as("n_kept"))
+      val (ivfCent, ivfAsg) = Advanced.ivfIndexPath(spark, dir)
+      val rows = Seq(
+        viewRow("bm25_postings", TextAnalysis.bm25IndexPath(spark, dir)._1, "doc_id"),
+        viewRow("dedup_sigs", Dedup.sigTablePath(spark, dir), "doc_id"),
+        viewRow("ivf_assignments", ivfAsg, "vec_id"),
+        viewRow("ivfpq_codes", Advanced.ivfPqIndexPath(spark, dir)._2, "vec_id"),
+        viewRow("lsh_sigs", Similarity.lshSigTablePath(spark, dir), "vec_id"),
+        viewRow("minhash_sigs", Dedup.minhashSigTablePath(spark, dir), "doc_id"),
+        viewRow("pq_codes", Advanced.pqIndexPath(spark, dir)._2, "vec_id"),
+        viewRow("simhash_sigs", Dedup.simhashSigTablePath(spark, dir), "doc_id"))
+      rows.reduce(_ unionByName _).orderBy(col("view"))
+    }
+  )
+
   def qs: Seq[Q] =
     Seq(maintIncrementalAgg, dqAudit, joinDppPrune, maintSnapshotDiff, maintColumnStats,
-      maintZorder, maintScd2, dqBenford)
+      maintZorder, maintScd2, dqBenford, maintForgetReport)
 }
