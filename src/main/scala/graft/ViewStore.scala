@@ -216,12 +216,19 @@ object ViewStore {
     // for the same worst-case latency.
     var sleepMs = 200L
     var lastClaimCheck = System.currentTimeMillis()
+    // Re-read the claims at the TOUCHER's cadence (lease/3, bounded),
+    // not a flat 5 s: with a lease shorter than the flat period a
+    // waiter could never observe a live builder's refresh and gave up
+    // after one lease — quietly losing thundering-herd protection for
+    // exactly the short-lease configs tests and latency-sensitive
+    // deployments pick (found by the r13 wedged-builder spec).
+    val claimCheckMs = math.max(500L, math.min(leaseMs / 3, 5000L))
     while (System.currentTimeMillis() < math.min(deadline, hardDeadline)) {
       if (fs.exists(base)) return true
       Thread.sleep(sleepMs)
       sleepMs = math.min(sleepMs * 2, 5000L)
       val now = System.currentTimeMillis()
-      if (now - lastClaimCheck >= 5000L) {
+      if (now - lastClaimCheck >= claimCheckMs) {
         // Re-read the claims periodically: a live builder REFRESHES its
         // claim's mtime while it works (see the toucher in materialize),
         // so a build longer than one lease keeps its waiters waiting

@@ -228,6 +228,77 @@ class ViewStoreSpec extends SparkSuite {
     }
   }
 
+  test("a wedged-but-ALIVE builder parks a waiter at most 4 leases, then the waiter builds") {
+    // ADVICE r12: a builder whose FS call hangs while its toucher
+    // thread stays healthy refreshes its claim forever — before the
+    // hard cap, waiters were parked indefinitely (the refresh logic
+    // extended the deadline every re-read). Simulate the wedge: a
+    // claim file re-touched every 300 ms by a thread that never
+    // finishes a build. With lease = 1 s the waiter must stop
+    // believing the claim after ~4 leases and build itself.
+    val root = Files.createTempDirectory("vstore_wedge").toFile
+    spark.conf.set("spark.graft.viewstore.dir", root.getPath)
+    spark.conf.set("spark.graft.viewstore.build.lease", "1")
+    try {
+      val fam = new java.io.File(root, "graft_test_wedge"); fam.mkdirs()
+      val fp    = ViewStore.fingerprint(sf)
+      val claim = new java.io.File(fam, s"$fp.building-wedged")
+      Files.write(claim.toPath, Array.emptyByteArray)
+      @volatile var refreshing = true
+      val toucher = new Thread(() => {
+        while (refreshing) {
+          Files.write(claim.toPath, Array.emptyByteArray) // fresh mtime: "alive"
+          Thread.sleep(300)
+        }
+      })
+      toucher.setDaemon(true)
+      toucher.start()
+      val t0 = System.nanoTime()
+      val p  = ViewStore.materialize(spark, "graft_test_wedge", sf)(spark.range(3).toDF("id"))
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      refreshing = false
+      assert(spark.read.parquet(p).count() == 3, "the waiter must eventually build")
+      assert(elapsed >= 3.5, f"waiter returned in $elapsed%.1f s — it never honored the live claim")
+      assert(elapsed <= 30.0,
+        f"waiter took $elapsed%.1f s — the 4-lease hard cap (4 s at lease=1) did not fire")
+    } finally {
+      spark.conf.unset("spark.graft.viewstore.dir")
+      spark.conf.unset("spark.graft.viewstore.build.lease")
+    }
+  }
+
+  test("a FAILED build removes its claim promptly; the toucher cannot resurrect it") {
+    // ADVICE r12: interrupt-then-delete raced an in-flight toucher
+    // re-PUT — the claim could be recreated after deletion, making a
+    // failed build's waiters believe a live builder for up to one full
+    // lease. The fix joins the toucher (bounded) before deleting; this
+    // pins it: after a build that THROWS, no claim file may exist, not
+    // even after a toucher period has elapsed.
+    val root = Files.createTempDirectory("vstore_fail").toFile
+    spark.conf.set("spark.graft.viewstore.dir", root.getPath)
+    spark.conf.set("spark.graft.viewstore.build.lease", "2") // toucher period = 1 s
+    try {
+      val boom = udf(() => {
+        Thread.sleep(1500) // let at least one toucher re-PUT happen mid-build
+        throw new RuntimeException("build failed"); 1
+      })
+      intercept[Exception] {
+        ViewStore.materialize(spark, "graft_test_fail", sf)(
+          spark.range(1).select(boom().as("x")))
+      }
+      val fam = new java.io.File(root, "graft_test_fail")
+      def claims = Option(fam.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.contains(".building-"))
+      assert(claims.isEmpty,
+        s"claim survived the failed build: ${claims.map(_.getName).mkString(",")}")
+      Thread.sleep(1300) // one toucher period later a resurrected claim would be visible
+      assert(claims.isEmpty, "the toucher resurrected the claim after deletion (join race)")
+    } finally {
+      spark.conf.unset("spark.graft.viewstore.dir")
+      spark.conf.unset("spark.graft.viewstore.build.lease")
+    }
+  }
+
   test("a regenerated input dir rebuilds the view instead of serving the stale one") {
     val d = Files.createTempDirectory("vstore_in").toFile
     try {
