@@ -111,6 +111,22 @@ class ExtrasSpec extends SparkSuite {
     assert(!beforeAgg.contains("Exchange hashpartitioning"), joinSection.take(1500))
   }
 
+  test("z-value interleave is exact: de-interleaving recovers both keys on the full edge grid") {
+    import spark.implicits._
+    val edge = Seq(0L, 1L, 2L, 3L, 255L, 256L, 8191L, 8192L, 16383L) // 14-bit domain edges
+    val grid = for (x <- edge; y <- edge) yield (x, y)
+    val got = grid.toDF("x", "y")
+      .withColumn("z", operators.Extras.zValueOf(col("x"), col("y")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for ((x, y, z) <- got) {
+      val dx = (0 until 14).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      val dy = (0 until 14).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      assert(dx == x && dy == y, s"z=$z decodes to ($dx,$dy), expected ($x,$y)")
+    }
+    // distinctness on the grid: interleaving is injective
+    assert(got.map(_._3).distinct.length == grid.length)
+  }
+
   test("z-ordered files bound BOTH dimensions; date-sorted files leave price at full range") {
     // The locality report (maint_zorder_locality) proves the cell math;
     // this proves the step that matters at 100 TB: rows WRITTEN in
