@@ -42,15 +42,37 @@ class SketchSpec extends SparkSuite {
     assert(sketchTop(tokens, 10) == exact)
   }
 
-  test("HLL union-of-parts equals a direct whole-scan sketch and stays within 5% of exact") {
+  test("HLL union-of-parts estimates the same set under any grouping, within the envelope") {
+    // Mergeability, stated the way it actually holds (r13 sf0.1
+    // finding — see agg_hll_merge's scaladoc for the measured ladder):
+    // Datasketches HLL estimates are NOT merge-shape-invariant. A
+    // never-merged sketch keeps the HIP estimator; any merge (explicit
+    // union or Spark partial aggregation across >1 partition)
+    // downgrades to composite; and even two unions of the SAME set
+    // grouped differently can disagree by ~1% (the gadget's
+    // mode-transition history rides along). On sf0.1's 1500 users:
+    // direct 1499@1part / 1488@32parts; unions grouped 5/7/2/100 ways:
+    // 1488/1487/1488/1499. The deterministic, layout-proof claim is
+    // the ENVELOPE: every merge shape estimates the same set within
+    // the HLL error bound. (At this suite's sparse-mode SF the arms
+    // happen to be exact, but asserting equality here would pin a
+    // property that breaks at scale — the r12 mistake.)
     val ev = Tables.events(spark, sf)
     val rows = operators.Aggregates.hllMergeEstimates(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exactAll = ev.select(col("user_id")).distinct().count()
     assert(math.abs(rows("ALL") - exactAll).toDouble / exactAll <= 0.05,
       s"ALL estimate ${rows("ALL")} vs exact $exactAll")
-    val direct = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))).collect()(0).getLong(0)
-    assert(rows("ALL") == direct, "union of per-type sketches must equal the whole-scan sketch")
+    def unionOver(group: org.apache.spark.sql.Column): Long = ev
+      .groupBy(group.as("g"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n"))
+      .collect()(0).getLong(0)
+    for (g <- Seq(pmod(col("user_id"), lit(7)), pmod(col("user_id") * 31 + 5, lit(13)))) {
+      val n = unionOver(g)
+      assert(math.abs(rows("ALL") - n).toDouble / exactAll <= 0.05,
+        s"differently-grouped unions diverged beyond the envelope: ${rows("ALL")} vs $n")
+    }
     for ((scope, est) <- rows if scope != "ALL") {
       val exact = ev.filter(col("event_type") === scope).select(col("user_id")).distinct().count()
       assert(math.abs(est - exact).toDouble / exact <= 0.05, s"$scope: $est vs $exact")
