@@ -189,7 +189,8 @@ object ViewStore {
   private def awaitPeerBuild(
       fs: org.apache.hadoop.fs.FileSystem,
       base: org.apache.hadoop.fs.Path,
-      leaseMs: Long
+      leaseMs: Long,
+      maxWaitMs: Long
   ): Boolean = {
     if (leaseMs <= 0) return false
     def liveClaimDeadline(): Option[Long] = scala.util.Try {
@@ -206,10 +207,15 @@ object ViewStore {
     // honest build, but a wedged-but-ALIVE builder (hung FS call with
     // a healthy toucher thread) would otherwise keep its waiters
     // parked indefinitely where the pre-refresh behavior degraded to
-    // a duplicate build after one lease (ADVICE r12). Four leases is
-    // the backstop: after that a waiter stops believing the claim and
-    // builds — the tmp+rename race keeps the duplicated result correct.
-    val hardDeadline = System.currentTimeMillis() + 4 * leaseMs
+    // a duplicate build after one lease (ADVICE r12). The cap cannot
+    // distinguish wedged from honest-but-slow, so it is a KNOB
+    // (`spark.graft.viewstore.build.maxwait`, seconds), defaulting to
+    // 4 leases: deployments whose builds legitimately run long set the
+    // lease near the expected build time (which scales this default)
+    // or raise the knob directly. Past the cap a waiter stops
+    // believing the claim and builds — the tmp+rename race keeps the
+    // duplicated result correct, costing only the duplicate work.
+    val hardDeadline = System.currentTimeMillis() + maxWaitMs
     // Exponential backoff, 200 ms doubling to a 5 s cap: the old flat
     // 200 ms poll issued ~4,500 existence checks per waiter over a full
     // 15 min lease — nontrivial request volume on an object store —
@@ -268,10 +274,14 @@ object ViewStore {
       .getOption("spark.graft.viewstore.build.lease")
       .map(_.toLong * 1000)
       .getOrElse(15L * 60 * 1000)
+    val maxWaitMs = spark.conf
+      .getOption("spark.graft.viewstore.build.maxwait")
+      .map(_.toLong * 1000)
+      .getOrElse(4 * leaseMs)
     val existed = buildLocks.computeIfAbsent(base.toString, _ => new Object).synchronized {
       // Peer-claim check counts as a HIT when the peer's table appears:
       // this JVM served without building, which is what the stanza means.
-      val there = fs.exists(base) || awaitPeerBuild(fs, base, leaseMs)
+      val there = fs.exists(base) || awaitPeerBuild(fs, base, leaseMs, maxWaitMs)
       if (!there) {
         val claim =
           new Path(base.getParent, s"${base.getName}.building-${java.util.UUID.randomUUID()}")

@@ -400,28 +400,14 @@ object Extras {
     ).toDF("phase", "n_files", "n_rows", "checksum").orderBy(col("phase"))
   }
 
-  /** Morton/Z-order bit-interleave of two bounded-domain keys — the
-    * multi-dimensional clustering key behind lakehouse data skipping
-    * (Delta/Iceberg OPTIMIZE ZORDER): rows sorted by z land in files
-    * whose min/max statistics are TIGHT in BOTH dimensions, so a
-    * range predicate on EITHER column prunes files — a single-column
-    * sort buys skipping on one dimension and leaves the other's spans
-    * at full range. Pure shift/and/or integer arithmetic, codegen'd,
-    * bit-identical in DuckDB. */
-  private def zValue(x: Column, y: Column, bits: Int): Column =
-    (0 until bits)
-      .map { i =>
-        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
-          .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
-      }
-      .reduce(_ bitwiseOR _)
-
   /** Expose the z-value for ExtrasSpec's real-file skipping proof —
     * the on-disk step the `maint_zorder` row's bucket-span report
     * (Maintenance.scala) argues for: that spec WRITES the two layouts
     * and measures per-FILE spans, completing cells → files. No second
-    * registry row: the cell math is maint_zorder's. */
-  private[graft] def zValueOf(x: Column, y: Column): Column = zValue(x, y, 14)
+    * registry row: the cell math is maint_zorder's, and the interleave
+    * is the SAME [[Morton]] kernel that row plans (one curve
+    * definition, two proofs). */
+  private[graft] def zValueOf(x: Column, y: Column): Column = Morton.zval(x, y, 14)
 
   def qs: Seq[Q] =
     Seq(aggPivot, aggUnpivot, aggPercentile, fnBitwise, snkPartitioned, snkBucketed, aggSalted,

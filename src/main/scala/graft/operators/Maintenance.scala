@@ -330,17 +330,14 @@ object Maintenance {
   /** Z-order bit-interleave of (partkey, suppkey) — 10 low bits of each
     * interleaved, remaining partkey bits above. Pure integer bit ops,
     * identical in both engines. */
+  // shared Morton kernel (s = even positions, p = odd) + the high-bit
+  // carry that keeps over-10-bit partkeys order-preserving above the
+  // interleave — values identical to the pre-r13 inline spelling
   private def zTermsSql: String =
-    (0 until 10)
-      .map(i => s"((((p >> $i) & 1) << ${2 * i + 1}) + (((s >> $i) & 1) << ${2 * i}))")
-      .mkString(" + ") + " + ((p >> 10) << 20)"
+    Morton.zvalSql("s", "p", 10) + " + ((p >> 10) << 20)"
 
   private def zCol: Column =
-    (0 until 10)
-      .map(i =>
-        shiftleft(shiftright(col("p"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
-          shiftleft(shiftright(col("s"), i).bitwiseAND(lit(1L)), 2 * i))
-      .reduce(_ + _) + shiftleft(shiftright(col("p"), 10), 20)
+    Morton.zval(col("s"), col("p"), 10) + shiftleft(shiftright(col("p"), 10), 20)
 
   /** Why multi-dimensional layout matters at 100 TB: a table clustered
     * on partkey alone prunes partkey predicates but every file spans

@@ -162,8 +162,23 @@ class ExtrasSpec extends SparkSuite {
     val zx = avgFileSpan(s"$base/zsorted", "x")
     val xx = avgFileSpan(s"$base/xsorted", "x")
     assert(zy * 4 < xy, s"z-files' price span $zy should be <1/4 of date-files' $xy")
-    assert(zx < 2555 && zy < 2048,
-      s"z-files must bound both dims (x $zx, y $zy) — interleave broken?")
+    // bound BOTH dims against the DATA's own ranges, not absolute
+    // constants (a fixed threshold above the corpus's actual span would
+    // pass even with the interleave ignoring that dimension — the
+    // original spelling's zx < 2555 was exactly that, vacuous against a
+    // ~2404-day corpus). Bounds are domain-occupancy-aware: both
+    // domains underfill the 14-bit grid (dates max ~2404 < 2^12, price
+    // buckets max ~7787 < 2^13), so the curve's top bits are constant
+    // zero and 32 files split on the first VARYING bits — y gets the
+    // higher varying bits, x fewer splits (measured ~0.53×rx / ~0.14×ry
+    // here). 0.7/0.3 catches the real regression class: an interleave
+    // that drops a dimension leaves its per-file span at ~1.0× range.
+    val ranges = keyed.agg(
+      (max(col("x")) - min(col("x"))).as("rx"),
+      (max(col("y")) - min(col("y"))).as("ry")).collect()(0)
+    val (rx, ry) = (ranges.getLong(0).toDouble, ranges.getLong(1).toDouble)
+    assert(zx < 0.7 * rx && zy < 0.3 * ry,
+      s"z-files must bound both dims (x $zx of $rx, y $zy of $ry) — interleave broken?")
     assert(xx < zx, "date-sorted files should bound the date dim tighter than z-files")
   }
 }
