@@ -111,6 +111,50 @@ class ExtrasSpec extends SparkSuite {
     assert(!beforeAgg.contains("Exchange hashpartitioning"), joinSection.take(1500))
   }
 
+  test("z-value interleave round-trips 500 deterministic pseudo-random key pairs") {
+    import spark.implicits._
+    // LCG-derived pairs over the full 14-bit domain (deterministic —
+    // no Random, same sequence every run), exercising bit patterns the
+    // edge grid misses
+    var s = 0x2545F4914F6CDD1DL
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 17) & 0x3FFF }
+    val pairs = Seq.fill(500)((next(), next()))
+    val got = pairs.toDF("x", "y")
+      .withColumn("z", operators.Extras.zValueOf(col("x"), col("y")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for ((x, y, z) <- got) {
+      val dx = (0 until 14).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      val dy = (0 until 14).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      assert(dx == x && dy == y, s"z=$z decodes to ($dx,$dy), expected ($x,$y)")
+    }
+  }
+
+  test("RLE codec round-trips 200 deterministic pseudo-random byte payloads") {
+    import operators.Multimodal.RleCodec
+    var s = 0x9E3779B97F4A7C15L
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s >>> 11 }
+    for (len <- Seq(0, 1, 2, 7, 255, 256, 257, 1000)) {
+      for (_ <- 1 to 25) {
+        // runs of pseudo-random length (1..40) amplify the compressible
+        // case; pure-random bytes cover the incompressible one
+        val runBased = {
+          val b = scala.collection.mutable.ArrayBuffer.empty[Byte]
+          while (b.length < len) {
+            val v = (next() & 0xff).toByte
+            val n = (next() % 40 + 1).toInt
+            b ++= Array.fill(math.min(n, len - b.length))(v)
+          }
+          b.toArray
+        }
+        val random = Array.fill(len)((next() & 0xff).toByte)
+        for (payload <- Seq(runBased, random)) {
+          assert(RleCodec.decode(RleCodec.encode(payload)).sameElements(payload),
+            s"RLE round-trip failed at len=$len")
+        }
+      }
+    }
+  }
+
   test("z-value interleave is exact: de-interleaving recovers both keys on the full edge grid") {
     import spark.implicits._
     val edge = Seq(0L, 1L, 2L, 3L, 255L, 256L, 8191L, 8192L, 16383L) // 14-bit domain edges
