@@ -59,12 +59,13 @@ object Registry {
   /** Drop every driver-side memo a `memoizes = true` row serves from
     * (cluster labels, the stream-parity verdicts). The bench's
     * memo-cleared second-run pass uses this so a memoized row's second
-    * reading measures the RECOMPUTE, not the memo hit — keep this in
-    * lockstep with the memo sites (a new memoizing row must both set
-    * `memoizes = true` and clear here, or min2_memo_cleared silently
-    * reports its memo hit as plan cost). */
+    * reading measures the RECOMPUTE, not the memo hit. Memo sites
+    * self-register in [[Memos]] at object init, so this can never drift
+    * from the cache list (ADVICE r13); `all` is forced first so every
+    * operator object — and therefore every registration — has run.
+    * MemoCouplingSpec pins the remaining flag↔cache coupling. */
   def clearMemos(): Unit = {
-    operators.Dedup.clearClusterCache()
-    operators.StreamEquivalence.clearReportCache()
+    all
+    Memos.clearAll()
   }
 }

@@ -231,7 +231,14 @@ object ViewStore {
     val claimCheckMs = math.max(500L, math.min(leaseMs / 3, 5000L))
     while (System.currentTimeMillis() < math.min(deadline, hardDeadline)) {
       if (fs.exists(base)) return true
-      Thread.sleep(sleepMs)
+      // Clamp the backoff step to the remaining wait: an unclamped 5 s
+      // step could oversleep the lease/maxwait deadline by almost a
+      // full step, stretching the documented 4-lease cap to 4-leases-
+      // plus-5s — material exactly for the short-lease configs the
+      // cadence fix above targets (ADVICE r13).
+      val remainMs =
+        math.min(deadline, hardDeadline) - System.currentTimeMillis()
+      if (remainMs > 0) Thread.sleep(math.min(sleepMs, remainMs))
       sleepMs = math.min(sleepMs * 2, 5000L)
       val now = System.currentTimeMillis()
       if (now - lastClaimCheck >= claimCheckMs) {

@@ -1147,7 +1147,10 @@ object Advanced {
         top3
           .select(col("query_id"), col("neighbor_id"))
           .join(brute, Seq("query_id", "neighbor_id"), "left")
-          .agg(sum(coalesce(col("m"), lit(0L))).as("n_hits"))
+          // outer coalesce: sum() over a family that served ZERO rows
+          // is NULL in Spark where the oracle's count(*) is 0 — keep
+          // the degenerate case a value match (ADVICE r13)
+          .agg(coalesce(sum(coalesce(col("m"), lit(0L))), lit(0L)).as("n_hits"))
       // first-stage candidate counts, each from the family's PERSISTED
       // serving view (structural counts — no scores evaluated)
       val sigs = spark.read.parquet(Similarity.lshSigTablePath(spark, dir))

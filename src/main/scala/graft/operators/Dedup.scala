@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Det, Q, Tables}
+import graft.{Det, Memos, Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1015,6 +1015,13 @@ object Dedup {
   // object-lifetime cache.
   private val clusterCache =
     scala.collection.mutable.Map.empty[(String, Long), Seq[(Long, Long, Boolean)]]
+  private val clusterComputes = Memos.counter()
+  Memos.register(Memos.Handle(
+    "dedup.clusterCache",
+    () => clusterCache.synchronized(clusterCache.size),
+    () => clearClusterCache(),
+    () => clusterComputes.get()
+  ))
 
   /** Test hook: drop the memoized labels so a spec can force the
     * iterative path to actually re-run (CheckpointSpec re-exercises it
@@ -1037,6 +1044,7 @@ object Dedup {
       case Some(cached) => cached
       case None =>
         val computed = computeClusterLabels(spark, dir, scope)
+        clusterComputes.incrementAndGet()
         clusterCache.synchronized(clusterCache.update(key, computed))
         computed
     }
@@ -2151,10 +2159,16 @@ object Dedup {
         "(SELECT cast(count(*) as bigint) FROM pr) AS n_pairs, " +
         "(SELECT cast(count(*) as bigint) FROM leak) AS n_leak, " +
         "(SELECT cast(count(DISTINCT vid) as bigint) FROM leak) AS n_val_contam, " +
-        Det.oRN("(SELECT count(*) FROM leak)::DOUBLE / (SELECT count(*) FROM pr)::DOUBLE", 6) +
-        " AS leak_rate, " +
+        // nullif guards: on an empty manifest (or an all-train split)
+        // DuckDB's IEEE double division yields NaN/inf where Spark's
+        // non-ANSI Divide yields NULL — nullif-ing the denominator
+        // makes BOTH engines emit NULL, keeping the degenerate-but-
+        // legal input a value match (ADVICE r13).
         Det.oRN(
-          "(SELECT count(DISTINCT vid) FROM leak)::DOUBLE / (SELECT count(*) FROM s WHERE is_val = 1)::DOUBLE",
+          "(SELECT count(*) FROM leak)::DOUBLE / nullif((SELECT count(*) FROM pr), 0)::DOUBLE",
+          6) + " AS leak_rate, " +
+        Det.oRN(
+          "(SELECT count(DISTINCT vid) FROM leak)::DOUBLE / nullif((SELECT count(*) FROM s WHERE is_val = 1), 0)::DOUBLE",
           6) + " AS contam_rate"
     ),
     (spark, dir) => {
@@ -2178,9 +2192,14 @@ object Dedup {
         .crossJoin(broadcast(leaks))
         .select(
           col("n_train"), col("n_val"), col("n_pairs"), col("n_leak"), col("n_val_contam"),
-          Det.rN(col("n_leak").cast("double") / col("n_pairs").cast("double"), 6)
+          // Explicit zero-denominator guard mirroring the oracle's
+          // nullif: non-ANSI Divide already NULLs on /0, but spelling
+          // it out keeps the row correct under ANSI mode too.
+          Det.rN(col("n_leak").cast("double") /
+            when(col("n_pairs") === 0, lit(null)).otherwise(col("n_pairs")).cast("double"), 6)
             .as("leak_rate"),
-          Det.rN(col("n_val_contam").cast("double") / col("n_val").cast("double"), 6)
+          Det.rN(col("n_val_contam").cast("double") /
+            when(col("n_val") === 0, lit(null)).otherwise(col("n_val")).cast("double"), 6)
             .as("contam_rate"))
     }
   )

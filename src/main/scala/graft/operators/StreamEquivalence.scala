@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, ViewStore}
+import graft.{Memos, Q, ViewStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -40,6 +40,13 @@ object StreamEquivalence {
 
   private val reportCache =
     scala.collection.mutable.Map.empty[String, Seq[(String, Int, Int, Int)]]
+  private val reportComputes = Memos.counter()
+  Memos.register(Memos.Handle(
+    "streamEquivalence.reportCache",
+    () => reportCache.synchronized(reportCache.size),
+    () => clearReportCache(),
+    () => reportComputes.get()
+  ))
 
   /** Test hook (mirrors Dedup.clearClusterCache): force a recompute. */
   private[graft] def clearReportCache(): Unit =
@@ -193,6 +200,7 @@ object StreamEquivalence {
       case Some(cached) => cached
       case None =>
         val computed = computeReport(spark, dir)
+        reportComputes.incrementAndGet()
         reportCache.synchronized(reportCache.update(key, computed))
         computed
     }
