@@ -34,9 +34,19 @@ object BenchRepeat {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B knob passthrough (e.g. SPARK_GRAFT_CONF="spark.graft.streameq.pool=8"):
+    // runtime confs the queries read via spark.conf, ';'-separated k=v.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     for (name <- names) {
       val q = Registry.byName(name)
       val times = (1 to n).map { _ =>
+        // A memoized row's iterations 2..n would time the memo HIT —
+        // useless for plan A/Bs. Clear like the bench's memo-cleared
+        // pass so every iteration measures the recompute.
+        if (q.memoizes) Registry.clearMemos()
         val t0 = System.nanoTime()
         q.run(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9

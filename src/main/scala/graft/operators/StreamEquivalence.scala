@@ -167,6 +167,15 @@ object StreamEquivalence {
         StreamDemos.streamedBpeVocab(spark, dir, copies = 2),
         spark.read.parquet(TextAnalysis.bpeIndexPath(spark, dir)._2)))
     )
+    // declaration-order tags for the thunks above (each thunk also
+    // self-reports its name; the require() below pins the two in sync)
+    val rowNames = Seq(
+      "bm25_index", "lsh_sigs", "ivf_assignments", "pq_codes",
+      "ivfpq_codes", "minhash_sigs", "dedup_sigs", "simhash_sigs",
+      "contam_shingles", "edge_view", "pair_delta",
+      "ingest_screen_exact", "ingest_screen_minhash",
+      "ingest_screen_contam", "bpe_vocab"
+    )
     // The fifteen audits are independent (separate streams, separate
     // driver state, distinct or idempotently-shared staging dirs), and
     // each one spends most of its wall time WAITING on small Spark
@@ -176,18 +185,48 @@ object StreamEquivalence {
     // order, so the report rows are deterministic.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
+    // Default pool 8, not all-15-at-once: measured at sf0.1/32 cores
+    // (BenchRepeat, r14) the bounded pool ties the all-at-once steady
+    // state (min-of-3 21.1 vs 21.4 s) but its COLD first run — the one
+    // the driver artifact times — is faster and far less variable
+    // (30.2/29.5 s across samples vs 44.3/31.6), and peak memory/GC
+    // scale with live streams, not family count. pool=5 over-serializes
+    // (24.6 s). The knob remains for boxes with different core counts.
     val poolSize = spark.conf
       .getOption("spark.graft.streameq.pool")
       .map(_.toInt)
-      .getOrElse(rows.size)
+      .getOrElse(math.min(8, rows.size))
       .max(1)
       .min(rows.size)
+    // Under a BOUNDED pool, submission order is makespan: the heavy
+    // replay families (ingest screens, pair_delta, edge_view, the code
+    // tables) must start in the first wave or they anchor the tail
+    // after every light sig-table twin has drained. Longest-job-first
+    // by the measured per-family cost ranking (stream_eq_families
+    // stanzas, stable across rounds); with the default all-at-once
+    // pool this ordering is inert. Results are still collected in
+    // declaration order, so the report rows don't depend on it.
+    val costRank: Map[String, Int] = Seq(
+      "pair_delta", "ingest_screen_minhash", "edge_view", "pq_codes",
+      "ivfpq_codes", "ingest_screen_contam", "ingest_screen_exact",
+      "bm25_index", "bpe_vocab", "contam_shingles", "simhash_sigs",
+      "minhash_sigs", "dedup_sigs", "lsh_sigs", "ivf_assignments"
+    ).zipWithIndex.toMap
+    val submitOrder = rows.zip(rowNames)
+      .sortBy { case (_, name) => costRank.getOrElse(name, Int.MaxValue) }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val done =
-      try Await.result(Future.sequence(rows.map(t => Future(timed(t)))), Duration.Inf)
-      finally pool.shutdown()
+      try {
+        val futures = submitOrder.map { case (t, name) => name -> Future(timed(t)) }.toMap
+        Await.result(
+          Future.sequence(rowNames.map(futures(_))), Duration.Inf)
+      } finally pool.shutdown()
+    // the tag list and the thunks' self-reported names must agree, or
+    // the LJF ranking silently ranks the wrong family
+    require(done.map(_._1) == rowNames,
+      s"streameq tag drift: ${done.map(_._1)} vs $rowNames")
     done.map { case (f, (ne, rm, be)) => (f, ne, rm, be) }
   }
 
