@@ -1205,8 +1205,51 @@ object Advanced {
     }
   )
 
+  /** Diversity-stratified sampling from the IVF cells: pick k=3
+    * documents per coarse cell, hash-ordered — the cheap
+    * embedding-space-coverage sampler a training-mix owner uses when a
+    * uniform sample would be dominated by the dense clusters (every
+    * cell contributes equally regardless of its population). Selection
+    * is a pure function of the persisted index + doc key: reproducible
+    * across engines, reruns, and cluster sizes, like every sampler in
+    * [[Sampling]].
+    *
+    * Scale shape: reads the PERSISTED assignments view (never
+    * recomputes the quantizer), one equi-join to fetch labels, a
+    * [[org.apache.spark.sql.graftx.TopKPerGroup]] bounded-heap top-k
+    * per cell (map-side pruning — the exchange carries ≤ k rows per
+    * cell per partition, not the cell), and a broadcast join against
+    * the ~|cells|-row size table. At 100 TB the cells ARE the
+    * partition key; nothing here is corpus-quadratic or driver-side. */
+  val sampleDiverseIvf: Q = Q(
+    "sample_diverse_ivf",
+    Some(
+      s"WITH $ivfCoarseCtes, " +
+        "p AS (SELECT list_id, vec_id, label, row_number() OVER (PARTITION BY list_id " +
+        s"ORDER BY ${Sampling.oHkey("vec_id")}, vec_id) AS pick_rank, " +
+        "count(*) OVER (PARTITION BY list_id) AS n_cell FROM asg) " +
+        "SELECT list_id, pick_rank, vec_id, label, cast(n_cell as bigint) AS n_cell " +
+        "FROM p WHERE pick_rank <= 3 ORDER BY list_id, pick_rank"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.graftx.TopKPerGroup
+      val (_, asgPath) = ivfIndexPath(spark, dir)
+      val asg = spark.read.parquet(asgPath).select(col("vec_id"), col("list_id"))
+      val cells = asg.join(
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
+        Seq("vec_id"))
+      val sizes = asg.groupBy(col("list_id")).agg(count(lit(1)).cast("long").as("n_cell"))
+      TopKPerGroup(
+        cells.withColumn("hk", Sampling.hkey(col("vec_id"))),
+        Seq("list_id"), Seq("hk" -> false, "vec_id" -> false), 3, rnName = "pick_rank")
+        .join(broadcast(sizes), Seq("list_id")) // bounded build: ~|cells| rows
+        .select(col("list_id"), col("pick_rank"), col("vec_id"), col("label"), col("n_cell"))
+        .orderBy(col("list_id"), col("pick_rank"))
+    }
+  )
+
   def qs: Seq[Q] =
     Seq(ivfCentroids, simAnnIvf, simAnnIvfPersisted, funnelVcp, dedupSemantic,
       pqCodebooks, simAnnPq, simAnnPqRerank, pqDistortionReport, simAnnIvfPq,
-      simAnnIvfPqRerank, simAnnIvfPqNprobeReport, simAnnFamilyReport)
+      simAnnIvfPqRerank, simAnnIvfPqNprobeReport, simAnnFamilyReport, sampleDiverseIvf)
 }

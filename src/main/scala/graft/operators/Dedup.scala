@@ -2120,6 +2120,102 @@ object Dedup {
     }
   )
 
+  /** Content-defined chunking (CDC) dedup: cut each document into
+    * chunks at CONTENT-DEFINED boundaries — a token ends a chunk when
+    * its hash ≡ 0 (mod 8), the memoryless gear/Rabin-style cut rule —
+    * then count, per document, how many of its chunks (and what token
+    * fraction) recur verbatim anywhere else in the corpus. This is the
+    * storage/dataset-dedup flavor [[textChunk]]'s fixed stride cannot
+    * express: a fixed-stride chunker loses every alignment downstream
+    * of one inserted token, while content-defined boundaries re-
+    * synchronize immediately, so shared passages between near-copies
+    * keep hashing to the same chunks (expected chunk length = 8
+    * tokens; production CDC adds min/max bounds, which only clamp the
+    * same rule).
+    *
+    * Scale shape: one explode, a PARTITIONED (per-doc) running sum for
+    * chunk ids, a (doc, chunk)-keyed aggregate, a chunk-hash-keyed
+    * count, one equi-join back on the hash, one doc-keyed aggregate —
+    * every step key-partitioned with bounded fanout, no all-pairs
+    * anywhere, and the exchange after chunking carries 16-byte hashes,
+    * never text. Determinism: md5-derived boundaries and chunk keys
+    * (cross-engine exact), ordered string_agg/array_join
+    * reconstruction, exact counts; the one division is guarded by
+    * n_tokens ≥ 1 (every doc has at least one token). */
+  /** The CDC chunker itself: (doc_id, chunk_id, n_tok, ck) for any
+    * frame with (doc_id, text). Exposed so DedupSpec can pin the
+    * defining CDC property — boundaries RE-SYNCHRONIZE after an edit
+    * (a one-token insertion changes only the chunk it lands in, where
+    * a fixed-stride chunker loses every downstream alignment). */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = split(col("text"), " ")
+    val tok = docs.select(col("doc_id"), posexplode(t).as(Seq("pos", "tok")))
+    val w = Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tok
+      .withColumn("b", when(Sampling.hkey(col("tok")) % 8 === 0, 1).otherwise(0))
+      .withColumn("chunk_id", (sum(col("b")).over(w) - col("b")).cast("long"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_tok"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")),
+          " ")).as("ck")
+      )
+  }
+
+  val dedupCdcChunks: Q = Q(
+    "dedup_cdc_chunks",
+    Some(
+      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, " +
+        "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents), " +
+        s"m AS (SELECT doc_id, pos, tok, CASE WHEN ${Sampling.oHkey("tok")} % 8 = 0 " +
+        "THEN 1 ELSE 0 END AS b FROM tok), " +
+        "c AS (SELECT doc_id, pos, tok, sum(b) OVER (PARTITION BY doc_id ORDER BY pos " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b AS chunk_id FROM m), " +
+        "ch AS (SELECT doc_id, chunk_id, cast(count(*) as bigint) AS n_tok, " +
+        "md5(string_agg(tok, ' ' ORDER BY pos)) AS ck FROM c GROUP BY doc_id, chunk_id), " +
+        "nd AS (SELECT ck, count(DISTINCT doc_id) AS nd FROM ch GROUP BY ck) " +
+        "SELECT ch.doc_id, cast(count(*) as bigint) AS n_chunks, " +
+        "cast(sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) as bigint) AS n_dup_chunks, " +
+        "cast(sum(ch.n_tok) as bigint) AS n_tokens, " +
+        Det.oRN("sum(CASE WHEN nd.nd > 1 THEN ch.n_tok ELSE 0 END)::DOUBLE / sum(ch.n_tok)::DOUBLE", 6) +
+        " AS dup_token_frac " +
+        "FROM ch JOIN nd USING (ck) GROUP BY ch.doc_id ORDER BY ch.doc_id"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val chunks = cdcChunks(Tables.documents(spark, dir))
+      // distinct-doc count per chunk key WITHOUT a join back (a
+      // self-join on ck would recompute the whole explode+window+agg
+      // chunk subtree once per side — measured in the r14 plan dump):
+      // dense_rank over doc_id within the ck partition, then its max
+      // over the same partition — both windows share ONE exchange+sort
+      // on ck, so the corpus is chunked exactly once.
+      val wOrd = Window.partitionBy(col("ck")).orderBy(col("doc_id"))
+      val wAll = Window.partitionBy(col("ck"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      chunks
+        .withColumn("nd", max(dense_rank().over(wOrd)).over(wAll))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).cast("long").as("n_chunks"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).cast("long").as("n_dup_chunks"),
+          sum(col("n_tok")).cast("long").as("n_tokens"),
+          Det.rN(
+            sum(when(col("nd") > 1, col("n_tok")).otherwise(0L)).cast("double") /
+              sum(col("n_tok")).cast("double"),
+            6).as("dup_token_frac")
+        )
+        .orderBy(col("doc_id"))
+    }
+  )
+
   /** TRAIN/VAL SPLIT-LEAKAGE AUDIT — the eval-integrity check every
     * training pipeline must run before trusting a validation number:
     * split the corpus on the engine's standard deterministic hash
@@ -2212,6 +2308,6 @@ object Dedup {
     dedupBestOfCluster, dedupContainment, dedupIncremental, dedupIncrementalPersisted,
     dedupMinhashIncremental, dedupPairsIncremental,
     dedupSpanCoverage, dedupNgramExact, dedupSourceOverlap, dedupSourceUnique,
-    dedupEditDistance, pipelineSplitLeakage
+    dedupEditDistance, dedupCdcChunks, pipelineSplitLeakage
   )
 }

@@ -244,6 +244,83 @@ object Sampling {
     }
   )
 
+  /** Token-budget curation cut: given a fixed training-token budget
+    * (here half the corpus), keep documents best-quality-first until
+    * the budget is spent, and report the cut per source — the decision
+    * table a data-mixing owner reads when a 1T-token run can't take
+    * the whole crawl. Ordering key = [[TextAnalysis.textQuality]]'s
+    * composite score (same arithmetic, unrounded), tie-broken by
+    * doc_id; a document is kept iff its INCLUSIVE running token total
+    * in (quality desc, doc_id) order fits the budget.
+    *
+    * Scale shape: the global running sum is [[Grids.runningSums]]'
+    * two-level cumulative (range-bucketed, partitioned window — never
+    * a partitionless window over the corpus); the budget is one
+    * broadcast scalar; everything else is map-side projection into a
+    * per-source aggregate. Determinism: the quality score is IEEE
+    * arithmetic over exact ints in identical operation order in both
+    * engines (bit-identical doubles — the same precedent text_quality's
+    * hash match established), so the (quality, doc_id) order and the
+    * exact long running sums agree; the budget compare is
+    * exact-long-as-double vs 0.5 × exact-long-as-double. */
+  val pipelineTokenBudget: Q = Q(
+    "pipeline_token_budget",
+    Some(
+      "WITH d AS (SELECT doc_id, source, n_chars, string_split(text, ' ') AS t FROM documents), " +
+        "f AS (SELECT doc_id, source, cast(len(t) as bigint) AS n_tokens, " +
+        "0.4 * (CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1.0 ELSE 0.0 END) + " +
+        "0.3 * (len(list_filter(t, x -> length(x) > 4))::DOUBLE / len(t)) + " +
+        "0.2 * (1 - len(list_filter(t, x -> list_contains(['the','and','of','a','in','key','row'], x)))::DOUBLE / len(t)) + " +
+        "0.1 * least((n_chars::DOUBLE / len(t)) / 10, 1.0) AS q FROM d), " +
+        "tt AS (SELECT sum(n_tokens)::DOUBLE AS tot FROM f), " +
+        "c AS (SELECT *, sum(n_tokens) OVER (ORDER BY q DESC, doc_id) AS cum FROM f) " +
+        "SELECT source, cast(count(*) as bigint) AS n_docs, " +
+        "cast(sum(n_tokens) as bigint) AS n_tokens, " +
+        "cast(sum(CASE WHEN c.cum <= 0.5 * tt.tot THEN 1 ELSE 0 END) as bigint) AS n_docs_kept, " +
+        "cast(sum(CASE WHEN c.cum <= 0.5 * tt.tot THEN n_tokens ELSE 0 END) as bigint) AS n_tokens_kept, " +
+        Det.oRN(
+          "sum(CASE WHEN c.cum <= 0.5 * tt.tot THEN n_tokens ELSE 0 END)::DOUBLE / sum(n_tokens)::DOUBLE",
+          6) + " AS kept_token_frac " +
+        "FROM c, tt GROUP BY source ORDER BY source"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.functions.broadcast
+      val stop = Seq("the", "and", "of", "a", "in", "key", "row")
+      val t = split(col("text"), " ")
+      val f = Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"), t.as("t"))
+        .select(
+          col("doc_id"),
+          col("source"),
+          size(col("t")).cast("long").as("n_tokens"),
+          (lit(0.4) * when(col("n_chars").between(100, 400), 1.0).otherwise(0.0) +
+            lit(0.3) * (size(filter(col("t"), x => length(x) > 4)).cast("double") / size(col("t"))) +
+            lit(0.2) * (lit(1) - size(filter(col("t"), x =>
+              array_contains(array(stop.map(lit): _*), x))).cast("double") / size(col("t"))) +
+            lit(0.1) * least((col("n_chars").cast("double") / size(col("t"))) / 10, lit(1.0)))
+            .as("q")
+        )
+      val tot = f.agg(sum(col("n_tokens")).cast("double").as("tot"))
+      val kept = col("cum_tokens").cast("double") <= lit(0.5) * col("tot")
+      Grids
+        .runningSums(f, "q", desc = true, Seq("doc_id"), Seq((col("n_tokens"), "cum_tokens")))
+        .crossJoin(broadcast(tot)) // bounded: ONE budget row
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"),
+          sum(when(kept, 1L).otherwise(0L)).cast("long").as("n_docs_kept"),
+          sum(when(kept, col("n_tokens")).otherwise(0L)).cast("long").as("n_tokens_kept"),
+          Det.rN(
+            sum(when(kept, col("n_tokens")).otherwise(0L)).cast("double") /
+              sum(col("n_tokens")).cast("double"),
+            6).as("kept_token_frac")
+        )
+        .orderBy(col("source"))
+    }
+  )
+
   /** Deterministic stratified train/test split — the assignment every
     * training pipeline needs to be reproducible across reruns, engines,
     * and cluster sizes: membership is a pure function of the document
@@ -634,7 +711,7 @@ object Sampling {
 
   def qs: Seq[Q] = Seq(
     sampleHashPct, sampleStratified, interleaveSources, joinRangeEvents,
-    mixReport, sampleQualityWeighted, pipelinePack, sampleTrainTestSplit,
+    mixReport, sampleQualityWeighted, pipelinePack, pipelineTokenBudget, sampleTrainTestSplit,
     sampleRendezvousShards, pipelineEpochShuffle, sampleTemperature,
     pipelineMixtureSolve, sampleBootstrapCi
   )

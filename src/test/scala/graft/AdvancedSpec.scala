@@ -237,4 +237,38 @@ class AdvancedSpec extends SparkSuite {
       if (ct.isEmpty) assert(pt.isEmpty, "purchase without click stage")
     }
   }
+
+  test("diverse IVF sample equals the naive per-cell window spelling") {
+    import org.apache.spark.sql.expressions.Window
+    val got = operators.Advanced.sampleDiverseIvf.run(spark, sf).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getAs[Number](3).longValue, r.getAs[Number](4).longValue))
+    assert(got.nonEmpty)
+    // structure: ranks are 1..k dense per cell, at most 3 picks per cell
+    got.groupBy(_._1).foreach { case (cell, rows) =>
+      assert(rows.length <= 3, s"cell $cell has ${rows.length} picks")
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq,
+        s"cell $cell ranks not dense: ${rows.map(_._2).sorted.toSeq}")
+    }
+    // equality against the standard window formulation over the same
+    // persisted assignments (the row itself uses the bounded-heap
+    // TopKPerGroup operator — both must pick identical rows)
+    val (_, asgPath) = operators.Advanced.ivfIndexPath(spark, sf)
+    val asg = spark.read.parquet(asgPath).select(col("vec_id"), col("list_id"))
+    val lab = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
+    val hk = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy(col("list_id")).orderBy(hk, col("vec_id"))
+    val naive = asg.join(lab, Seq("vec_id"))
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .filter(col("pick_rank") <= 3)
+      .select("list_id", "pick_rank", "vec_id").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue)).toSet
+    assert(got.map(t => (t._1, t._2, t._3)).toSet == naive)
+    // n_cell matches the true cell populations
+    val sizes = asg.groupBy(col("list_id")).count().collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    got.foreach { case (cell, _, _, _, n) => assert(sizes(cell) == n) }
+  }
+
 }

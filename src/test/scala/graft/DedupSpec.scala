@@ -534,4 +534,48 @@ class DedupSpec extends SparkSuite {
     assert(got.nonEmpty, "screen finds pairs at test scale")
     assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
   }
+
+  test("CDC chunk boundaries re-synchronize after a mid-document insertion") {
+    import spark.implicits._
+    // deterministic pseudo-word stream (no Random: same tokens every run)
+    val toksA = (1 to 400).map(i => s"w${(i * 2654435761L) % 97}")
+    val at = 200
+    val toksB = toksA.take(at) ++ Seq("zzzledger") ++ toksA.drop(at)
+    val docs = Seq((1L, toksA.mkString(" ")), (2L, toksB.mkString(" "))).toDF("doc_id", "text")
+    val ch = operators.Dedup.cdcChunks(docs)
+      .select("doc_id", "ck").collect().map(r => (r.getLong(0), r.getString(1)))
+    val aCk = ch.collect { case (1L, ck) => ck }.toSet
+    val bCk = ch.collect { case (2L, ck) => ck }.toSet
+    assert(aCk.size > 10, s"expected many chunks, got ${aCk.size}")
+    // content-defined cuts: ONLY the chunk the insertion lands in changes
+    assert((aCk -- bCk).size <= 1,
+      s"CDC lost ${(aCk -- bCk).size} chunks to one insertion — boundaries did not re-synchronize")
+    // contrast: a fixed-stride (24-token) chunker loses every chunk
+    // downstream of the insertion point — the alignment CDC preserves
+    def stride(ts: Seq[String]): Set[String] = ts.grouped(24).map(_.mkString(" ")).toSet
+    val strideLost = (stride(toksA) -- stride(toksB)).size
+    assert(strideLost > (aCk -- bCk).size,
+      s"fixed-stride lost $strideLost chunks; CDC must lose strictly fewer")
+  }
+
+  test("CDC dedup row: fractions bounded; identical texts chunk identically") {
+    val got = operators.Dedup.dedupCdcChunks.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, nChunks, nTok, f) =>
+      assert(nChunks >= 1 && nTok >= nChunks, s"doc $id: $nChunks chunks / $nTok tokens")
+      assert(f >= 0.0 && f <= 1.0, s"doc $id: dup_token_frac $f")
+    }
+    // identical texts produce identical chunk-key multisets (the exact-
+    // duplicate case reads dup_token_frac 1.0 by construction)
+    import spark.implicits._
+    val text = (1 to 120).map(i => s"w${(i * 2654435761L) % 97}").mkString(" ")
+    val twin = operators.Dedup.cdcChunks(Seq((1L, text), (2L, text)).toDF("doc_id", "text"))
+      .select("doc_id", "chunk_id", "ck").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val a = twin.collect { case (1L, cid, ck) => (cid, ck) }.sortBy(_._1)
+    val b = twin.collect { case (2L, cid, ck) => (cid, ck) }.sortBy(_._1)
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
 }

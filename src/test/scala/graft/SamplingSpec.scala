@@ -111,4 +111,42 @@ class SamplingSpec extends SparkSuite {
     val achSum = rows.map(_.getDouble(4)).sum
     assert(achSum <= budget + 1e-3, s"achieved $achSum > budget $budget")
   }
+
+  test("token-budget cut equals a driver-side quality-ordered recompute") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val stop = Set("the", "and", "of", "a", "in", "key", "row")
+    val scored = docs.map { case (id, src, nChars, text) =>
+      val t = text.split(" ", -1)
+      val lenOk = if (nChars >= 100 && nChars <= 400) 1.0 else 0.0
+      val q = 0.4 * lenOk +
+        0.3 * (t.count(_.length > 4).toDouble / t.length) +
+        0.2 * (1 - t.count(stop).toDouble / t.length) +
+        0.1 * math.min((nChars.toDouble / t.length) / 10, 1.0)
+      (id, src, t.length.toLong, q)
+    }
+    val total = scored.map(_._3).sum.toDouble
+    var cum = 0L
+    val kept = scala.collection.mutable.Set.empty[Long]
+    for ((id, _, n, _) <- scored.sortBy { case (id, _, _, q) => (-q, id) }) {
+      cum += n
+      if (cum <= 0.5 * total) kept += id
+    }
+    val expected = scored.groupBy(_._2).map { case (src, rows) =>
+      val keptRows = rows.filter(r => kept(r._1))
+      (src, (rows.length.toLong, rows.map(_._3).sum,
+        keptRows.length.toLong, keptRows.map(_._3).sum))
+    }
+    val got = operators.Sampling.pipelineTokenBudget.run(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (src, e) =>
+      assert(got(src) == e, s"source $src: got ${got(src)}, expected $e")
+    }
+    // the cut must bind: something kept, something dropped
+    val (keptTok, totTok) = (got.values.map(_._4).sum, got.values.map(_._2).sum)
+    assert(keptTok > 0 && keptTok < totTok, s"degenerate cut: $keptTok of $totTok")
+  }
+
 }
