@@ -1142,15 +1142,13 @@ object Advanced {
       import org.apache.spark.sql.graftx.TopKPerGroup
       val brute = Similarity.pairsTopK(spark, dir, 100, 3)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("m"))
-      val nqF = brute.agg(countDistinct(col("query_id")).as("nq"))
-      def hitsOf(top3: DataFrame): DataFrame =
-        top3
-          .select(col("query_id"), col("neighbor_id"))
-          .join(brute, Seq("query_id", "neighbor_id"), "left")
-          // outer coalesce: sum() over a family that served ZERO rows
-          // is NULL in Spark where the oracle's count(*) is 0 — keep
-          // the degenerate case a value match (ADVICE r13)
-          .agg(coalesce(sum(coalesce(col("m"), lit(0L))), lit(0L)).as("n_hits"))
+      // nq = the probe-query count, read with one filtered count of the
+      // base table: identical to the truth's distinct query_ids (every
+      // probe has >= 1 neighbor whenever the corpus has >= 2 vectors)
+      // without re-evaluating the brute-force subtree just to count it
+      val nqF = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") < 100)
+        .agg(count(lit(1)).as("nq"))
       // first-stage candidate counts, each from the family's PERSISTED
       // serving view (structural counts — no scores evaluated)
       val sigs = spark.read.parquet(Similarity.lshSigTablePath(spark, dir))
@@ -1185,22 +1183,44 @@ object Advanced {
         .agg(count(lit(1)).as("nb"))
         .crossJoin(broadcast(nqF))
         .select((col("nq") * (col("nb") - lit(1L))).as("n_cand"))
-      def famRow(fam: String, top3: DataFrame, cand: DataFrame): DataFrame =
-        hitsOf(top3)
-          .crossJoin(broadcast(cand)) // bounded: every side is ONE row
-          .crossJoin(broadcast(nqF))
-          .select(
-            lit(fam).as("family"),
-            col("n_cand"),
-            Det.rN(col("n_cand").cast("double") / col("nq").cast("double"), 6).as("mean_cand"),
-            col("n_hits"),
-            Det.rN(col("n_hits").cast("double") / (col("nq").cast("double") * 3.0), 6)
-              .as("recall_at_3"))
-      famRow("lsh", Similarity.simAnnLshPersisted.run(spark, dir), lshCand)
-        .unionByName(famRow("lsh_multi", Similarity.simAnnMultiprobe.run(spark, dir), lshMultiCand))
-        .unionByName(famRow("ivf", simAnnIvfPersisted.run(spark, dir), ivfCand))
-        .unionByName(famRow("pq", simAnnPqRerank.run(spark, dir), pqCand))
-        .unionByName(famRow("ivfpq", simAnnIvfPqRerank.run(spark, dir), ivfCand))
+      // ONE truth join for all five families: the served top-3 frames
+      // are tagged and unioned, then joined against the brute-force
+      // truth once — the earlier per-family spelling re-evaluated the
+      // brute subtree once per family (6x with the nq count; measured
+      // ~0.9 s/extra evaluation at sf0.1 in the r13 min2). Candidate
+      // counts stay per-family 1-row aggregates.
+      val served = Seq(
+        "lsh"       -> Similarity.simAnnLshPersisted.run(spark, dir),
+        "lsh_multi" -> Similarity.simAnnMultiprobe.run(spark, dir),
+        "ivf"       -> simAnnIvfPersisted.run(spark, dir),
+        "pq"        -> simAnnPqRerank.run(spark, dir),
+        "ivfpq"     -> simAnnIvfPqRerank.run(spark, dir))
+        .map { case (f, df) =>
+          df.select(lit(f).as("family"), col("query_id"), col("neighbor_id"))
+        }
+        .reduce(_.unionByName(_))
+      val hits = served
+        .join(brute, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("family"))
+        .agg(sum(coalesce(col("m"), lit(0L))).as("n_hits"))
+      val cands = Seq(
+        "lsh" -> lshCand, "lsh_multi" -> lshMultiCand, "ivf" -> ivfCand,
+        "pq" -> pqCand, "ivfpq" -> ivfCand)
+        .map { case (f, c) => c.select(lit(f).as("family"), col("n_cand")) }
+        .reduce(_.unionByName(_))
+      cands
+        // left join + coalesce: a family that served ZERO rows has no
+        // hits group — it must still read n_hits 0 like the oracle's
+        // count(*) (ADVICE r13)
+        .join(hits, Seq("family"), "left")
+        .crossJoin(broadcast(nqF)) // bounded: ONE denominator row
+        .select(
+          col("family"),
+          col("n_cand"),
+          Det.rN(col("n_cand").cast("double") / col("nq").cast("double"), 6).as("mean_cand"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          Det.rN(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            (col("nq").cast("double") * 3.0), 6).as("recall_at_3"))
         .orderBy(col("family"))
     }
   )
