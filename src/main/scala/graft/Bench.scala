@@ -98,6 +98,7 @@ object Bench {
       operators.TextAnalysis.contamShingleTablePath(spark, sfDir)
       operators.TextAnalysis.bpeIndexPath(spark, sfDir)
       operators.TextAnalysis.bpeWideMergesPath(spark, sfDir)
+      operators.Dedup.cdcChunkTablePath(spark, sfDir)
       (System.nanoTime() - t0) / 1e9
     }
     // Codegen pre-compile for the mega-plan rows: a large composed plan's
@@ -369,7 +370,7 @@ object Bench {
     }.getOrElse("")
     // Per-family decomposition of the stream-parity audit, its OWN
     // stdout line (the compact line below must stay inside the
-    // harness's 2 KB tail buffer): which of the 15 families absorbed
+    // harness's 2 KB tail buffer): which of the families absorbed
     // the wall time is now readable from the artifact, not only from
     // a quiet-window rerun (VERDICT r12 #3). Families run concurrently,
     // so entries overlap — they attribute, they don't sum to the row.

@@ -2169,17 +2169,38 @@ object Dedup {
       )
   }
 
+  /** Write-once CDC chunk table — [[graft.ViewStore]] discipline: a
+    * doc's chunk rows are a pure per-document function of its text
+    * (the same ingest-product argument as every signature table), so
+    * the corpus is chunked ONCE per snapshot and every consumer — the
+    * corpus dup report, the incremental passage screen, the streaming
+    * maintenance twin — reads (doc_id, chunk_id, n_tok, ck) rows
+    * instead of re-exploding the text. */
+  private[graft] def cdcChunkTablePath(spark: SparkSession, dir: String): String =
+    graft.ViewStore.materialize(spark, "graft_cdc_chunks", dir)(
+      cdcChunks(Tables.documents(spark, dir)))
+
+  private def cdcChunkTable(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(cdcChunkTablePath(spark, dir))
+
+  /** The chunk-table derivation as oracle CTEs (`ch` = the view's
+    * (doc_id, chunk_id, n_tok, ck) rows) — shared by the corpus dup
+    * report and the incremental passage screen so both oracles replay
+    * literally the same chunking. */
+  private val cdcOracleCtes: String =
+    "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, " +
+      "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents), " +
+      s"m AS (SELECT doc_id, pos, tok, CASE WHEN ${Sampling.oHkey("tok")} % 8 = 0 " +
+      "THEN 1 ELSE 0 END AS b FROM tok), " +
+      "c AS (SELECT doc_id, pos, tok, sum(b) OVER (PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b AS chunk_id FROM m), " +
+      "ch AS (SELECT doc_id, chunk_id, cast(count(*) as bigint) AS n_tok, " +
+      "md5(string_agg(tok, ' ' ORDER BY pos)) AS ck FROM c GROUP BY doc_id, chunk_id)"
+
   val dedupCdcChunks: Q = Q(
     "dedup_cdc_chunks",
     Some(
-      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, " +
-        "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents), " +
-        s"m AS (SELECT doc_id, pos, tok, CASE WHEN ${Sampling.oHkey("tok")} % 8 = 0 " +
-        "THEN 1 ELSE 0 END AS b FROM tok), " +
-        "c AS (SELECT doc_id, pos, tok, sum(b) OVER (PARTITION BY doc_id ORDER BY pos " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b AS chunk_id FROM m), " +
-        "ch AS (SELECT doc_id, chunk_id, cast(count(*) as bigint) AS n_tok, " +
-        "md5(string_agg(tok, ' ' ORDER BY pos)) AS ck FROM c GROUP BY doc_id, chunk_id), " +
+      s"WITH $cdcOracleCtes, " +
         "nd AS (SELECT ck, count(DISTINCT doc_id) AS nd FROM ch GROUP BY ck) " +
         "SELECT ch.doc_id, cast(count(*) as bigint) AS n_chunks, " +
         "cast(sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) as bigint) AS n_dup_chunks, " +
@@ -2190,13 +2211,14 @@ object Dedup {
     ),
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val chunks = cdcChunks(Tables.documents(spark, dir))
+      val chunks = cdcChunkTable(spark, dir)
       // distinct-doc count per chunk key WITHOUT a join back (a
-      // self-join on ck would recompute the whole explode+window+agg
-      // chunk subtree once per side — measured in the r14 plan dump):
-      // dense_rank over doc_id within the ck partition, then its max
-      // over the same partition — both windows share ONE exchange+sort
-      // on ck, so the corpus is chunked exactly once.
+      // self-join on ck would scan the chunk view once per side —
+      // and, before the view existed, recomputed the whole
+      // explode+window+agg chunk subtree twice, measured in the r14
+      // plan dump): dense_rank over doc_id within the ck partition,
+      // then its max over the same partition — both windows share ONE
+      // exchange+sort on ck.
       val wOrd = Window.partitionBy(col("ck")).orderBy(col("doc_id"))
       val wAll = Window.partitionBy(col("ck"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -2211,6 +2233,59 @@ object Dedup {
             sum(when(col("nd") > 1, col("n_tok")).otherwise(0L)).cast("double") /
               sum(col("n_tok")).cast("double"),
             6).as("dup_token_frac")
+        )
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  /** Incremental PASSAGE screen at ingest: the daily batch (the same
+    * `doc_id % 10 = 0` convention as [[dedupIncremental]]) checked
+    * against the persisted corpus chunk table for verbatim-copied
+    * passages — the chunk-level complement of the whole-document
+    * screens: a doc that copies half its text from the training set
+    * passes every whole-doc Jaccard screen, but its copied CDC chunks
+    * hash straight into the view. Per new doc: chunks, chunks already
+    * in the corpus, copied token fraction, and the admit verdict
+    * (admitted when < 50% of its tokens are recycled).
+    *
+    * Scale shape: both sides read the write-once chunk view ([[
+    * cdcChunkTablePath]]) with the split predicate pushed to the scan;
+    * the corpus side is projected to DISTINCT 16-byte chunk keys
+    * before the join (never text, never n_tok), the join is ck-keyed,
+    * and the result aggregates to batch-sized rows. Determinism:
+    * md5 keys, exact counts, one IEEE division; the verdict compares
+    * the unrounded fraction identically in both engines. */
+  val dedupCdcIncremental: Q = Q(
+    "dedup_cdc_incremental",
+    Some(
+      s"WITH $cdcOracleCtes, " +
+        "nb AS (SELECT * FROM ch WHERE doc_id % 10 = 0), " +
+        "corp AS (SELECT DISTINCT ck FROM ch WHERE doc_id % 10 <> 0), " +
+        "j AS (SELECT nb.doc_id, nb.n_tok, corp.ck IS NOT NULL AS known " +
+        "FROM nb LEFT JOIN corp ON nb.ck = corp.ck) " +
+        "SELECT doc_id, cast(count(*) as bigint) AS n_chunks, " +
+        "cast(sum(CASE WHEN known THEN 1 ELSE 0 END) as bigint) AS n_known_chunks, " +
+        Det.oRN("sum(CASE WHEN known THEN n_tok ELSE 0 END)::DOUBLE / sum(n_tok)::DOUBLE", 6) +
+        " AS copied_token_frac, " +
+        "sum(CASE WHEN known THEN n_tok ELSE 0 END)::DOUBLE / sum(n_tok)::DOUBLE < 0.5 AS admitted " +
+        "FROM j GROUP BY doc_id ORDER BY doc_id"
+    ),
+    (spark, dir) => {
+      val view = cdcChunkTable(spark, dir)
+      val batch = view.filter(col("doc_id") % 10 === 0)
+      val corp = view.filter(col("doc_id") % 10 =!= 0).select(col("ck")).distinct()
+      val copiedFrac =
+        sum(when(col("known"), col("n_tok")).otherwise(0L)).cast("double") /
+          sum(col("n_tok")).cast("double")
+      batch
+        .join(corp.withColumn("known", lit(true)), Seq("ck"), "left")
+        .withColumn("known", coalesce(col("known"), lit(false)))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).cast("long").as("n_chunks"),
+          sum(when(col("known"), 1L).otherwise(0L)).cast("long").as("n_known_chunks"),
+          Det.rN(copiedFrac, 6).as("copied_token_frac"),
+          (copiedFrac < 0.5).as("admitted")
         )
         .orderBy(col("doc_id"))
     }
@@ -2308,6 +2383,6 @@ object Dedup {
     dedupBestOfCluster, dedupContainment, dedupIncremental, dedupIncrementalPersisted,
     dedupMinhashIncremental, dedupPairsIncremental,
     dedupSpanCoverage, dedupNgramExact, dedupSourceOverlap, dedupSourceUnique,
-    dedupEditDistance, dedupCdcChunks, pipelineSplitLeakage
+    dedupEditDistance, dedupCdcChunks, dedupCdcIncremental, pipelineSplitLeakage
   )
 }

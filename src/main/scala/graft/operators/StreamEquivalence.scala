@@ -28,8 +28,8 @@ import org.apache.spark.sql.functions._
   * Structured Streaming run: any twin drifting from its batch build
   * flips a flag and fails the driver compare loudly. Results are
   * memoized per (dir, input fingerprint) — the registry-wide plan/row
-  * gates and Verify all call `run`, and the fifteen streaming runs are
-  * the expensive part, not the 15-row report.
+  * gates and Verify all call `run`, and the sixteen streaming runs are
+  * the expensive part, not the 16-row report.
   *
   * At 100 TB the same audit runs as a scheduled job: replay a bounded
   * slice through the maintenance path and diff against the serving
@@ -55,7 +55,7 @@ object StreamEquivalence {
   /** Per-family wall seconds of the LAST computed (non-memo-hit) report
     * in this JVM, for the bench artifact's `stream_eq_families` stanza
     * (VERDICT r12 #3): the report rode 72 s in BENCH_r12 vs 28.9 s on a
-    * quiet window with no way to see WHICH of the 15 families absorbed
+    * quiet window with no way to see WHICH of the families absorbed
     * the I/O noise. Families run CONCURRENTLY on the dedicated pool, so
     * each reading includes time spent waiting on executor slots behind
     * its siblings — the numbers attribute wall time under the report's
@@ -78,7 +78,7 @@ object StreamEquivalence {
     (if (sN > 0 && bN > 0) 1 else 0, if (sN == bN) 1 else 0, if (bitEq) 1 else 0)
   }
 
-  /** One entry per view family with a streaming twin — the same fifteen
+  /** One entry per view family with a streaming twin — the same sixteen
     * pairings StreamingSpec pins, in one place. Keep this list and the
     * oracle's VALUES list in lockstep. */
   private def computeReport(spark: SparkSession, dir: String): Seq[(String, Int, Int, Int)] = {
@@ -165,7 +165,10 @@ object StreamEquivalence {
         TextAnalysis.textContamination.run(spark, dir))),
       () => ("bpe_vocab", verdict(
         StreamDemos.streamedBpeVocab(spark, dir, copies = 2),
-        spark.read.parquet(TextAnalysis.bpeIndexPath(spark, dir)._2)))
+        spark.read.parquet(TextAnalysis.bpeIndexPath(spark, dir)._2))),
+      () => ("cdc_chunks", verdict(
+        StreamDemos.streamedCdcChunkTable(spark, dir, copies = 2),
+        spark.read.parquet(Dedup.cdcChunkTablePath(spark, dir))))
     )
     // declaration-order tags for the thunks above (each thunk also
     // self-reports its name; the require() below pins the two in sync)
@@ -174,9 +177,9 @@ object StreamEquivalence {
       "ivfpq_codes", "minhash_sigs", "dedup_sigs", "simhash_sigs",
       "contam_shingles", "edge_view", "pair_delta",
       "ingest_screen_exact", "ingest_screen_minhash",
-      "ingest_screen_contam", "bpe_vocab"
+      "ingest_screen_contam", "bpe_vocab", "cdc_chunks"
     )
-    // The fifteen audits are independent (separate streams, separate
+    // The sixteen audits are independent (separate streams, separate
     // driver state, distinct or idempotently-shared staging dirs), and
     // each one spends most of its wall time WAITING on small Spark
     // jobs — run them concurrently on a dedicated pool so the report
@@ -209,8 +212,9 @@ object StreamEquivalence {
     val costRank: Map[String, Int] = Seq(
       "pair_delta", "ingest_screen_minhash", "edge_view", "pq_codes",
       "ivfpq_codes", "ingest_screen_contam", "ingest_screen_exact",
-      "bm25_index", "bpe_vocab", "contam_shingles", "simhash_sigs",
-      "minhash_sigs", "dedup_sigs", "lsh_sigs", "ivf_assignments"
+      "bm25_index", "bpe_vocab", "cdc_chunks", "contam_shingles",
+      "simhash_sigs", "minhash_sigs", "dedup_sigs", "lsh_sigs",
+      "ivf_assignments"
     ).zipWithIndex.toMap
     val submitOrder = rows.zip(rowNames)
       .sortBy { case (_, name) => costRank.getOrElse(name, Int.MaxValue) }
@@ -254,7 +258,7 @@ object StreamEquivalence {
         "('bm25_index', 1, 1, 1), ('lsh_sigs', 1, 1, 1), " +
         "('ivf_assignments', 1, 1, 1), ('pq_codes', 1, 1, 1), " +
         "('ivfpq_codes', 1, 1, 1), ('bpe_vocab', 1, 1, 1), " +
-        "('minhash_sigs', 1, 1, 1), " +
+        "('cdc_chunks', 1, 1, 1), ('minhash_sigs', 1, 1, 1), " +
         "('dedup_sigs', 1, 1, 1), ('simhash_sigs', 1, 1, 1), " +
         "('contam_shingles', 1, 1, 1), ('edge_view', 1, 1, 1), " +
         "('pair_delta', 1, 1, 1), ('ingest_screen_exact', 1, 1, 1), " +

@@ -618,6 +618,35 @@ object StreamDemos {
   def streamedContamShingleTable(spark: SparkSession, dir: String, copies: Int = 2): DataFrame =
     streamedDocView(spark, dir, copies)(graft.operators.TextAnalysis.contamShinglesBuild)
 
+  /** Streaming maintenance of the CDC chunk table —
+    * [[graft.operators.Dedup.cdcChunks]] per batch, merged by
+    * (doc_id, chunk_id): a doc emits SEVERAL rows (unlike the
+    * one-row-per-doc signature twins), but chunking is still a pure
+    * per-document function of the text — a doc never splits across
+    * micro-batches, the per-batch Window partitions by doc_id only —
+    * so a replayed doc recomputes identical (doc_id, chunk_id, n_tok,
+    * ck) rows and the composite-keyed merge is idempotent. Pinned
+    * against [[graft.operators.Dedup.cdcChunkTablePath]]. */
+  def streamedCdcChunkTable(spark: SparkSession, dir: String, copies: Int = 2): DataFrame = {
+    import org.apache.spark.sql.Row
+    val rows = scala.collection.concurrent.TrieMap.empty[(Long, Long), Row]
+    val q = docsStream(spark, dir, copies).writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup.cdcChunks(batch)
+          .collect() // bounded by the demo batch's chunk rows, never the corpus
+          .foreach(r => rows.put((r.getLong(0), r.getLong(1)), r))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.values.toSeq.sortBy(r => (r.getLong(0), r.getLong(1))).asJava,
+      graft.operators.Dedup.cdcChunks(Tables.documents(spark, dir).limit(0)).schema)
+  }
+
   /** Streaming maintenance of the co-purchase EDGE view — the last
     * view family without a stream story, and the one whose rows are
     * neither per-document pure nor append-only: an edge weight is a

@@ -337,6 +337,23 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streamed CDC chunk table == batch chunk view, composite-keyed replay-idempotent") {
+    // the first MULTI-row-per-document view twin: a doc emits one row
+    // per content-defined chunk, merged by (doc_id, chunk_id) — a
+    // replayed doc recomputes identical chunk rows, so copies = 2 must
+    // reproduce the batch-built parquet bit-for-bit
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+    val streamed = streaming.StreamDemos.streamedCdcChunkTable(spark, sf, copies = 2)
+      .collect().map(key).sortBy(k => (k._1, k._2))
+    val batch = spark.read
+      .parquet(operators.Dedup.cdcChunkTablePath(spark, sf))
+      .collect().map(key).sortBy(k => (k._1, k._2))
+    assert(streamed.nonEmpty, "stream must build chunk rows")
+    assert(streamed.exists(_._1 != streamed.head._1), "multiple docs expected")
+    assert(streamed.toSeq == batch.toSeq, "streamed chunk table diverges from the batch build")
+  }
+
   test("streamed co-purchase edge view == batch edge view, replace-by-order replay-idempotent") {
     // the cross-record view whose unit of maintenance is the ORDER:
     // arrived incidence merges into basket state, touched orders'
