@@ -547,8 +547,14 @@ object Dedup {
         s"SELECT '$tag' AS geometry, cast(sum(in_truth) as bigint) AS n_truth, " +
           "cast(sum(in_cand) as bigint) AS n_cand, " +
           "cast(sum(in_truth * in_cand) as bigint) AS n_hit, " +
-          Det.oRN("sum(in_truth * in_cand)::DOUBLE / sum(in_truth)", 6) + " AS recall, " +
-          Det.oRN("sum(in_truth * in_cand)::DOUBLE / sum(in_cand)", 6) + " AS prec " +
+          // 0.0-on-empty guards mirror the engine's when() exactly: a
+          // corpus with zero truth (or zero candidate) pairs is legal,
+          // and an unguarded 0/0 here reads NaN in DuckDB where the
+          // engine's non-ANSI Divide reads NULL (ADVICE r13 class)
+          Det.oRN("CASE WHEN sum(in_truth) = 0 THEN 0.0 ELSE " +
+            "sum(in_truth * in_cand)::DOUBLE / sum(in_truth) END", 6) + " AS recall, " +
+          Det.oRN("CASE WHEN sum(in_cand) = 0 THEN 0.0 ELSE " +
+            "sum(in_truth * in_cand)::DOUBLE / sum(in_cand) END", 6) + " AS prec " +
           s"FROM (SELECT (p.ida IS NOT NULL)::INT AS in_truth, (c.ida IS NOT NULL)::INT AS in_cand " +
           s"FROM p FULL JOIN ($candSql) c ON p.ida = c.ida AND p.idb = c.idb) j"
       s"WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t " +
