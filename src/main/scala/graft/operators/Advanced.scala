@@ -526,28 +526,38 @@ object Advanced {
     * already rest on) — an all-double kernel; the earlier per-term
     * decimal(30,8) fold was exact but allocated 16 JVM Decimals per
     * row (second negative A/B: 24 s build, 6.5 s distortion scan). */
-  private def pqSubDists(
-      vecs: DataFrame,
-      cb: DataFrame,
-      embCol: String = "embedding",
-      keys: Seq[String] = Seq("vec_id")): DataFrame = {
-    val cbArr = cb
-      .groupBy(col("m"), col("cid"))
+  /** (m, cid, carr) — one codeword-array row per (subspace, codeword),
+    * the broadcastable spelling of the codebook both the full
+    * candidate scan and the chosen-code distortion path join against. */
+  private def cbArrOf(cb: DataFrame): DataFrame =
+    cb.groupBy(col("m"), col("cid"))
       .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
       .select(col("m"), col("cid"), expr("transform(dc, x -> x.c)").as("carr"))
+
+  /** ‖sub − carr‖² via the dot identity (one pass per operand pair) —
+    * the SHARED kernel: every PQ distance in this file, candidate or
+    * chosen-only, must run this exact expression so their doubles are
+    * bit-identical. */
+  private def subSqDist(sub: Column, carr: Column): Column = {
     def fold(products: Column): Column =
       aggregate(products, lit(0.0), (acc, x) => acc + x)
     def dotFF(a: Column) = fold(zip_with(a, a, (x, y) => x.cast("double") * y.cast("double")))
     def dotDD(a: Column) = fold(zip_with(a, a, (x, y) => x * y))
     def dotFD(a: Column, b: Column) = fold(zip_with(a, b, (x, y) => x.cast("double") * y))
+    dotFF(sub) + dotDD(carr) - lit(2.0) * dotFD(sub, carr)
+  }
+
+  private def pqSubDists(
+      vecs: DataFrame,
+      cb: DataFrame,
+      embCol: String = "embedding",
+      keys: Seq[String] = Seq("vec_id")): DataFrame =
     vecs
       .select(keys.map(col) :+ col(embCol): _*)
-      .crossJoin(broadcast(cbArr)) // bounded build: M x K codeword rows
+      .crossJoin(broadcast(cbArrOf(cb))) // bounded build: M x K codeword rows
       .withColumn("sub", slice(col(embCol), (col("m") * PqSubDim + 1).cast("int"), lit(PqSubDim)))
       .select(keys.map(col) ++ Seq(col("m"), col("cid"),
-        (dotFF(col("sub")) + dotDD(col("carr")) - lit(2.0) * dotFD(col("sub"), col("carr")))
-          .as("d")): _*)
-  }
+        subSqDist(col("sub"), col("carr")).as("d")): _*)
 
   /** PQ-encode ANY (vec_id, embedding) frame against a FROZEN codebook
     * — nearest codeword per subspace (ties to the smaller cid),
@@ -744,13 +754,29 @@ object Advanced {
         "FROM chosen GROUP BY m ORDER BY m"
     ),
     (spark, dir) => {
-      import org.apache.spark.sql.graftx.TopKPerGroup
-      val (cbPath, _) = pqIndexPath(spark, dir)
+      // The chosen code per (vector, subspace) is ALREADY in the codes
+      // view (it IS the argmin pqCodesOf stored — same kernel, same
+      // tie rule), so the audit reads the SERVED index and evaluates
+      // the distance kernel once per (vec, m) instead of once per
+      // (vec, m, codeword): K=80x fewer kernel evaluations than the
+      // r12 spelling that re-ranked every candidate (BenchRepeat A/B
+      // in SCALING.md §r14). Auditing the stored codes is also the
+      // production-faithful contract — distortion of what is SERVED,
+      // not of a recompute that could silently diverge from it.
+      val (cbPath, codesPath) = pqIndexPath(spark, dir)
       val cb = spark.read.parquet(cbPath)
-      val chosen = TopKPerGroup(
-        pqSubDists(Tables.embeddings(spark, dir), cb),
-        Seq("vec_id", "m"), Seq("d" -> false, "cid" -> false), 1)
-      chosen
+      val stacked = spark.read.parquet(codesPath).select(
+        col("vec_id"),
+        expr("stack(" + PqM + ", " +
+          (0 until PqM).map(m => s"bigint($m), c$m").mkString(", ") +
+          ") AS (m, cid)"))
+      stacked
+        .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+          Seq("vec_id"))
+        .join(broadcast(cbArrOf(cb)), Seq("m", "cid")) // bounded: M x K rows
+        .withColumn("sub",
+          slice(col("embedding"), (col("m") * PqSubDim + 1).cast("int"), lit(PqSubDim)))
+        .withColumn("d", subSqDist(col("sub"), col("carr")))
         .groupBy(col("m"))
         .agg(
           count(lit(1)).as("n_vecs"),
