@@ -1073,7 +1073,13 @@ object Advanced {
         .groupBy(col("nprobe"))
         .agg(sum(coalesce(col("m"), lit(0L))).as("n_hits"))
       val cnt = tier.groupBy(col("nprobe")).agg(count(lit(1)).as("n_cand"))
-      val nq = brute.agg(countDistinct(col("query_id")).as("nq"))
+      // probe-query count from one filtered base-table count — not a
+      // second evaluation of the brute-force truth subtree (same
+      // equivalence argument as sim_ann_family_report's nqF: every
+      // probe has >= 1 neighbor whenever the corpus has >= 2 vectors)
+      val nq = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") < 100)
+        .agg(count(lit(1)).as("nq"))
       cnt
         .join(hits, Seq("nprobe"))
         .crossJoin(broadcast(nq)) // bounded build: ONE denominator row
