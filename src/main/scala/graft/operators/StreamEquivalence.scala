@@ -188,7 +188,7 @@ object StreamEquivalence {
     // order, so the report rows are deterministic.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    // Default pool 8, not all-15-at-once: measured at sf0.1/32 cores
+    // Default pool 8, not all-at-once: measured at sf0.1/32 cores
     // (BenchRepeat, r14) the bounded pool ties the all-at-once steady
     // state (min-of-3 21.1 vs 21.4 s) but its COLD first run — the one
     // the driver artifact times — is faster and far less variable
@@ -206,8 +206,8 @@ object StreamEquivalence {
     // tables) must start in the first wave or they anchor the tail
     // after every light sig-table twin has drained. Longest-job-first
     // by the measured per-family cost ranking (stream_eq_families
-    // stanzas, stable across rounds); with the default all-at-once
-    // pool this ordering is inert. Results are still collected in
+    // stanzas, stable across rounds); with an unbounded pool override
+    // this ordering is inert. Results are still collected in
     // declaration order, so the report rows don't depend on it.
     val costRank: Map[String, Int] = Seq(
       "pair_delta", "ingest_screen_minhash", "edge_view", "pq_codes",
