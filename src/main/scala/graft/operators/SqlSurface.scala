@@ -191,5 +191,39 @@ object SqlSurface {
     }
   )
 
-  def qs: Seq[Q] = Seq(sqlPricing, sqlCorrelated, sqlCteWindow, sqlLateral, sqlDdlCtas, sqlRecursive)
+  /** The engine's NATIVE codegen expressions called from SQL text —
+    * the extension-registration path (`graft.GraftExtensions` /
+    * `GraftFunctions.registerFunctions`) proven through the driver
+    * gate, not just a spec: `float_dot` in a SQL string must plan the
+    * same codegen'd [[org.apache.spark.sql.graftx.FloatDot]] the
+    * DataFrame rows use, and its double must value-match DuckDB's
+    * `list_dot_product` exactly (the equality every cosine row already
+    * rests on). A user who writes SQL gets the engine's kernels. */
+  val sqlNativeFns: Q = Q(
+    "sql_native_fns",
+    Some(
+      "SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        Det.oRS("list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])", 6) +
+        " AS cos FROM embeddings a JOIN embeddings b " +
+        "ON a.vec_id < 5 AND b.vec_id < 50 AND a.vec_id != b.vec_id " +
+        "ORDER BY query_id, neighbor_id"
+    ),
+    (spark, dir) => {
+      registerViews(spark, dir)
+      org.apache.spark.sql.graftx.GraftFunctions.registerFunctions(spark)
+      spark.sql(
+        "SELECT query_id, neighbor_id, " +
+          "(floor(abs(d) * 1000000 + 0.5) / 1000000) * sign(d) AS cos FROM (" +
+          "SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+          "float_dot(a.embedding, b.embedding) AS d " +
+          "FROM embeddings a JOIN embeddings b " +
+          "ON a.vec_id < 5 AND b.vec_id < 50 AND a.vec_id != b.vec_id) " +
+          "ORDER BY query_id, neighbor_id"
+      )
+    }
+  )
+
+  def qs: Seq[Q] =
+    Seq(sqlPricing, sqlCorrelated, sqlCteWindow, sqlLateral, sqlDdlCtas, sqlRecursive,
+      sqlNativeFns)
 }
