@@ -36,9 +36,11 @@ object BenchRepeat {
     spark.sparkContext.setLogLevel("WARN")
     // A/B knob passthrough (e.g. SPARK_GRAFT_CONF="spark.graft.streameq.pool=8"):
     // runtime confs the queries read via spark.conf, ';'-separated k=v.
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty).foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k, v)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.trim.nonEmpty).foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k.trim, v.trim)
+        case _ => sys.error(s"bad SPARK_GRAFT_CONF entry (expected k=v): '$kv'")
+      }
     })
     for (name <- names) {
       val q = Registry.byName(name)

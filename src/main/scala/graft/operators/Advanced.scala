@@ -1047,7 +1047,13 @@ object Advanced {
         "br AS (SELECT query_id, neighbor_id FROM (SELECT *, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank " +
         "FROM bc) WHERE rank <= 3), " +
-        "nq AS (SELECT cast(count(distinct query_id) as bigint) AS nq FROM br), " +
+        // nq mirrors the ENGINE's filtered base-table count (not the
+        // truth's distinct query_ids): identical on any corpus with
+        // >= 2 vectors (every probe then has >= 1 neighbor), and on a
+        // degenerate <2-vector corpus the old count-distinct-from-br
+        // read 0 -> 0/0 recall (NaN in DuckDB, NULL in Spark) while
+        // the engine read a denominator of 1 (ADVICE r14)
+        "nq AS (SELECT cast(count(*) as bigint) AS nq FROM embeddings WHERE vec_id < 100), " +
         "h AS (SELECT t.nprobe, cast(count(b.neighbor_id) as bigint) AS n_hits " +
         "FROM top3 t LEFT JOIN br b ON t.query_id = b.query_id " +
         "AND t.neighbor_id = b.neighbor_id GROUP BY 1), " +
@@ -1142,7 +1148,9 @@ object Advanced {
         "br AS (SELECT query_id, neighbor_id FROM (SELECT *, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank " +
         "FROM bc) WHERE rank <= 3), " +
-        "nq AS (SELECT cast(count(distinct query_id) as bigint) AS nq FROM br), " +
+        // nq mirrors the engine's filtered base-table count — same
+        // degenerate-corpus guard as the nprobe report's nq (ADVICE r14)
+        "nq AS (SELECT cast(count(*) as bigint) AS nq FROM embeddings WHERE vec_id < 100), " +
         "sg AS (SELECT vec_id, " + Similarity.bucketSql + " AS bucket FROM embeddings), " +
         "lshc AS (SELECT cast(count(*) as bigint) AS n_cand FROM sg p JOIN sg b " +
         "ON p.bucket = b.bucket AND p.vec_id < 100 AND p.vec_id != b.vec_id), " +

@@ -2136,8 +2136,9 @@ object Dedup {
     * of one inserted token, while content-defined boundaries re-
     * synchronize immediately, so shared passages between near-copies
     * keep hashing to the same chunks (expected chunk length = 8
-    * tokens; production CDC adds min/max bounds, which only clamp the
-    * same rule).
+    * tokens; a forced cut every [[MaxChunkTokens]] tokens within a
+    * segment clamps the tail of the geometric length distribution —
+    * see [[cdcChunks]]).
     *
     * Scale shape: one explode, a PARTITIONED (per-doc) running sum for
     * chunk ids, a (doc, chunk)-keyed aggregate, a chunk-hash-keyed
@@ -2148,11 +2149,25 @@ object Dedup {
     * (cross-engine exact), ordered string_agg/array_join
     * reconstruction, exact counts; the one division is guarded by
     * n_tokens ≥ 1 (every doc has at least one token). */
+  /** Hard upper bound on CDC chunk length, in tokens. The bare gear
+    * rule is memoryless: a document with NO hash≡0 token anywhere
+    * would become ONE chunk — a `collect_list` of the entire doc in a
+    * single window group, a straggler/OOM at 100 TB doc lengths
+    * (VERDICT r14 #2). The standard max-bound forces a cut every
+    * MaxChunkTokens tokens WITHIN a natural segment, relative to the
+    * segment's start — so the clamp never moves a natural boundary
+    * and re-synchronization after an edit is preserved: downstream
+    * SEGMENTS still re-align at the first natural cut, only forced
+    * sub-cuts inside the edited segment can shift. */
+  private[graft] val MaxChunkTokens = 64
+
   /** The CDC chunker itself: (doc_id, chunk_id, n_tok, ck) for any
     * frame with (doc_id, text). Exposed so DedupSpec can pin the
     * defining CDC property — boundaries RE-SYNCHRONIZE after an edit
-    * (a one-token insertion changes only the chunk it lands in, where
-    * a fixed-stride chunker loses every downstream alignment). */
+    * (a one-token insertion changes only chunks inside the segment it
+    * lands in, where a fixed-stride chunker loses every downstream
+    * alignment) — and the [[MaxChunkTokens]] clamp (a boundary-free
+    * doc chunks into ≤64-token pieces, never one giant chunk). */
   private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = split(col("text"), " ")
@@ -2161,9 +2176,30 @@ object Dedup {
       .partitionBy(col("doc_id"))
       .orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // same partition+order spec, frame ending one row earlier: all
+    // three window expressions below plan into ONE WindowExec (one
+    // exchange + sort on (doc_id, pos))
+    val wPrev = Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     tok
       .withColumn("b", when(Sampling.hkey(col("tok")) % 8 === 0, 1).otherwise(0))
-      .withColumn("chunk_id", (sum(col("b")).over(w) - col("b")).cast("long"))
+      // current segment start = one past the last NATURAL boundary
+      // strictly before this token (doc start for the first segment)
+      .withColumn(
+        "seg_start",
+        coalesce(max(when(col("b") === 1, col("pos"))).over(wPrev) + 1, lit(0)))
+      // effective cut = natural boundary OR forced max-length clamp
+      // (relative offset within the segment hits a MaxChunkTokens
+      // multiple) — chunk length can never exceed MaxChunkTokens
+      .withColumn(
+        "e",
+        when(
+          col("b") === 1 ||
+            (col("pos") - col("seg_start") + 1) % MaxChunkTokens === 0, 1)
+          .otherwise(0))
+      .withColumn("chunk_id", (sum(col("e")).over(w) - col("e")).cast("long"))
       .groupBy(col("doc_id"), col("chunk_id"))
       .agg(
         count(lit(1)).cast("long").as("n_tok"),
@@ -2183,7 +2219,10 @@ object Dedup {
     * maintenance twin — reads (doc_id, chunk_id, n_tok, ck) rows
     * instead of re-exploding the text. */
   private[graft] def cdcChunkTablePath(spark: SparkSession, dir: String): String =
-    graft.ViewStore.materialize(spark, "graft_cdc_chunks", dir)(
+    // buildVersion 2: the r15 MaxChunkTokens clamp changed the
+    // derivation (standing ViewStore rule — bump on ANY derivation
+    // change so a stale same-fingerprint store can't serve old chunks)
+    graft.ViewStore.materialize(spark, "graft_cdc_chunks", dir, buildVersion = 2)(
       cdcChunks(Tables.documents(spark, dir)))
 
   private def cdcChunkTable(spark: SparkSession, dir: String): DataFrame =
@@ -2198,8 +2237,18 @@ object Dedup {
       "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents), " +
       s"m AS (SELECT doc_id, pos, tok, CASE WHEN ${Sampling.oHkey("tok")} % 8 = 0 " +
       "THEN 1 ELSE 0 END AS b FROM tok), " +
-      "c AS (SELECT doc_id, pos, tok, sum(b) OVER (PARTITION BY doc_id ORDER BY pos " +
-      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b AS chunk_id FROM m), " +
+      // seg_start mirrors the engine: one past the last natural
+      // boundary strictly before this token; DuckDB pos is 1-based
+      // (generate_subscripts) where Spark's posexplode is 0-based, so
+      // the doc-start fallback is 1 here vs 0 there — the RELATIVE
+      // offset (pos - seg_start + 1) is identical in both engines
+      "sg AS (SELECT doc_id, pos, tok, b, coalesce(max(CASE WHEN b = 1 THEN pos END) " +
+      "OVER (PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1, 1) AS seg_start FROM m), " +
+      s"ef AS (SELECT doc_id, pos, tok, CASE WHEN b = 1 OR " +
+      s"(pos - seg_start + 1) % $MaxChunkTokens = 0 THEN 1 ELSE 0 END AS e FROM sg), " +
+      "c AS (SELECT doc_id, pos, tok, sum(e) OVER (PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - e AS chunk_id FROM ef), " +
       "ch AS (SELECT doc_id, chunk_id, cast(count(*) as bigint) AS n_tok, " +
       "md5(string_agg(tok, ' ' ORDER BY pos)) AS ck FROM c GROUP BY doc_id, chunk_id)"
 

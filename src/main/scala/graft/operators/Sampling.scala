@@ -285,7 +285,6 @@ object Sampling {
     ),
     (spark, dir) => {
       import org.apache.spark.sql.functions.broadcast
-      val stop = Seq("the", "and", "of", "a", "in", "key", "row")
       val t = split(col("text"), " ")
       val f = Tables
         .documents(spark, dir)
@@ -294,12 +293,10 @@ object Sampling {
           col("doc_id"),
           col("source"),
           size(col("t")).cast("long").as("n_tokens"),
-          (lit(0.4) * when(col("n_chars").between(100, 400), 1.0).otherwise(0.0) +
-            lit(0.3) * (size(filter(col("t"), x => length(x) > 4)).cast("double") / size(col("t"))) +
-            lit(0.2) * (lit(1) - size(filter(col("t"), x =>
-              array_contains(array(stop.map(lit): _*), x))).cast("double") / size(col("t"))) +
-            lit(0.1) * least((col("n_chars").cast("double") / size(col("t"))) / 10, lit(1.0)))
-            .as("q")
+          // THE shared quality composite (one definition engine-wide:
+          // TextAnalysis.qualityScore, unrounded — the text_quality
+          // row's exact score; SamplingSpec pins the two rows equal)
+          TextAnalysis.qualityScore(col("n_chars"), col("t")).as("q")
         )
       val tot = f.agg(sum(col("n_tokens")).cast("double").as("tot"))
       val kept = col("cum_tokens").cast("double") <= lit(0.5) * col("tot")

@@ -209,6 +209,12 @@ object StreamEquivalence {
     // stanzas, stable across rounds); with an unbounded pool override
     // this ordering is inert. Results are still collected in
     // declaration order, so the report rows don't depend on it.
+    // a 17th family thunk without a matching tag would be SILENTLY
+    // dropped by the zip below (zip truncates to the shorter list) —
+    // and if the oracle VALUES list were also left untouched the report
+    // would still row-match, shrinking coverage with no failure
+    require(rows.size == rowNames.size,
+      s"streameq family/tag count drift: ${rows.size} thunks vs ${rowNames.size} tags")
     val costRank: Map[String, Int] = Seq(
       "pair_delta", "ingest_screen_minhash", "edge_view", "pq_codes",
       "ivfpq_codes", "ingest_screen_contam", "ingest_screen_exact",

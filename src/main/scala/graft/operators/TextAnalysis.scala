@@ -152,10 +152,35 @@ object TextAnalysis {
     }
   )
 
+  /** The quality-composite stopword list — one definition for every
+    * consumer of [[qualityScore]] (and the oracle strings that inline
+    * it verbatim). */
+  private[graft] val qualityStopwords: Seq[String] =
+    Seq("the", "and", "of", "a", "in", "key", "row")
+
+  /** The UNROUNDED quality composite over (n_chars, token array) —
+    * THE single definition of the engine's document quality score,
+    * shared by [[textQuality]] (which also reports the rounded
+    * component ratios) and
+    * [[graft.operators.Sampling.pipelineTokenBudget]] (which orders
+    * the token-budget cut by it): the budget row's entire keep/cut
+    * decision rides on this exact IEEE operation order matching the
+    * oracle's, so a drive-by edit to "one copy" of the formula must be
+    * impossible — there is one copy (VERDICT r14 #6; SamplingSpec pins
+    * the two rows' scores equal per doc). All inputs are exact ints;
+    * the arithmetic is bit-identical cross-engine (the precedent
+    * text_quality's hash match established). */
+  private[graft] def qualityScore(nChars: Column, t: Column): Column =
+    lit(0.4) * when(nChars.between(100, 400), 1.0).otherwise(0.0) +
+      lit(0.3) * (size(filter(t, x => length(x) > 4)).cast("double") / size(t)) +
+      lit(0.2) * (lit(1.0) - size(filter(t, x =>
+        array_contains(array(qualityStopwords.map(lit): _*), x))).cast("double") / size(t)) +
+      lit(0.1) * least((nChars.cast("double") / size(t)) / 10, lit(1.0))
+
   /** Quality scoring: length band, mean token length, stopword ratio,
     * long-token ratio → weighted composite in [0,1]. All ratios are
     * ratios of exact ints — identical across engines before the final
-    * rounding. */
+    * rounding. The composite itself is [[qualityScore]]. */
   val textQuality: Q = Q(
     "text_quality",
     Some(
@@ -171,20 +196,22 @@ object TextAnalysis {
         " AS quality FROM f ORDER BY doc_id"
     ),
     (spark, dir) => {
-      val stop = Seq("the", "and", "of", "a", "in", "key", "row")
       val d = Tables
         .documents(spark, dir)
         .select(col("doc_id"), col("n_chars"), toks(col("text")).as("t"))
         .select(
           col("doc_id"),
-          col("n_chars"),
           size(col("t")).as("n_toks"),
-          when(col("n_chars").between(100, 400), 1.0).otherwise(0.0).as("len_ok"),
           (size(filter(col("t"), x => length(x) > 4)).cast("double") / size(col("t")))
             .as("long_ratio_raw"),
-          (size(filter(col("t"), x => array_contains(array(stop.map(lit): _*), x)))
+          (size(filter(col("t"), x => array_contains(array(qualityStopwords.map(lit): _*), x)))
             .cast("double") / size(col("t"))).as("stop_ratio_raw"),
-          (col("n_chars").cast("double") / size(col("t"))).as("cpt_raw")
+          (col("n_chars").cast("double") / size(col("t"))).as("cpt_raw"),
+          // the SHARED composite (one definition engine-wide) — same
+          // IEEE value as composing from the named raws above: the
+          // expression tree repeats the ratio subtrees inline, it
+          // never reorders an operation
+          qualityScore(col("n_chars"), col("t")).as("q_raw")
         )
       d.select(
         col("doc_id"),
@@ -192,14 +219,7 @@ object TextAnalysis {
         Det.rN(col("long_ratio_raw"), 6).as("long_ratio"),
         Det.rN(col("stop_ratio_raw"), 6).as("stop_ratio"),
         Det.rN(col("cpt_raw"), 6).as("chars_per_tok"),
-        Det
-          .rN(
-            lit(0.4) * col("len_ok") + lit(0.3) * col("long_ratio_raw") +
-              lit(0.2) * (lit(1.0) - col("stop_ratio_raw")) +
-              lit(0.1) * least(col("cpt_raw") / 10, lit(1.0)),
-            6
-          )
-          .as("quality")
+        Det.rN(col("q_raw"), 6).as("quality")
       ).orderBy(col("doc_id"))
     }
   )

@@ -635,7 +635,9 @@ object StreamDemos {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.operators.Dedup.cdcChunks(batch)
-          .collect() // bounded by the demo batch's chunk rows, never the corpus
+          .collect() // per-batch collect is batch-sized; the merge map
+          // accumulates the corpus chunk table for the twin's duration
+          // (demo-scale-bounded, like the other foreachBatch twins)
           .foreach(r => rows.put((r.getLong(0), r.getLong(1)), r))
         ()
       }

@@ -558,6 +558,30 @@ class DedupSpec extends SparkSuite {
       s"fixed-stride lost $strideLost chunks; CDC must lose strictly fewer")
   }
 
+  test("CDC max-length clamp: a boundary-free doc chunks into <=64-token pieces") {
+    import spark.implicits._
+    // the engine's own boundary rule, evaluated JVM-side so the test
+    // can CONSTRUCT a doc with no natural boundary anywhere — the
+    // pathological input the bare gear rule turned into one giant
+    // chunk (a whole-doc collect_list in a single window group)
+    def isBoundary(tok: String): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 8 == 0
+    }
+    val words = (1 to 2000).map(i => s"q${(i * 2654435761L) % 9973}")
+      .filterNot(isBoundary).distinct.take(200)
+    assert(words.size == 200, s"need 200 boundary-free words, got ${words.size}")
+    val chunks = operators.Dedup.cdcChunks(
+      Seq((1L, words.mkString(" "))).toDF("doc_id", "text"))
+      .select("chunk_id", "n_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // 200 boundary-free tokens => forced cuts only: 64, 64, 64, 8
+    assert(chunks.map(_._2).toSeq == Seq(64L, 64L, 64L, 8L),
+      s"clamped chunk lengths: ${chunks.map(_._2).mkString(",")}")
+    assert(chunks.map(_._2).max <= operators.Dedup.MaxChunkTokens)
+  }
+
   test("CDC dedup row: fractions bounded; identical texts chunk identically") {
     val got = operators.Dedup.dedupCdcChunks.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))

@@ -149,4 +149,29 @@ class SamplingSpec extends SparkSuite {
     assert(keptTok > 0 && keptTok < totTok, s"degenerate cut: $keptTok of $totTok")
   }
 
+  test("token-budget ordering key IS text_quality's score (one shared definition)") {
+    import org.apache.spark.sql.functions._
+    // the budget row orders by TextAnalysis.qualityScore; text_quality
+    // reports Det.rN(qualityScore, 6). Evaluate the shared def over the
+    // corpus and assert it reproduces text_quality's quality column
+    // bit-for-bit after the same rounding — a drive-by edit to the
+    // composite now moves BOTH rows or neither (VERDICT r14 #6).
+    val viaShared = Tables.documents(spark, sf)
+      .select(
+        col("doc_id"),
+        Det.rN(
+          operators.TextAnalysis.qualityScore(col("n_chars"), split(col("text"), " ")),
+          6).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaRow = operators.TextAnalysis.textQuality.run(spark, sf)
+      .select(col("doc_id"), col("quality"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaShared.keySet == viaRow.keySet)
+    viaShared.foreach { case (id, q) =>
+      assert(java.lang.Double.doubleToLongBits(q) ==
+        java.lang.Double.doubleToLongBits(viaRow(id)),
+        s"doc $id: shared-def score $q != text_quality ${viaRow(id)}")
+    }
+  }
+
 }
