@@ -31,6 +31,18 @@ import org.apache.spark.sql.functions._
   * gates and Verify all call `run`, and the sixteen streaming runs are
   * the expensive part, not the 16-row report.
   *
+  * Since r15 every family audits a FIXED HASH SLICE of its key space
+  * (mod-8 on the merge key; mod-16 baskets for the edge view), so the
+  * audit's cost is bounded INDEPENDENT of corpus size and family
+  * count — the full-corpus ×2-copies replays had grown to 101 s of a
+  * 268 s driver bench, linear in family count (VERDICT r14 #1).
+  * Parity for an idempotent keyed merge is a per-key claim, so the
+  * slice loses nothing the audit was proving; FULL-corpus equality
+  * for every twin stays pinned by StreamingSpec (scope defaults to
+  * everything there). The batch side of each sliced verdict is the
+  * batch derivation's own spelling (or the write-once view's rows)
+  * over the SAME slice.
+  *
   * At 100 TB the same audit runs as a scheduled job: replay a bounded
   * slice through the maintenance path and diff against the serving
   * view — the standard backfill-vs-stream parity check for a lambda-
@@ -84,12 +96,21 @@ object StreamEquivalence {
   private def computeReport(spark: SparkSession, dir: String): Seq[(String, Int, Int, Int)] = {
     import graft.streaming.StreamDemos
     def bm25(): (String, (Int, Int, Int)) = {
-      val (sPost, sStats) = StreamDemos.streamedBm25Index(spark, dir, copies = 2)
-      val (pPath, stPath) = TextAnalysis.bm25IndexPath(spark, dir)
-      val (ne, rm, be)    = verdict(sPost, spark.read.parquet(pPath))
-      // the index's (n, avgdl) stats row must ALSO be bit-equal (same
-      // IEEE division over the same exact long sums)
-      val (_, _, beStats) = verdict(sStats, spark.read.parquet(stPath))
+      val scope = pmod(col("doc_id"), lit(8)) === 0
+      val (sPost, sStats) = StreamDemos.streamedBm25Index(spark, dir, copies = 2, scope = scope)
+      val (pPath, _)      = TextAnalysis.bm25IndexPath(spark, dir)
+      // postings are per-document pure — the sliced streamed postings
+      // must equal the persisted view's rows on the same slice
+      val viewPost     = spark.read.parquet(pPath).filter(scope)
+      val (ne, rm, be) = verdict(sPost, viewPost)
+      // the (n, avgdl) stats row must ALSO be bit-equal over the slice:
+      // same exact long dl sum, same single IEEE division — derived
+      // from the view's own per-doc dl (distinct (doc_id, dl) rows)
+      val dl = viewPost.select(col("doc_id"), col("dl")).distinct()
+      val batchStats = dl.agg(
+        count(lit(1)).cast("long").as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val (_, _, beStats) = verdict(sStats, batchStats)
       ("bm25_index", (ne, rm, math.min(be, beStats)))
     }
     def timed(f: () => (String, (Int, Int, Int))): (String, (Int, Int, Int)) = {
@@ -102,39 +123,67 @@ object StreamEquivalence {
     }
     val rows: Seq[() => (String, (Int, Int, Int))] = Seq(
       () => bm25(),
-      () => ("lsh_sigs", verdict(
-        StreamDemos.streamedLshSigTable(spark, dir, copies = 2),
-        spark.read.parquet(Similarity.lshSigTablePath(spark, dir)))),
+      () => ("lsh_sigs", {
+        val scope = pmod(col("vec_id"), lit(8)) === 0
+        verdict(
+          StreamDemos.streamedLshSigTable(spark, dir, copies = 2, scope = scope),
+          spark.read.parquet(Similarity.lshSigTablePath(spark, dir)).filter(scope))
+      }),
       () => ("ivf_assignments", {
+        val scope = pmod(col("vec_id"), lit(8)) === 0
         val (_, asgPath) = Advanced.ivfIndexPath(spark, dir)
         verdict(
-          StreamDemos.streamedIvfAssignments(spark, dir, copies = 2),
-          spark.read.parquet(asgPath))
+          StreamDemos.streamedIvfAssignments(spark, dir, copies = 2, scope = scope),
+          spark.read.parquet(asgPath).filter(scope))
       }),
+      // The heavy full-corpus replay families below audit a FIXED hash
+      // slice (the edge_view precedent, extended in r15 — VERDICT r14
+      // #1): parity for a per-key-pure maintenance path is a per-key
+      // claim, so a fixed slice proves it at a cost INDEPENDENT of
+      // corpus size and family count, where the full-corpus replay
+      // ×2 copies made the audit the bench's single largest row (101 s
+      // of a 268 s driver artifact). Full-corpus equality for every
+      // twin stays pinned by StreamingSpec (scope defaults to
+      // everything there); the batch side of each sliced verdict is
+      // the batch derivation's OWN spelling over the same slice.
       () => ("pq_codes", {
+        val scope = pmod(col("vec_id"), lit(8)) === 0
         val (_, codesPath) = Advanced.pqIndexPath(spark, dir)
         verdict(
-          StreamDemos.streamedPqCodes(spark, dir, copies = 2),
-          spark.read.parquet(codesPath))
+          StreamDemos.streamedPqCodes(spark, dir, copies = 2, scope = scope),
+          spark.read.parquet(codesPath).filter(scope))
       }),
       () => ("ivfpq_codes", {
+        val scope = pmod(col("vec_id"), lit(8)) === 0
         val (_, codesPath) = Advanced.ivfPqIndexPath(spark, dir)
         verdict(
-          StreamDemos.streamedIvfPqCodes(spark, dir, copies = 2),
-          spark.read.parquet(codesPath))
+          StreamDemos.streamedIvfPqCodes(spark, dir, copies = 2, scope = scope),
+          spark.read.parquet(codesPath).filter(scope))
       }),
-      () => ("minhash_sigs", verdict(
-        StreamDemos.streamedMinhashSigTable(spark, dir, copies = 2),
-        spark.read.parquet(Dedup.minhashSigTablePath(spark, dir)))),
-      () => ("dedup_sigs", verdict(
-        StreamDemos.streamedExactSigTable(spark, dir, copies = 2),
-        spark.read.parquet(Dedup.sigTablePath(spark, dir)))),
-      () => ("simhash_sigs", verdict(
-        StreamDemos.streamedSimhashSigTable(spark, dir, copies = 2),
-        spark.read.parquet(Dedup.simhashSigTablePath(spark, dir)))),
-      () => ("contam_shingles", verdict(
-        StreamDemos.streamedContamShingleTable(spark, dir, copies = 2),
-        spark.read.parquet(TextAnalysis.contamShingleTablePath(spark, dir)))),
+      () => ("minhash_sigs", {
+        val scope = pmod(col("doc_id"), lit(8)) === 0
+        verdict(
+          StreamDemos.streamedMinhashSigTable(spark, dir, copies = 2, scope = scope),
+          spark.read.parquet(Dedup.minhashSigTablePath(spark, dir)).filter(scope))
+      }),
+      () => ("dedup_sigs", {
+        val scope = pmod(col("doc_id"), lit(8)) === 0
+        verdict(
+          StreamDemos.streamedExactSigTable(spark, dir, copies = 2, scope = scope),
+          spark.read.parquet(Dedup.sigTablePath(spark, dir)).filter(scope))
+      }),
+      () => ("simhash_sigs", {
+        val scope = pmod(col("doc_id"), lit(8)) === 0
+        verdict(
+          StreamDemos.streamedSimhashSigTable(spark, dir, copies = 2, scope = scope),
+          spark.read.parquet(Dedup.simhashSigTablePath(spark, dir)).filter(scope))
+      }),
+      () => ("contam_shingles", {
+        val scope = pmod(col("doc_id"), lit(8)) === 0
+        verdict(
+          StreamDemos.streamedContamShingleTable(spark, dir, copies = 2, scope = scope),
+          spark.read.parquet(TextAnalysis.contamShingleTablePath(spark, dir)).filter(scope))
+      }),
       // edge_view audits a FIXED hash slice of baskets (1/8 of orders)
       // against the batch derivation's own spelling over the same
       // slice: the full-corpus twin re-derives every basket through a
@@ -143,7 +192,9 @@ object StreamEquivalence {
       // per-basket, so a basket slice proves it at bounded cost at any
       // SF (full-corpus view equality stays pinned by StreamingSpec).
       () => ("edge_view", {
-        val scope = pmod(col("l_orderkey"), lit(8)) === 0
+        // deepened 8 → 16 in r15: with every other family sliced, the
+        // basket replay became the audit's tail
+        val scope = pmod(col("l_orderkey"), lit(16)) === 0
         verdict(
           StreamDemos.streamedEdgeView(spark, dir, copies = 2, scope = scope),
           Graph.edgesFrom(
@@ -151,24 +202,104 @@ object StreamEquivalence {
               .select(col("l_orderkey"), col("l_partkey"))
               .filter(scope)))
       }),
-      () => ("pair_delta", verdict(
-        StreamDemos.pairDeltaIngest(spark, dir, copies = 2),
-        Dedup.dedupPairsIncremental.run(spark, dir))),
-      () => ("ingest_screen_exact", verdict(
-        StreamDemos.screenedIngest(spark, dir, copies = 2),
-        Dedup.dedupIncrementalPersisted.run(spark, dir))),
-      () => ("ingest_screen_minhash", verdict(
-        StreamDemos.minhashScreenedIngest(spark, dir, copies = 2),
-        Dedup.dedupMinhashIncremental.run(spark, dir))),
-      () => ("ingest_screen_contam", verdict(
-        StreamDemos.contamScreenedIngest(spark, dir, copies = 2),
-        TextAnalysis.textContamination.run(spark, dir))),
-      () => ("bpe_vocab", verdict(
-        StreamDemos.streamedBpeVocab(spark, dir, copies = 2),
-        spark.read.parquet(TextAnalysis.bpeIndexPath(spark, dir)._2))),
-      () => ("cdc_chunks", verdict(
-        StreamDemos.streamedCdcChunkTable(spark, dir, copies = 2),
-        spark.read.parquet(Dedup.cdcChunkTablePath(spark, dir))))
+      () => ("pair_delta", {
+        // probe slice: doc_id % 10 = 0 (the batch convention) AND
+        // doc_id % 8 = 0 → every 40th doc. The sliced pool holds only
+        // scoped arrivals, so the batch spelling is pairDeltaAgainst
+        // over the same scoped signature set.
+        val scope  = pmod(col("doc_id"), lit(8)) === 0
+        val probes = graft.Tables.documents(spark, dir)
+          .filter(col("doc_id") % 10 === 0).filter(scope)
+        val sigs = Dedup.signaturesOf(probes)
+        // the batch row's own pairKeep, valid verbatim on the slice
+        // (every %10==0 pool member here IS a sliced-batch member): it
+        // prunes the symmetric batch×batch duplicate IN the join,
+        // where the twin's (ida, idb)-keyed merge collapses it — the
+        // `ida =!= idb` spelling would leave duplicate normalized rows
+        // in this frame and fail the multiset compare
+        val batchPairs = Dedup.pairDeltaAgainst(
+          sigs,
+          Dedup.corpusSigTable(spark, dir).unionByName(sigs),
+          col("ida") =!= col("idb") && (col("idb") % 10 =!= 0 || col("ida") < col("idb")))
+        val (outNe, rm, be) =
+          verdict(StreamDemos.pairDeltaIngest(spark, dir, copies = 2, scope = scope), batchPairs)
+        // a sparse probe slice can LEGITIMATELY yield zero pairs on
+        // both sides — "the replay ran" is then judged on the probe
+        // slice being nonempty with both sides bit-equal(-ly empty);
+        // full-corpus delivery stays pinned by StreamingSpec
+        val ne = if (outNe == 1 || (be == 1 && probes.limit(1).count() > 0)) 1 else 0
+        (ne, rm, be)
+      }),
+      () => ("ingest_screen_exact", {
+        // probe slice; batch side = the screen's own spelling over the
+        // sliced probes against the unchanged corpus signature table
+        val scope = pmod(col("doc_id"), lit(8)) === 0
+        verdict(
+          StreamDemos.screenedIngest(spark, dir, copies = 2, scope = scope),
+          Dedup.screenSigsAgainst(
+            Dedup.signaturesOf(
+              graft.Tables.documents(spark, dir)
+                .filter(col("doc_id") % 10 === 0).filter(scope)),
+            Dedup.corpusSigTable(spark, dir)))
+      }),
+      () => ("ingest_screen_minhash", {
+        // probe slice (same cut as pair_delta); the batch side runs
+        // the screen's own spelling over the sliced probes against the
+        // unchanged persisted corpus signature table
+        val scope = pmod(col("doc_id"), lit(8)) === 0
+        val corpus = spark.read
+          .parquet(Dedup.minhashSigTablePath(spark, dir))
+          .filter(col("doc_id") % 10 =!= 0)
+        verdict(
+          StreamDemos.minhashScreenedIngest(spark, dir, copies = 2, scope = scope),
+          Dedup.minhashScreenAgainst(
+            graft.Tables.documents(spark, dir)
+              .filter(col("doc_id") % 10 === 0).filter(scope),
+            corpus))
+      }),
+      () => ("ingest_screen_contam", {
+        // probe slice; the screen emits rows only for CONTAMINATED
+        // (doc, bench) pairs, so a clean slice legitimately reads
+        // empty on both sides — same equal-empty fallback as
+        // pair_delta (full-corpus equality pinned by StreamingSpec)
+        val scope  = pmod(col("doc_id"), lit(8)) === 0
+        val probes = graft.Tables.documents(spark, dir)
+          .filter(col("doc_id") >= 20).filter(scope)
+        val batchVerdicts = TextAnalysis.contamScreenAgainst(
+          TextAnalysis.contamShinglesBuild(probes),
+          TextAnalysis.contamBenchFrame(spark, dir))
+        val (outNe, rm, be) = verdict(
+          StreamDemos.contamScreenedIngest(spark, dir, copies = 2, scope = scope),
+          batchVerdicts)
+        val ne = if (outNe == 1 || (be == 1 && probes.limit(1).count() > 0)) 1 else 0
+        (ne, rm, be)
+      }),
+      () => ("bpe_vocab", {
+        // doc slice; the corpus-aggregate vocab over the slice must
+        // equal the batch spelling over the same slice (both apply the
+        // SAME frozen persisted merge list) — the per-key unit here is
+        // the (doc_id, tok) count row, so the slice is lossless for
+        // the maintenance claim; full-corpus view equality stays
+        // pinned by StreamingSpec
+        val scope = pmod(col("doc_id"), lit(8)) === 0
+        val (mergesPath, _) = TextAnalysis.bpeIndexPath(spark, dir)
+        verdict(
+          StreamDemos.streamedBpeVocab(spark, dir, copies = 2, scope = scope),
+          TextAnalysis.bpeVocabOf(
+            TextAnalysis.bpeDocTokenCounts(
+              graft.Tables.documents(spark, dir).filter(scope)),
+            TextAnalysis.bpeMergeList(spark, mergesPath)))
+      }),
+      () => ("cdc_chunks", {
+        // doc slice — chunking is per-document pure, so the sliced
+        // streamed chunk rows must equal the persisted view's rows on
+        // the same slice (multi-row-per-doc, merged by (doc_id,
+        // chunk_id); full-corpus equality pinned by StreamingSpec)
+        val scope = pmod(col("doc_id"), lit(8)) === 0
+        verdict(
+          StreamDemos.streamedCdcChunkTable(spark, dir, copies = 2, scope = scope),
+          spark.read.parquet(Dedup.cdcChunkTablePath(spark, dir)).filter(scope))
+      })
     )
     // declaration-order tags for the thunks above (each thunk also
     // self-reports its name; the require() below pins the two in sync)
@@ -216,11 +347,14 @@ object StreamEquivalence {
     require(rows.size == rowNames.size,
       s"streameq family/tag count drift: ${rows.size} thunks vs ${rowNames.size} tags")
     val costRank: Map[String, Int] = Seq(
-      "pair_delta", "ingest_screen_minhash", "edge_view", "pq_codes",
-      "ivfpq_codes", "ingest_screen_contam", "ingest_screen_exact",
-      "bm25_index", "bpe_vocab", "cdc_chunks", "contam_shingles",
-      "simhash_sigs", "minhash_sigs", "dedup_sigs", "lsh_sigs",
-      "ivf_assignments"
+      // r15 measured order under the sliced audits (BenchRepeat
+      // min-of-3 at sf0.1/32): the minhash screen and the basket
+      // replay anchor the tail, the sig-table twins drain fast
+      "ingest_screen_minhash", "edge_view", "ingest_screen_contam",
+      "bm25_index", "bpe_vocab", "ingest_screen_exact", "pq_codes",
+      "ivfpq_codes", "cdc_chunks", "simhash_sigs", "pair_delta",
+      "dedup_sigs", "minhash_sigs", "lsh_sigs", "ivf_assignments",
+      "contam_shingles"
     ).zipWithIndex.toMap
     val submitOrder = rows.zip(rowNames)
       .sortBy { case (_, name) => costRank.getOrElse(name, Int.MaxValue) }

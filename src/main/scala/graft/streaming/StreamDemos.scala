@@ -332,12 +332,17 @@ object StreamDemos {
     * the merge target is a keyed table (MERGE BY doc_id).
     * StreamingSpec asserts the final verdict set equals
     * `dedup_incremental_persisted`'s batch output bit-for-bit. */
-  def screenedIngest(spark: SparkSession, dir: String, copies: Int = 2): DataFrame = {
+  def screenedIngest(
+      spark: SparkSession,
+      dir: String,
+      copies: Int = 2,
+      scope: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.Row
     val corpus = graft.operators.Dedup.corpusSigTable(spark, dir)
     val verdicts = scala.collection.concurrent.TrieMap.empty[Long, Row]
     val q = docsStream(spark, dir, copies)
       .filter(col("doc_id") % 10 === 0)
+      .filter(scope)
       .writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -383,10 +388,11 @@ object StreamDemos {
   def streamedBm25Index(
       spark: SparkSession,
       dir: String,
-      copies: Int = 2): (DataFrame, DataFrame) = {
+      copies: Int = 2,
+      scope: Column = lit(true)): (DataFrame, DataFrame) = {
     val postings = scala.collection.concurrent.TrieMap.empty[(String, Long), (Int, Long)]
     val docDl    = scala.collection.concurrent.TrieMap.empty[Long, Int]
-    val q = docsStream(spark, dir, copies).writeStream
+    val q = docsStream(spark, dir, copies).filter(scope).writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -432,10 +438,12 @@ object StreamDemos {
     * work, and base embeddings are never re-projected at query time.
     * StreamingSpec pins the streamed table bit-equal to the
     * [[graft.operators.Similarity.lshSigTablePath]] batch build. */
-  def streamedLshSigTable(spark: SparkSession, dir: String, copies: Int = 2): DataFrame = {
+  def streamedLshSigTable(
+      spark: SparkSession, dir: String, copies: Int = 2,
+      scope: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.Row
     val sigs = scala.collection.concurrent.TrieMap.empty[Long, Row]
-    val q = embStream(spark, dir, copies).writeStream
+    val q = embStream(spark, dir, copies).filter(scope).writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -466,7 +474,17 @@ object StreamDemos {
     * verdict against the same static table. StreamingSpec pins the
     * final verdict set bit-equal to `dedup_minhash_incremental`'s
     * batch output. */
-  def minhashScreenedIngest(spark: SparkSession, dir: String, copies: Int = 2): DataFrame = {
+  /** `scope` bounds the PROBE universe (a `doc_id` predicate over the
+    * incoming batch; default = everything, which StreamingSpec pins
+    * against the batch row). A probe's verdict is a pure function of
+    * (doc, static corpus table), so a probe slice is lossless for the
+    * parity claim — the equivalence-report row audits a fixed hash
+    * slice at bounded cost (the edge_view precedent). */
+  def minhashScreenedIngest(
+      spark: SparkSession,
+      dir: String,
+      copies: Int = 2,
+      scope: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.Row
     val corpus = spark.read
       .parquet(graft.operators.Dedup.minhashSigTablePath(spark, dir))
@@ -474,6 +492,7 @@ object StreamDemos {
     val verdicts = scala.collection.concurrent.TrieMap.empty[Long, Row]
     val q = docsStream(spark, dir, copies)
       .filter(col("doc_id") % 10 === 0)
+      .filter(scope)
       .writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -511,7 +530,19 @@ object StreamDemos {
     * batch × blocked-candidates and corpus text is never re-read.
     * StreamingSpec pins the final pair set bit-equal to the batch
     * row's delta under copies = 2. */
-  def pairDeltaIngest(spark: SparkSession, dir: String, copies: Int = 2): DataFrame = {
+  /** `scope` bounds the arriving-batch universe (a `doc_id`
+    * predicate; default = everything, which StreamingSpec pins against
+    * the batch row). Under a scope the accumulated pool holds only
+    * scoped arrivals, so the final pair set equals the batch spelling
+    * `pairDeltaAgainst(scopedSigs, corpus ∪ scopedSigs)` — a pair is
+    * found iff BOTH endpoints are delivered (corpus side) or scoped
+    * (batch side), which is exactly the per-key parity claim on the
+    * slice. */
+  def pairDeltaIngest(
+      spark: SparkSession,
+      dir: String,
+      copies: Int = 2,
+      scope: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.Row
     import scala.jdk.CollectionConverters._
     val corpus = graft.operators.Dedup.corpusSigTable(spark, dir)
@@ -521,6 +552,7 @@ object StreamDemos {
     val pairs   = scala.collection.concurrent.TrieMap.empty[(Long, Long), Row]
     val q = docsStream(spark, dir, copies)
       .filter(col("doc_id") % 10 === 0)
+      .filter(scope)
       .writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -568,10 +600,11 @@ object StreamDemos {
   private def streamedDocView(
       spark: SparkSession,
       dir: String,
-      copies: Int)(proj: DataFrame => DataFrame): DataFrame = {
+      copies: Int,
+      scope: Column = lit(true))(proj: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     val rows = scala.collection.concurrent.TrieMap.empty[Long, Row]
-    val q = docsStream(spark, dir, copies).writeStream
+    val q = docsStream(spark, dir, copies).filter(scope).writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -592,22 +625,28 @@ object StreamDemos {
     * signature table — [[graft.operators.Dedup.minhashSignaturesOf]]
     * per batch, merged by doc_id; StreamingSpec pins it bit-equal to
     * the [[graft.operators.Dedup.minhashSigTablePath]] batch build. */
-  def streamedMinhashSigTable(spark: SparkSession, dir: String, copies: Int = 2): DataFrame =
-    streamedDocView(spark, dir, copies)(graft.operators.Dedup.minhashSignaturesOf)
+  def streamedMinhashSigTable(
+      spark: SparkSession, dir: String, copies: Int = 2,
+      scope: Column = lit(true)): DataFrame =
+    streamedDocView(spark, dir, copies, scope)(graft.operators.Dedup.minhashSignaturesOf)
 
   /** Streaming maintenance of the exact-Jaccard token-signature table
     * — [[graft.operators.Dedup.signaturesOf]] per batch, merged by
     * doc_id; pinned against [[graft.operators.Dedup.sigTablePath]]. */
-  def streamedExactSigTable(spark: SparkSession, dir: String, copies: Int = 2): DataFrame =
-    streamedDocView(spark, dir, copies)(graft.operators.Dedup.signaturesOf)
+  def streamedExactSigTable(
+      spark: SparkSession, dir: String, copies: Int = 2,
+      scope: Column = lit(true)): DataFrame =
+    streamedDocView(spark, dir, copies, scope)(graft.operators.Dedup.signaturesOf)
 
   /** Streaming maintenance of the simhash signature table —
     * [[graft.operators.Dedup.simhashOf]] per batch (a per-document
     * aggregate: each doc's 60-bit signature depends on its own tokens
     * alone), merged by doc_id; pinned against
     * [[graft.operators.Dedup.simhashSigTablePath]]. */
-  def streamedSimhashSigTable(spark: SparkSession, dir: String, copies: Int = 2): DataFrame =
-    streamedDocView(spark, dir, copies)(graft.operators.Dedup.simhashOf)
+  def streamedSimhashSigTable(
+      spark: SparkSession, dir: String, copies: Int = 2,
+      scope: Column = lit(true)): DataFrame =
+    streamedDocView(spark, dir, copies, scope)(graft.operators.Dedup.simhashOf)
 
   /** Streaming maintenance of the rolling-hash 5-gram shingle-set
     * table — [[graft.operators.TextAnalysis.contamShinglesBuild]] per
@@ -615,8 +654,10 @@ object StreamDemos {
     * [[graft.operators.TextAnalysis.contamShingleTablePath]]. A
     * sub-5-token doc has no row in either build (the projection's own
     * filter), so the merge map simply never sees it. */
-  def streamedContamShingleTable(spark: SparkSession, dir: String, copies: Int = 2): DataFrame =
-    streamedDocView(spark, dir, copies)(graft.operators.TextAnalysis.contamShinglesBuild)
+  def streamedContamShingleTable(
+      spark: SparkSession, dir: String, copies: Int = 2,
+      scope: Column = lit(true)): DataFrame =
+    streamedDocView(spark, dir, copies, scope)(graft.operators.TextAnalysis.contamShinglesBuild)
 
   /** Streaming maintenance of the CDC chunk table —
     * [[graft.operators.Dedup.cdcChunks]] per batch, merged by
@@ -627,10 +668,14 @@ object StreamDemos {
     * so a replayed doc recomputes identical (doc_id, chunk_id, n_tok,
     * ck) rows and the composite-keyed merge is idempotent. Pinned
     * against [[graft.operators.Dedup.cdcChunkTablePath]]. */
-  def streamedCdcChunkTable(spark: SparkSession, dir: String, copies: Int = 2): DataFrame = {
+  def streamedCdcChunkTable(
+      spark: SparkSession,
+      dir: String,
+      copies: Int = 2,
+      scope: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.Row
     val rows = scala.collection.concurrent.TrieMap.empty[(Long, Long), Row]
-    val q = docsStream(spark, dir, copies).writeStream
+    val q = docsStream(spark, dir, copies).filter(scope).writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -743,12 +788,15 @@ object StreamDemos {
     * several bench docs, hence the compound key. StreamingSpec pins
     * the final verdict set bit-equal to `text_contamination`'s batch
     * output. */
-  def contamScreenedIngest(spark: SparkSession, dir: String, copies: Int = 2): DataFrame = {
+  def contamScreenedIngest(
+      spark: SparkSession, dir: String, copies: Int = 2,
+      scope: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.Row
     val bench = graft.operators.TextAnalysis.contamBenchFrame(spark, dir)
     val verdicts = scala.collection.concurrent.TrieMap.empty[(Long, Long), Row]
     val q = docsStream(spark, dir, copies)
       .filter(col("doc_id") >= 20)
+      .filter(scope)
       .writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -783,12 +831,14 @@ object StreamDemos {
     * replayed vectors recompute identical rows and the merge is
     * idempotent. StreamingSpec pins the streamed lists bit-equal to
     * the batch-built assignments table. */
-  def streamedIvfAssignments(spark: SparkSession, dir: String, copies: Int = 2): DataFrame = {
+  def streamedIvfAssignments(
+      spark: SparkSession, dir: String, copies: Int = 2,
+      scope: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.Row
     val (centPath, _) = graft.operators.Advanced.ivfIndexPath(spark, dir)
     val cent = spark.read.parquet(centPath)
     val asg = scala.collection.concurrent.TrieMap.empty[Long, Row]
-    val q = embStream(spark, dir, copies).writeStream
+    val q = embStream(spark, dir, copies).filter(scope).writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -817,12 +867,21 @@ object StreamDemos {
     * codebooks is a new buildVersion/snapshot, never a streaming
     * concern — the same serving contract as
     * [[streamedIvfAssignments]]. */
-  def streamedPqCodes(spark: SparkSession, dir: String, copies: Int = 2): DataFrame = {
+  /** `scope` bounds the maintained vector universe (a `vec_id`
+    * predicate; default = everything, which StreamingSpec pins against
+    * the full batch index). Encoding against frozen codebooks is a
+    * pure per-vector function, so a vec slice is lossless for the
+    * parity claim (the edge_view precedent). */
+  def streamedPqCodes(
+      spark: SparkSession,
+      dir: String,
+      copies: Int = 2,
+      scope: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.Row
     val (cbPath, _) = graft.operators.Advanced.pqIndexPath(spark, dir)
     val cb    = spark.read.parquet(cbPath)
     val codes = scala.collection.concurrent.TrieMap.empty[Long, Row]
-    val q = embStream(spark, dir, copies).writeStream
+    val q = embStream(spark, dir, copies).filter(scope).writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -853,13 +912,17 @@ object StreamDemos {
     * (list_id, c0..c7) rows, so the merge is idempotent; retraining
     * either quantizer is a new buildVersion/snapshot, never a streaming
     * concern — the same serving contract as [[streamedPqCodes]]. */
-  def streamedIvfPqCodes(spark: SparkSession, dir: String, copies: Int = 2): DataFrame = {
+  def streamedIvfPqCodes(
+      spark: SparkSession,
+      dir: String,
+      copies: Int = 2,
+      scope: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.Row
     val (cbPath, _) = graft.operators.Advanced.ivfPqIndexPath(spark, dir)
     val cb    = spark.read.parquet(cbPath)
     val cent  = spark.read.parquet(graft.operators.Advanced.ivfIndexPath(spark, dir)._1)
     val codes = scala.collection.concurrent.TrieMap.empty[Long, Row]
-    val q = embStream(spark, dir, copies).writeStream
+    val q = embStream(spark, dir, copies).filter(scope).writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -898,12 +961,24 @@ object StreamDemos {
     * MERGE-target table BY (doc_id, tok) and the vocab aggregate is a
     * scheduled view refresh over it — batch-sized ingest work, one
     * vocab-sized aggregate to serve. */
-  def streamedBpeVocab(spark: SparkSession, dir: String, copies: Int = 2): DataFrame = {
+  /** `scope` bounds the maintained document universe (a `doc_id`
+    * predicate; default = everything, which StreamingSpec pins against
+    * the persisted full-corpus vocab view). The unit of maintenance is
+    * the per-document (doc_id, tok, cnt) row, so a doc slice is
+    * lossless for the MAINTENANCE parity claim: the served slice vocab
+    * must equal the batch spelling `bpeVocabOf(bpeDocTokenCounts(
+    * scoped docs), frozen merges)` — both sides apply the same frozen
+    * merge list per token. */
+  def streamedBpeVocab(
+      spark: SparkSession,
+      dir: String,
+      copies: Int = 2,
+      scope: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.Row
     val (mergesPath, _) = graft.operators.TextAnalysis.bpeIndexPath(spark, dir)
     val merges = graft.operators.TextAnalysis.bpeMergeList(spark, mergesPath)
     val counts = scala.collection.concurrent.TrieMap.empty[(Long, String), Row]
-    val q = docsStream(spark, dir, copies).writeStream
+    val q = docsStream(spark, dir, copies).filter(scope).writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
