@@ -223,7 +223,80 @@ object SqlSurface {
     }
   )
 
+  /** The sorted-merge intersect kernel from SQL text — closing the
+    * SQL-callable-natives gap after `sql_native_fns` proved the
+    * pattern for `float_dot` (VERDICT r14 #7): `sorted_intersect_count`
+    * in a SQL string plans the same codegen'd
+    * [[org.apache.spark.sql.graftx.SortedLongIntersectCount]] merge
+    * loop every exact-Jaccard row uses, and its count must value-match
+    * DuckDB's `list_intersect` length on the same sorted-distinct
+    * 60-bit md5 token hashes. Bounded: 20 docs → 190 pairs. */
+  val sqlSortedIntersect: Q = Q(
+    "sql_sorted_intersect",
+    Some(
+      "WITH d AS (SELECT doc_id, list_sort(list_distinct(list_transform(string_split(text, ' '), " +
+        "x -> ('0x' || substr(md5(x), 1, 15))::BIGINT))) AS t FROM documents WHERE doc_id < 20) " +
+        "SELECT a.doc_id AS ida, b.doc_id AS idb, " +
+        "cast(len(list_intersect(a.t, b.t)) as bigint) AS n_common " +
+        "FROM d a JOIN d b ON a.doc_id < b.doc_id ORDER BY ida, idb"
+    ),
+    (spark, dir) => {
+      registerViews(spark, dir)
+      org.apache.spark.sql.graftx.GraftFunctions.registerFunctions(spark)
+      spark.sql(
+        "WITH d AS (SELECT doc_id, array_sort(array_distinct(transform(split(text, ' '), " +
+          "x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint)))) AS t " +
+          "FROM documents WHERE doc_id < 20) " +
+          "SELECT a.doc_id AS ida, b.doc_id AS idb, " +
+          "cast(sorted_intersect_count(a.t, b.t) as bigint) AS n_common " +
+          "FROM d a JOIN d b ON a.doc_id < b.doc_id ORDER BY ida, idb"
+      )
+    }
+  )
+
+  /** The bloom-probe kernel from SQL text — a runtime bloom filter
+    * built over a selective dimension subset, embedded as an X'…'
+    * binary literal in the SQL string, probed by the codegen'd
+    * [[org.apache.spark.sql.graftx.LongBloomMightContain]] directly
+    * above the fact scan (Catalyst pushes the single-column predicate
+    * down), with the join removing false positives — so the result is
+    * EXACT and the oracle is the plain join (`join_bloom_prune`'s
+    * argument, now through the SQL-text path a query author takes). */
+  val sqlBloomFilter: Q = Q(
+    "sql_bloom_filter",
+    Some(
+      "SELECT s_suppkey, count(*) AS n_items, " +
+        s"round(${Det.oSum("l_extendedprice * (1 - l_discount)")}, 2) AS revenue " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE s_suppkey % 10 = 0 GROUP BY s_suppkey ORDER BY s_suppkey"
+    ),
+    (spark, dir) => {
+      registerViews(spark, dir)
+      org.apache.spark.sql.graftx.GraftFunctions.registerFunctions(spark)
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.graftx.LongBloomMightContain
+      val dim = Tables
+        .supplier(spark, dir)
+        .filter(col("s_suppkey") % 10 === 0)
+        .select(col("s_suppkey"))
+      // one job over the small side builds the filter; 1k expected
+      // keys / 1% fpp → ~1.2 KB plan literal (bitwise-OR inserts make
+      // the serialized bytes order-independent, so the literal — and
+      // the row's plan — is deterministic)
+      val hex = LongBloomMightContain
+        .serialize(dim.stat.bloomFilter("s_suppkey", 1000L, 0.01))
+        .map(b => f"$b%02X").mkString
+      spark.sql(
+        "SELECT s_suppkey, count(*) AS n_items, " +
+          "round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(30,8))) as double), 2) AS revenue " +
+          "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+          s"WHERE long_bloom_might_contain(X'$hex', l_suppkey) AND s_suppkey % 10 = 0 " +
+          "GROUP BY s_suppkey ORDER BY s_suppkey"
+      )
+    }
+  )
+
   def qs: Seq[Q] =
     Seq(sqlPricing, sqlCorrelated, sqlCteWindow, sqlLateral, sqlDdlCtas, sqlRecursive,
-      sqlNativeFns)
+      sqlNativeFns, sqlSortedIntersect, sqlBloomFilter)
 }

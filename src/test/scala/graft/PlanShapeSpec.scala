@@ -147,6 +147,24 @@ class PlanShapeSpec extends SparkSuite {
     assert(probeLine > joinLine, s"probe at $probeLine not below join at $joinLine\n" + p.take(3000))
   }
 
+  test("sql_sorted_intersect plans the native codegen merge kernel from SQL text") {
+    val p = plan("sql_sorted_intersect")
+    assert(p.contains("sorted_intersect_count"),
+      "SQL-text call did not plan SortedLongIntersectCount\n" + p.take(2000))
+  }
+
+  test("sql_bloom_filter probes the native bloom from SQL text, below the join") {
+    val p = plan("sql_bloom_filter")
+    val probeLine = p.linesIterator.indexWhere(_.contains("long_bloom_might_contain"))
+    val joinLine  = p.linesIterator.indexWhere(_.contains("BroadcastHashJoin"))
+    assert(probeLine >= 0, "native bloom probe missing from the SQL-text plan\n" + p.take(2000))
+    assert(joinLine >= 0, p.take(2000))
+    // same pushdown shape join_bloom_prune pins for the DataFrame
+    // spelling: the single-column probe predicate must sit below the
+    // join, on the fact side
+    assert(probeLine > joinLine, s"probe at $probeLine not below join at $joinLine\n" + p.take(3000))
+  }
+
   test("sim_hybrid_rrf cuts both lists with TakeOrderedAndProject, never a global sort") {
     val p = plan("sim_hybrid_rrf")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
