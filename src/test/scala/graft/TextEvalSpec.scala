@@ -332,4 +332,48 @@ class TextEvalSpec extends SparkSuite {
     val firstCount = merges.head._3
     assert(merges.forall(_._3 <= firstCount), "rank 1 must be the global argmax")
   }
+
+  test("BPE trainer sustains 1000 merges with ~linear cost in merge count") {
+    // VERDICT r14 #5: the O(M)-per-depth claim was measured only to
+    // 100 (TextEvalSpec above trains 128); real tokenizers run 32k.
+    // Train a FULL 1000-merge budget on a vocabulary rich enough to
+    // never exhaust (1300 distinct 12-char pseudo-words over 26
+    // letters — the symbol inventory grows with every merge, so the
+    // greedy pair pool outlives the budget), and pin linearity with a
+    // two-point ratio: t(1000)/t(250) ≈ 4 for the incremental-state
+    // loop vs ≈ 16 for the r12 stacked-expression spelling. 8 is the
+    // midpoint guard, tolerant of co-tenant suite boxes; the measured
+    // curve lives in SCALING.md. The 250-merge run goes FIRST so plan
+    // compile warm-up inflates the denominator — the safe direction.
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val words = (0 until 1400)
+      .map { i =>
+        // md5-derived 12-char hex words (16-symbol alphabet):
+        // deterministic and collision-free at this count, where the
+        // arithmetic mixers tried first collapsed to a few hundred
+        // distinct words
+        val hex = md.digest(s"w$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (hex.take(12), (i % 7) + 1L)
+      }
+      .groupBy(_._1).map { case (t, rs) => (t, rs.map(_._2).sum) }.toSeq.sortBy(_._1)
+    assert(words.size >= 1300, s"vocab generation collided too much: ${words.size}")
+    val w = words.toDF("tok", "freq")
+      // one tiny partition: per-round cost is the ROUND, not task fanout
+      .repartition(1)
+      .withColumn("st", operators.TextAnalysis.bpeInitSt)
+    def timed(n: Int): (Double, Int) = {
+      val t0 = System.nanoTime()
+      val m  = operators.TextAnalysis.bpeTrainLoopOn(w, n)
+      ((System.nanoTime() - t0) / 1e9, m.length)
+    }
+    val (t250, n250)   = timed(250)
+    val (t1000, n1000) = timed(1000)
+    info(f"bpe depth curve: 250 merges in $t250%.1f s, 1000 merges in $t1000%.1f s, ratio ${t1000 / t250}%.2f")
+    assert(n250 == 250, s"expected the full 250-merge budget, got $n250")
+    assert(n1000 == 1000, s"expected the full 1000-merge budget, got $n1000")
+    assert(t1000 / t250 < 8.0,
+      f"cost ratio ${t1000 / t250}%.1f suggests super-linear per-merge cost " +
+        f"(t250=$t250%.1f s, t1000=$t1000%.1f s)")
+  }
 }
