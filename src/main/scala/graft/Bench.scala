@@ -99,6 +99,7 @@ object Bench {
       operators.TextAnalysis.bpeIndexPath(spark, sfDir)
       operators.TextAnalysis.bpeWideMergesPath(spark, sfDir)
       operators.Dedup.cdcChunkTablePath(spark, sfDir)
+      operators.Multimodal.mmFeatureTablePath(spark, sfDir)
       (System.nanoTime() - t0) / 1e9
     }
     // Codegen pre-compile for the mega-plan rows: a large composed plan's

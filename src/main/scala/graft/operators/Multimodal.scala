@@ -135,16 +135,40 @@ object Multimodal {
         "count(DISTINCT v.bv)::BIGINT AS n_distinct_bytes " +
         "FROM ok o LEFT JOIN v ON o.doc_id = v.doc_id GROUP BY o.doc_id ORDER BY o.doc_id"
     ),
-    (spark, dir) => {
-      import spark.implicits._
-      decodeFeatureRows(
-        Tables
-          .documents(spark, dir)
-          .select(col("doc_id"), col("text").cast("binary").as("payload"))
-          .as[(Long, Array[Byte])],
-        FakeDecoder)
-    }
+    (spark, dir) =>
+      // serving shape since r15: scan the write-once feature view —
+      // at 100 TB the decode pass (a real codec) is the expensive
+      // step, so features are extracted ONCE per corpus snapshot and
+      // every consumer (this row, the streaming maintenance twin, the
+      // parity audit) reads the persisted rows
+      spark.read.parquet(mmFeatureTablePath(spark, dir)).orderBy(col("doc_id"))
   )
+
+  /** Write-once decoded-feature view — the mm family's ingest product
+    * and the SEVENTEENTH stream-parity family: features are a pure
+    * per-document function of the payload bytes (decode → fixed-width
+    * row), so the corpus is decoded once per snapshot
+    * ([[graft.ViewStore]] discipline, same argument as every signature
+    * table) and the streaming twin
+    * ([[graft.streaming.StreamDemos.streamedMmFeatureTable]]) merges
+    * identical recomputed rows by doc_id under at-least-once replay. */
+  private[graft] def mmFeatureTablePath(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.ViewStore.materialize(spark, "graft_mm_features", dir)(
+      mmFeatureRowsOf(Tables.documents(spark, dir)))
+
+  /** The feature derivation over ANY frame with (doc_id, text) — the
+    * single stateless projection behind the view build and the
+    * per-micro-batch twin. */
+  private[graft] def mmFeatureRowsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    decodeFeatureRows(
+      docs
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])],
+      FakeDecoder)
+  }
 
   /** The decode+feature pipeline, parameterized on the decoder — the
     * registry row binds [[FakeDecoder]]; MultimodalCodecSpec re-binds

@@ -28,8 +28,8 @@ import org.apache.spark.sql.functions._
   * Structured Streaming run: any twin drifting from its batch build
   * flips a flag and fails the driver compare loudly. Results are
   * memoized per (dir, input fingerprint) — the registry-wide plan/row
-  * gates and Verify all call `run`, and the sixteen streaming runs are
-  * the expensive part, not the 16-row report.
+  * gates and Verify all call `run`, and the seventeen streaming runs are
+  * the expensive part, not the 17-row report.
   *
   * Since r15 every family audits a FIXED HASH SLICE of its key space
   * (mod-8 on the merge key; mod-16 baskets for the edge view), so the
@@ -90,7 +90,7 @@ object StreamEquivalence {
     (if (sN > 0 && bN > 0) 1 else 0, if (sN == bN) 1 else 0, if (bitEq) 1 else 0)
   }
 
-  /** One entry per view family with a streaming twin — the same sixteen
+  /** One entry per view family with a streaming twin — the same seventeen
     * pairings StreamingSpec pins, in one place. Keep this list and the
     * oracle's VALUES list in lockstep. */
   private def computeReport(spark: SparkSession, dir: String): Seq[(String, Int, Int, Int)] = {
@@ -299,6 +299,15 @@ object StreamEquivalence {
         verdict(
           StreamDemos.streamedCdcChunkTable(spark, dir, copies = 2, scope = scope),
           spark.read.parquet(Dedup.cdcChunkTablePath(spark, dir)).filter(scope))
+      }),
+      // the 17th family (r15): added AFTER the slicing rework — the
+      // point of bounded per-family audits is that engine breadth no
+      // longer buys linear replay cost
+      () => ("mm_features", {
+        val scope = pmod(col("doc_id"), lit(8)) === 0
+        verdict(
+          StreamDemos.streamedMmFeatureTable(spark, dir, copies = 2, scope = scope),
+          spark.read.parquet(Multimodal.mmFeatureTablePath(spark, dir)).filter(scope))
       })
     )
     // declaration-order tags for the thunks above (each thunk also
@@ -308,9 +317,9 @@ object StreamEquivalence {
       "ivfpq_codes", "minhash_sigs", "dedup_sigs", "simhash_sigs",
       "contam_shingles", "edge_view", "pair_delta",
       "ingest_screen_exact", "ingest_screen_minhash",
-      "ingest_screen_contam", "bpe_vocab", "cdc_chunks"
+      "ingest_screen_contam", "bpe_vocab", "cdc_chunks", "mm_features"
     )
-    // The sixteen audits are independent (separate streams, separate
+    // The seventeen audits are independent (separate streams, separate
     // driver state, distinct or idempotently-shared staging dirs), and
     // each one spends most of its wall time WAITING on small Spark
     // jobs — run them concurrently on a dedicated pool so the report
@@ -352,9 +361,9 @@ object StreamEquivalence {
       // replay anchor the tail, the sig-table twins drain fast
       "ingest_screen_minhash", "edge_view", "ingest_screen_contam",
       "bm25_index", "bpe_vocab", "ingest_screen_exact", "pq_codes",
-      "ivfpq_codes", "cdc_chunks", "simhash_sigs", "pair_delta",
-      "dedup_sigs", "minhash_sigs", "lsh_sigs", "ivf_assignments",
-      "contam_shingles"
+      "ivfpq_codes", "cdc_chunks", "mm_features", "simhash_sigs",
+      "pair_delta", "dedup_sigs", "minhash_sigs", "lsh_sigs",
+      "ivf_assignments", "contam_shingles"
     ).zipWithIndex.toMap
     val submitOrder = rows.zip(rowNames)
       .sortBy { case (_, name) => costRank.getOrElse(name, Int.MaxValue) }
@@ -398,7 +407,8 @@ object StreamEquivalence {
         "('bm25_index', 1, 1, 1), ('lsh_sigs', 1, 1, 1), " +
         "('ivf_assignments', 1, 1, 1), ('pq_codes', 1, 1, 1), " +
         "('ivfpq_codes', 1, 1, 1), ('bpe_vocab', 1, 1, 1), " +
-        "('cdc_chunks', 1, 1, 1), ('minhash_sigs', 1, 1, 1), " +
+        "('cdc_chunks', 1, 1, 1), ('mm_features', 1, 1, 1), " +
+        "('minhash_sigs', 1, 1, 1), " +
         "('dedup_sigs', 1, 1, 1), ('simhash_sigs', 1, 1, 1), " +
         "('contam_shingles', 1, 1, 1), ('edge_view', 1, 1, 1), " +
         "('pair_delta', 1, 1, 1), ('ingest_screen_exact', 1, 1, 1), " +

@@ -659,6 +659,22 @@ object StreamDemos {
       scope: Column = lit(true)): DataFrame =
     streamedDocView(spark, dir, copies, scope)(graft.operators.TextAnalysis.contamShinglesBuild)
 
+  /** Streaming maintenance of the multimodal FEATURE view — the mm
+    * family's stream-update story (17th parity family, r15): each
+    * micro-batch of incoming payloads runs the SAME decode+feature
+    * projection the view build uses
+    * ([[graft.operators.Multimodal.mmFeatureRowsOf]] — a pure
+    * per-document function of the payload bytes), merged by doc_id; a
+    * replayed payload recomputes the identical fixed-width row, so the
+    * merge is idempotent. Swapping the stub codec for a real one
+    * changes NOTHING here (the decoder rides inside the shared
+    * projection — the MultimodalCodecSpec boundary). Pinned against
+    * [[graft.operators.Multimodal.mmFeatureTablePath]]. */
+  def streamedMmFeatureTable(
+      spark: SparkSession, dir: String, copies: Int = 2,
+      scope: Column = lit(true)): DataFrame =
+    streamedDocView(spark, dir, copies, scope)(graft.operators.Multimodal.mmFeatureRowsOf)
+
   /** Streaming maintenance of the CDC chunk table —
     * [[graft.operators.Dedup.cdcChunks]] per batch, merged by
     * (doc_id, chunk_id): a doc emits SEVERAL rows (unlike the

@@ -327,7 +327,12 @@ class StreamingSpec extends SparkSuite {
       ("simhash_sigs", streaming.StreamDemos.streamedSimhashSigTable(spark, sf, copies = 2),
         operators.Dedup.simhashSigTablePath(spark, sf)),
       ("contam_shingles", streaming.StreamDemos.streamedContamShingleTable(spark, sf, copies = 2),
-        operators.TextAnalysis.contamShingleTablePath(spark, sf))
+        operators.TextAnalysis.contamShingleTablePath(spark, sf)),
+      // r15: the multimodal feature view — decode+feature is a pure
+      // per-document function of the payload bytes, so it rides the
+      // same doc-keyed merge twin as the signature tables
+      ("mm_features", streaming.StreamDemos.streamedMmFeatureTable(spark, sf, copies = 2),
+        operators.Multimodal.mmFeatureTablePath(spark, sf))
     )
     for ((name, streamed, batchPath) <- twins) {
       val s = rows(streamed)
