@@ -257,4 +257,50 @@ object StatefulDemos {
           Iterator(next)
       }
   }
+
+  /** [[userTotals]] through Spark 4's `transformWithState` — the
+    * arbitrary-state API that supersedes `flatMapGroupsWithState`:
+    * typed state HANDLES (`ValueState`/`ListState`/`MapState`)
+    * acquired in `init` from a `StatefulProcessorHandle`, per-state
+    * TTL, timers, and a RocksDB-backed store (the API requires the
+    * RocksDB provider; the spec sets `spark.sql.streaming.stateStore
+    * .providerClass` around the query). Semantics identical to
+    * [[userTotals]], so StatefulSpec pins BOTH state APIs and the
+    * batch aggregate on the same final per-user states — the
+    * migration recipe for every state machine in this file: the
+    * per-group fold body moves verbatim into `handleInputRows`, the
+    * `GroupState` becomes a named `ValueState` handle. */
+  class UserTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), UserAgg] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var totals: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)](
+        "totals", Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, Double)],
+        timers: TimerValues): Iterator[UserAgg] = {
+      val (n0, mx0) = if (totals.exists()) totals.get() else (0L, Double.MinValue)
+      var n  = n0
+      var mx = mx0
+      rows.foreach { case (_, v) =>
+        n += 1
+        if (v > mx) mx = v
+      }
+      totals.update((n, mx))
+      Iterator(UserAgg(user, n, mx))
+    }
+  }
+
+  def userTotalsTws(spark: SparkSession, events: DataFrame): Dataset[UserAgg] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserTotalsProcessor, TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -103,6 +103,61 @@ class StatefulSpec extends SparkSuite {
     assert(finalPerUser == batch)
   }
 
+  test("transformWithState totals equal the flatMapGroupsWithState twin and batch") {
+    // Spark 4's arbitrary-state API, driven over the same chunked
+    // source as the fMGWS test: final per-user state must equal the
+    // batch aggregate (and therefore userTotals' own final state).
+    // transformWithState requires the RocksDB state store provider —
+    // set around the query, reset after (shared suite session).
+    val tmp = Files.createTempDirectory("graft_tws_stream").toString + "/in"
+    val ev = Tables
+      .events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id"), col("value"))
+    ev.coalesce(2).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(tmp)
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = streaming.StatefulDemos
+        .userTotalsTws(spark, stream)
+        .writeStream
+        .format("memory")
+        .queryName("t_tws")
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    // the fMGWS twin over the SAME chunked source (default provider):
+    // identical input decode + fold body, so the two APIs' final
+    // states must be identical — including null-value decode behavior
+    val q2 = streaming.StatefulDemos
+      .userTotals(spark, stream)
+      .writeStream
+      .format("memory")
+      .queryName("t_tws_fm")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    def finalState(table: String): Map[Long, (Long, Double)] = spark
+      .table(table)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"), max(col("max_value")).as("max_value"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val tws = finalState("t_tws")
+    val fm  = finalState("t_tws_fm")
+    assert(tws.nonEmpty && tws == fm, "the two state APIs disagree on final per-user state")
+    // and both equal the batch event count per user
+    val batchN = Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tws.view.mapValues(_._1).toMap == batchN)
+  }
+
   test("event-time-timeout session tracker matches batch sessionization") {
     import org.apache.spark.sql.expressions.Window
     val tmp = Files.createTempDirectory("graft_sess_stream").toString + "/in"

@@ -1,0 +1,40 @@
+#!/bin/bash
+# Round-close freeze guard (VERDICT r14 #4): the shipped tree must be
+# the tested tree. sql_native_fns landed AFTER the r14 closing battery
+# and shipped without a full sf0.1 re-sweep — this script makes that
+# process hole mechanical:
+#
+#   1. Regenerates REGISTRY.md from the CURRENT tree (RegistryDump).
+#      A non-empty `git diff REGISTRY.md` afterwards means the registry
+#      changed since the last dump — i.e. code landed after the battery
+#      that stamped it. The battery section of SURVEY must quote the
+#      row count this script prints.
+#   2. Fails (exit 1) if the working tree is dirty beyond REGISTRY.md
+#      itself — the battery commit must be the LAST code commit of the
+#      round.
+#
+# Usage: tools/freeze_check.sh   (from the repo root, after the battery)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+sbt -batch "runMain graft.RegistryDump" >/dev/null 2>&1
+
+if ! git diff --quiet -- REGISTRY.md; then
+  echo "FREEZE VIOLATION: REGISTRY.md changed on regeneration — the"
+  echo "registry drifted since the last dump. Re-run the closing"
+  echo "battery on this tree, commit, and re-check."
+  git --no-pager diff --stat -- REGISTRY.md
+  exit 1
+fi
+
+dirty=$(git status --porcelain | grep -v '^.. REGISTRY.md$' || true)
+if [ -n "$dirty" ]; then
+  echo "FREEZE VIOLATION: uncommitted changes beyond REGISTRY.md —"
+  echo "the battery commit must be the last code commit of the round:"
+  echo "$dirty"
+  exit 1
+fi
+
+rows=$(grep -c '^- ' REGISTRY.md)
+echo "FREEZE OK: registry rows = $rows (stamp this count in the battery section;"
+echo "it must equal len(CORRECTNESS_r{N}) when the driver artifact lands)"
