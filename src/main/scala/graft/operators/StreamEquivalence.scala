@@ -419,5 +419,77 @@ object StreamEquivalence {
     memoizes = true // reportCache: a second run serves the memoized verdicts
   )
 
-  val qs: Seq[Q] = Seq(streamEquivalenceReport)
+  private val parityCache =
+    scala.collection.mutable.Map.empty[String, (Int, Int, Int)]
+  private val parityComputes = Memos.counter()
+  Memos.register(Memos.Handle(
+    "streamEquivalence.parityCache",
+    () => parityCache.synchronized(parityCache.size),
+    () => parityCache.synchronized(parityCache.clear()),
+    () => parityComputes.get()
+  ))
+
+  /** Driver-visible evidence for the Spark-4 state-API story — the
+    * [[streamEquivalenceReport]] pattern applied to ARBITRARY STATE:
+    * the per-user totals state machine is run over the same CHUNKED
+    * (never replayed) events stream through BOTH state APIs —
+    * `flatMapGroupsWithState` and Spark 4's `transformWithState`
+    * (StatefulProcessor + named ValueState handle on the RocksDB
+    * provider) — and the two final state maps must be identical, with
+    * the per-user event counts equal to the batch aggregate. The
+    * expected verdict is a CONSTANT row, so the driver hash-checks a
+    * claim no SQL engine can replay (StatefulSpec holds the
+    * full-detail pins; this row makes the API-migration guarantee a
+    * driver artifact). Memoized per (dir, fingerprint) like the
+    * equivalence report — the registry-wide gates call run.
+    *
+    * At 100 TB: the migration audit for a stateful job — run the old
+    * and new spellings over one bounded slice, diff final state before
+    * cutting over. State is O(users) on both sides; the RocksDB
+    * provider conf is set only around the transformWithState run and
+    * restored after. */
+  val streamStateApiParity: Q = Q(
+    "stream_state_api_parity",
+    Some(
+      "SELECT * FROM (VALUES ('user_totals', 1, 1, 1)) " +
+        "AS t(machine, nonempty, apis_equal, count_equals_batch)"
+    ),
+    (spark, dir) => {
+      import graft.streaming.StatefulDemos
+      val key = dir + "|" + ViewStore.fingerprint(dir, spark.sparkContext.hadoopConfiguration)
+      val (ne, eq, cb) = parityCache.synchronized(parityCache.get(key)) match {
+        case Some(c) => c
+        case None =>
+          val fm = StatefulDemos.finalUserTotals(spark, dir, useTws = false)
+          val provKey = "spark.sql.streaming.stateStore.providerClass"
+          val prev    = spark.conf.getOption(provKey)
+          val tws =
+            try {
+              spark.conf.set(provKey,
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+              StatefulDemos.finalUserTotals(spark, dir, useTws = true)
+            } finally prev match {
+              case Some(v) => spark.conf.set(provKey, v)
+              case None    => spark.conf.unset(provKey)
+            }
+          val batchN = graft.Tables.events(spark, dir)
+            .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // bounded: |users|
+          val computed = (
+            if (fm.nonEmpty && tws.nonEmpty) 1 else 0,
+            if (fm == tws) 1 else 0,
+            if (fm.view.mapValues(_._1).toMap == batchN) 1 else 0
+          )
+          parityComputes.incrementAndGet()
+          parityCache.synchronized(parityCache.update(key, computed))
+          computed
+      }
+      import spark.implicits._
+      Seq(("user_totals", ne, eq, cb))
+        .toDF("machine", "nonempty", "apis_equal", "count_equals_batch")
+    },
+    memoizes = true // parityCache: a second run serves the memoized verdict
+  )
+
+  val qs: Seq[Q] = Seq(streamEquivalenceReport, streamStateApiParity)
 }

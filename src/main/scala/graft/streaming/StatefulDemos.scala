@@ -303,4 +303,60 @@ object StatefulDemos {
       .groupByKey(_._1)
       .transformWithState(new UserTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
+
+  /** A CHUNKED (never replayed) (user_id, value) events stream: the
+    * events table split into two parquet files in a per-SF staging
+    * dir, one file per trigger — two micro-batches that exercise
+    * state CARRY-OVER without duplicate delivery (a counter state
+    * machine is deliberately not replay-idempotent; the at-least-once
+    * story for event streams is [[dedupEvents]] upstream). Staged
+    * once per corpus generation: the `_SUCCESS` marker must be no
+    * older than the source file, else re-staged (the stageCopy
+    * staleness rule, directory-level). */
+  private def chunkedUserValueStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(s"$dir/events.parquet")
+    val staged = Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_stream_events_chunks",
+      dir.replaceAll("[^a-zA-Z0-9]", "_"))
+    val marker = staged.resolve("_SUCCESS")
+    val fresh = Files.exists(marker) &&
+      Files.getLastModifiedTime(marker).compareTo(Files.getLastModifiedTime(src)) >= 0
+    if (!fresh) {
+      graft.Tables.events(spark, dir)
+        .select(col("user_id"), col("value"))
+        .coalesce(2)
+        .write.mode("overwrite").parquet(staged.toString)
+    }
+    val schema = spark.read.parquet(staged.toString).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+  }
+
+  /** Final per-user (n_events, max_value) state of the totals machine
+    * over the chunked stream, through EITHER state API — the shared
+    * runner behind the `stream_state_api_parity` row. The driver map
+    * is bounded by |users| (update-mode emissions are cumulative
+    * states, so last-put-wins per user IS the final state). */
+  private[graft] def finalUserTotals(
+      spark: SparkSession,
+      dir: String,
+      useTws: Boolean): Map[Long, (Long, Double)] = {
+    val stream = chunkedUserValueStream(spark, dir)
+    val ds     = if (useTws) userTotalsTws(spark, stream) else userTotals(spark, stream)
+    val rows   = scala.collection.concurrent.TrieMap.empty[Long, (Long, Double)]
+    val q = ds.writeStream
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: Dataset[UserAgg], _: Long) =>
+        b.collect().foreach(u => rows.put(u.user_id, (u.n_events, u.max_value))) // bounded: |users|
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    rows.toMap
+  }
 }
