@@ -2176,9 +2176,13 @@ object Dedup {
       .partitionBy(col("doc_id"))
       .orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // same partition+order spec, frame ending one row earlier: all
-    // three window expressions below plan into ONE WindowExec (one
-    // exchange + sort on (doc_id, pos))
+    // same partition+order spec, frame ending one row earlier. The
+    // chunk_id sum consumes the seg_start window's OUTPUT, so Spark
+    // plans TWO Window nodes — but over ONE exchange and ONE sort on
+    // (doc_id, pos): the second window's required distribution and
+    // ordering are already satisfied by the first's (verified on the
+    // executed plan: 2 Window, 1 Exchange, 1 Sort). The expensive
+    // parts are shared; only the per-row window evaluation doubles.
     val wPrev = Window
       .partitionBy(col("doc_id"))
       .orderBy(col("pos"))

@@ -315,19 +315,28 @@ object StatefulDemos {
     * staleness rule, directory-level). */
   private def chunkedUserValueStream(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
+    import java.nio.charset.StandardCharsets.UTF_8
     val src = Paths.get(s"$dir/events.parquet")
+    require(Files.exists(src), s"events source missing: $src")
     val staged = Paths.get(
       System.getProperty("java.io.tmpdir"),
       "graft_stream_events_chunks",
       dir.replaceAll("[^a-zA-Z0-9]", "_"))
-    val marker = staged.resolve("_SUCCESS")
-    val fresh = Files.exists(marker) &&
-      Files.getLastModifiedTime(marker).compareTo(Files.getLastModifiedTime(src)) >= 0
+    // staleness is judged on (size, mtime) of the SOURCE — the
+    // stageCopy rule: a marker-mtime-only check would keep serving
+    // stale chunks after an older corpus snapshot is restored in
+    // place with preserved timestamps (marker still >= source)
+    val meta = staged.resolve("_staging_meta")
+    val want = s"${Files.size(src)}|${Files.getLastModifiedTime(src).toMillis}"
+    val fresh = Files.exists(meta) &&
+      new String(Files.readAllBytes(meta), UTF_8) == want
     if (!fresh) {
       graft.Tables.events(spark, dir)
         .select(col("user_id"), col("value"))
         .coalesce(2)
         .write.mode("overwrite").parquet(staged.toString)
+      Files.write(meta, want.getBytes(UTF_8))
+      ()
     }
     val schema = spark.read.parquet(staged.toString).schema
     spark.readStream

@@ -17,7 +17,17 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-sbt -batch "runMain graft.RegistryDump" >/dev/null 2>&1
+# a failed dump must fail LOUDLY (a non-compiling tree is exactly the
+# drifted-tree case this guard exists for), never die silently with
+# its diagnostics discarded
+dump_log=$(mktemp)
+if ! sbt -batch "runMain graft.RegistryDump" >"$dump_log" 2>&1; then
+  echo "FREEZE VIOLATION: RegistryDump failed on this tree — sbt output:"
+  tail -30 "$dump_log"
+  rm -f "$dump_log"
+  exit 1
+fi
+rm -f "$dump_log"
 
 if ! git diff --quiet -- REGISTRY.md; then
   echo "FREEZE VIOLATION: REGISTRY.md changed on regeneration — the"
@@ -35,6 +45,10 @@ if [ -n "$dirty" ]; then
   exit 1
 fi
 
-rows=$(grep -c '^- ' REGISTRY.md)
+rows=$(grep -c '^- ' REGISTRY.md || true)
+if [ "$rows" -eq 0 ]; then
+  echo "FREEZE VIOLATION: REGISTRY.md lists zero rows — dump format drift?"
+  exit 1
+fi
 echo "FREEZE OK: registry rows = $rows (stamp this count in the battery section;"
 echo "it must equal len(CORRECTNESS_r{N}) when the driver artifact lands)"
