@@ -138,11 +138,25 @@ object Bench {
     // ingest cost in warm_views_sec is auditable per view from the
     // artifact alone instead of inferable from its magnitude. Short
     // keys: the family name minus the graft_ prefix.
-    val viewsJson = ViewStore.resolutionLog
+    val viewsFullJson = ViewStore.resolutionLog
       .map { case (fam, how) => s""""${fam.stripPrefix("graft_")}":"$how"""" }
       .mkString("{", ",", "}")
+    // Compact form for the artifact line: the common case is every view
+    // served from an existing store, which the full per-view map spent
+    // ~500 bytes of the 2 KB stdout tail saying. Count the hits and
+    // enumerate BY NAME only the views that were NOT plain hits — the
+    // audit signal (which views were rebuilt and paid warm_views_sec)
+    // survives whole, the boilerplate doesn't. The full map stays on
+    // stderr below. Freed bytes carry min2_detail into the artifact
+    // (VERDICT r15 #2).
+    val viewsJson = {
+      val (hits, rest) = ViewStore.resolutionLog.partition(_._2 == "hit")
+      val restJson = rest
+        .map { case (fam, how) => s""""${fam.stripPrefix("graft_")}":"$how"""" }
+      (s""""hit":${hits.size}""" +: restJson).mkString("{", ",", "}")
+    }
     System.err.println(
-      f"[bench] warm_views_sec=$warmViewsSec%.3f (one-time serving-view ingest) views=$viewsJson")
+      f"[bench] warm_views_sec=$warmViewsSec%.3f (one-time serving-view ingest) views=$viewsFullJson")
 
     def dropDeadBlocks(): Int = {
       // best-effort, never fatal: this runs OUTSIDE the per-query try,
@@ -305,17 +319,16 @@ object Bench {
         (name, math.min(first, second), gcFirst, gcSecond, second)
       }
     val min2Json = min2.map { case (k, v, _, _, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    // Per-row first/second/gc detail as its OWN stdout line (the
-    // compact line must stay inside the harness's 2 KB tail buffer):
-    // an iterative row whose min2 EQUALS its first run could never be
-    // cleared from the artifact before — now a gc-heavy first run is
-    // visibly noise from the committed JSON alone (VERDICT r14 #3).
-    if (min2.nonEmpty) {
-      val detail = min2.map { case (k, _, gc1, gc2, second) =>
-        f""""$k":{"second":${math.min(second, 9999.0)}%.3f,"gc_first_ms":$gc1,"gc_second_ms":$gc2}"""
-      }.mkString("{", ",", "}")
-      println(s"""{"metric":"min2_detail","unit":"sec","rows":$detail}""")
-    }
+    // Per-row [second, gc_first_ms, gc_second_ms] detail, folded INTO
+    // the final compact line below (VERDICT r15 #2): as its own stdout
+    // line BEFORE the compact one it printed outside the harness's
+    // 2 KB stdout TAIL and never reached the committed artifact —
+    // min2_detail existed only in builder-local logs. The compressed
+    // array form (~45 bytes/row × 10) fits alongside the compact line,
+    // paid for by the views-map compression above.
+    val min2DetailJson = min2.map { case (k, _, gc1, gc2, second) =>
+      f""""$k":[${math.min(second, 9999.0)}%.2f,$gc1,$gc2]"""
+    }.mkString("{", ",", "}")
     // Snapshot the stream audit's per-family seconds NOW — the measured
     // run's decomposition is what the stanza exists to explain; the
     // memo-cleared rerun below recomputes the report and would
@@ -401,7 +414,7 @@ object Bench {
     // cross-round comparison divides out machine drift mechanically
     // (same-commit raw totals were observed to swing 121-209 s on this
     // class of shared box while the calib-normalized number held).
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","gc_sec":${gcMillis / 1000.0}%.1f,"calib_sec":$calibSec%.3f,"io_probe_sec":$ioProbeSec%.3f,"total_per_calib":${total / calibSec}%.1f,"warm_views_sec":$warmViewsSec%.3f,"views":$viewsJson,"queries":$compact,"min2":$min2Json,"min2_memo_cleared":$min2McJson$slowDetail,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","gc_sec":${gcMillis / 1000.0}%.1f,"calib_sec":$calibSec%.3f,"io_probe_sec":$ioProbeSec%.3f,"total_per_calib":${total / calibSec}%.1f,"warm_views_sec":$warmViewsSec%.3f,"views":$viewsJson,"queries":$compact,"min2":$min2Json,"min2_detail":$min2DetailJson,"min2_memo_cleared":$min2McJson$slowDetail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,13 +34,31 @@ if ! git diff --quiet -- REGISTRY.md; then
   echo "registry drifted since the last dump. Re-run the closing"
   echo "battery on this tree, commit, and re-check."
   git --no-pager diff --stat -- REGISTRY.md
+  # leave the tree as we found it: a regenerated-but-different
+  # REGISTRY.md left modified would confuse the next run's dirty
+  # check (ADVICE r15)
+  git checkout -- REGISTRY.md
   exit 1
 fi
 
-dirty=$(git status --porcelain | grep -v '^.. REGISTRY.md$' || true)
+# Dirty check via pathspec excludes, not a porcelain-line grep: the
+# old `grep -v '^.. REGISTRY.md$'` missed rename/copy porcelain lines
+# ('R  old -> REGISTRY.md') (ADVICE r15). Driver-written per-round
+# artifacts (BENCH/CORRECTNESS/LEAKCHECK) land AFTER the battery
+# commit by design — a judge running this guard on the shipped tree
+# must not see them as drift (VERDICT r15 #6); they carry no code.
+dirty=$(git status --porcelain -- . \
+  ':(exclude)REGISTRY.md' \
+  ':(exclude)BENCH_r*.json' \
+  ':(exclude)CORRECTNESS_r*.json' \
+  ':(exclude)LEAKCHECK.json' \
+  ':(exclude)COPYCHECK.json' \
+  ':(exclude)VERDICT.md' \
+  ':(exclude)ADVICE.md')
 if [ -n "$dirty" ]; then
-  echo "FREEZE VIOLATION: uncommitted changes beyond REGISTRY.md —"
-  echo "the battery commit must be the last code commit of the round:"
+  echo "FREEZE VIOLATION: uncommitted changes beyond REGISTRY.md and"
+  echo "driver-written artifacts — the battery commit must be the last"
+  echo "code commit of the round:"
   echo "$dirty"
   exit 1
 fi
