@@ -11,6 +11,34 @@ import org.apache.spark.sql.streaming.Trigger
   */
 class StatefulSpec extends SparkSuite {
 
+  /** Session clone for transformWithState legs: the API requires the
+    * RocksDB state store provider; a session-scoped conf can't leak
+    * into concurrently running streaming queries (ADVICE r15). */
+  private def twsSession(): org.apache.spark.sql.SparkSession = {
+    val s = spark.newSession()
+    s.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s
+  }
+
+  /** Run a stateful stream to completion into a memory sink and hand
+    * back every emission, as a sorted row multiset. */
+  private def emissions[T](
+      s: org.apache.spark.sql.SparkSession,
+      ds: org.apache.spark.sql.Dataset[T],
+      name: String,
+      mode: String): Seq[Seq[Any]] = {
+    val q = ds.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+  }
+
   private def chunkedEvents(tmp: String): org.apache.spark.sql.DataFrame = {
     val ev = Tables
       .events(spark, sf)
@@ -108,30 +136,29 @@ class StatefulSpec extends SparkSuite {
     // source as the fMGWS test: final per-user state must equal the
     // batch aggregate (and therefore userTotals' own final state).
     // transformWithState requires the RocksDB state store provider —
-    // set around the query, reset after (shared suite session).
+    // session-scoped on an isolated clone (twsSession).
     val tmp = Files.createTempDirectory("graft_tws_stream").toString + "/in"
     val ev = Tables
       .events(spark, sf)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id"), col("value"))
     ev.coalesce(2).write.mode("overwrite").parquet(tmp)
-    val stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(tmp)
-    spark.conf.set(
-      "spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val q = streaming.StatefulDemos
-        .userTotalsTws(spark, stream)
-        .writeStream
-        .format("memory")
-        .queryName("t_tws")
-        .outputMode("update")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    // session-scoped RocksDB provider on an isolated clone — never a
+    // set/unset dance on the shared suite session (ADVICE r15)
+    val ts = twsSession()
+    val twStream = ts.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(tmp)
+    val q = streaming.StatefulDemos
+      .userTotalsTws(ts, twStream)
+      .writeStream
+      .format("memory")
+      .queryName("t_tws")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     // the fMGWS twin over the SAME chunked source (default provider):
     // identical input decode + fold body, so the two APIs' final
     // states must be identical — including null-value decode behavior
+    val stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(tmp)
     val q2 = streaming.StatefulDemos
       .userTotals(spark, stream)
       .writeStream
@@ -141,7 +168,7 @@ class StatefulSpec extends SparkSuite {
       .trigger(Trigger.AvailableNow())
       .start()
     q2.awaitTermination()
-    def finalState(table: String): Map[Long, (Long, Double)] = spark
+    def finalState(table: String): Map[Long, (Long, Double)] = (if (table == "t_tws") ts else spark)
       .table(table)
       .groupBy(col("user_id"))
       .agg(max(col("n_events")).as("n_events"), max(col("max_value")).as("max_value"))
@@ -156,6 +183,98 @@ class StatefulSpec extends SparkSuite {
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(tws.view.mapValues(_._1).toMap == batchN)
+  }
+
+  // -------------------------------------------------------------------
+  // FULL-CORPUS transformWithState twin pins (r16): every fMGWS machine
+  // gets its TWS twin run over the SAME chunked time-split delivery
+  // (the StatefulDemos staging the parity row also uses) and the
+  // emission logs must agree exactly — doubles included, since both
+  // APIs run the identical per-batch fold. The sliced driver verdicts
+  // live in stream_state_api_parity; these hold the unsliced claim.
+  // -------------------------------------------------------------------
+
+  test("transformWithState EWMA twin emits identically to fMGWS") {
+    val fm = emissions(
+      spark,
+      streaming.StatefulDemos.userEwma(
+        spark, streaming.StatefulDemos.chunkedEventsStream(spark, sf)),
+      "t_ewma_fm_full", "update")
+    val s = twsSession()
+    val tw = emissions(
+      s,
+      streaming.StatefulDemos.userEwmaTws(
+        s, streaming.StatefulDemos.chunkedEventsStream(s, sf)),
+      "t_ewma_tws_full", "update")
+    assert(fm.nonEmpty && fm == tw,
+      s"EWMA twins diverge: ${fm.size} fMGWS vs ${tw.size} TWS emissions")
+  }
+
+  test("transformWithState session twin (event-time timers) emits identically to fMGWS") {
+    val fm = emissions(
+      spark,
+      streaming.StatefulDemos.sessionTracker(
+        spark, streaming.StatefulDemos.chunkedEventsStream(spark, sf), gapMin = 30),
+      "t_sess_fm_full", "append")
+    val s = twsSession()
+    val tw = emissions(
+      s,
+      streaming.StatefulDemos.sessionTrackerTws(
+        s, streaming.StatefulDemos.chunkedEventsStream(s, sf), gapMin = 30),
+      "t_sess_tws_full", "append")
+    assert(fm.nonEmpty && fm == tw,
+      s"session twins diverge: ${fm.size} fMGWS vs ${tw.size} TWS emissions")
+  }
+
+  test("transformWithState as-of twin emits identically to fMGWS") {
+    val fm = emissions(
+      spark,
+      streaming.StatefulDemos.lastClickEnrich(
+        spark, streaming.StatefulDemos.chunkedEventsStream(spark, sf)),
+      "t_asof_fm_full", "update")
+    val s = twsSession()
+    val tw = emissions(
+      s,
+      streaming.StatefulDemos.lastClickEnrichTws(
+        s, streaming.StatefulDemos.chunkedEventsStream(s, sf)),
+      "t_asof_tws_full", "update")
+    assert(fm.nonEmpty && fm == tw,
+      s"as-of twins diverge: ${fm.size} fMGWS vs ${tw.size} TWS emissions")
+  }
+
+  test("transformWithState SCD2 twin emits identically to fMGWS") {
+    val fm = emissions(
+      spark,
+      streaming.StatefulDemos.scd2Stream(
+        spark, streaming.StatefulDemos.chunkedOrdersStream(spark, sf)),
+      "t_scd2_fm_full", "update")
+    val s = twsSession()
+    val tw = emissions(
+      s,
+      streaming.StatefulDemos.scd2StreamTws(
+        s, streaming.StatefulDemos.chunkedOrdersStream(s, sf)),
+      "t_scd2_tws_full", "update")
+    assert(fm.nonEmpty && fm == tw,
+      s"SCD2 twins diverge: ${fm.size} fMGWS vs ${tw.size} TWS emissions")
+  }
+
+  test("transformWithState dedup twin equals dropDuplicates under replay") {
+    val fm = emissions(
+      spark,
+      streaming.StatefulDemos.dedupEvents(
+        streaming.StatefulDemos.replayedEventsStream(spark, sf))
+        .select(col("event_id")),
+      "t_dedup_dd_full", "append")
+    val s = twsSession()
+    val tw = emissions(
+      s,
+      streaming.StatefulDemos.dedupEventsTws(
+        s, streaming.StatefulDemos.replayedEventsStream(s, sf)),
+      "t_dedup_tws_full", "append")
+    assert(fm.nonEmpty && fm == tw,
+      s"dedup twins diverge: ${fm.size} dropDuplicates vs ${tw.size} TWS emissions")
+    val distinct = Tables.events(spark, sf).select(col("event_id")).distinct().count()
+    assert(fm.size.toLong == distinct, s"deduped ids ${fm.size} vs distinct $distinct")
   }
 
   test("event-time-timeout session tracker matches batch sessionization") {
