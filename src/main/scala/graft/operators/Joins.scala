@@ -389,6 +389,76 @@ object Joins {
     }
   )
 
+  /** Skew-STRESS salted join (VERDICT r15 #7): [[skewSalted]] shows
+    * the mechanism on a roughly uniform key; this row drives it under
+    * a DELIBERATELY zipf-heavy key — 90% of all events collapse onto
+    * one hot key (`user_id % 10 <> 0 → 0`), the head-heavy shape that
+    * makes one reducer the straggler at 100 TB. The join is pinned to
+    * a SHUFFLE hash join (hint) because salting is only meaningful in
+    * a shuffle — at test scale the per-key dim would be broadcast and
+    * the skew invisible; at 100 TB a non-broadcastable dim is the
+    * premise. Fact salt = xxhash64(event_id) % salts (deterministic,
+    * never rand()); dim replicated once per salt; the hot key's rows
+    * spread over `salts` reducers. The final groupBy re-meets the hot
+    * key but map-side partial aggregation reduces each partition to
+    * one row per key first — the classic skew split: JOIN work spreads
+    * by salt, AGG work collapses map-side. Two BENCH-ONLY knobs make
+    * the straggler measurable from BenchRepeat alone:
+    * `spark.graft.skewstress.salts` (default 16; 1 = the UNSALTED
+    * degenerate plan) and `spark.graft.skewstress.fanout` (default 1;
+    * N replicates each fact row N× before salting — sf0.1's 90 k hot
+    * rows alone are too few for a visible straggler on 32 cores: the
+    * salted/unsalted A/B TIES at 0.65 s min-of-3 there. At fanout=200
+    * — 18 M rows on the hot key — salted-16 wins 4.02 s vs 6.72 s
+    * min-of-3, the straggler made visible and split; SCALING.md §r16).
+    * The registry row always runs salts=16, fanout=1. Oracle:
+    * the plain unsalted join — the salt must be invisible in the
+    * result. */
+  val skewStress: Q = Q(
+    "join_skew_stress",
+    Some(
+      "WITH f AS (SELECT CASE WHEN user_id % 10 <> 0 THEN 0 ELSE user_id END AS skew_key, value FROM events), " +
+        "d AS (SELECT DISTINCT skew_key FROM f), " +
+        "dw AS (SELECT skew_key, skew_key % 97 + 1 AS w FROM d) " +
+        "SELECT f.skew_key, count(*) AS n_events, " +
+        s"round(${Det.oSum("f.value * dw.w")}, 2) AS wsum " +
+        "FROM f JOIN dw ON f.skew_key = dw.skew_key " +
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    (spark, dir) => {
+      val salts = spark.conf
+        .getOption("spark.graft.skewstress.salts").map(_.toInt).getOrElse(16)
+      val fanout = spark.conf
+        .getOption("spark.graft.skewstress.fanout").map(_.toInt).getOrElse(1)
+      val hk = when(col("user_id") % 10 =!= 0, lit(0L)).otherwise(col("user_id"))
+      val base = Tables
+        .events(spark, dir)
+        .select(hk.as("skew_key"), col("value"), col("event_id"))
+      // fanout > 1 is a bench-only stress amplifier (the oracle holds
+      // only at 1); kept off the registry plan entirely at default
+      val inflated =
+        if (fanout <= 1) base.withColumn("rep", lit(1))
+        else base.withColumn("rep", explode(sequence(lit(1), lit(fanout))))
+      val fact = inflated
+        .withColumn("salt", pmod(xxhash64(col("event_id"), col("rep")), lit(salts)).cast("int"))
+      val dim = Tables
+        .events(spark, dir)
+        .select(hk.as("skew_key"))
+        .distinct()
+        .withColumn("w", col("skew_key") % 97 + 1)
+        .withColumn("salt", explode(array((0 until salts).map(lit(_)): _*)))
+        .hint("shuffle_hash")
+      fact
+        .join(dim, Seq("skew_key", "salt"))
+        .groupBy(col("skew_key"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(Det.dsum(col("value") * col("w")), 2).as("wsum")
+        )
+        .orderBy(col("skew_key"))
+    }
+  )
+
   /** Nearest as-of: for each purchase, the click closest in time in
     * EITHER direction (ties go to the earlier click) — completes the
     * as-of family (backward [[asOf]], forward [[asOfForward]],
@@ -721,7 +791,7 @@ object Joins {
 
   def qs: Seq[Q] = Seq(
     innerHash, broadcastDims, leftOuter, fullOuter, leftSemi, leftAnti,
-    crossSmall, thetaRange, intervalOverlap, asOf, asOfForward, asOfNearest, skewSalted,
+    crossSmall, thetaRange, intervalOverlap, asOf, asOfForward, asOfNearest, skewSalted, skewStress,
     nullSafeEq, asOfNative, asOfNativeForward, asOfNativeNearest, asOfNativeTol, bloomPrune
   )
 }

@@ -48,6 +48,20 @@ class PlanShapeSpec extends SparkSuite {
     assert(exchanges <= 2, s"$exchanges shuffle exchanges — expected agg + final sort only\n" + p.take(3000))
   }
 
+  test("join_skew_stress pins the salted shuffle join: salt in the keys, no broadcast") {
+    // The skew-stress row's whole point is the SHUFFLE shape: a
+    // broadcast of the per-key dim would make the salt (and the skew)
+    // invisible, so the plan must show a shuffled join whose keys
+    // include the salt column — the hot key's rows spread over
+    // `salts` reducers instead of one.
+    val p = plan("join_skew_stress")
+    assert(p.contains("ShuffledHashJoin"), "expected a shuffled hash join\n" + p.take(3000))
+    assert(!p.contains("BroadcastHashJoin"),
+      "the salted dim must not broadcast — that would erase the demonstration\n" + p.take(3000))
+    val joinLine = p.linesIterator.find(_.contains("ShuffledHashJoin")).getOrElse("")
+    assert(joinLine.contains("salt"), s"salt missing from the join keys: $joinLine")
+  }
+
   test("sim_cosine_topk broadcasts the probe side (no shuffle of the base)") {
     val p = plan("sim_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
