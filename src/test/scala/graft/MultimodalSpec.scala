@@ -141,4 +141,104 @@ class MultimodalSpec extends SparkSuite {
     val b = resizeRows(encoded, RleCodec).collect().toSeq
     assert(a == b, "resize rows differ between decoders — the swap point leaks")
   }
+
+  // ---- real public container format (VERDICT r15 #5) -----------------
+  // RleCodec proved the seam swaps; BmpCodec proves it swaps to a REAL
+  // standard: 8-bpp indexed Windows BMP with BITMAPINFOHEADER, built
+  // byte-by-byte in-tree (the container ships no media libraries), so
+  // the decode leg exercises genuine format mechanics — magic, header
+  // offsets, bottom-up row order, 4-byte stride alignment.
+
+  test("BmpCodec emits a spec-conformant BMP: header bytes pinned against hand-computed offsets") {
+    import operators.Multimodal.BmpCodec
+    val bmp = BmpCodec.encode(Array[Byte](0x41, 0x42))
+    def u16(off: Int) = (bmp(off) & 0xff) | ((bmp(off + 1) & 0xff) << 8)
+    def u32(off: Int) = u16(off) | (u16(off + 2) << 16)
+    // width 61 → stride 64; payload 2 → logical 6 bytes → height 1;
+    // data offset = 14 (file hdr) + 40 (info hdr) + 1024 (palette)
+    assert(bmp(0) == 'B' && bmp(1) == 'M', "magic")
+    assert(u32(2) == bmp.length, "file size field")
+    assert(u32(10) == 1078, "pixel array offset")
+    assert(u32(14) == 40, "BITMAPINFOHEADER size")
+    assert(u32(18) == 61, "width")
+    assert(u32(22) == 1, "height")
+    assert(u16(26) == 1 && u16(28) == 8, "planes / bpp")
+    assert(u32(30) == 0, "BI_RGB")
+    assert(u32(34) == 64, "biSizeImage = stride × height")
+    assert(u32(46) == 256, "palette entries")
+    assert(bmp.length == 1078 + 64, "total size")
+    // grayscale palette spot checks: entry i = (i, i, i, 0)
+    for (i <- Seq(0, 1, 127, 255); k <- 0 to 2)
+      assert((bmp(54 + i * 4 + k) & 0xff) == i, s"palette[$i] byte $k")
+    assert(bmp(54 + 255 * 4 + 3) == 0, "palette reserved byte")
+    // pixel row (height 1: bottom-up == top-down): LE length prefix 2,
+    // then the payload, then zero padding to the stride
+    assert(u32(1078) == 2, "framed length prefix")
+    assert(bmp(1082) == 0x41 && bmp(1083) == 0x42, "payload bytes")
+    assert((1084 until 1078 + 64).forall(bmp(_) == 0), "row padding")
+    assert(BmpCodec.decode(bmp).sameElements(Array[Byte](0x41, 0x42)))
+  }
+
+  test("BmpCodec round-trips every corpus payload through a multi-row bottom-up pixel array") {
+    import operators.Multimodal.BmpCodec
+    val texts = Tables.documents(spark, sf).select(col("text")).collect().map(_.getString(0))
+    assert(texts.nonEmpty)
+    for (t <- texts) {
+      val raw = t.getBytes("UTF-8")
+      val enc = BmpCodec.encode(raw)
+      assert(enc(0) == 'B' && enc(1) == 'M')
+      assert(BmpCodec.decode(enc).sameElements(raw), "BMP round-trip diverged")
+    }
+    // boundaries the corpus may not cover: empty, exactly one logical
+    // row (57 bytes: 4 + 57 = 61 = width), one byte past it
+    for (n <- Seq(0, 57, 58)) {
+      val raw = Array.tabulate[Byte](n)(i => ((i * 37 + 11) & 0xff).toByte)
+      assert(BmpCodec.decode(BmpCodec.encode(raw)).sameElements(raw), s"n=$n")
+    }
+  }
+
+  test("BmpCodec decodes top-down (negative biHeight) BMPs the encoder never writes") {
+    import operators.Multimodal.BmpCodec
+    val raw = Array.tabulate[Byte](150)(i => ((i * 13 + 5) & 0xff).toByte)
+    val bmp = BmpCodec.encode(raw) // height 3: rows genuinely reordered
+    def u16(off: Int) = (bmp(off) & 0xff) | ((bmp(off + 1) & 0xff) << 8)
+    val height  = u16(22) | (u16(24) << 16)
+    val stride  = 64
+    val dataOff = 1078
+    assert(height == 3, "fixture must span multiple rows")
+    val td = bmp.clone()
+    // biHeight := -height (two's complement LE)
+    val neg = -height
+    td(22) = (neg & 0xff).toByte; td(23) = ((neg >> 8) & 0xff).toByte
+    td(24) = ((neg >> 16) & 0xff).toByte; td(25) = ((neg >> 24) & 0xff).toByte
+    // reverse the stored row order so the image is top-down
+    for (r <- 0 until height)
+      System.arraycopy(bmp, dataOff + (height - 1 - r) * stride, td, dataOff + r * stride, stride)
+    assert(BmpCodec.decode(td).sameElements(raw), "top-down decode diverged")
+  }
+
+  test("decode-features plumbing is decoder-invariant (FakeDecoder/raw == BmpCodec/encoded)") {
+    import spark.implicits._
+    import operators.Multimodal.{decodeFeatureRows, BmpCodec, FakeDecoder}
+    val raw = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    val encoded = raw.map { case (id, p) => (id, BmpCodec.encode(p)) }
+    val a = decodeFeatureRows(raw, FakeDecoder).collect().toSeq
+    val b = decodeFeatureRows(encoded, BmpCodec).collect().toSeq
+    assert(a == b, "feature rows differ between decoders — the swap point leaks")
+  }
+
+  test("resize plumbing is decoder-invariant (FakeDecoder/raw == BmpCodec/encoded)") {
+    import spark.implicits._
+    import operators.Multimodal.{resizeRows, BmpCodec, FakeDecoder}
+    val raw = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 100 && length(col("text")) > 0)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    val encoded = raw.map { case (id, p) => (id, BmpCodec.encode(p)) }
+    val a = resizeRows(raw, FakeDecoder).collect().toSeq
+    val b = resizeRows(encoded, BmpCodec).collect().toSeq
+    assert(a == b, "resize rows differ between decoders — the swap point leaks")
+  }
 }
