@@ -96,6 +96,7 @@ object Bench {
       operators.Similarity.lshSigTablePath(spark, sfDir)
       operators.TextAnalysis.bm25IndexPath(spark, sfDir)
       operators.TextAnalysis.contamShingleTablePath(spark, sfDir)
+      operators.TextAnalysis.contamSeedPath(spark, sfDir)
       operators.TextAnalysis.bpeIndexPath(spark, sfDir)
       operators.TextAnalysis.bpeWideMergesPath(spark, sfDir)
       operators.Dedup.cdcChunkTablePath(spark, sfDir)

@@ -80,12 +80,12 @@ object StreamEquivalence {
     * (the pair delta, the contamination screen): a sparse probe slice
     * can LEGITIMATELY yield zero rows on both sides, so "the replay
     * ran" is judged as equal-empty WITH a nonempty probe slice.
-    * Residual blind spot, accepted and bounded: a screen-LOCAL logic
-    * bug that yields an empty streamed frame without throwing (a
-    * thrown foreachBatch fails awaitTermination and the whole row)
-    * hides only when the slice's true output is ALSO empty — the
-    * full-corpus StreamingSpec pin still catches it, just not in the
-    * per-round driver artifact. */
+    * Since r16 both callers SEED their slice residue from a known
+    * positive (the pair manifest / the build-once contam seed view),
+    * so this fallback only engages when the corpus has NO positive at
+    * all — the screen-local-bug blind spot (an empty streamed frame
+    * without a throw) is closed whenever a positive exists, and the
+    * full-corpus StreamingSpec pin covers the remaining corner. */
   private def verdictEmptyOk(
       streamed: DataFrame,
       batch: DataFrame,
@@ -93,6 +93,32 @@ object StreamEquivalence {
     val (outNe, rm, be) = verdict(streamed, batch)
     val ne = if (outNe == 1 || (be == 1 && probes.limit(1).count() > 0)) 1 else 0
     (ne, rm, be)
+  }
+
+  /** Seeded slice residue for the pair_delta audit: the doc_id % 8 of
+    * a probe endpoint (doc_id % 10 == 0) that the persisted jac >= 0.8
+    * pair manifest pairs with a CORPUS partner (% 10 != 0) — the
+    * partner pool always holds the corpus side, so the sliced delta
+    * provably contains that pair. min() keeps the choice deterministic
+    * across runs (the dual-run gate); 0 when no such pair exists at
+    * this SF (the equal-empty fallback's only remaining case). */
+  private[graft] def pairDeltaSeedResidue(spark: SparkSession, dir: String): Long = {
+    val row = spark.read.parquet(Dedup.pairTablePath(spark, dir))
+      .agg(min(
+        when(col("ida") % 10 === 0 && col("idb") % 10 =!= 0, pmod(col("ida"), lit(8)))
+          .when(col("idb") % 10 === 0 && col("ida") % 10 =!= 0, pmod(col("idb"), lit(8)))))
+      .collect()(0)
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
+  /** Seeded slice residue for the contamination-screen audit: the
+    * doc_id % 8 of a known-contaminated corpus doc, from the
+    * build-once seed view ([[TextAnalysis.contamSeedPath]] — one full
+    * screen paid at view-build time, a 1-row fetch per audit). 0 when
+    * the corpus is clean at this SF. */
+  private[graft] def contamSeedResidue(spark: SparkSession, dir: String): Long = {
+    val row = spark.read.parquet(TextAnalysis.contamSeedPath(spark, dir)).collect()(0)
+    if (row.isNullAt(0)) 0L else row.getLong(0)
   }
 
   /** (nonempty, rows_match, bit_equal) for one twin pair. Column set is
@@ -222,11 +248,17 @@ object StreamEquivalence {
               .filter(scope)))
       }),
       () => ("pair_delta", {
-        // probe slice: doc_id % 10 = 0 (the batch convention) AND
-        // doc_id % 8 = 0 → every 40th doc. The sliced pool holds only
-        // scoped arrivals, so the batch spelling is pairDeltaAgainst
-        // over the same scoped signature set.
-        val scope  = pmod(col("doc_id"), lit(8)) === 0
+        // probe slice: doc_id % 10 = 0 (the batch convention) AND a
+        // SEEDED doc_id % 8 residue (ADVICE r15): the persisted pair
+        // manifest already knows every jac >= 0.8 pair, so pick the
+        // residue of a probe endpoint with a corpus partner — the
+        // partner pool always holds the corpus side, so the slice
+        // provably yields that pair and nonempty output becomes an
+        // invariant whenever any probe-corpus near-dup exists at this
+        // SF. Cost: one 2-column aggregate over the compact persisted
+        // manifest (O(|pairs|), not O(corpus)); residue 0 + the
+        // equal-empty fallback when the manifest has no such pair.
+        val scope = pmod(col("doc_id"), lit(8)) === pairDeltaSeedResidue(spark, dir)
         val probes = graft.Tables.documents(spark, dir)
           .filter(col("doc_id") % 10 === 0).filter(scope)
         val sigs = Dedup.signaturesOf(probes)
@@ -272,10 +304,15 @@ object StreamEquivalence {
             corpus))
       }),
       () => ("ingest_screen_contam", {
-        // probe slice; the screen emits rows only for CONTAMINATED
-        // (doc, bench) pairs, so a clean slice legitimately reads
-        // empty on both sides — the shared equal-empty fallback
-        val scope  = pmod(col("doc_id"), lit(8)) === 0
+        // probe slice at a SEEDED residue (ADVICE r15): the screen
+        // emits rows only for CONTAMINATED (doc, bench) pairs, so the
+        // slice is chosen from the build-once contam seed view — the
+        // residue of a known-contaminated doc, computed by one full
+        // screen at view-build time (write-once, like every serving
+        // view). Nonempty output is then an invariant whenever the
+        // corpus is contaminated at all; a null seed (clean corpus)
+        // degrades to residue 0 + the shared equal-empty fallback.
+        val scope = pmod(col("doc_id"), lit(8)) === contamSeedResidue(spark, dir)
         val probes = graft.Tables.documents(spark, dir)
           .filter(col("doc_id") >= 20).filter(scope)
         val batchVerdicts = TextAnalysis.contamScreenAgainst(

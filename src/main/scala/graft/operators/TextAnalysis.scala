@@ -609,6 +609,24 @@ object TextAnalysis {
   private def contamShingles(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.parquet(contamShingleTablePath(spark, dir))
 
+  /** Build-once audit seed (ADVICE r15): the smallest doc_id%8 residue
+    * among CONTAMINATED corpus docs (doc_id >= 20) — one full screen
+    * paid at view-build time under the ViewStore write-once discipline,
+    * so the per-round parity audit can pick a fixed slice that provably
+    * contains a known positive. Nonempty streamed output becomes an
+    * INVARIANT whenever the corpus has any contamination at all;
+    * equal-empty degrades to the fallback only when the seed is null
+    * (a genuinely clean corpus). One row; `res` null = no positives. */
+  private[graft] def contamSeedPath(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.ViewStore.materialize(spark, "graft_contam_seed", dir) {
+      contamScreenAgainst(
+        contamShingles(spark, dir).filter(col("doc_id") >= 20),
+        contamBenchFrame(spark, dir))
+        .agg(min(pmod(col("doc_id"), lit(8))).as("res"))
+    }
+
   /** The benchmark ("eval set") side of the contamination screen,
     * exploded from the persisted shingle-set view: (bench_id, nb, g) —
     * always tiny (eval suites are thousands of docs), so it broadcasts
@@ -1754,7 +1772,8 @@ object TextAnalysis {
     * pool exhausts at 89). */
   private[graft] def bpeTrainLoopOn(
       words: DataFrame,
-      nMerges: Int): Seq[(Int, String, Long)] = {
+      nMerges: Int,
+      onMerge: Int => Unit = _ => ()): Seq[(Int, String, Long)] = {
     import org.apache.spark.storage.StorageLevel
     // one corpus scan; iteration i reads generation i-1's vocab-sized cache
     var w = words.persist(StorageLevel.MEMORY_AND_DISK)
@@ -1785,6 +1804,7 @@ object TextAnalysis {
         w =
           if (i % 16 == 0) Lineage.truncate(next) // bounded lineage at any merge count
           else next.persist(StorageLevel.MEMORY_AND_DISK)
+        onMerge(i) // instrumentation hook (BpeDepth's curve); no-op in every serving path
         i += 1
       }
     }

@@ -307,6 +307,52 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSeq == batch.toSeq, "streamed pair delta diverges from the batch delta row")
   }
 
+  test("seeded audit slices provably contain a known positive (ADVICE r15)") {
+    // The two join-dependent audit families seed their doc_id % 8
+    // residue from a known positive instead of hardcoding 0, so the
+    // equal-empty fallback only engages on a corpus with NO positive.
+    // Pin the invariant the seeds buy: the BATCH spelling over each
+    // seeded slice is nonempty whenever a positive exists at all.
+    import org.apache.spark.sql.functions.{col, pmod, lit, min => fmin}
+    // pair_delta: residue must come from a probe-corpus manifest pair,
+    // and the sliced batch delta must then contain it
+    val manifest = spark.read.parquet(operators.Dedup.pairTablePath(spark, sf))
+    val hasProbeCorpusPair = manifest
+      .filter((col("ida") % 10 === 0 && col("idb") % 10 =!= 0) ||
+        (col("idb") % 10 === 0 && col("ida") % 10 =!= 0))
+      .limit(1).count() > 0
+    val pdRes = operators.StreamEquivalence.pairDeltaSeedResidue(spark, sf)
+    if (hasProbeCorpusPair) {
+      val probes = Tables.documents(spark, sf)
+        .filter(col("doc_id") % 10 === 0 && pmod(col("doc_id"), lit(8)) === pdRes)
+      val sigs = operators.Dedup.signaturesOf(probes)
+      val slicedDelta = operators.Dedup.pairDeltaAgainst(
+        sigs,
+        operators.Dedup.corpusSigTable(spark, sf).unionByName(sigs),
+        col("ida") =!= col("idb") && (col("idb") % 10 =!= 0 || col("ida") < col("idb")))
+      assert(slicedDelta.limit(1).count() > 0,
+        s"pair_delta seed residue $pdRes yields an empty sliced delta despite a known positive")
+    } else assert(pdRes == 0L, "no probe-corpus pair: residue must fall back to 0")
+    // contam: the seed view must agree with an independent recompute,
+    // and the sliced screen must be nonempty when the seed is non-null
+    val seed = spark.read
+      .parquet(operators.TextAnalysis.contamSeedPath(spark, sf)).collect()(0)
+    val ctRes = operators.StreamEquivalence.contamSeedResidue(spark, sf)
+    val screened = operators.TextAnalysis.contamScreenAgainst(
+      operators.TextAnalysis.contamShinglesBuild(
+        Tables.documents(spark, sf).filter(col("doc_id") >= 20)),
+      operators.TextAnalysis.contamBenchFrame(spark, sf))
+    val expected = screened.agg(fmin(pmod(col("doc_id"), lit(8)))).collect()(0)
+    assert(seed.isNullAt(0) == expected.isNullAt(0),
+      "contam seed view disagrees with an independent full screen on emptiness")
+    if (!seed.isNullAt(0)) {
+      assert(seed.getLong(0) == expected.getLong(0), "contam seed residue drifted")
+      assert(ctRes == seed.getLong(0))
+      assert(screened.filter(pmod(col("doc_id"), lit(8)) === ctRes).limit(1).count() > 0,
+        s"contam seed residue $ctRes yields an empty sliced screen")
+    } else assert(ctRes == 0L, "clean corpus: residue must fall back to 0")
+  }
+
   test("every per-document-pure serving view has a replay-idempotent streaming maintenance twin") {
     // the four signature/shingle tables that had no stream-update
     // story after the three index views: each twin runs the view
