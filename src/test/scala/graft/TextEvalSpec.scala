@@ -372,8 +372,20 @@ class TextEvalSpec extends SparkSuite {
     info(f"bpe depth curve: 250 merges in $t250%.1f s, 1000 merges in $t1000%.1f s, ratio ${t1000 / t250}%.2f")
     assert(n250 == 250, s"expected the full 250-merge budget, got $n250")
     assert(n1000 == 1000, s"expected the full 1000-merge budget, got $n1000")
-    assert(t1000 / t250 < 8.0,
-      f"cost ratio ${t1000 / t250}%.1f suggests super-linear per-merge cost " +
-        f"(t250=$t250%.1f s, t1000=$t1000%.1f s)")
+    // ADVICE r15: a wall-clock ratio can flake on a loaded co-tenant
+    // box (GC or scheduler noise inflating ONE of the runs), so a
+    // first failure re-measures both points once before asserting —
+    // genuine super-linearity reproduces, a noise spike doesn't.
+    val ratio =
+      if (t1000 / t250 < 8.0) t1000 / t250
+      else {
+        val (r250, _)  = timed(250)
+        val (r1000, _) = timed(1000)
+        info(f"bpe depth retry: 250 in $r250%.1f s, 1000 in $r1000%.1f s, ratio ${r1000 / r250}%.2f " +
+          f"(first attempt ${t1000 / t250}%.2f)")
+        r1000 / r250
+      }
+    assert(ratio < 8.0,
+      f"cost ratio $ratio%.1f suggests super-linear per-merge cost (reproduced across a retry)")
   }
 }
