@@ -540,6 +540,27 @@ object StreamEquivalence {
       main.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
+  /** Run a machine's two API legs CONCURRENTLY. The legs are fully
+    * independent — separate newSession confs, separate staging/ckpt
+    * dirs, the shared chunk staging is stageLock-idempotent — and each
+    * is overhead-bound (a chain of tiny AvailableNow micro-batches),
+    * so overlapping them nearly halves the machine's wall time, which
+    * is what the report's total rides on (machines already overlap;
+    * the row's cost = the slowest machine). Measured at sf0.1/32:
+    * report first-run 16.2 s sequential-legs → see §20f. */
+  private def bothLegs(a: () => DataFrame, b: () => DataFrame): (DataFrame, DataFrame) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val fa = Future(a())
+      val fb = Future(b())
+      (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+    } finally pool.shutdown()
+  }
+
   /** One verdict per state machine: both state APIs replayed over the
     * same chunked (never-replayed, time-split) stream on a FIXED KEY
     * HASH SLICE, emission logs compared exactly, plus a batch
@@ -575,8 +596,9 @@ object StreamEquivalence {
       def fin(df: DataFrame) = df
         .groupBy(col("user_id"))
         .agg(max(col("n_events")).as("n_events"), max(col("max_value")).as("max_value"))
-      val f        = fin(leg(tws = false))
-      val t        = fin(leg(tws = true))
+      val (fRaw, tRaw) = bothLegs(() => leg(tws = false), () => leg(tws = true))
+      val f        = fin(fRaw)
+      val t        = fin(tRaw)
       val probes   = Tables.events(spark, dir).filter(userScope)
       val (ne, eq) = pair(f, t, probes)
       val batch = Tables.events(spark, dir).filter(userScope)
@@ -600,8 +622,9 @@ object StreamEquivalence {
       def fin(df: DataFrame) = df
         .groupBy(col("user_id"))
         .agg(max(col("n")).as("n"), max_by(col("ewma"), col("n")).as("ewma"))
-      val f        = fin(leg(tws = false))
-      val t        = fin(leg(tws = true))
+      val (fRaw, tRaw) = bothLegs(() => leg(tws = false), () => leg(tws = true))
+      val f        = fin(fRaw)
+      val t        = fin(tRaw)
       val probes   = Tables.events(spark, dir).filter(userScope).filter(col("value").isNotNull)
       val (ne, eq) = pair(f, t, probes) // exact doubles: identical fold on identical delivery
       // time-split delivery is globally (ts, event_id)-ordered, so the
@@ -625,8 +648,7 @@ object StreamEquivalence {
           s"${dirKey}_asof_${if (tws) "tws" else "fm"}",
           "update")
       }
-      val f = leg(tws = false)
-      val t = leg(tws = true)
+      val (f, t) = bothLegs(() => leg(tws = false), () => leg(tws = true))
       val probes = Tables.events(spark, dir)
         .filter(userScope).filter(col("event_type") === "purchase")
       val (ne, eq) = pair(f, t, probes) // one emission per purchase: compare the logs
@@ -663,8 +685,9 @@ object StreamEquivalence {
         .select(
           col("o_custkey"), col("version"), col("r.status"), col("r.valid_from_days"),
           col("r.valid_to_days"), col("r.is_current"), col("r.n_orders"))
-      val f        = fin(leg(tws = false))
-      val t        = fin(leg(tws = true))
+      val (fRaw, tRaw) = bothLegs(() => leg(tws = false), () => leg(tws = true))
+      val f        = fin(fRaw)
+      val t        = fin(tRaw)
       val probes   = Tables.orders(spark, dir).filter(scope)
       val (ne, eq) = pair(f, t, probes)
       val batch = Maintenance.maintScd2.run(spark, dir)
@@ -689,8 +712,7 @@ object StreamEquivalence {
           s"${dirKey}_sess_${if (tws) "tws" else "fm"}",
           "append")
       }
-      val f        = leg(tws = false)
-      val t        = leg(tws = true)
+      val (f, t)   = bothLegs(() => leg(tws = false), () => leg(tws = true))
       val probes   = Tables.events(spark, dir).filter(userScope)
       val (ne, eq) = pair(f, t, probes)
       // batch consistency for an emission-timing-dependent machine is
@@ -718,21 +740,26 @@ object StreamEquivalence {
 
     def ingestDedupM(): (String, (Int, Int, Int)) = {
       val scope = pmod(col("event_id"), lit(8)) === 0
-      val fmS = legSession(spark, tws = false)
-      val f = runLeg(
-        spark,
-        StatefulDemos.dedupEvents(
-          StatefulDemos.replayedEventsStream(fmS, dir).filter(scope))
-          .select(col("event_id")),
-        s"${dirKey}_dedup_dd",
-        "append")
-      val tS = legSession(spark, tws = true)
-      val t = runLeg(
-        spark,
-        StatefulDemos.dedupEventsTws(
-          tS, StatefulDemos.replayedEventsStream(tS, dir).filter(scope)),
-        s"${dirKey}_dedup_tws",
-        "append").withColumnRenamed("value", "event_id")
+      val (f, t) = bothLegs(
+        () => {
+          val fmS = legSession(spark, tws = false)
+          runLeg(
+            spark,
+            StatefulDemos.dedupEvents(
+              StatefulDemos.replayedEventsStream(fmS, dir).filter(scope))
+              .select(col("event_id")),
+            s"${dirKey}_dedup_dd",
+            "append")
+        },
+        () => {
+          val tS = legSession(spark, tws = true)
+          runLeg(
+            spark,
+            StatefulDemos.dedupEventsTws(
+              tS, StatefulDemos.replayedEventsStream(tS, dir).filter(scope)),
+            s"${dirKey}_dedup_tws",
+            "append").withColumnRenamed("value", "event_id")
+        })
       val probes   = Tables.events(spark, dir).filter(scope)
       val (ne, eq) = pair(f, t, probes)
       val batch = Tables.events(spark, dir).filter(scope).select(col("event_id")).distinct()
