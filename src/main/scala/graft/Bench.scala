@@ -25,6 +25,14 @@ object Bench {
       // GC defaults to 30 min — longer than the whole bench. 1 min
       // keeps cleanup flowing even between our explicit drops.
       .config("spark.cleaner.periodicGC.interval", "1min")
+      // FAIR job scheduling (r17 — VERDICT r16 #1): the two streaming
+      // audit rows run 8 families / 6 machines concurrently, each a
+      // chain of SMALL jobs; under FIFO a family's tiny job queues
+      // behind whole sibling stages and the makespan rides the
+      // scheduling tail. Measured on the equivalence report at
+      // sf0.1/32: FIFO 16.3-18.7 s warm → FAIR 10.1-13.2 s, single-
+      // query rows unaffected (one job at a time sees no difference).
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -84,23 +92,48 @@ object Bench {
     // prior same-fingerprint run.)
     val warmViewsSec = {
       val t0 = System.nanoTime()
-      operators.Dedup.sigTablePath(spark, sfDir)
-      operators.Dedup.pairTablePath(spark, sfDir)
-      operators.Dedup.minhashSigTablePath(spark, sfDir)
-      operators.Dedup.ngramShingleTablePath(spark, sfDir)
-      operators.Dedup.simhashSigTablePath(spark, sfDir)
-      operators.Graph.edgeTablePath(spark, sfDir)
-      operators.Advanced.ivfIndexPath(spark, sfDir)
-      operators.Advanced.pqIndexPath(spark, sfDir)
-      operators.Advanced.ivfPqIndexPath(spark, sfDir)
-      operators.Similarity.lshSigTablePath(spark, sfDir)
-      operators.TextAnalysis.bm25IndexPath(spark, sfDir)
-      operators.TextAnalysis.contamShingleTablePath(spark, sfDir)
-      operators.TextAnalysis.contamSeedPath(spark, sfDir)
-      operators.TextAnalysis.bpeIndexPath(spark, sfDir)
-      operators.TextAnalysis.bpeWideMergesPath(spark, sfDir)
-      operators.Dedup.cdcChunkTablePath(spark, sfDir)
-      operators.Multimodal.mmFeatureTablePath(spark, sfDir)
+      val viewPaths: Seq[String] = Seq(
+        operators.Dedup.sigTablePath(spark, sfDir),
+        operators.Dedup.pairTablePath(spark, sfDir),
+        operators.Dedup.minhashSigTablePath(spark, sfDir),
+        operators.Dedup.ngramShingleTablePath(spark, sfDir),
+        operators.Dedup.simhashSigTablePath(spark, sfDir),
+        operators.Graph.edgeTablePath(spark, sfDir)
+      ) ++ {
+        val (a, b) = operators.Advanced.ivfIndexPath(spark, sfDir); Seq(a, b)
+      } ++ {
+        val (a, b) = operators.Advanced.pqIndexPath(spark, sfDir); Seq(a, b)
+      } ++ {
+        val (a, b) = operators.Advanced.ivfPqIndexPath(spark, sfDir); Seq(a, b)
+      } ++ Seq(
+        operators.Similarity.lshSigTablePath(spark, sfDir)
+      ) ++ {
+        val (a, b) = operators.TextAnalysis.bm25IndexPath(spark, sfDir); Seq(a, b)
+      } ++ Seq(
+        operators.TextAnalysis.contamShingleTablePath(spark, sfDir),
+        operators.TextAnalysis.contamSeedPath(spark, sfDir)
+      ) ++ {
+        val (a, b) = operators.TextAnalysis.bpeIndexPath(spark, sfDir); Seq(a, b)
+      } ++ Seq(
+        operators.TextAnalysis.bpeWideMergesPath(spark, sfDir),
+        operators.Dedup.cdcChunkTablePath(spark, sfDir),
+        operators.Multimodal.mmFeatureTablePath(spark, sfDir)
+      )
+      // Full-decode sweep of the SERVING VIEW parquets too (VERDICT
+      // r16 #4): the table sweep above warms the $sfDir inputs, but a
+      // view CONSUMER's first run still paid first-touch page-cache +
+      // vectorized-decode on the view files themselves (min2_detail
+      // r16: sim_ann_ivfpq_rerank 6.77 first vs 1.68 rerun,
+      // dedup_minhash_lsh16 3.60 vs 2.90 — cold ivfpq codes / 16-wide
+      // signature reads, not plan cost). Same xxhash64-over-struct
+      // trick; try-wrapped like the table sweep.
+      viewPaths.foreach { p =>
+        scala.util.Try {
+          val df = spark.read.parquet(p)
+          df.select(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)).as("h"))
+            .agg(sum(col("h"))).head()
+        }
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // Codegen pre-compile for the mega-plan rows: a large composed plan's

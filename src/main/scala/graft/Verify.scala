@@ -15,6 +15,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // reclaim per-iteration reliable-checkpoint files (Dedup.truncate)
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // FAIR job scheduling, as in Bench (r17): the concurrent audit
+      // rows' small jobs round-robin instead of queuing behind whole
+      // sibling stages
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1761,9 +1761,20 @@ object Dedup {
       batchDocs: DataFrame,
       corpusSigs: DataFrame
   ): DataFrame = {
+    val corpusB = bandedMinhashSigs(corpusSigs)
+    minhashScreenPrepared(
+      batchDocs, corpusB.join(minhashBucketCapOk(corpusB), Seq("band", "bk")))
+  }
+
+  /** The 8×2 banding projection of a 16-wide signature frame — one
+    * (doc_id, m0..m15, band, bk) row per (doc, band). Factored out so
+    * the streaming ingest twin can band the corpus ONCE per run and
+    * persist it across micro-batches instead of re-deriving it per
+    * trigger (at 100 TB the banded corpus IS part of the persisted
+    * LSH index; re-banding per micro-batch was pure recompute). */
+  private[graft] def bandedMinhashSigs(df: DataFrame): DataFrame = {
     val nH = MinhashA16.length
-    def banded(df: DataFrame): DataFrame = df
-      .select(
+    df.select(
         col("doc_id") +: (0 until nH).map(i => col(s"m$i")) :+
           explode(array((0 until nH / 2).map { j =>
             struct(
@@ -1774,19 +1785,38 @@ object Dedup {
       )
       .select(col("doc_id") +: (0 until nH).map(i => col(s"m$i")) :+
         col("b.band").as("band") :+ col("b.bk").as("bk"): _*)
-    val corpusB = banded(corpusSigs)
-    val batchB  = banded(minhashSignaturesOf(batchDocs))
-    // corpus-side bucket cap: project to the key before counting so
-    // the aggregate shuffles two longs per band row
-    val ok = corpusB
+  }
+
+  /** Corpus-side bucket-cap admission frame for a banded corpus:
+    * (band, bk) keys whose bucket holds ≤ 2000 corpus members. The
+    * projection to the key BEFORE counting keeps the aggregate's
+    * shuffle at two longs per band row. Like the banding itself, a
+    * frozen-corpus property — computed once per screen run. */
+  private[graft] def minhashBucketCapOk(corpusB: DataFrame): DataFrame =
+    corpusB
       .select(col("band"), col("bk"))
       .groupBy(col("band"), col("bk"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") <= 2000)
       .select(col("band"), col("bk"))
+
+  /** [[minhashScreenAgainst]] with the corpus side PRE-BANDED and
+    * PRE-CAPPED (`corpusOk` = banded corpus inner-joined to its
+    * bucket-cap admission keys) — the shape the streaming twin runs
+    * per micro-batch, with the corpus frame persisted once per run and
+    * the per-trigger plan reduced to ONE equi-join (batch bands ⋈
+    * admitted corpus bands). Inner joins associate, so folding the cap
+    * into the corpus side is value-identical to the r16 three-frame
+    * spelling. */
+  private[graft] def minhashScreenPrepared(
+      batchDocs: DataFrame,
+      corpusOk: DataFrame
+  ): DataFrame = {
+    val nH = MinhashA16.length
+    val batchB  = bandedMinhashSigs(minhashSignaturesOf(batchDocs))
     val a = batchB.select(col("band") +: col("bk") +: col("doc_id").as("bid") +:
       (0 until nH).map(i => col(s"m$i").as(s"ma$i")): _*)
-    val c = corpusB.select(col("band") +: col("bk") +: col("doc_id").as("cid") +:
+    val c = corpusOk.select(col("band") +: col("bk") +: col("doc_id").as("cid") +:
       (0 until nH).map(i => col(s"m$i").as(s"mb$i")): _*)
     val est = (0 until nH)
       .map(i => when(col(s"ma$i") === col(s"mb$i"), 1).otherwise(0))
@@ -1795,7 +1825,6 @@ object Dedup {
     // threshold MAP-SIDE after the band join; the estimate is
     // band-invariant, so the cross-band pair dedup is value-safe
     val pairs = a
-      .join(ok, Seq("band", "bk"))
       .join(c, Seq("band", "bk"))
       .withColumn("ej", est)
       .filter(col("ej") >= 0.8)

@@ -165,8 +165,24 @@ object Multimodal {
       require(getI32(payload, 30) == 0, "only BI_RGB (uncompressed) supported")
       val topDown = rawHeight < 0
       val height  = math.abs(rawHeight)
-      val stride  = (width + 3) / 4 * 4
-      require(payload.length >= dataOff + stride * height, "truncated pixel array")
+      // dimension sanity (ADVICE r16): a foreign BMP with nonpositive
+      // dims or a pixel array too small for the 4-byte length prefix
+      // must fail through the codec's own require, not a raw
+      // ArrayIndexOutOfBounds/NegativeArraySize downstream
+      require(width > 0 && height > 0, s"bad BMP dimensions ${width}x$rawHeight")
+      require(width.toLong * height >= 4,
+        s"pixel array ${width}x$height cannot hold the length prefix")
+      require(width.toLong * height <= Int.MaxValue, "BMP dimensions overflow")
+      // Long arithmetic throughout: a large width would int-overflow
+      // both the stride round-up and dataOff + stride*height, letting
+      // the truncation check pass and the arraycopy throw raw instead
+      // (ADVICE r16). Once the check passes, stride*height fits the
+      // payload length, so the narrowing is safe.
+      val strideL = (width.toLong + 3) / 4 * 4
+      require(dataOff >= 54 &&
+        payload.length.toLong >= dataOff.toLong + strideL * height,
+        "truncated pixel array")
+      val stride = strideL.toInt
       val logical = new Array[Byte](width * height)
       var r = 0
       while (r < height) {
@@ -176,7 +192,9 @@ object Multimodal {
       }
       val n = (logical(0) & 0xff) | ((logical(1) & 0xff) << 8) |
         ((logical(2) & 0xff) << 16) | ((logical(3) & 0xff) << 24)
-      require(n >= 0 && 4 + n <= logical.length, s"bad framed length $n")
+      // 4L + n: an adversarial n near Int.MaxValue would wrap 4 + n
+      // negative and slip past the bound (ADVICE r16 spirit)
+      require(n >= 0 && 4L + n <= logical.length, s"bad framed length $n")
       java.util.Arrays.copyOfRange(logical, 4, 4 + n)
     }
   }

@@ -489,22 +489,39 @@ object StreamDemos {
     val corpus = spark.read
       .parquet(graft.operators.Dedup.minhashSigTablePath(spark, dir))
       .filter(col("doc_id") % 10 =!= 0)
+    // The corpus side is FROZEN for the whole ingest run, so its
+    // banding and bucket-cap admission are computed ONCE and persisted
+    // across micro-batches — re-deriving them per trigger (the pre-r17
+    // shape) re-shuffled the full corpus band table on every
+    // micro-batch and made this leg the equivalence report's 13.6 s
+    // long pole (VERDICT r16 #1). At 100 TB this frame IS the
+    // persisted LSH index the screen serves from; the per-trigger plan
+    // is batch-signing plus one equi-join against it.
+    val corpusB  = graft.operators.Dedup.bandedMinhashSigs(corpus)
+    val corpusOk = corpusB
+      .join(graft.operators.Dedup.minhashBucketCapOk(corpusB), Seq("band", "bk"))
+      .persist()
     val verdicts = scala.collection.concurrent.TrieMap.empty[Long, Row]
-    val q = docsStream(spark, dir, copies)
-      .filter(col("doc_id") % 10 === 0)
-      .filter(scope)
-      .writeStream
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Dedup
-          .minhashScreenAgainst(batch, corpus)
-          .collect() // bounded: <= |demo batch| verdict rows per micro-batch
-          .foreach(r => verdicts.put(r.getLong(0), r))
-        ()
-      }
-      .start()
-    q.awaitTermination()
+    try {
+      corpusOk.count() // materialize before the stream starts
+      val q = docsStream(spark, dir, copies)
+        .filter(col("doc_id") % 10 === 0)
+        .filter(scope)
+        .writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Dedup
+            .minhashScreenPrepared(batch, corpusOk)
+            .collect() // bounded: <= |demo batch| verdict rows per micro-batch
+            .foreach(r => verdicts.put(r.getLong(0), r))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally {
+      corpusOk.unpersist()
+    }
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
       verdicts.values.toSeq.sortBy(_.getLong(0)).asJava,
@@ -545,32 +562,39 @@ object StreamDemos {
       scope: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.Row
     import scala.jdk.CollectionConverters._
-    val corpus = graft.operators.Dedup.corpusSigTable(spark, dir)
+    // the corpus signature side is frozen for the whole ingest run —
+    // persist it once instead of re-reading + re-decoding the view
+    // parquet on every micro-batch's probe join (r17, same rationale
+    // as the minhash screen's persisted corpusOk)
+    val corpus = graft.operators.Dedup.corpusSigTable(spark, dir).persist()
     val sigSchema =
       graft.operators.Dedup.signaturesOf(Tables.documents(spark, dir).limit(0)).schema
     val arrived = scala.collection.concurrent.TrieMap.empty[Long, Row]
     val pairs   = scala.collection.concurrent.TrieMap.empty[(Long, Long), Row]
-    val q = docsStream(spark, dir, copies)
-      .filter(col("doc_id") % 10 === 0)
-      .filter(scope)
-      .writeStream
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // sign once per arrival, reuse for probe AND pool accumulation
-        val sigs = graft.operators.Dedup.signaturesOf(batch).collect() // bounded by the micro-batch
-        sigs.foreach(r => arrived.put(r.getLong(0), r))
-        val probe = spark.createDataFrame(sigs.toSeq.asJava, sigSchema)
-        val pool = corpus.unionByName(
-          spark.createDataFrame(arrived.values.toSeq.asJava, sigSchema))
-        graft.operators.Dedup
-          .pairDeltaAgainst(probe, pool, col("ida") =!= col("idb"))
-          .collect() // bounded: the micro-batch's delta pairs
-          .foreach(r => pairs.put((r.getLong(0), r.getLong(1)), r))
-        ()
-      }
-      .start()
-    q.awaitTermination()
+    try {
+      corpus.count() // materialize before the stream starts
+      val q = docsStream(spark, dir, copies)
+        .filter(col("doc_id") % 10 === 0)
+        .filter(scope)
+        .writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // sign once per arrival, reuse for probe AND pool accumulation
+          val sigs = graft.operators.Dedup.signaturesOf(batch).collect() // bounded by the micro-batch
+          sigs.foreach(r => arrived.put(r.getLong(0), r))
+          val probe = spark.createDataFrame(sigs.toSeq.asJava, sigSchema)
+          val pool = corpus.unionByName(
+            spark.createDataFrame(arrived.values.toSeq.asJava, sigSchema))
+          graft.operators.Dedup
+            .pairDeltaAgainst(probe, pool, col("ida") =!= col("idb"))
+            .collect() // bounded: the micro-batch's delta pairs
+            .foreach(r => pairs.put((r.getLong(0), r.getLong(1)), r))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally corpus.unpersist()
     spark.createDataFrame(
       pairs.values.toSeq.sortBy(r => (r.getLong(0), r.getLong(1))).asJava,
       graft.operators.Dedup
@@ -808,23 +832,29 @@ object StreamDemos {
       spark: SparkSession, dir: String, copies: Int = 2,
       scope: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.Row
-    val bench = graft.operators.TextAnalysis.contamBenchFrame(spark, dir)
+    // the frozen bench side is re-read + re-exploded per micro-batch
+    // otherwise — tiny, but persisting it once removes two parquet
+    // scans + explodes per trigger (r17)
+    val bench = graft.operators.TextAnalysis.contamBenchFrame(spark, dir).persist()
     val verdicts = scala.collection.concurrent.TrieMap.empty[(Long, Long), Row]
-    val q = docsStream(spark, dir, copies)
-      .filter(col("doc_id") >= 20)
-      .filter(scope)
-      .writeStream
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.TextAnalysis
-          .contamScreenAgainst(graft.operators.TextAnalysis.contamShinglesBuild(batch), bench)
-          .collect() // bounded: <= |batch| x |bench| verdict rows per micro-batch
-          .foreach(r => verdicts.put((r.getLong(0), r.getLong(1)), r))
-        ()
-      }
-      .start()
-    q.awaitTermination()
+    try {
+      bench.count() // materialize before the stream starts
+      val q = docsStream(spark, dir, copies)
+        .filter(col("doc_id") >= 20)
+        .filter(scope)
+        .writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.TextAnalysis
+            .contamScreenAgainst(graft.operators.TextAnalysis.contamShinglesBuild(batch), bench)
+            .collect() // bounded: <= |batch| x |bench| verdict rows per micro-batch
+            .foreach(r => verdicts.put((r.getLong(0), r.getLong(1)), r))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally bench.unpersist()
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
       verdicts.values.toSeq.sortBy(r => (r.getLong(0), r.getLong(1))).asJava,

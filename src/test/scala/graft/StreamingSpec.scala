@@ -353,6 +353,38 @@ class StreamingSpec extends SparkSuite {
     } else assert(ctRes == 0L, "clean corpus: residue must fall back to 0")
   }
 
+  test("null-seed fallback: a clean corpus yields residue 0 without throwing (VERDICT r16 #7)") {
+    // The seeded-slice test above exercises whichever branch the real
+    // testdata takes — and at ALL three SFs positives exist, so the
+    // NULL-seed path (no probe-corpus pair / clean corpus) was never
+    // spec-covered at any scale. Synthesize it: a corpus of 30 docs
+    // with fully disjoint vocabularies has no jac >= 0.8 pair and no
+    // bench 5-gram overlap, so BOTH residue fetches must degrade to
+    // the residue-0 fallback (null aggregate → 0L) instead of
+    // throwing, and the manifests/views materialize empty cleanly.
+    import org.apache.spark.sql.functions.{col, length => flen}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cleansf").toString
+    val docs = (0 until 30).map { i =>
+      // 8 distinct tokens per doc (>= 5, so shingle builds engage),
+      // zero cross-doc token overlap
+      (i.toLong, (0 until 8).map(j => s"tok${i}_$j").mkString(" "),
+        "en", s"src${i % 3}")
+    }.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", flen(col("text")).cast("long"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(operators.StreamEquivalence.pairDeltaSeedResidue(spark, dir) == 0L,
+      "empty pair manifest must fall back to residue 0")
+    assert(operators.StreamEquivalence.contamSeedResidue(spark, dir) == 0L,
+      "clean corpus must fall back to contam residue 0")
+    // the seed view itself must exist and carry the null row (the
+    // fallback's contract), not be absent or nonempty
+    val seed = spark.read
+      .parquet(operators.TextAnalysis.contamSeedPath(spark, dir)).collect()
+    assert(seed.length == 1 && seed(0).isNullAt(0),
+      "clean-corpus seed view must hold exactly one null row")
+  }
+
   test("every per-document-pure serving view has a replay-idempotent streaming maintenance twin") {
     // the four signature/shingle tables that had no stream-update
     // story after the three index views: each twin runs the view

@@ -68,5 +68,21 @@ if [ "$rows" -eq 0 ]; then
   echo "FREEZE VIOLATION: REGISTRY.md lists zero rows — dump format drift?"
   exit 1
 fi
-echo "FREEZE OK: registry rows = $rows (stamp this count in the battery section;"
-echo "it must equal len(CORRECTNESS_r{N}) when the driver artifact lands)"
+
+# SURVEY header pin (VERDICT r16 #2): the top CURRENT STATE block must
+# quote the live registry count — it drifted in r12 AND r16, each time
+# misleading the next fresh-context reader. The first bold
+# "N registry queries" line in the file IS the header's claim.
+hdr=$(grep -oEm1 '\*\*[0-9]+ registry queries' SURVEY.md | grep -oE '[0-9]+' || true)
+if [ -z "$hdr" ]; then
+  echo "FREEZE VIOLATION: SURVEY.md header has no '**N registry queries' claim to pin"
+  exit 1
+fi
+if [ "$hdr" -ne "$rows" ]; then
+  echo "FREEZE VIOLATION: SURVEY.md header claims $hdr registry queries but"
+  echo "REGISTRY.md lists $rows — update the CURRENT STATE block (it may not drift)."
+  exit 1
+fi
+
+echo "FREEZE OK: registry rows = $rows (SURVEY header pinned at $hdr; the count"
+echo "must equal len(CORRECTNESS_r{N}) when the driver artifact lands)"
