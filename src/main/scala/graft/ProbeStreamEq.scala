@@ -131,6 +131,65 @@ object ProbeStreamEq {
         println(s"[probe] predict(batch1 wm from chunk0max) = ${predict(chunk0Max)}")
         println(s"[probe] predict(final wm from globalmax)  = ${predict(maxTu)}")
         println(s"[probe] slice maxTu=$maxTu chunk0Max=$chunk0Max cut=$cut  lo=${r0.getLong(0)}")
+      case "skewaqe" =>
+        // the skew-stress plan with a MULTI-MAPPER map side (the 2 MB
+        // test file scans as one task; repartition(32) stands in for a
+        // real cluster's thousands of input splits) — the shape where
+        // AQE skew-join CAN split the hot reduce partition
+        args.drop(1).headOption.foreach(_.split(';').foreach { kv =>
+          val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+        })
+        val fanout = 200
+        val hk = when(col("user_id") % 10 =!= 0, lit(0L)).otherwise(col("user_id"))
+        val fact = Tables.events(spark, dir)
+          .select(hk.as("skew_key"), col("value"), col("event_id"))
+          .withColumn("rep", explode(sequence(lit(1), lit(fanout))))
+          .repartition(32) // multi-mapper map side
+        val dimBase = Tables.events(spark, dir)
+          .select(hk.as("skew_key")).distinct()
+          .withColumn("w", col("skew_key") % 97 + 1)
+        val dimPrepped =
+          if (sys.env.get("SKEW_CACHE_DIM").contains("1")) {
+            val c = dimBase.persist(); c.count(); c
+          } else if (sys.env.get("SKEW_DIM_PARQUET").contains("1")) {
+            // materialize the dim so the join's right input is a BARE
+            // scan → the join-side exchange directly feeds the join
+            val p = java.nio.file.Files.createTempDirectory("skewdim").toString
+            dimBase.write.mode("overwrite").parquet(p)
+            spark.read.parquet(p)
+          } else dimBase
+        val dim =
+          if (sys.env.get("SKEW_SMJ").contains("1")) dimPrepped
+          else dimPrepped.hint("shuffle_hash")
+        val joined = fact.join(dim, Seq("skew_key"))
+          .groupBy(col("skew_key"))
+          .agg(count(lit(1)).as("n_events"),
+            round(graft.Det.dsum(col("value") * col("w")), 2).as("wsum"))
+          .orderBy(col("skew_key"))
+        if (sys.env.get("SKEW_DEBUG").contains("1"))
+          org.apache.log4j.LogManager
+            .getLogger("org.apache.spark.sql.execution.adaptive")
+            .setLevel(org.apache.log4j.Level.DEBUG)
+        (1 to 3).foreach(i => t(s"skewaqe run $i")(joined.collect().length))
+        println(joined.queryExecution.executedPlan.toString)
+      case "aqecheck" =>
+        println("[probe] adaptive.enabled=" + spark.conf.get("spark.sql.adaptive.enabled"))
+        val d = Tables.events(spark, dir)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        d.count()
+        println("[probe] simple agg plan head: " +
+          d.queryExecution.executedPlan.toString.linesIterator.take(2).mkString(" | "))
+      case "skewplan" =>
+        // args: skewplan <salts> [conf k=v;k=v]
+        val salts = args.drop(1).headOption.getOrElse("1")
+        args.drop(2).headOption.foreach(_.split(';').foreach { kv =>
+          val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+        })
+        spark.conf.set("spark.graft.skewstress.salts", salts)
+        spark.conf.set("spark.graft.skewstress.fanout", "200")
+        val df = Registry.byName("join_skew_stress").run(spark, dir)
+        t("skew run")(df.collect().length) // collect: executes df's OWN queryExecution
+        println(df.queryExecution.executedPlan.toString)
       case "seeds" =>
         val pd = operators.StreamEquivalence.pairDeltaSeedResidue(spark, dir)
         val ct = operators.StreamEquivalence.contamSeedResidue(spark, dir)
