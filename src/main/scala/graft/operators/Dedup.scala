@@ -1493,15 +1493,22 @@ object Dedup {
     * ingest screen ([[graft.streaming.StreamDemos.screenedIngest]])
     * runs the identical plan per micro-batch against the persisted
     * table. Unsorted — batch callers append their own total order. */
-  private[graft] def screenSigsAgainst(batch: DataFrame, corpus: DataFrame): DataFrame = {
+  /** `broadcastProbe`: see [[minhashScreenPrepared]] — the streaming
+    * twin's micro-batch probe is trigger-bounded, so broadcasting it
+    * leaves the corpus signature side unshuffled per batch. */
+  private[graft] def screenSigsAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      broadcastProbe: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftx.SortedLongIntersectCount
-    val probe = batch.select(
+    val probe0 = batch.select(
       col("doc_id"),
       col("lang"),
       col("t").as("ta"),
       col("nt").as("na"),
       explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("pb")
     )
+    val probe = if (broadcastProbe) broadcast(probe0) else probe0
     val base = corpus.select(col("lang"), col("t").as("tb"), col("nt").as("nb"), col("bkt").as("pb"))
     val matches = probe
       .join(base, Seq("lang", "pb"))
@@ -1808,14 +1815,24 @@ object Dedup {
     * admitted corpus bands). Inner joins associate, so folding the cap
     * into the corpus side is value-identical to the r16 three-frame
     * spelling. */
+  /** `broadcastProbe` (streaming-twin only): a MICRO-BATCH probe side
+    * is bounded by the trigger, so broadcasting it keeps the corpus
+    * side entirely UNSHUFFLED — the correct 100 TB ingest-screen shape
+    * (per batch: broadcast the day's arrivals' bands, hash-probe the
+    * persisted index partitions in place). The batch registry row
+    * keeps the default: its probe side is a whole day's batch, and
+    * AQE should pick the strategy from real sizes. Value-identical
+    * either way. */
   private[graft] def minhashScreenPrepared(
       batchDocs: DataFrame,
-      corpusOk: DataFrame
+      corpusOk: DataFrame,
+      broadcastProbe: Boolean = false
   ): DataFrame = {
     val nH = MinhashA16.length
     val batchB  = bandedMinhashSigs(minhashSignaturesOf(batchDocs))
-    val a = batchB.select(col("band") +: col("bk") +: col("doc_id").as("bid") +:
+    val a0 = batchB.select(col("band") +: col("bk") +: col("doc_id").as("bid") +:
       (0 until nH).map(i => col(s"m$i").as(s"ma$i")): _*)
+    val a = if (broadcastProbe) broadcast(a0) else a0
     val c = corpusOk.select(col("band") +: col("bk") +: col("doc_id").as("cid") +:
       (0 until nH).map(i => col(s"m$i").as(s"mb$i")): _*)
     val est = (0 until nH)

@@ -338,23 +338,30 @@ object StreamDemos {
       copies: Int = 2,
       scope: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.Row
-    val corpus = graft.operators.Dedup.corpusSigTable(spark, dir)
+    // frozen corpus side persisted once per run; micro-batch probes
+    // broadcast — the corpus signatures are never re-read or shuffled
+    // per trigger (r17, same shape as the minhash screen)
+    val corpus = graft.operators.Dedup.corpusSigTable(spark, dir).persist()
     val verdicts = scala.collection.concurrent.TrieMap.empty[Long, Row]
-    val q = docsStream(spark, dir, copies)
-      .filter(col("doc_id") % 10 === 0)
-      .filter(scope)
-      .writeStream
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Dedup
-          .screenSigsAgainst(graft.operators.Dedup.signaturesOf(batch), corpus)
-          .collect() // bounded: <= |demo batch| verdict rows per micro-batch
-          .foreach(r => verdicts.put(r.getLong(0), r))
-        ()
-      }
-      .start()
-    q.awaitTermination()
+    try {
+      corpus.count() // materialize before the stream starts
+      val q = docsStream(spark, dir, copies)
+        .filter(col("doc_id") % 10 === 0)
+        .filter(scope)
+        .writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Dedup
+            .screenSigsAgainst(
+              graft.operators.Dedup.signaturesOf(batch), corpus, broadcastProbe = true)
+            .collect() // bounded: <= |demo batch| verdict rows per micro-batch
+            .foreach(r => verdicts.put(r.getLong(0), r))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally corpus.unpersist()
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
       verdicts.values.toSeq.sortBy(_.getLong(0)).asJava,
@@ -512,7 +519,9 @@ object StreamDemos {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
           graft.operators.Dedup
-            .minhashScreenPrepared(batch, corpusOk)
+            // broadcastProbe: the micro-batch's bands broadcast; the
+            // persisted corpus index is never shuffled per trigger
+            .minhashScreenPrepared(batch, corpusOk, broadcastProbe = true)
             .collect() // bounded: <= |demo batch| verdict rows per micro-batch
             .foreach(r => verdicts.put(r.getLong(0), r))
           ()
