@@ -137,7 +137,7 @@ object StreamEquivalence {
     * pure job-scheduling overhead. `<=>` join keys keep exceptAll's
     * null-equals-null multiset semantics (scd2's open rows carry null
     * valid_to); NaN/-0.0 normalize identically under both spellings. */
-  private def verdict(streamed: DataFrame, batch: DataFrame): (Int, Int, Int) = {
+  private[graft] def verdict(streamed: DataFrame, batch: DataFrame): (Int, Int, Int) = {
     val cols = streamed.columns.toIndexedSeq
     val s = streamed.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__sc"))
     val b = batch.select(cols.map(col): _*)
@@ -398,17 +398,19 @@ object StreamEquivalence {
     // order, so the report rows are deterministic.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    // Default pool 8, not all-at-once: measured at sf0.1/32 cores
-    // (BenchRepeat, r14) the bounded pool ties the all-at-once steady
-    // state (min-of-3 21.1 vs 21.4 s) but its COLD first run — the one
-    // the driver artifact times — is faster and far less variable
-    // (30.2/29.5 s across samples vs 44.3/31.6), and peak memory/GC
-    // scale with live streams, not family count. pool=5 over-serializes
-    // (24.6 s). The knob remains for boxes with different core counts.
+    // Default pool = ALL families since r17: the r14 pool-8 choice was
+    // tuned under FIFO job scheduling, where a bounded pool kept tiny
+    // jobs from queuing behind whole sibling stages. The engine now
+    // runs FAIR scheduling (Bench/Verify builders), which round-robins
+    // task slots across every live family's jobs — re-measured at
+    // sf0.1/32 under FAIR, all-at-once wins decisively (warm min-of-3
+    // 7.9-9.5 s vs pool-8's 13.0-26.1 s in the same window; cold 18.9
+    // vs 20.8-23.5). The knob remains for smaller boxes where peak
+    // memory across live streams could matter.
     val poolSize = spark.conf
       .getOption("spark.graft.streameq.pool")
       .map(_.toInt)
-      .getOrElse(math.min(8, rows.size))
+      .getOrElse(rows.size)
       .max(1)
       .min(rows.size)
     // Under a BOUNDED pool, submission order is makespan: the heavy
