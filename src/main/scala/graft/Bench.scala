@@ -154,8 +154,20 @@ object Bench {
     // fully-warm number either way.
     val codegenWarmSec = {
       val t0 = System.nanoTime()
+      // r17 additions (VERDICT r16 #4): the min2_detail cold spikes the
+      // view-parquet sweep above did NOT close are codegen, not I/O —
+      // the nprobe report compiles one search variant per probed
+      // nprobe value (10.0 s first vs 1.6 s min2 at sf0.001, data
+      // trivially small), and the rerank/lsh16/bucketed-sink rows each
+      // carry distinct mega-plan variants. snk_bucketed's run() also
+      // performs its eager bucketed ingest here — the same
+      // ingest-belongs-to-warm-up argument as warm_views_sec (its
+      // timed run still re-does the full write, now without
+      // first-touch costs). All non-memoizing.
       Seq("dedup_lsh_recall_report", "ml_confusion_matrix", "ml_auc",
-        "sim_ann_family_report").foreach { n =>
+        "sim_ann_family_report", "sim_ann_ivfpq_nprobe_report",
+        "sim_ann_ivfpq_rerank", "sim_ann_pq_rerank",
+        "dedup_minhash_lsh16", "snk_bucketed").foreach { n =>
         scala.util.Try {
           val plan = Registry.byName(n).run(spark, sfDir).queryExecution.executedPlan
           org.apache.spark.sql.execution.debug.codegenStringSeq(plan)
