@@ -172,6 +172,13 @@ object ProbeStreamEq {
             .setLevel(org.apache.log4j.Level.DEBUG)
         (1 to 3).foreach(i => t(s"skewaqe run $i")(joined.collect().length))
         println(joined.queryExecution.executedPlan.toString)
+      case "scd2plan" =>
+        val scope = pmod(col("o_custkey"), lit(8)) === 0
+        val batch = operators.Maintenance.maintScd2.run(spark, dir).filter(scope)
+        println(batch.queryExecution.executedPlan.toString.linesIterator
+          .filter(l => l.contains("Scan") || l.contains("Filter") ||
+            l.contains("Window") || l.contains("Push"))
+          .mkString("\n"))
       case "aqecheck" =>
         println("[probe] adaptive.enabled=" + spark.conf.get("spark.sql.adaptive.enabled"))
         val d = Tables.events(spark, dir)
