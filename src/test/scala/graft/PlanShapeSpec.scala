@@ -191,6 +191,28 @@ class PlanShapeSpec extends SparkSuite {
     assert(exchanges <= 2, s"$exchanges exchanges — the SCD2 chain re-shuffled\n" + p.take(3000))
   }
 
+  test("the parity audit's sliced batch cross-checks push the key slice to the scan") {
+    // The state-parity audit bounds each machine's batch cross-check
+    // with a key-hash slice (pmod(key, 8) === 0); at 100 TB that is
+    // only slice-bounded if Catalyst pushes the pmod predicate below
+    // the windowed derivations to the scan (partition-key predicates
+    // push through Window). Pin it for the two EXPENSIVE cross-checks
+    // — scd2 (three o_custkey windows + an aggregate) and the EWMA
+    // fold (user window) — so a re-derivation can't silently turn the
+    // audit's batch side into a full-table pass.
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    def scanHasPmod(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.linesIterator.exists(l =>
+        l.contains("FileScan parquet") && l.contains("DataFilters:") &&
+          l.contains("pmod"))
+    val scd2 = operators.Maintenance.maintScd2.run(spark, sf)
+      .filter(pmod(col("o_custkey"), lit(8)) === 0)
+    assert(scanHasPmod(scd2), "scd2 slice did not reach the orders scan")
+    val ewma = operators.TimeSeries.tsEwma.run(spark, sf)
+      .filter(pmod(col("user_id"), lit(8)) === 0)
+    assert(scanHasPmod(ewma), "ewma slice did not reach the events scan")
+  }
+
   test("text_bm25_persisted and text_bm25_topk run DISTINCT plans (batch vs single probe)") {
     // r10 left the pair byte-identical (two bench slots, one plan);
     // r11 re-differentiated the persisted row into multi-query batch
