@@ -213,6 +213,44 @@ class PlanShapeSpec extends SparkSuite {
     assert(scanHasPmod(ewma), "ewma slice did not reach the events scan")
   }
 
+  test("the streaming ingest screens' broadcast-probe plan never shuffles the corpus") {
+    // The r17 micro-batch screen shape: the trigger-bounded probe
+    // side broadcasts, so the persisted corpus index is scanned in
+    // place — no (band, bk) exchange on the corpus per trigger. If
+    // the broadcast silently degrades (hint dropped, threshold
+    // surprise), the audit's cost model regresses invisibly; pin the
+    // plan: a BroadcastHashJoin, and NO hashpartitioning exchange on
+    // the band key anywhere in the screen's plan.
+    import org.apache.spark.sql.functions.col
+    val corpus = spark.read
+      .parquet(operators.Dedup.minhashSigTablePath(spark, sf))
+      .filter(col("doc_id") % 10 =!= 0)
+    val corpusB  = operators.Dedup.bandedMinhashSigs(corpus)
+    val corpusOk = corpusB
+      .join(operators.Dedup.minhashBucketCapOk(corpusB), Seq("band", "bk"))
+      .persist() // the twin persists the prepped corpus ONCE per run;
+    try {        // the one band exchange lives in that one-time build
+      corpusOk.count()
+      val probes = Tables.documents(spark, sf).filter(col("doc_id") % 10 === 0)
+      // tree walk on the pre-AQE physical plan, NOT the plan string:
+      // the string renders the InMemoryRelation's cached BUILD plan,
+      // which legitimately contains the one-time band exchanges —
+      // collect() does not descend into the cache, so what it sees is
+      // exactly the per-trigger work
+      val sp = operators.Dedup
+        .minhashScreenPrepared(probes, corpusOk, broadcastProbe = true)
+        .queryExecution.sparkPlan
+      val bandShuffles = sp.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("band") => e
+      }
+      assert(bandShuffles.isEmpty, s"corpus band shuffle in the per-trigger plan:\n$sp")
+      assert(sp.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.nonEmpty, s"no broadcast hash join in the screen plan:\n$sp")
+    } finally { corpusOk.unpersist(); () }
+  }
+
   test("text_bm25_persisted and text_bm25_topk run DISTINCT plans (batch vs single probe)") {
     // r10 left the pair byte-identical (two bench slots, one plan);
     // r11 re-differentiated the persisted row into multi-query batch
