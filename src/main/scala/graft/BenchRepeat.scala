@@ -32,7 +32,7 @@ object BenchRepeat {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
-      .config("spark.scheduler.mode", "FAIR") // match Bench (r17)
+      .config("spark.scheduler.mode", "FAIR") // match Bench (see its r18 attribution note)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // A/B knob passthrough (e.g. SPARK_GRAFT_CONF="spark.graft.streameq.pool=8"):

@@ -15,9 +15,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // reclaim per-iteration reliable-checkpoint files (Dedup.truncate)
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
-      // FAIR job scheduling, as in Bench (r17): the concurrent audit
-      // rows' small jobs round-robin instead of queuing behind whole
-      // sibling stages
+      // FAIR job scheduling, as in Bench — effective only because the
+      // audit rows name per-family/machine scheduler pools since r18
+      // (see Bench.scala's attribution note: the mode conf alone is a
+      // no-op, and the measured effect of real FAIR is ~nil at test
+      // scale; kept for the production multi-tenant shape)
       .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

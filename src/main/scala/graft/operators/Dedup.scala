@@ -262,14 +262,18 @@ object Dedup {
 
   /** Near-dup pairs on token-BIGRAM shingles (n-gram Jaccard): stricter
     * than token sets because it is order-sensitive. Bounded to doc_id <
-    * 200 per side to keep the verified output small. */
+    * 2000 per side to keep the verified output small — widened from 200
+    * in r18 (VERDICT r17 #4): the 200-doc scope yielded ZERO pairs at
+    * sf0.01/sf0.1, making the driver's hash-match vacuous there; 2000
+    * yields 8/6/14 pairs at sf0.001/0.01/0.1 with the 0.6 threshold
+    * unchanged. */
   val dedupNgramJaccard: Q = Q(
     "dedup_ngram_jaccard",
     Some(
       "WITH d AS (SELECT doc_id, lang, list_distinct(list_filter(" +
         "list_transform(list_zip(string_split(text, ' '), string_split(text, ' ')[2:]), " +
         "x -> x[1] || ' ' || x[2]), v -> v IS NOT NULL)) AS s " +
-        "FROM documents WHERE doc_id < 200), " +
+        "FROM documents WHERE doc_id < 2000), " +
         "p AS (SELECT a.doc_id ida, b.doc_id idb, " +
         s"${oJac("a.s", "b.s")} AS jac " +
         "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id) " +
@@ -286,7 +290,7 @@ object Dedup {
       )
       val d = Tables
         .documents(spark, dir)
-        .filter(col("doc_id") < 200)
+        .filter(col("doc_id") < 2000)
         .select(col("doc_id"), col("lang"), shingles.as("s"))
       val a = d.select(col("doc_id").as("ida"), col("lang"), col("s").as("sa"))
       val b = d.select(col("doc_id").as("idb"), col("lang"), col("s").as("sb"))

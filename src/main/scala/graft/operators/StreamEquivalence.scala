@@ -76,6 +76,16 @@ object StreamEquivalence {
   private[graft] def lastFamilySeconds: Map[String, Double] =
     familySeconds.synchronized(familySeconds.toMap)
 
+  /** Per-machine wall seconds of the LAST computed state-parity audit —
+    * the parity twin of [[lastFamilySeconds]] (VERDICT r17 #5): the
+    * memo-cleared parity rerun rode 11.5 s in BENCH_r17 vs 4.9 s
+    * builder-local with no artifact-native way to name the slow machine
+    * in a contended window. Same semantics: concurrent machines, the
+    * entries attribute wall time, they do not sum to the row. */
+  private val machineSeconds = scala.collection.mutable.Map.empty[String, Double]
+  private[graft] def lastMachineSeconds: Map[String, Double] =
+    machineSeconds.synchronized(machineSeconds.toMap)
+
   /** [[verdict]] for families whose output is a JOIN-DEPENDENT SUBSET
     * (the pair delta, the contamination screen): a sparse probe slice
     * can LEGITIMATELY yield zero rows on both sides, so "the replay
@@ -139,15 +149,23 @@ object StreamEquivalence {
     * valid_to); NaN/-0.0 normalize identically under both spellings. */
   private[graft] def verdict(streamed: DataFrame, batch: DataFrame): (Int, Int, Int) = {
     val cols = streamed.columns.toIndexedSeq
-    val s = streamed.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__sc"))
+    // collision-free helper names (ADVICE r17): a compared frame that
+    // happened to carry a __sc/__bc column would break groupBy/agg
+    // resolution or collide the count columns, corrupting the verdict —
+    // suffix underscores until both names are free of the frame's own
+    var sfx = ""
+    while (cols.contains("__sc" + sfx) || cols.contains("__bc" + sfx)) sfx += "_"
+    val scN = "__sc" + sfx
+    val bcN = "__bc" + sfx
+    val s = streamed.groupBy(cols.map(col): _*).agg(count(lit(1)).as(scN))
     val b = batch.select(cols.map(col): _*)
-      .groupBy(cols.map(col): _*).agg(count(lit(1)).as("__bc"))
+      .groupBy(cols.map(col): _*).agg(count(lit(1)).as(bcN))
     val joinCond = cols.map(c => s(c) <=> b(c)).reduce(_ && _)
     val r = s.join(b, joinCond, "full_outer")
       .agg(
-        sum(coalesce(col("__sc"), lit(0L))).as("sn"),
-        sum(coalesce(col("__bc"), lit(0L))).as("bn"),
-        max(when(coalesce(col("__sc"), lit(0L)) =!= coalesce(col("__bc"), lit(0L)), 1)
+        sum(coalesce(col(scN), lit(0L))).as("sn"),
+        sum(coalesce(col(bcN), lit(0L))).as("bn"),
+        max(when(coalesce(col(scN), lit(0L)) =!= coalesce(col(bcN), lit(0L)), 1)
           .otherwise(0)).as("mismatch"))
       .head()
     val sN   = if (r.isNullAt(0)) 0L else r.getLong(0)
@@ -398,15 +416,17 @@ object StreamEquivalence {
     // order, so the report rows are deterministic.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    // Default pool = ALL families since r17: the r14 pool-8 choice was
-    // tuned under FIFO job scheduling, where a bounded pool kept tiny
-    // jobs from queuing behind whole sibling stages. The engine now
-    // runs FAIR scheduling (Bench/Verify builders), which round-robins
-    // task slots across every live family's jobs — re-measured at
-    // sf0.1/32 under FAIR, all-at-once wins decisively (warm min-of-3
-    // 7.9-9.5 s vs pool-8's 13.0-26.1 s in the same window; cold 18.9
-    // vs 20.8-23.5). The knob remains for smaller boxes where peak
-    // memory across live streams could matter.
+    // Default pool = ALL families since r17. The r17 comment credited
+    // FAIR scheduling; r18's A/B (ADVICE r17) showed the FAIR conf was
+    // a no-op without named pools, so the r17 speedup belongs to the
+    // CONCURRENCY-POOL change itself plus the one-job verdicts. The
+    // pool-size ordering was re-confirmed r18 in one window at sf0.1/32
+    // under co-tenant CPU+I/O load: all-17 min 11.0/14.7 s vs pool-8's
+    // 11.8/9.9 vs pool-4's 18.4 — 17 and 8 trade within noise, 4 loses
+    // clearly; all-17 stays the default (the families are overhead-
+    // bound, not slot-bound, so full overlap can't starve). The knob
+    // remains for smaller boxes where peak memory across live streams
+    // could matter.
     val poolSize = spark.conf
       .getOption("spark.graft.streameq.pool")
       .map(_.toInt)
@@ -442,9 +462,28 @@ object StreamEquivalence {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val fairPools = spark.conf.getOption("spark.graft.fairpools").forall(_ != "off")
     val done =
       try {
-        val futures = submitOrder.map { case (t, name) => name -> Future(timed(t)) }.toMap
+        val futures = submitOrder.map { case (t, name) =>
+          name -> Future {
+            // Distinct per-family scheduler pool (ADVICE r17): with
+            // spark.scheduler.mode=FAIR but every job in the single
+            // 'default' pool, INTRA-pool scheduling is FIFO and the
+            // mode conf alone is a no-op. On-demand pools at the FAIR
+            // root (weight 1) are what actually round-robin task slots
+            // across live families. The local property is thread-local
+            // and inherited by each leg's stream-execution thread
+            // (InheritableThreadLocal), so streaming micro-batch jobs
+            // land in the family's pool too. `spark.graft.fairpools=off`
+            // disables the naming for same-window A/Bs (everything then
+            // shares the FIFO 'default' pool — the pre-r18 behavior).
+            if (fairPools)
+              spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft_eq_$name")
+            try timed(t)
+            finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+          }
+        }.toMap
         Await.result(
           Future.sequence(rowNames.map(futures(_))), Duration.Inf)
       } finally pool.shutdown()
@@ -835,7 +874,9 @@ object StreamEquivalence {
       val t0 = System.nanoTime()
       val r  = f()
       require(r._1 == name, s"state parity tag drift: ${r._1} vs $name")
-      System.err.println(f"[stateparity] $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      val dt = (System.nanoTime() - t0) / 1e9
+      machineSeconds.synchronized(machineSeconds.update(name, dt))
+      System.err.println(f"[stateparity] $name%-14s $dt%7.2f s")
       r
     }
     // Each machine is two sequential AvailableNow replays plus small
@@ -856,7 +897,17 @@ object StreamEquivalence {
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val done =
       try Await.result(
-        Future.sequence(machines.map { case (n, f) => Future(timedM(n, f)) }),
+        Future.sequence(machines.map { case (n, f) =>
+          Future {
+            // per-machine scheduler pool — same FAIR rationale as the
+            // equivalence report's per-family pools (ADVICE r17); the
+            // two legs' threads inherit the machine's pool
+            if (spark.conf.getOption("spark.graft.fairpools").forall(_ != "off"))
+              spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft_par_$n")
+            try timedM(n, f)
+            finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+          }
+        }),
         Duration.Inf)
       finally pool.shutdown()
     done.map { case (m, (ne, eq, bc)) => (m, ne, eq, bc) }
