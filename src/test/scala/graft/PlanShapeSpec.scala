@@ -75,6 +75,40 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("sim_ann_pq_rerank: shortlist stage scores the codes view, never raw base embeddings") {
+    // VERDICT r17 #6 — extend the sim_ann_pq "never scans raw
+    // embeddings" pin to the rerank cascade. The exact re-rank
+    // LEGITIMATELY reads embeddings for (a) the 100 probe queries
+    // (pushed vec_id < 100) and (b) the one bounded candidate probe
+    // (|queries| x 20 rows join back by key); what must NEVER happen
+    // is the candidate-GENERATION stage scoring raw vectors — that
+    // silently erases the family's 100 TB story (ADC over compact
+    // codes is the entire point). Structural walk on the pre-AQE
+    // plan, same rationale as the ingest-screen pin above.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val sp = Registry.byName("sim_ann_pq_rerank").run(spark, sf).queryExecution.sparkPlan
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case s: FileSourceScanExec => s }
+    def path(s: FileSourceScanExec): String = s.relation.location.rootPaths.mkString(",")
+    def queryFiltered(s: FileSourceScanExec): Boolean =
+      s.metadata.getOrElse("PushedFilters", "").contains("LessThan(vec_id,100)")
+    val all = scansOf(sp)
+    assert(all.exists(s => path(s).contains("graft_pq_index") && path(s).contains("codes")),
+      s"candidates must come from the persisted codes view:\n$sp")
+    val emb = all.filter(s => path(s).contains("embeddings.parquet"))
+    assert(emb.nonEmpty, s"expected embeddings scans in the exact stage:\n$sp")
+    assert(emb.count(s => !queryFiltered(s)) == 1,
+      "exactly ONE unfiltered embeddings scan is allowed (the exact-stage " +
+        s"candidate probe); got ${emb.count(s => !queryFiltered(s))}:\n$sp")
+    // and the shortlist (k=20) subtree itself reads no unfiltered embeddings
+    val shortTrees = sp.collect {
+      case t: org.apache.spark.sql.graftx.TopKPerGroupExec if t.k == 20 => t
+    }
+    assert(shortTrees.nonEmpty, s"no k=20 shortlist TopKPerGroup in plan:\n$sp")
+    for (t <- shortTrees; s <- scansOf(t) if path(s).contains("embeddings.parquet"))
+      assert(queryFiltered(s), s"shortlist stage scans raw base embeddings:\n$t")
+  }
+
   test("agg_group_pricing uses two-phase hash aggregation") {
     val p = plan("agg_group_pricing")
     assert(p.contains("HashAggregate"), p.take(2000))

@@ -327,6 +327,69 @@ class StatefulSpec extends SparkSuite {
     assert((got -- mustEmit -- mayEmit).isEmpty, s"${(got -- mustEmit -- mayEmit).size} unexpected emissions")
   }
 
+  test("session timers fire strictly below the final no-data-batch watermark, ms-floored") {
+    // ADVICE r17: the parity audit's session batch cross-check PREDICTS
+    // the emitted set from Spark-version-specific internals — the
+    // AvailableNow run ends with a no-data batch whose watermark is
+    // floor(max_event_us / 1000) − delay_ms, and a timer set at
+    // last_us/1000 + gap_ms + 1 fires iff STRICTLY below that
+    // watermark. Pin each internal on a synthetic slice whose users sit
+    // exactly ON and exactly one ms BELOW the boundary, so a Spark
+    // upgrade that changes no-data-batch or timeout-comparison
+    // semantics fails THIS spec (naming the drifted assumption) instead
+    // of silently flipping the audit's batch_consistent flags.
+    // All µs offsets below are relative to the base B (ms-aligned):
+    //   watermark: max event = u9 at B+10_000_000_789 µs → ms-FLOOR
+    //     B+10_000_000, wm = that − 3_600_000 = B+6_400_000 ms (a
+    //     ceiling would give +1 and wrongly emit u3);
+    //   u3: last B+4_599_999_000 µs → timer B+6_400_000 == wm → must
+    //     NOT fire (strictly-below);
+    //   u4: last B+4_599_998_000 µs → timer B+6_399_999 < wm → fires;
+    //   u5: last B+4_599_998_999 µs → timer floor-divides to the SAME
+    //     B+6_399_999 → fires (a µs-rounding timer would hit the wm
+    //     and not fire);
+    //   u1/u2: ordinary in-gap merge and closed-by-later-event cases.
+    val tmp = Files.createTempDirectory("graft_sess_semantics").toString + "/in"
+    import spark.implicits._
+    // B offsets the slice off the epoch: a row AT the initial zero
+    // watermark is dropped by the stateful op's late-event filter
+    // (observed: tu=0 rows never reach the handler), an epoch edge no
+    // real slice sits on. B is ms-aligned so every boundary delta
+    // below survives the shift unchanged.
+    val B = 86400000000L // 1 day in µs
+    val rows = Seq(
+      (1L, B, 100L), (1L, B + 600000000L, 101L),          // one 2-event session
+      (2L, B, 200L), (2L, B + 3000000000L, 201L),         // event-closed + timer-closed
+      (3L, B + 4599999000L, 300L),                        // timer == wm exactly
+      (4L, B + 4599998000L, 400L),                        // timer = wm − 1 ms
+      (5L, B + 4599998999L, 500L),                        // µs tail, same floored timer
+      (9L, B + 10000000789L, 900L))                       // the slice clock (never emits)
+    val ev = rows.toDF("user_id", "us", "event_id")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("event_id"))
+    ev.coalesce(1).write.mode("overwrite").parquet(tmp) // ONE file = ONE data batch
+    val stream = spark.readStream.schema(ev.schema).parquet(tmp)
+    val q = streaming.StatefulDemos
+      .sessionTracker(spark, stream, gapMin = 30)
+      .writeStream
+      .format("memory")
+      .queryName("t_sess_semantics")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("t_sess_semantics").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val expected = Set(
+      (1L, B, B + 600000000L, 2L),
+      (2L, B, B, 1L),
+      (2L, B + 3000000000L, B + 3000000000L, 1L),
+      (4L, B + 4599998000L, B + 4599998000L, 1L),
+      (5L, B + 4599998999L, B + 4599998999L, 1L))
+    assert(got == expected,
+      s"session timer semantics drifted: missing=${expected -- got} unexpected=${got -- expected}")
+  }
+
   test("streaming as-of enrichment equals the batch as-of join") {
     val tmp = Files.createTempDirectory("graft_asof_stream").toString + "/in"
     val ev = Tables
