@@ -490,33 +490,38 @@ object Bench {
     // a quiet-window rerun (VERDICT r12 #3). Families run concurrently,
     // so entries overlap — they attribute, they don't sum to the row.
     // (Snapshot taken BEFORE the memo-cleared rerun, see above.)
+    def secMapJson(m: Map[String, Double]): String = m.toSeq.sortBy(-_._2)
+      .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+    // The harness keeps only the LAST 2000 stdout bytes as the
+    // committed artifact's tail — r17's tail was 1873/2000 full, so the
+    // r18 additions (aenv, parity machines, memo-cleared maps) cannot
+    // ALL fit alongside the families stanza. Byte triage, least
+    // important first on stdout (the tail cuts from the head):
+    //   1. the full per-query line (never fit; full-log readers only),
+    //   2. stream_eq_families first+mc maps (may clip — the complete
+    //      copy lives in BENCH_DETAIL.json, written below),
+    //   3. state_parity_machines first+mc (VERDICT r17 #5 — must
+    //      survive whole),
+    //   4. the compact line (the driver parses it — always last).
+    val famsMc = operators.StreamEquivalence.lastFamilySeconds
     if (streamEqFams.nonEmpty) {
-      val famJson = streamEqFams.toSeq.sortBy(-_._2)
-        .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
       // memo-cleared rerun's decomposition too, when one ran (the map
       // moved): the rerun is the number VERDICT r16 #1's gate reads, so
       // its slow family must be nameable from the artifact as well
-      val famsMc = operators.StreamEquivalence.lastFamilySeconds
       val mcJson =
-        if (famsMc != streamEqFams)
-          "," + famsMc.toSeq.sortBy(-_._2)
-            .map { case (k, v) => f""""$k":$v%.2f""" }
-            .mkString("\"memo_cleared\":{", ",", "}")
-        else ""
-      println(s"""{"metric":"stream_eq_families","unit":"sec","concurrent":true,"seconds":$famJson$mcJson}""")
+        if (famsMc != streamEqFams) s""","memo_cleared":${secMapJson(famsMc)}""" else ""
+      println(s"""{"metric":"stream_eq_families","unit":"sec","concurrent":true,"seconds":${secMapJson(streamEqFams)}$mcJson}""")
     }
     // Per-machine decomposition of the state-parity audit — first run
     // AND memo-cleared rerun (VERDICT r17 #5): BENCH_r17 carried parity
     // memo-cleared 11.55 s vs builder-local 4.94 s with the slow machine
     // unnameable from the artifact. Machines run concurrently: entries
     // attribute, they don't sum (same contract as stream_eq_families).
+    val parityMc = operators.StreamEquivalence.lastMachineSeconds
     if (parityMachines.nonEmpty) {
-      def mj(m: Map[String, Double]) = m.toSeq.sortBy(-_._2)
-        .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
-      val parityMc = operators.StreamEquivalence.lastMachineSeconds
       val mcJson =
-        if (parityMc != parityMachines) s""","memo_cleared":${mj(parityMc)}""" else ""
-      println(s"""{"metric":"state_parity_machines","unit":"sec","concurrent":true,"seconds":${mj(parityMachines)}$mcJson}""")
+        if (parityMc != parityMachines) s""","memo_cleared":${secMapJson(parityMc)}""" else ""
+      println(s"""{"metric":"state_parity_machines","unit":"sec","concurrent":true,"seconds":${secMapJson(parityMachines)}$mcJson}""")
     }
     // gc_sec = whole-run driver GC time: the harness-health signal that
     // diagnoses any future bench-tail anomaly from the artifact alone
@@ -530,6 +535,25 @@ object Bench {
     val aenvJson = auditEnv
       .map { case (k, (c, i)) => f""""$k":[$c%.3f,$i%.3f]""" }
       .mkString("{", ",", "}")
+    // Truncation-proof sidecar: everything above, whole, as ONE file in
+    // the repo cwd — per-query seconds + gc, min2 triplet, aenv, BOTH
+    // audit decompositions (first + memo-cleared), views. The stdout
+    // tail stays the driver's gate; this file is where a reader goes
+    // when a stanza clipped out of the 2000-byte window. Best-effort:
+    // a read-only cwd must not kill the artifact.
+    scala.util.Try {
+      val detail =
+        f"""{"sf":"$sfDir","total_sec":$total%.3f,"gc_sec":${gcMillis / 1000.0}%.1f,"calib_sec":$calibSec%.3f,"io_probe_sec":$ioProbeSec%.3f,"warm_views_sec":$warmViewsSec%.3f,"views":$viewsFullJson,"aenv":$aenvJson,
+"queries":$qs,
+"gc_ms":$gcs,
+"min2":$min2Json,"min2_detail":$min2DetailJson,"min2_memo_cleared":$min2McJson,
+"stream_eq_families":{"first":${secMapJson(streamEqFams)},"memo_cleared":${secMapJson(famsMc)}},
+"state_parity_machines":{"first":${secMapJson(parityMachines)},"memo_cleared":${secMapJson(parityMc)}}}
+"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","gc_sec":${gcMillis / 1000.0}%.1f,"calib_sec":$calibSec%.3f,"io_probe_sec":$ioProbeSec%.3f,"total_per_calib":${total / calibSec}%.1f,"warm_views_sec":$warmViewsSec%.3f,"views":$viewsJson,"aenv":$aenvJson,"queries":$compact,"min2":$min2Json,"min2_detail":$min2DetailJson,"min2_memo_cleared":$min2McJson$slowDetail,"sf":"$sfDir"}""")
     spark.stop()
   }
