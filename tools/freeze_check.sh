@@ -50,6 +50,7 @@ fi
 dirty=$(git status --porcelain -- . \
   ':(exclude)REGISTRY.md' \
   ':(exclude)BENCH_r*.json' \
+  ':(exclude)BENCH_DETAIL.json' \
   ':(exclude)CORRECTNESS_r*.json' \
   ':(exclude)LEAKCHECK.json' \
   ':(exclude)COPYCHECK.json' \
