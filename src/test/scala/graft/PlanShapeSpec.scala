@@ -109,6 +109,27 @@ class PlanShapeSpec extends SparkSuite {
       assert(queryFiltered(s), s"shortlist stage scans raw base embeddings:\n$t")
   }
 
+  test("dedup_ngram_jaccard joins on the length bucket, never lang-only all-pairs") {
+    // r18: widening the row's scope to 2000 docs made the original
+    // lang-keyed self-join the bench's slowest row (13.9 s at sf0.1 —
+    // the exact all-pairs shape the near-jaccard manifest exists to
+    // avoid). The fix banded it (bucket key `pb` joins alongside lang,
+    // ±1 probe explode, 3:5 prefilter); pin that the pair join's keys
+    // INCLUDE the bucket so a re-derivation can't silently fall back
+    // to quadratic-within-lang.
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val sp = Registry.byName("dedup_ngram_jaccard").run(spark, sf).queryExecution.sparkPlan
+    val equiJoins = sp.collect { case j: BaseJoinExec if j.leftKeys.nonEmpty => j }
+    assert(equiJoins.nonEmpty, s"expected an equi pair join:\n$sp")
+    def keyNames(j: BaseJoinExec): Set[String] =
+      j.leftKeys.flatMap(_.references.map(_.name)).toSet
+    assert(equiJoins.exists(j => keyNames(j).exists(_.startsWith("pb"))),
+      s"pair join must be keyed on the length bucket, got keys " +
+        s"${equiJoins.map(keyNames)}:\n$sp")
+    assert(!equiJoins.exists(j => keyNames(j) == Set("lang")),
+      s"lang-only all-pairs join regression:\n$sp")
+  }
+
   test("agg_group_pricing uses two-phase hash aggregation") {
     val p = plan("agg_group_pricing")
     assert(p.contains("HashAggregate"), p.take(2000))
