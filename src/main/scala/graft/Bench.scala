@@ -550,9 +550,19 @@ object Bench {
 "stream_eq_families":{"first":${secMapJson(streamEqFams)},"memo_cleared":${secMapJson(famsMc)}},
 "state_parity_machines":{"first":${secMapJson(parityMachines)},"memo_cleared":${secMapJson(parityMc)}}}
 """
+      // Path resolution (ADVICE r18): a bare relative path lands the
+      // sidecar in whatever cwd the JVM was launched from — silently
+      // elsewhere than the repo root freeze_check.sh and the committed
+      // artifact expect when launched from outside it. SPARK_GRAFT_
+      // DETAIL_DIR overrides; either way the ABSOLUTE path written is
+      // stderr-logged so a misplaced sidecar is diagnosable from the log.
+      val detailPath = java.nio.file.Paths
+        .get(sys.env.getOrElse("SPARK_GRAFT_DETAIL_DIR", "."), "BENCH_DETAIL.json")
+        .toAbsolutePath
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        detailPath,
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] detail sidecar written: $detailPath")
     }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","gc_sec":${gcMillis / 1000.0}%.1f,"calib_sec":$calibSec%.3f,"io_probe_sec":$ioProbeSec%.3f,"total_per_calib":${total / calibSec}%.1f,"warm_views_sec":$warmViewsSec%.3f,"views":$viewsJson,"aenv":$aenvJson,"queries":$compact,"min2":$min2Json,"min2_detail":$min2DetailJson,"min2_memo_cleared":$min2McJson$slowDetail,"sf":"$sfDir"}""")
     spark.stop()

@@ -281,14 +281,26 @@ object Dedup {
     * spelling: it DEFINES the semantics the blocked plan must
     * hash-match (same oracle-vs-blocked contract as
     * [[dedupNearJaccard]]; 60-bit collisions are the same accepted
-    * ~1e-12). */
+    * ~1e-12).
+    *
+    * Degenerate-pair rule (ADVICE r18): a doc with ZERO bigram shingles
+    * (text of < 2 tokens) is excluded on BOTH sides — the engine's
+    * `ns >= 1` filter and the oracle's `len(s) >= 1` CTE below define
+    * the same semantics. Without the oracle-side filter the two
+    * spellings diverge exactly when BOTH docs of a pair are
+    * shingle-less: 0/0 is NaN, and DuckDB's total-order comparison
+    * makes NaN >= 0.6 TRUE (the oracle would emit a pair the engine
+    * drops). A shingle-less doc can never reach jac >= 0.6 against a
+    * doc that HAS shingles (0/nb = 0), so the filter only removes the
+    * NaN artifact, never a real pair. */
   val dedupNgramJaccard: Q = Q(
     "dedup_ngram_jaccard",
     Some(
-      "WITH d AS (SELECT doc_id, lang, list_distinct(list_filter(" +
+      "WITH d0 AS (SELECT doc_id, lang, list_distinct(list_filter(" +
         "list_transform(list_zip(string_split(text, ' '), string_split(text, ' ')[2:]), " +
         "x -> x[1] || ' ' || x[2]), v -> v IS NOT NULL)) AS s " +
         "FROM documents WHERE doc_id < 2000), " +
+        "d AS (SELECT * FROM d0 WHERE len(s) >= 1), " +
         "p AS (SELECT a.doc_id ida, b.doc_id idb, " +
         s"${oJac("a.s", "b.s")} AS jac " +
         "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id) " +
@@ -312,6 +324,12 @@ object Dedup {
         .select(col("doc_id"), col("lang"), sh.as("s"))
         .withColumn("ns", size(col("s")))
         .filter(col("ns") >= 1) // a shingle-less doc can never reach jac >= 0.6
+        // FP safety of the base-5/3 grid (ADVICE r18, same bound pattern
+        // as the base-1.25 comment at bktCol): ln(n)/ln(5/3) sits
+        // >= 4.0e-8 from every integer for 2 <= n <= 1e7 (measured
+        // exhaustively; n = 1 is exactly 0 -> bucket 0, exact), seven
+        // orders above double rounding error — floor() cannot flip a
+        // bucket, so the ±1 probe explode stays lossless for jac >= 0.6
         .withColumn("bkt", floor(log(col("ns").cast("double")) / math.log(5.0 / 3.0)).cast("int"))
       val a = d.select(
         col("doc_id").as("ida"), col("lang"), col("s").as("sa"), col("ns").as("na"),

@@ -180,6 +180,11 @@ object StreamEquivalence {
     * oracle's VALUES list in lockstep. */
   private def computeReport(spark: SparkSession, dir: String): Seq[(String, Int, Int, Int)] = {
     import graft.streaming.StreamDemos
+    // Fresh decomposition per audit run (ADVICE r18): without the clear,
+    // a run that fails after some families complete leaves the PREVIOUS
+    // run's entries mixed with this run's, and Bench publishes that
+    // blend as the run's per-family attribution.
+    familySeconds.synchronized(familySeconds.clear())
     def bm25(): (String, (Int, Int, Int)) = {
       val scope = pmod(col("doc_id"), lit(8)) === 0
       val (sPost, sStats) = StreamDemos.streamedBm25Index(spark, dir, copies = 2, scope = scope)
@@ -641,6 +646,10 @@ object StreamEquivalence {
   private def computeParity(spark: SparkSession, dir: String): Seq[(String, Int, Int, Int)] = {
     import graft.Tables
     import graft.streaming.StatefulDemos
+    // same stale-blend guard as computeReport's familySeconds clear
+    // (ADVICE r18): a partial run must not publish the previous run's
+    // per-machine entries as this run's decomposition
+    machineSeconds.synchronized(machineSeconds.clear())
     val dirKey    = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val userScope = pmod(col("user_id"), lit(8)) === 0
 
