@@ -1983,6 +1983,95 @@ object Dedup {
     }
   )
 
+  /** Intra-source boilerplate REMOVAL — the standard web-pipeline stage
+    * (CCNet / RefinedWeb drop lines or paragraphs repeated across many
+    * pages of one site: headers, footers, navigation) that
+    * [[dedupSpanCoverage]] only SIGNALS. Differences are deliberate:
+    * the unit is a NON-OVERLAPPING segment (a removal unit — dropping
+    * overlapping spans would shred surviving text), the doc-frequency
+    * is counted WITHIN EACH SOURCE (boilerplate is site-templating;
+    * cross-site repetition is [[dedupNgramExact]]'s evidence), and the
+    * output is the per-doc CLEANED accounting (paragraphs dropped,
+    * tokens surviving) a rewrite stage publishes. This corpus has no
+    * newlines, so "paragraph" = a 16-token non-overlapping segment; on
+    * real text the segmentation swaps for split-on-blank-line and
+    * nothing else changes. Drop rule: a paragraph seen in >= 2 distinct
+    * docs of the same source is template material (at corpus scale the
+    * knob becomes a per-source df fraction; the shape is identical).
+    *
+    * 100 TB: one linear explode (corpus x ~docLen/16 rows), one
+    * (source, hash)-keyed two-phase distinct-count, one equi-join back
+    * on the SAME (source, hash) key, one doc-keyed aggregate — no
+    * pairwise join anywhere, every stage partitions on its key.
+    * Determinism: counts are exact ints; kept_ratio is one IEEE
+    * division of exact ints, trunc-rounded. Paragraphs ride as
+    * xxhash64 longs (8 bytes through the exchange, never strings) —
+    * the oracle keeps exact string paragraphs, same accepted ~2^-45
+    * collision story as every hashed screen here. */
+  val dedupBoilerplate: Q = Q(
+    "dedup_boilerplate",
+    Some(
+      "WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents), " +
+        "g AS (SELECT doc_id, source, len(t) AS nt, unnest(generate_series(1, len(t), 16)) AS p0, t " +
+        "FROM d WHERE len(t) >= 1), " +
+        "para AS (SELECT doc_id, source, nt, array_to_string(t[p0:p0+15], ' ') AS s, " +
+        "len(t[p0:p0+15]) AS np FROM g), " +
+        "hot AS (SELECT source, s FROM (SELECT source, s, count(DISTINCT doc_id) AS df " +
+        "FROM para GROUP BY 1, 2) WHERE df >= 2), " +
+        "j AS (SELECT para.*, (hot.s IS NOT NULL) AS is_hot FROM para " +
+        "LEFT JOIN hot ON para.source = hot.source AND para.s = hot.s) " +
+        "SELECT doc_id, source, count(*)::BIGINT AS n_paras, " +
+        "cast(sum(CASE WHEN is_hot THEN 1 ELSE 0 END) as bigint) AS n_dropped, " +
+        "cast(nt as bigint) AS n_tokens, " +
+        "cast(nt - sum(CASE WHEN is_hot THEN np ELSE 0 END) as bigint) AS n_tokens_kept, " +
+        Det.oRN("(nt - sum(CASE WHEN is_hot THEN np ELSE 0 END))::DOUBLE / nt", 6) +
+        " AS kept_ratio " +
+        "FROM j GROUP BY doc_id, source, nt ORDER BY doc_id"
+    ),
+    (spark, dir) => {
+      val t = split(col("text"), " ")
+      // one explode carrying (hash, token count) per paragraph; nt rides
+      // the rows so the final aggregate needs no join back to documents
+      val paras = Tables
+        .documents(spark, dir)
+        .filter(size(t) >= 1)
+        .select(
+          col("doc_id"),
+          col("source"),
+          size(t).as("nt"),
+          explode(transform(
+            sequence(lit(1), size(t), lit(16)),
+            i => struct(
+              xxhash64(array_join(slice(t, i, lit(16)), " ")).as("h"),
+              size(slice(t, i, lit(16))).as("np")))).as("p")
+        )
+        .select(col("doc_id"), col("source"), col("nt"), col("p.h").as("h"), col("p.np").as("np"))
+      val hot = paras
+        .groupBy(col("source"), col("h"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2)
+        .select(col("source"), col("h"), lit(true).as("is_hot"))
+      paras
+        .join(hot, Seq("source", "h"), "left")
+        .groupBy(col("doc_id"), col("source"), col("nt"))
+        .agg(
+          count(lit(1)).as("n_paras"),
+          sum(when(col("is_hot"), 1L).otherwise(0L)).cast("long").as("n_dropped"),
+          sum(when(col("is_hot"), col("np").cast("long")).otherwise(0L)).as("tok_dropped")
+        )
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("n_paras"),
+          col("n_dropped"),
+          col("nt").cast("long").as("n_tokens"),
+          (col("nt") - col("tok_dropped")).cast("long").as("n_tokens_kept"),
+          Det.rN((col("nt") - col("tok_dropped")).cast("double") / col("nt"), 6).as("kept_ratio")
+        )
+        .orderBy(col("doc_id"))
+    }
+  )
+
   /** Exact substring-duplication screen (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better"): document pairs that
     * share at least one EXACT 8-token n-gram, with the count of shared
@@ -2533,7 +2622,7 @@ object Dedup {
     dedupThresholdCurve,
     dedupBestOfCluster, dedupContainment, dedupIncremental, dedupIncrementalPersisted,
     dedupMinhashIncremental, dedupPairsIncremental,
-    dedupSpanCoverage, dedupNgramExact, dedupSourceOverlap, dedupSourceUnique,
+    dedupSpanCoverage, dedupBoilerplate, dedupNgramExact, dedupSourceOverlap, dedupSourceUnique,
     dedupEditDistance, dedupCdcChunks, dedupCdcIncremental, pipelineSplitLeakage
   )
 }

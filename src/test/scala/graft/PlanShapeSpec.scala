@@ -130,6 +130,23 @@ class PlanShapeSpec extends SparkSuite {
       s"lang-only all-pairs join regression:\n$sp")
   }
 
+  test("dedup_boilerplate joins only on the (source, paragraph-hash) key — never doc×doc") {
+    // The removal stage's 100 TB contract: paragraphs flow through a
+    // (source, h)-keyed df aggregate and join back on the SAME key —
+    // any join keyed more coarsely (source-only would fan every doc of
+    // a source against every hot paragraph of it) or any pairwise
+    // doc×doc shape is a regression.
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val sp = Registry.byName("dedup_boilerplate").run(spark, sf).queryExecution.sparkPlan
+    val joins = sp.collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty, s"expected the hot-paragraph join:\n$sp")
+    for (j <- joins) {
+      val keys = j.leftKeys.flatMap(_.references.map(_.name)).toSet
+      assert(keys.exists(_.startsWith("h")) && keys.exists(_.startsWith("source")),
+        s"hot-paragraph join must be keyed on (source, h), got $keys:\n$sp")
+    }
+  }
+
   test("agg_group_pricing uses two-phase hash aggregation") {
     val p = plan("agg_group_pricing")
     assert(p.contains("HashAggregate"), p.take(2000))
