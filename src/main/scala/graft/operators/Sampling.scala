@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Det, Q, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / mixture operators for training-data
@@ -268,10 +268,7 @@ object Sampling {
     Some(
       "WITH d AS (SELECT doc_id, source, n_chars, string_split(text, ' ') AS t FROM documents), " +
         "f AS (SELECT doc_id, source, cast(len(t) as bigint) AS n_tokens, " +
-        "0.4 * (CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1.0 ELSE 0.0 END) + " +
-        "0.3 * (len(list_filter(t, x -> length(x) > 4))::DOUBLE / len(t)) + " +
-        "0.2 * (1 - len(list_filter(t, x -> list_contains(['the','and','of','a','in','key','row'], x)))::DOUBLE / len(t)) + " +
-        "0.1 * least((n_chars::DOUBLE / len(t)) / 10, 1.0) AS q FROM d), " +
+        TextAnalysis.oQualityScore("n_chars", "t") + " AS q FROM d), " +
         "tt AS (SELECT sum(n_tokens)::DOUBLE AS tot FROM f), " +
         "c AS (SELECT *, sum(n_tokens) OVER (ORDER BY q DESC, doc_id) AS cum FROM f) " +
         "SELECT source, cast(count(*) as bigint) AS n_docs, " +
@@ -315,6 +312,212 @@ object Sampling {
             6).as("kept_token_frac")
         )
         .orderBy(col("source"))
+    }
+  )
+
+  /** The END-TO-END corpus build in ONE audited plan (VERDICT r18 #1) —
+    * the engine's LLM-pipeline families composed the way a real
+    * training-data run chains them, per language:
+    *
+    *   raw → quality gate (length + token floor, [[pipelineFunnel]]'s
+    *   gate) → exact-dedup survivors (min doc_id per sha256) → near-dup
+    *   survivors (drop every doc paired jac ≥ 0.8 with a SMALLER id in
+    *   the PERSISTED pair manifest — the view, not a recompute) →
+    *   decontaminated (no ≥ 50% 5-gram coverage of an eval-set doc,
+    *   from the PERSISTED shingle view) → token-budget cut (keep
+    *   best-quality-first until half the clean corpus' tokens, the
+    *   [[pipelineTokenBudget]] rule over [[Grids.runningSums]]) →
+    *   packed (4000-char packs, [[pipelinePack]]'s layout) → per-lang
+    *   build report.
+    *
+    * Why it exists as ONE row: every stage is individually
+    * oracle-green, but composition is where view-reuse and pushdown
+    * bugs hide — this row proves the stages chain (flags, not
+    * filters, so one corpus pass feeds the funnel counts; the dedup
+    * and contamination verdicts arrive as doc-keyed equi-joins from
+    * the write-once views).
+    *
+    * 100 TB: inputs are the persisted pair manifest and shingle view
+    * (built once per corpus snapshot); the verdict sets are doc-keyed
+    * joins (broadcast at audit scale, shuffle-capable at corpus scale
+    * — same shape either way); the only corpus-wide shuffles are the
+    * sha256 keeper groupBy, the bucketed running sum, and the per-lang
+    * pack window — [[pipelinePack]]'s sub-shard note applies
+    * unchanged. Determinism: gates are exact-int compares; q is the
+    * ONE [[TextAnalysis.qualityScore]] spelling; cum sums are exact
+    * longs; pack offsets exact longs; mean_fill is one IEEE division,
+    * trunc-rounded. */
+  /** The corpus-build flag pass — one slim frame with every gate as a
+    * FLAG (doc_id, lang, n_chars, n_tokens, q, pass_q/e/n/c), built from
+    * ONE corpus scan for the flags + one for the sha256 keepers, with
+    * the near-dup and contamination verdicts arriving as doc-keyed
+    * joins FROM THE PERSISTED VIEWS (the pair manifest; the 5-gram
+    * shingle view) — never recomputed inline. Factored out so
+    * PlanShapeSpec can pin exactly that shape on the un-truncated
+    * plan. */
+  private[graft] def corpusBuildFlags(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val t    = split(col("text"), " ")
+    val keepers = docs
+      .groupBy(sha2(col("text"), 256))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(true).as("pass_e"))
+    // near-dup verdicts from the WRITE-ONCE jac >= 0.8 pair manifest
+    // (the view every full-scope pair consumer serves from): a doc is
+    // dropped iff it pairs with a smaller-id doc, i.e. appears as idb
+    val nearDropped = spark.read
+      .parquet(Dedup.pairTablePath(spark, dir))
+      .select(col("idb").as("doc_id"))
+      .distinct()
+      .withColumn("near_dup", lit(true))
+    // contamination verdicts from the WRITE-ONCE 5-gram shingle view —
+    // literally text_contamination's screen, reduced to a doc_id set
+    val contaminated = TextAnalysis
+      .contamScreenAgainst(
+        spark.read
+          .parquet(TextAnalysis.contamShingleTablePath(spark, dir))
+          .filter(col("doc_id") >= 20),
+        TextAnalysis.contamBenchFrame(spark, dir))
+      .select(col("doc_id"))
+      .distinct()
+      .withColumn("cont", lit(true))
+    docs
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_chars"),
+        size(t).cast("long").as("n_tokens"),
+        TextAnalysis.qualityScore(col("n_chars"), t).as("q"),
+        (col("n_chars") >= 150 && size(t) >= 20).as("pass_q")
+      )
+      .join(keepers, Seq("doc_id"), "left")
+      .join(broadcast(nearDropped), Seq("doc_id"), "left")
+      .join(broadcast(contaminated), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_chars"),
+        col("n_tokens"),
+        col("q"),
+        col("pass_q"),
+        coalesce(col("pass_e"), lit(false)).as("pass_e"),
+        (!coalesce(col("near_dup"), lit(false))).as("pass_n"),
+        (!coalesce(col("cont"), lit(false))).as("pass_c")
+      )
+  }
+
+  val pipelineCorpusBuild: Q = Q(
+    "pipeline_corpus_build",
+    Some(
+      "WITH keepers AS (SELECT min(doc_id) AS k FROM documents GROUP BY sha256(text)), " +
+        "dt AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t FROM documents), " +
+        "nd AS (SELECT DISTINCT b.doc_id AS idb FROM dt a JOIN dt b " +
+        "ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+        s"AND ${Dedup.oLenRatio("a.t", "b.t")} " +
+        s"WHERE ${Dedup.oJac("a.t", "b.t")} >= 0.8), " +
+        "dd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 3), " +
+        "i -> array_to_string(t[i:i+4], ' '))) AS s FROM dd WHERE len(t) >= 5), " +
+        "bench AS (SELECT doc_id AS bench_id, len(s) AS nb, unnest(s) AS g FROM sh WHERE doc_id < 20), " +
+        "corp AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 20), " +
+        "cont AS (SELECT DISTINCT c.doc_id FROM corp c JOIN bench b ON c.g = b.g " +
+        "GROUP BY c.doc_id, b.bench_id HAVING count(*)::DOUBLE / max(b.nb) >= 0.5), " +
+        "f AS (SELECT doc_id, lang, n_chars, cast(len(t) as bigint) AS n_tokens, " +
+        TextAnalysis.oQualityScore("n_chars", "t") + " AS q, " +
+        "(n_chars >= 150 AND len(t) >= 20) AS pass_q, " +
+        "(doc_id IN (SELECT k FROM keepers)) AS pass_e, " +
+        "(doc_id NOT IN (SELECT idb FROM nd)) AS pass_n, " +
+        "(doc_id NOT IN (SELECT doc_id FROM cont)) AS pass_c " +
+        "FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS t FROM documents)), " +
+        "clean AS (SELECT * FROM f WHERE pass_q AND pass_e AND pass_n AND pass_c), " +
+        "tt AS (SELECT sum(n_tokens)::DOUBLE AS tot FROM clean), " +
+        "cc AS (SELECT *, sum(n_tokens) OVER (ORDER BY q DESC, doc_id) AS cum FROM clean), " +
+        "kept AS (SELECT cc.* FROM cc, tt WHERE cc.cum <= 0.5 * tt.tot), " +
+        "pk AS (SELECT lang, n_chars, n_tokens, " +
+        "cast(floor((sum(n_chars) OVER (PARTITION BY lang ORDER BY " +
+        s"${oHkey("doc_id")}, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars)::DOUBLE / 4000.0) as bigint) " +
+        "AS pack_id FROM kept), " +
+        "ka AS (SELECT lang, count(*)::BIGINT AS n_kept, " +
+        "cast(sum(n_tokens) as bigint) AS n_tokens_kept, " +
+        "cast(count(DISTINCT pack_id) as bigint) AS n_packs, " +
+        "cast(sum(n_chars) as bigint) AS chars_packed FROM pk GROUP BY lang), " +
+        "fu AS (SELECT lang, count(*)::BIGINT AS n_raw, " +
+        "cast(sum(CASE WHEN pass_q THEN 1 ELSE 0 END) as bigint) AS n_quality, " +
+        "cast(sum(CASE WHEN pass_q AND pass_e THEN 1 ELSE 0 END) as bigint) AS n_exact, " +
+        "cast(sum(CASE WHEN pass_q AND pass_e AND pass_n THEN 1 ELSE 0 END) as bigint) AS n_near, " +
+        "cast(sum(CASE WHEN pass_q AND pass_e AND pass_n AND pass_c THEN 1 ELSE 0 END) as bigint) AS n_clean " +
+        "FROM f GROUP BY lang) " +
+        "SELECT fu.lang, n_raw, n_quality, n_exact, n_near, n_clean, " +
+        "cast(coalesce(n_kept, 0) as bigint) AS n_kept, " +
+        "cast(coalesce(n_tokens_kept, 0) as bigint) AS n_tokens_kept, " +
+        "cast(coalesce(n_packs, 0) as bigint) AS n_packs, " +
+        "cast(coalesce(chars_packed, 0) as bigint) AS chars_packed, " +
+        "CASE WHEN coalesce(n_packs, 0) > 0 THEN " +
+        Det.oRN("chars_packed::DOUBLE / (n_packs * 4000.0)", 6) +
+        " ELSE 0.0 END AS mean_fill " +
+        "FROM fu LEFT JOIN ka ON fu.lang = ka.lang ORDER BY fu.lang"
+    ),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // The flag pass feeds SIX downstream consumers (funnel aggregate,
+      // clean filter, budget total, the running sum's internal
+      // references) — truncate its lineage so the corpus is flagged
+      // ONCE and every consumer reads the materialized slim frame
+      // instead of re-deriving the joins (the no-recompute contract
+      // PlanShapeSpec pins; at 100 TB this is one corpus pass + one
+      // 9-column write, not six passes).
+      val f = graft.Lineage.truncate(corpusBuildFlags(spark, dir))
+      val clean = f
+        .filter(col("pass_q") && col("pass_e") && col("pass_n") && col("pass_c"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("n_tokens"), col("q"))
+      val tot  = clean.agg(sum(col("n_tokens")).cast("double").as("tot"))
+      val kept = Grids
+        .runningSums(clean, "q", desc = true, Seq("doc_id"), Seq((col("n_tokens"), "cum_tokens")))
+        .crossJoin(broadcast(tot)) // bounded: ONE budget row
+        .filter(col("cum_tokens").cast("double") <= lit(0.5) * col("tot"))
+      val w = Window
+        .partitionBy(col("lang"))
+        .orderBy(hkey(col("doc_id")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ka = kept
+        .withColumn("start_off", sum(col("n_chars")).over(w) - col("n_chars"))
+        .withColumn("pack_id", floor(col("start_off").cast("double") / 4000.0).cast("long"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).cast("long").as("n_tokens_kept"),
+          countDistinct(col("pack_id")).as("n_packs"),
+          sum(col("n_chars")).cast("long").as("chars_packed")
+        )
+      f.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_raw"),
+          sum(when(col("pass_q"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("pass_q") && col("pass_e"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("pass_q") && col("pass_e") && col("pass_n"), 1L).otherwise(0L)).as("n_near"),
+          sum(when(col("pass_q") && col("pass_e") && col("pass_n") && col("pass_c"), 1L)
+            .otherwise(0L)).as("n_clean")
+        )
+        .join(broadcast(ka), Seq("lang"), "left")
+        .select(
+          col("lang"),
+          col("n_raw"),
+          col("n_quality"),
+          col("n_exact"),
+          col("n_near"),
+          col("n_clean"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+          coalesce(col("n_packs"), lit(0L)).as("n_packs"),
+          coalesce(col("chars_packed"), lit(0L)).as("chars_packed"),
+          when(coalesce(col("n_packs"), lit(0L)) > 0,
+            Det.rN(col("chars_packed").cast("double") / (col("n_packs") * 4000.0), 6))
+            .otherwise(0.0).as("mean_fill")
+        )
+        .orderBy(col("lang"))
     }
   )
 
@@ -708,7 +911,8 @@ object Sampling {
 
   def qs: Seq[Q] = Seq(
     sampleHashPct, sampleStratified, interleaveSources, joinRangeEvents,
-    mixReport, sampleQualityWeighted, pipelinePack, pipelineTokenBudget, sampleTrainTestSplit,
+    mixReport, sampleQualityWeighted, pipelinePack, pipelineTokenBudget, pipelineCorpusBuild,
+    sampleTrainTestSplit,
     sampleRendezvousShards, pipelineEpochShuffle, sampleTemperature,
     pipelineMixtureSolve, sampleBootstrapCi
   )

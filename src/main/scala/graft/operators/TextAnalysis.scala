@@ -177,6 +177,18 @@ object TextAnalysis {
         array_contains(array(qualityStopwords.map(lit): _*), x))).cast("double") / size(t)) +
       lit(0.1) * least((nChars.cast("double") / size(t)) / 10, lit(1.0))
 
+  /** The DuckDB spelling of [[qualityScore]] — ONE oracle copy for the
+    * same one-definition reason (shared by the token-budget cut and the
+    * corpus-build composition): `nChars`/`t` are the SQL expressions for
+    * the char count and the token list. Operation order mirrors
+    * [[qualityScore]] term by term so the IEEE doubles stay
+    * bit-identical. */
+  private[operators] def oQualityScore(nChars: String, t: String): String =
+    s"0.4 * (CASE WHEN $nChars BETWEEN 100 AND 400 THEN 1.0 ELSE 0.0 END) + " +
+      s"0.3 * (len(list_filter($t, x -> length(x) > 4))::DOUBLE / len($t)) + " +
+      s"0.2 * (1 - len(list_filter($t, x -> list_contains(['the','and','of','a','in','key','row'], x)))::DOUBLE / len($t)) + " +
+      s"0.1 * least(($nChars::DOUBLE / len($t)) / 10, 1.0)"
+
   /** Quality scoring: length band, mean token length, stopword ratio,
     * long-token ratio → weighted composite in [0,1]. All ratios are
     * ratios of exact ints — identical across engines before the final

@@ -147,6 +147,35 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("pipeline_corpus_build serves its dedup and contamination verdicts from the persisted views") {
+    // The composition row's whole point (VERDICT r18 #1): the near-dup
+    // and contamination stages must SCAN the write-once views, never
+    // re-run the blocked pair join / the shingle build inline. If the
+    // view reads silently degrade to recomputes the row still
+    // hash-matches — only this structural pin (and the bench delta)
+    // would notice.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def paths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect { case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.mkString(",")
+      }
+    // half 1: the flag pass (un-truncated) — verdicts view-served, and
+    // exactly two corpus passes (keeper groupBy + flag projection)
+    val fp = paths(operators.Sampling.corpusBuildFlags(spark, sf))
+    assert(fp.exists(_.contains("graft_dedup_pairs")),
+      s"near-dup verdicts must come from the pair-manifest view, scans: $fp")
+    assert(fp.exists(_.contains("graft_contam_shingles")),
+      s"contamination verdicts must come from the shingle view, scans: $fp")
+    assert(fp.count(_.contains("documents.parquet")) <= 2,
+      s"flag pass re-derives from raw text, scans: $fp")
+    // half 2: the composed row reads the TRUNCATED flag frame — its six
+    // downstream consumers must plan ZERO file re-scans (documents OR
+    // views); everything flows from the one materialized pass
+    val rp = paths(Registry.byName("pipeline_corpus_build").run(spark, sf))
+    assert(rp.isEmpty,
+      s"composition re-scans files instead of the materialized flag frame: $rp")
+  }
+
   test("agg_group_pricing uses two-phase hash aggregation") {
     val p = plan("agg_group_pricing")
     assert(p.contains("HashAggregate"), p.take(2000))
