@@ -403,13 +403,13 @@ object Bench {
         (name, math.min(first, second), gcFirst, gcSecond, second)
       }
     val min2Json = min2.map { case (k, v, _, _, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    // Per-row [second, gc_first_ms, gc_second_ms] detail, folded INTO
-    // the final compact line below (VERDICT r15 #2): as its own stdout
-    // line BEFORE the compact one it printed outside the harness's
-    // 2 KB stdout TAIL and never reached the committed artifact —
-    // min2_detail existed only in builder-local logs. The compressed
-    // array form (~45 bytes/row × 10) fits alongside the compact line,
-    // paid for by the views-map compression above.
+    // Per-row [second, gc_first_ms, gc_second_ms] detail. History: r15
+    // folded it into the compact line (it had printed outside the 2 KB
+    // tail, VERDICT r15 #2); r19 moves it to BENCH_DETAIL.json — the
+    // committed sidecar is the designated overflow artifact since r18,
+    // and min2_detail's ~450 B of names (duplicating min2's keys) is
+    // what paid for the mc_retry/aenv retry fields inside the tail
+    // budget BenchFmtSpec now pins. Still committed, still on stderr.
     val min2DetailJson = min2.map { case (k, _, gc1, gc2, second) =>
       f""""$k":[${math.min(second, 9999.0)}%.2f,$gc1,$gc2]"""
     }.mkString("{", ",", "}")
@@ -430,6 +430,9 @@ object Bench {
     // its memos DROPPED (Registry.clearMemos) and one full recompute
     // timed — an artifact-native second reading whose min(first,second)
     // attributes I/O-window noise vs real plan cost exactly like min2.
+    // Contention-retry readings (VERDICT r18 #5): tag -> (first mc
+    // reading, retry mc reading), populated only when a retry fired.
+    val mcRetries = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val min2MemoCleared = results
       .filter(r => Registry.byName(r._1).memoizes)
       .sortBy(-_._2)
@@ -444,14 +447,36 @@ object Bench {
         Registry.clearMemos()
         auditTag.get(name).foreach(t => probeAuditEnv(t + "_mc"))
         val q  = Registry.byName(name)
-        val t0 = System.nanoTime()
-        val second =
+        def timedRun(): Double = {
+          val t0 = System.nanoTime()
           try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
           catch { case _: Throwable => Double.MaxValue }
+        }
+        val second = timedRun()
         dropDeadBlocks()
         System.err.println(
           f"[bench] min2mc $name%-28s first=$first%7.3f s second=${math.min(second, 9999.0)}%7.3f s (memo cleared)")
-        (name, math.min(first, second))
+        // Contention-adaptive audit rerun (VERDICT r18 #5): aenv can
+        // ATTRIBUTE a noisy window, but the noisy number still became
+        // THE memo-cleared reading (r18's 250.7 s builder run). When the
+        // pre-rerun io probe saw contention (> 0.1 s for the 32 MB
+        // O_DIRECT read; quiet windows measure 0.017-0.034), re-probe
+        // and re-run ONCE — bounded, both readings recorded in mc_retry,
+        // the min carried forward. io = -1 (O_DIRECT unsupported) never
+        // triggers.
+        val retry = auditTag.get(name).flatMap { t =>
+          auditEnv.get(t + "_mc").collect { case (_, io) if io > 0.1 =>
+            Registry.clearMemos()
+            probeAuditEnv(t + "_mc2")
+            val r = timedRun()
+            dropDeadBlocks()
+            mcRetries(t) = (math.min(second, 9999.0), math.min(r, 9999.0))
+            System.err.println(
+              f"[bench] min2mc retry $name%-22s io_mc=$io%.3f first_mc=${math.min(second, 9999.0)}%7.3f s retry=${math.min(r, 9999.0)}%7.3f s")
+            r
+          }
+        }
+        (name, math.min(math.min(first, second), retry.getOrElse(Double.MaxValue)))
       }
     val min2McJson =
       min2MemoCleared.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
@@ -479,6 +504,9 @@ object Bench {
     val compact = (headline ++ slowest).distinct
       .flatMap(n => byName.get(n).map(v => f""""$n":$v%.3f"""))
       .mkString("{", ",", "}")
+    // "slowest" self-explanation (r6 lesson) — sidecar-only since r19:
+    // the sidecar's complete queries/gc_ms maps subsume it, and its
+    // ~95 B bought the mc_retry fields inside the tail budget
     val slowDetail = results.sortBy(-_._2).headOption.map { case (n, v, g) =>
       val idx = results.indexWhere(_._1 == n) + 1
       f""","slowest":{"name":"$n","sec":$v%.3f,"gc_ms":$g,"order":$idx}"""
@@ -490,13 +518,9 @@ object Bench {
     // a quiet-window rerun (VERDICT r12 #3). Families run concurrently,
     // so entries overlap — they attribute, they don't sum to the row.
     // (Snapshot taken BEFORE the memo-cleared rerun, see above.)
-    def secMapJson(m: Map[String, Double]): String = m.toSeq.sortBy(-_._2)
-      .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
-    // The harness keeps only the LAST 2000 stdout bytes as the
-    // committed artifact's tail — r17's tail was 1873/2000 full, so the
-    // r18 additions (aenv, parity machines, memo-cleared maps) cannot
-    // ALL fit alongside the families stanza. Byte triage, least
-    // important first on stdout (the tail cuts from the head):
+    //
+    // Byte triage of the 2 KB tail (the tail cuts from the HEAD; the
+    // budget table + the spec that pins it live in BenchFmt):
     //   1. the full per-query line (never fit; full-log readers only),
     //   2. stream_eq_families first+mc maps (may clip — the complete
     //      copy lives in BENCH_DETAIL.json, written below),
@@ -504,25 +528,17 @@ object Bench {
     //      survive whole),
     //   4. the compact line (the driver parses it — always last).
     val famsMc = operators.StreamEquivalence.lastFamilySeconds
-    if (streamEqFams.nonEmpty) {
-      // memo-cleared rerun's decomposition too, when one ran (the map
-      // moved): the rerun is the number VERDICT r16 #1's gate reads, so
-      // its slow family must be nameable from the artifact as well
-      val mcJson =
-        if (famsMc != streamEqFams) s""","memo_cleared":${secMapJson(famsMc)}""" else ""
-      println(s"""{"metric":"stream_eq_families","unit":"sec","concurrent":true,"seconds":${secMapJson(streamEqFams)}$mcJson}""")
-    }
+    if (streamEqFams.nonEmpty)
+      println(BenchFmt.famsStanza(streamEqFams, famsMc))
     // Per-machine decomposition of the state-parity audit — first run
     // AND memo-cleared rerun (VERDICT r17 #5): BENCH_r17 carried parity
     // memo-cleared 11.55 s vs builder-local 4.94 s with the slow machine
     // unnameable from the artifact. Machines run concurrently: entries
     // attribute, they don't sum (same contract as stream_eq_families).
     val parityMc = operators.StreamEquivalence.lastMachineSeconds
-    if (parityMachines.nonEmpty) {
-      val mcJson =
-        if (parityMc != parityMachines) s""","memo_cleared":${secMapJson(parityMc)}""" else ""
-      println(s"""{"metric":"state_parity_machines","unit":"sec","concurrent":true,"seconds":${secMapJson(parityMachines)}$mcJson}""")
-    }
+    if (parityMachines.nonEmpty)
+      println(BenchFmt.parityStanza(parityMachines, parityMc))
+    def secMapJson(m: Map[String, Double]): String = BenchFmt.secMapJson(m)
     // gc_sec = whole-run driver GC time: the harness-health signal that
     // diagnoses any future bench-tail anomaly from the artifact alone
     // (round 5's 7x regression was GC, invisible in per-query seconds).
@@ -531,10 +547,10 @@ object Bench {
     // (same-commit raw totals were observed to swing 121-209 s on this
     // class of shared box while the calib-normalized number held).
     // aenv = [calib_sec, io_probe_sec] re-measured immediately before
-    // each audit row (eq/par) and its memo-cleared rerun (eq_mc/par_mc)
-    val aenvJson = auditEnv
-      .map { case (k, (c, i)) => f""""$k":[$c%.3f,$i%.3f]""" }
-      .mkString("{", ",", "}")
+    // each audit row (eq/par), its memo-cleared rerun (eq_mc/par_mc),
+    // and any contention retry (eq_mc2/par_mc2)
+    val aenvJson = BenchFmt.aenvJson(auditEnv.toSeq)
+    val mcRetryJson = BenchFmt.mcRetryJson(mcRetries.toSeq)
     // Truncation-proof sidecar: everything above, whole, as ONE file in
     // the repo cwd — per-query seconds + gc, min2 triplet, aenv, BOTH
     // audit decompositions (first + memo-cleared), views. The stdout
@@ -546,9 +562,9 @@ object Bench {
         f"""{"sf":"$sfDir","total_sec":$total%.3f,"gc_sec":${gcMillis / 1000.0}%.1f,"calib_sec":$calibSec%.3f,"io_probe_sec":$ioProbeSec%.3f,"warm_views_sec":$warmViewsSec%.3f,"views":$viewsFullJson,"aenv":$aenvJson,
 "queries":$qs,
 "gc_ms":$gcs,
-"min2":$min2Json,"min2_detail":$min2DetailJson,"min2_memo_cleared":$min2McJson,
+"min2":$min2Json,"min2_detail":$min2DetailJson,"min2_memo_cleared":$min2McJson${BenchFmt.mcRetryJson(mcRetries.toSeq)},
 "stream_eq_families":{"first":${secMapJson(streamEqFams)},"memo_cleared":${secMapJson(famsMc)}},
-"state_parity_machines":{"first":${secMapJson(parityMachines)},"memo_cleared":${secMapJson(parityMc)}}}
+"state_parity_machines":{"first":${secMapJson(parityMachines)},"memo_cleared":${secMapJson(parityMc)}}$slowDetail}
 """
       // Path resolution (ADVICE r18): a bare relative path lands the
       // sidecar in whatever cwd the JVM was launched from — silently
@@ -564,7 +580,10 @@ object Bench {
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[bench] detail sidecar written: $detailPath")
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","gc_sec":${gcMillis / 1000.0}%.1f,"calib_sec":$calibSec%.3f,"io_probe_sec":$ioProbeSec%.3f,"total_per_calib":${total / calibSec}%.1f,"warm_views_sec":$warmViewsSec%.3f,"views":$viewsJson,"aenv":$aenvJson,"queries":$compact,"min2":$min2Json,"min2_detail":$min2DetailJson,"min2_memo_cleared":$min2McJson$slowDetail,"sf":"$sfDir"}""")
+    println(BenchFmt.compactLine(
+      total, gcMillis / 1000.0, calibSec, ioProbeSec, warmViewsSec,
+      viewsJson, aenvJson, compact, min2Json, min2McJson,
+      mcRetryJson, sfDir))
     spark.stop()
   }
 }
