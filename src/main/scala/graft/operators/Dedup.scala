@@ -271,7 +271,8 @@ object Dedup {
     * The widened scope also forced the join onto the engine's blocked
     * shape (the naive lang-only self-join took 13.9 s at sf0.1 — the
     * exact all-pairs anti-pattern the near-jaccard manifest avoids):
-    * shingles hash to 60-bit md5 longs, docs bucket by
+    * bigrams hash to 64-bit rolling-mix longs (never strings — see
+    * [[bigramShingleDocs]]), docs bucket by
     * floor(log_{5/3} n_shingles), the probe side explodes to ±1
     * buckets, and the codegen'd sorted-intersect kernel scores
     * survivors. LOSSLESS for jac ≥ 0.6 — that threshold forces
@@ -280,8 +281,12 @@ object Dedup {
     * reach 0.6. The DuckDB oracle keeps the direct all-pairs string
     * spelling: it DEFINES the semantics the blocked plan must
     * hash-match (same oracle-vs-blocked contract as
-    * [[dedupNearJaccard]]; 60-bit collisions are the same accepted
-    * ~1e-12).
+    * [[dedupNearJaccard]]; hash collisions are the same accepted
+    * ~1e-12). Candidate-generation note (r19, measured in DuckDB at
+    * sf0.1): a PPJoin-style prefix filter was evaluated as the
+    * alternative blocking and REJECTED — on this 31-token vocabulary
+    * the bigram space is dense, and prefix candidates measured 292 k
+    * pairs vs the bucket grid's 246 k.
     *
     * Degenerate-pair rule (ADVICE r18): a doc with ZERO bigram shingles
     * (text of < 2 tokens) is excluded on BOTH sides — the engine's
@@ -293,6 +298,48 @@ object Dedup {
     * drops). A shingle-less doc can never reach jac >= 0.6 against a
     * doc that HAS shingles (0/nb = 0), so the filter only removes the
     * NaN artifact, never a real pair. */
+  /** The ngram row's per-doc signature frame (doc_id, lang, s = sorted
+    * distinct 64-bit bigram hashes, ns, bkt), shared with the
+    * [[graft.NgramFloor]] decomposition probe.
+    *
+    * Bigram hashes are a ROLLING MIX over per-token xxhash64 — h(t1)
+    * XOR rot13(h(t2)) — never materialized strings (r19, VERDICT r18
+    * #6): the r18 spelling concatenated every bigram string and md5'd
+    * it, and NgramFloor measured that build at 0.93 s of the row's
+    * 1.76 s warm floor at sf0.1, PAID TWICE (once per join side). The
+    * mix is [[graft.operators.TextAnalysis.contamShinglesBuild]]'s
+    * technique at n = 2 (its measured 7× there), and position
+    * sensitivity is preserved (rot13 of the second token ≠ rot13 of
+    * the first, so "a b" ≠ "b a"). The DuckDB oracle keeps exact
+    * string bigrams — same accepted ~2^-45 different-shingle collision
+    * story as the contamination family.
+    *
+    * FP safety of the base-5/3 bucket grid (ADVICE r18, same bound
+    * pattern as the base-1.25 comment at bktCol): ln(n)/ln(5/3) sits
+    * >= 4.0e-8 from every integer for 2 <= n <= 1e7 (measured
+    * exhaustively; n = 1 is exactly 0 -> bucket 0, exact), seven
+    * orders above double rounding error — floor() cannot flip a
+    * bucket, so the ±1 probe explode stays lossless for jac >= 0.6. */
+  private[graft] def bigramShingleDocs(spark: SparkSession, dir: String): DataFrame = {
+    def rot(c: Column, bits: Int): Column =
+      shiftleft(c, bits).bitwiseOR(shiftrightunsigned(c, 64 - bits))
+    val t  = split(col("text"), " ")
+    val th = transform(t, tok => xxhash64(tok))
+    val m  = greatest(size(t) - 1, lit(0)) // bigram count
+    val mixed = zip_with(
+      slice(th, lit(1), m),
+      slice(th, lit(2), m),
+      (a, b) => a.bitwiseXOR(rot(b, 13)))
+    val sh = sort_array(array_distinct(mixed))
+    Tables
+      .documents(spark, dir)
+      .filter(col("doc_id") < 2000)
+      .select(col("doc_id"), col("lang"), sh.as("s"))
+      .withColumn("ns", size(col("s")))
+      .filter(col("ns") >= 1) // a shingle-less doc can never reach jac >= 0.6
+      .withColumn("bkt", floor(log(col("ns").cast("double")) / math.log(5.0 / 3.0)).cast("int"))
+  }
+
   val dedupNgramJaccard: Q = Q(
     "dedup_ngram_jaccard",
     Some(
@@ -309,28 +356,7 @@ object Dedup {
     ),
     (spark, dir) => {
       import org.apache.spark.sql.graftx.SortedLongIntersectCount
-      val t = split(col("text"), " ")
-      val shingles = filter(
-        zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))), (x, y) => concat(x, lit(" "), y)),
-        v => v.isNotNull
-      )
-      // distinct 60-bit md5 shingle hashes, sorted — the same hashed
-      // set identity every exact-Jaccard path uses (hashedTokenSet)
-      val sh = sort_array(array_distinct(transform(
-        shingles, x => conv(substring(md5(x), 1, 15), 16, 10).cast("long"))))
-      val d = Tables
-        .documents(spark, dir)
-        .filter(col("doc_id") < 2000)
-        .select(col("doc_id"), col("lang"), sh.as("s"))
-        .withColumn("ns", size(col("s")))
-        .filter(col("ns") >= 1) // a shingle-less doc can never reach jac >= 0.6
-        // FP safety of the base-5/3 grid (ADVICE r18, same bound pattern
-        // as the base-1.25 comment at bktCol): ln(n)/ln(5/3) sits
-        // >= 4.0e-8 from every integer for 2 <= n <= 1e7 (measured
-        // exhaustively; n = 1 is exactly 0 -> bucket 0, exact), seven
-        // orders above double rounding error — floor() cannot flip a
-        // bucket, so the ±1 probe explode stays lossless for jac >= 0.6
-        .withColumn("bkt", floor(log(col("ns").cast("double")) / math.log(5.0 / 3.0)).cast("int"))
+      val d = bigramShingleDocs(spark, dir)
       val a = d.select(
         col("doc_id").as("ida"), col("lang"), col("s").as("sa"), col("ns").as("na"),
         explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("pb"))
