@@ -30,6 +30,33 @@ class DedupSpec extends SparkSuite {
     assert(again.count() == 0)
   }
 
+  test("bigram rolling-mix hashes are order-sensitive and collision-free on the fixture") {
+    // r19 replaced the ngram row's md5-of-"t1 t2" strings with
+    // xxhash64(t1) XOR rot13(xxhash64(t2)). The rot13 asymmetry is
+    // LOAD-BEARING: a symmetric mix (plain XOR) would hash "a b" and
+    // "b a" identically, and 410 of the sf0.001 scope's 500 docs
+    // contain at least one reversed bigram pair — their distinct-set
+    // sizes (and so the 3:5 prefilter and jac denominators) would
+    // silently shrink. Pin: every doc's hashed-set size equals its
+    // exact distinct STRING-bigram count (which also certifies zero
+    // 64-bit collisions on the fixture, the assumption the oracle
+    // contract rides on).
+    val t = split(col("text"), " ")
+    val stringBigrams = array_distinct(filter(
+      zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (x, y) => concat(x, lit(" "), y)),
+      v => v.isNotNull))
+    val expected = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 2000 && size(t) >= 2)
+      .select(col("doc_id"), size(stringBigrams).as("n_str"))
+    val got = operators.Dedup.bigramShingleDocs(spark, sf)
+      .select(col("doc_id"), col("ns"))
+    val diff = expected.join(got, Seq("doc_id"), "full_outer")
+      .filter(col("n_str").isNull || col("ns").isNull || col("n_str") =!= col("ns"))
+      .count()
+    assert(diff == 0, s"$diff docs where hashed bigram-set size != string bigram-set size")
+  }
+
   test("near-jaccard pairs agree with a driver-side recomputation on a sample") {
     val pairs = operators.Dedup.dedupNearJaccard.run(spark, sf).limit(50).collect()
     val texts = Tables
