@@ -210,15 +210,11 @@ object Bench {
     // ~500 bytes of the 2 KB stdout tail saying. Count the hits and
     // enumerate BY NAME only the views that were NOT plain hits — the
     // audit signal (which views were rebuilt and paid warm_views_sec)
-    // survives whole, the boilerplate doesn't. The full map stays on
-    // stderr below. Freed bytes carry min2_detail into the artifact
-    // (VERDICT r15 #2).
-    val viewsJson = {
-      val (hits, rest) = ViewStore.resolutionLog.partition(_._2 == "hit")
-      val restJson = rest
-        .map { case (fam, how) => s""""${fam.stripPrefix("graft_")}":"$how"""" }
-      (s""""hit":${hits.size}""" +: restJson).mkString("{", ",", "}")
-    }
+    // survives whole, the boilerplate doesn't. Capped at
+    // BenchFmt.MaxNamedViews named entries so a cold-cache run (ALL
+    // views built) cannot blow the 2000-byte tail (ADVICE r19 #1); the
+    // full map stays on stderr above and in BENCH_DETAIL.json.
+    val viewsJson = BenchFmt.viewsCompactJson(ViewStore.resolutionLog)
     System.err.println(
       f"[bench] warm_views_sec=$warmViewsSec%.3f (one-time serving-view ingest) views=$viewsFullJson")
 
@@ -459,21 +455,31 @@ object Bench {
         // Contention-adaptive audit rerun (VERDICT r18 #5): aenv can
         // ATTRIBUTE a noisy window, but the noisy number still became
         // THE memo-cleared reading (r18's 250.7 s builder run). When the
-        // pre-rerun io probe saw contention (> 0.1 s for the 32 MB
-        // O_DIRECT read; quiet windows measure 0.017-0.034), re-probe
-        // and re-run ONCE — bounded, both readings recorded in mc_retry,
-        // the min carried forward. io = -1 (O_DIRECT unsupported) never
-        // triggers.
+        // pre-rerun probes saw contention — io > 0.1 s for the 32 MB
+        // O_DIRECT read (quiet windows measure 0.017-0.034), OR, since
+        // r20 (VERDICT r19 #3), the window's calib probe > 1.2× the
+        // run-start calib_sec (r19's par window read 0.341 vs the run's
+        // 0.296 with quiet io, and its noisy 9.99 s stood as the
+        // first-run figure — a CPU-noisy window must trigger too) —
+        // re-probe and re-run ONCE: bounded, both readings recorded in
+        // mc_retry, the min carried forward. io = -1 (O_DIRECT
+        // unsupported) never triggers the io arm.
         val retry = auditTag.get(name).flatMap { t =>
-          auditEnv.get(t + "_mc").collect { case (_, io) if io > 0.1 =>
-            Registry.clearMemos()
-            probeAuditEnv(t + "_mc2")
-            val r = timedRun()
-            dropDeadBlocks()
-            mcRetries(t) = (math.min(second, 9999.0), math.min(r, 9999.0))
-            System.err.println(
-              f"[bench] min2mc retry $name%-22s io_mc=$io%.3f first_mc=${math.min(second, 9999.0)}%7.3f s retry=${math.min(r, 9999.0)}%7.3f s")
-            r
+          auditEnv.get(t + "_mc").collect {
+            case (c, io) if io > 0.1 || c > 1.2 * calibSec =>
+              Registry.clearMemos()
+              probeAuditEnv(t + "_mc2")
+              val r = timedRun()
+              dropDeadBlocks()
+              // a retry run that THREW records the sentinel -1, not the
+              // 9999.0 clamp — a failed retry must be distinguishable in
+              // the artifact from a genuinely slow run (ADVICE r19 #3);
+              // the carried min still falls back to the first reading.
+              val rRec = if (r == Double.MaxValue) -1.0 else math.min(r, 9999.0)
+              mcRetries(t) = (math.min(second, 9999.0), rRec)
+              System.err.println(
+                f"[bench] min2mc retry $name%-22s calib_mc=$c%.3f io_mc=$io%.3f first_mc=${math.min(second, 9999.0)}%7.3f s retry=$rRec%7.3f s")
+              r
           }
         }
         (name, math.min(math.min(first, second), retry.getOrElse(Double.MaxValue)))
@@ -579,6 +585,10 @@ object Bench {
         detailPath,
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[bench] detail sidecar written: $detailPath")
+    }.recover { case e =>
+      // a bad SPARK_GRAFT_DETAIL_DIR (missing dir, read-only) must be
+      // diagnosable from the log, not silently absent (ADVICE r19 #2)
+      System.err.println(s"[bench] detail sidecar write FAILED: $e")
     }
     println(BenchFmt.compactLine(
       total, gcMillis / 1000.0, calibSec, ioProbeSec, warmViewsSec,

@@ -48,6 +48,26 @@ object BenchFmt {
     s"""{"metric":"state_parity_machines","unit":"sec","concurrent":true,"seconds":${secMapJson(first)}$mcJson}"""
   }
 
+  /** Compact per-view serving disclosure for the tail line: plain hits
+    * are COUNTED (`"hit":N`), non-hit views (built/rebuilt — the audit
+    * signal) are named — but at most [[MaxNamedViews]] of them, the
+    * remainder collapsing to `"more":K`. Without the cap a cold-cache
+    * run (every view built) would emit all ~22 names and blow the
+    * 2000-byte tail budget while BenchFmtSpec's few-rebuilt model
+    * stayed green (ADVICE r19 #1); with it the worst case is bounded
+    * and the spec models exactly this function at that bound (3 named:
+    * the spec measured 6 named at full width overflowing to 2083/2000
+    * on the all-built case). The FULL map always lands in
+    * BENCH_DETAIL.json and on stderr. */
+  val MaxNamedViews = 3
+  def viewsCompactJson(log: Seq[(String, String)]): String = {
+    val (hits, rest) = log.partition(_._2 == "hit")
+    val named = rest.take(MaxNamedViews)
+      .map { case (fam, how) => s""""${fam.stripPrefix("graft_")}":"$how"""" }
+    val more = if (rest.size > MaxNamedViews) Seq(s""""more":${rest.size - MaxNamedViews}""") else Nil
+    ((s""""hit":${hits.size}""" +: named) ++ more).mkString("{", ",", "}")
+  }
+
   /** aenv = [calib_sec, io_probe_sec] per probe tag (eq/par/eq_mc/
     * par_mc, plus eq_mc2/par_mc2 when a contention retry fired). */
   def aenvJson(probes: Seq[(String, (Double, Double))]): String = probes

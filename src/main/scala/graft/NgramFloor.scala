@@ -48,8 +48,12 @@ object NgramFloor {
     }
     // warm-up: one full-row pass (codegen + page cache)
     Registry.byName("dedup_ngram_jaccard").run(spark, sfDir).count()
-    // one action: sum(ns) forces the full shingle derivation per row
-    time("shingle_build") { d.agg(sum(col("ns"))).head(); 2000L }
+    // one action: sum(ns) forces the full shingle derivation per row;
+    // the reported row count is the aggregate's own count, never a
+    // literal that could silently drift from the row's scope (ADVICE r19)
+    time("shingle_build") {
+      d.agg(sum(col("ns")), count(lit(1))).head().getLong(1)
+    }
     time("candidates_no_kernel")(joined.count())
     time("full_row")(Registry.byName("dedup_ngram_jaccard").run(spark, sfDir).count())
     // the kernel in isolation over the surviving candidates

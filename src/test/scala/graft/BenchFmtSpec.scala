@@ -46,8 +46,13 @@ class BenchFmtSpec extends AnyFunSuite {
       Seq("eq", "par", "eq_mc", "par_mc", "eq_mc2", "par_mc2").map(_ -> (9.999, 9.999)))
     // mc_retry: structural max 2 entries (the two audit tags)
     val mcRetry = BenchFmt.mcRetryJson(Seq("eq" -> (sec, sec), "par" -> (sec, sec)))
-    // views: worst realistic = a few rebuilt views named in full
-    val viewsJson = """{"hit":19,"dedup_pairs":"built","contam_shingles":"built","bm25_index_postings":"built"}"""
+    // views: the true worst case is a COLD cache — every view built,
+    // none a hit (ADVICE r19 #1). Compose the real capped emitter with
+    // 30 built views at a width past the longest real family name
+    // ("ingest_screen_minhash", 21 chars): the cap bounds the output no
+    // matter how many views a future round registers.
+    val viewsJson = BenchFmt.viewsCompactJson(
+      (1 to 30).map(i => f"graft_longest_view_family_$i%02d" -> "built"))
     BenchFmt.compactLine(
       total = 999.999, gcSec = 99.9, calibSec = 0.999, ioProbeSec = 9.999,
       warmViewsSec = 99.999, viewsJson = viewsJson, aenv = aenv,

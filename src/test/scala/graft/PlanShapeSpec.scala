@@ -142,8 +142,10 @@ class PlanShapeSpec extends SparkSuite {
     assert(joins.nonEmpty, s"expected the hot-paragraph join:\n$sp")
     for (j <- joins) {
       val keys = j.leftKeys.flatMap(_.references.map(_.name)).toSet
-      assert(keys.exists(_.startsWith("h")) && keys.exists(_.startsWith("source")),
-        s"hot-paragraph join must be keyed on (source, h), got $keys:\n$sp")
+      // EXACT names (ADVICE r19 #4): startsWith("h") would let any
+      // future "hot_*"-named attribute satisfy the paragraph-hash pin
+      assert(keys == Set("source", "h"),
+        s"hot-paragraph join must be keyed on exactly (source, h), got $keys:\n$sp")
     }
   }
 
