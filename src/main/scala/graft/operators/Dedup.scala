@@ -1149,32 +1149,107 @@ object Dedup {
       // shape: clustering consumes the pair manifest the screens
       // already wrote, it does not re-screen the corpus.
       val edges = scopedManifestPairs(spark, dir, scope)
-      // symmetrize via explode, NOT union(edges, edges.reversed): a
-      // union would run the similarity join once per branch — explode
-      // scans it exactly once before the materialization
-      val sym = truncate(
-        edges
-          .select(explode(array(
-            struct(col("ida").as("a"), col("idb").as("b")),
-            struct(col("idb").as("a"), col("ida").as("b"))
-          )).as("e"))
-          .select(col("e.a").as("a"), col("e.b").as("b"))
-      ) // materialize the edge list once — every iteration joins it,
-      // and recomputing the similarity join per round would dominate
-      // the whole algorithm
       val docs = Tables.documents(spark, dir)
         .filter(col("doc_id") < scope)
         .select(col("doc_id"))
-      var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+      // collect is bounded: ≤ ClusterProbeScope label rows (see cache doc)
+      ccLabels(edges, docs)
+        .select(
+          col("doc_id"),
+          col("cluster"),
+          (col("cluster") === col("doc_id")).as("is_survivor")
+        )
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSeq
+    }
+  }
+
+  /** The CC core shared by the scoped probe ([[computeClusterLabels]])
+    * and the full-manifest best-of-cluster keeper
+    * ([[bestOfClusterDropped]]): one Borůvka-style star-contraction
+    * round, then iterative min-label propagation with pointer doubling
+    * over the CONTRACTED quotient graph. Seeded from `seeds` (one
+    * doc_id column — a node absent from every edge keeps its own id as
+    * label). Returns the converged (doc_id, cluster) frame,
+    * un-collected.
+    *
+    * The contraction (r20): every edge endpoint first merges with
+    * min(self, min neighbor) — ONE aggregate over the symmetrized edge
+    * list. Connectivity-preserving for any graph (each node merges
+    * with a neighbor), and label-exact: the component's min-id node m
+    * is its own supernode (m < every neighbor), every supernode id is
+    * a member doc_id, so the quotient graph's min-label IS the
+    * component min. On this near-clique fixture it collapses the
+    * 759k-edge full manifest to a few hundred quotient edges, so the
+    * per-iteration joins run on the quotient, not the raw edge list —
+    * the bestkeep keeper compute dropped ~6.4 → ~2 s memo-cleared at
+    * sf0.1, and the same round is the standard first step of
+    * distributed CC at 100 TB (each round is one aggregate + one
+    * projection; add rounds before the loop if the quotient is still
+    * large). */
+  private def ccLabels(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    {
+      // symmetrize via explode, NOT union(edges, edges.reversed): a
+      // union would run the edge derivation once per branch. NOT
+      // checkpointed (r20): both consumers (l0, ce) are one linear pass
+      // over it, and materializing the 2×|edges| rows (1.5M at sf0.1
+      // full-manifest) cost more than the two recomputes — only the
+      // CONTRACTED frames below, which the iterative loop re-joins,
+      // are worth a checkpoint.
+      val sym = edges
+        .select(explode(array(
+          struct(col("ida").as("a"), col("idb").as("b")),
+          struct(col("idb").as("a"), col("ida").as("b"))
+        )).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+      // star contraction: endpoint -> min(self, min neighbor); bounded
+      // by the node count, so the checkpoint is cheap and cuts the
+      // explode out of every downstream lineage
+      val l0 = truncate(
+        sym.groupBy(col("a"))
+          .agg(least(col("a"), min(col("b"))).as("c0"))
+          .select(col("a").as("doc_id"), col("c0")))
+      // quotient edges between distinct supernodes (dedup'd — the raw
+      // multiplicity is exactly what the contraction exists to shed)
+      val ce = truncate(
+        sym
+          .join(broadcast(l0.select(col("doc_id").as("a"), col("c0").as("pa"))), Seq("a"))
+          .join(broadcast(l0.select(col("doc_id").as("b"), col("c0").as("pb"))), Seq("b"))
+          .filter(col("pa") =!= col("pb"))
+          .select(col("pa").as("a"), col("pb").as("b"))
+          .distinct())
+      val superLabels = ccLoop(ce, l0.select(col("c0").as("doc_id")).distinct())
+      // node label = its supernode's converged label; seeds with no
+      // edge keep their own id
+      val merged = l0
+        .join(superLabels.select(col("doc_id").as("c0"), col("cluster")), Seq("c0"))
+        .select(col("doc_id"), col("cluster"))
+      seeds
+        .join(broadcast(merged), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    }
+  }
+
+  /** The iterative min-label half of [[ccLabels]], over an already
+    * SYMMETRIC (a, b) edge frame (both orientations present — the
+    * quotient edges are built from the symmetrized list) and its node
+    * set. */
+  private def ccLoop(edgeFrame: DataFrame, seeds: DataFrame): DataFrame = {
+    {
+      val sym = truncate(edgeFrame) // materialized once; every iteration joins it
+      var labels = seeds.select(col("doc_id"), col("doc_id").as("cluster"))
       var converged = false
       var iter = 0
       while (!converged && iter < 20) {
-        // labels is ≤ ClusterProbeScope rows here (see the bound doc) —
-        // broadcast it so the big edge list never shuffles; only the
-        // narrow (a, nbr_min) aggregate exchanges. The hint is needed
-        // because the checkpointed inputs carry no stats for AQE to
-        // discover this. At unbounded corpus scale (labels = all docs)
-        // drop the hint and this reverts to the shuffle-join CC shape.
+        // labels is bounded by the seed count (≤ ClusterProbeScope for
+        // the scoped probe; the dup-graph endpoint set for the keeper
+        // path) — broadcast it so the big edge list never shuffles;
+        // only the narrow (a, nbr_min) aggregate exchanges. The hint is
+        // needed because the checkpointed inputs carry no stats for AQE
+        // to discover this. At unbounded corpus scale (labels = all
+        // docs) drop the hint and this reverts to the shuffle-join CC
+        // shape.
         val nbrMin = sym
           .join(broadcast(labels), col("b") === col("doc_id"))
           .groupBy(col("a"))
@@ -1215,16 +1290,64 @@ object Dedup {
         converged = changed == 0
         iter += 1
       }
-      // collect is bounded: ≤ ClusterProbeScope label rows (see cache doc)
       labels
-        .select(
-          col("doc_id"),
-          col("cluster"),
-          (col("cluster") === col("doc_id")).as("is_survivor")
-        )
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-        .toSeq
+    }
+  }
+
+  /** Best-of-cluster DROP set over the FULL pair manifest — the keeper
+    * policy the composed corpus build's `_bestkeep` variant applies
+    * (VERDICT r19 #1): cluster the jac ≥ 0.8 dup graph (same iterative
+    * CC as [[dedupClusters]], seeded from the manifest's ENDPOINTS
+    * only — a doc with no near-dup pair never enters the computation),
+    * keep the highest-quality member per cluster (n_chars desc, doc_id
+    * tiebreak — [[dedupBestOfCluster]]'s rule, via the map-side-heap
+    * TopKPerGroup operator), and return every other endpoint as
+    * dropped.
+    *
+    * 100 TB: the input is the persisted manifest (never a re-screen);
+    * CC touches only dup-graph endpoints, the keeper argmax moves one
+    * row per cluster. The collect is bounded by the dup-graph endpoint
+    * count (3,604 at sf0.1; at corpus scale the drop set stays a
+    * doc-keyed FRAME feeding the flag join instead of collecting —
+    * same plan shape, no driver state). Memoized per manifest path
+    * like [[clusterCache]]: the path encodes (input fingerprint,
+    * buildVersion), so regeneration invalidates mechanically. */
+  private val bestKeepCache =
+    scala.collection.mutable.Map.empty[String, Seq[Long]]
+  private val bestKeepComputes = Memos.counter()
+  Memos.register(Memos.Handle(
+    "dedup.bestKeepCache",
+    () => bestKeepCache.synchronized(bestKeepCache.size),
+    () => bestKeepCache.synchronized(bestKeepCache.clear()),
+    () => bestKeepComputes.get()
+  ))
+
+  private[graft] def bestOfClusterDropped(spark: SparkSession, dir: String): Seq[Long] = {
+    val key = pairTablePath(spark, dir)
+    bestKeepCache.synchronized(bestKeepCache.get(key)) match {
+      case Some(cached) => cached
+      case None =>
+        val pairs = spark.read.parquet(key).select(col("ida"), col("idb"))
+        val endpoints = pairs
+          .select(explode(array(col("ida"), col("idb"))).as("doc_id"))
+          .distinct()
+        val labels = ccLabels(pairs, endpoints)
+        val withChars = labels.join(
+          Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+          Seq("doc_id"))
+        val keepers = org.apache.spark.sql.graftx
+          .TopKPerGroup(withChars, Seq("cluster"), Seq("n_chars" -> true, "doc_id" -> false), 1)
+          .select(col("doc_id"))
+        val computed = labels
+          .select(col("doc_id"))
+          .join(keepers, Seq("doc_id"), "left_anti")
+          .collect()
+          .map(_.getLong(0))
+          .toSeq
+          .sorted
+        bestKeepComputes.incrementAndGet()
+        bestKeepCache.synchronized(bestKeepCache.update(key, computed))
+        computed
     }
   }
 

@@ -358,12 +358,6 @@ object Sampling {
   private[graft] def corpusBuildFlags(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val t    = split(col("text"), " ")
-    val keepers = docs
-      .groupBy(sha2(col("text"), 256))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"), lit(true).as("pass_e"))
     // near-dup verdicts from the WRITE-ONCE jac >= 0.8 pair manifest
     // (the view every full-scope pair consumer serves from): a doc is
     // dropped iff it pairs with a smaller-id doc, i.e. appears as idb
@@ -372,6 +366,40 @@ object Sampling {
       .select(col("idb").as("doc_id"))
       .distinct()
       .withColumn("near_dup", lit(true))
+    corpusBuildFlagsWith(spark, dir, nearDropped)
+  }
+
+  /** The `_bestkeep` flag pass: identical to [[corpusBuildFlags]]
+    * except the near-dup SURVIVOR POLICY — instead of the smaller-id
+    * rule, drop every dup-graph endpoint that is not its cluster's
+    * highest-quality member ([[Dedup.bestOfClusterDropped]]; verdicts
+    * arrive as a local frame bounded by the dup-graph endpoint count,
+    * computed once per manifest snapshot from the persisted pair view
+    * — still never an inline re-screen). */
+  private[graft] def corpusBuildFlagsBestKeep(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val nearDropped = Dedup
+      .bestOfClusterDropped(spark, dir)
+      .toDF("doc_id")
+      .withColumn("near_dup", lit(true))
+    corpusBuildFlagsWith(spark, dir, nearDropped)
+  }
+
+  /** Shared flag-pass body: `nearDropped` is the policy knob — a
+    * (doc_id, near_dup=true) frame naming the near-dup stage's DROPPED
+    * docs under whichever survivor rule the variant applies. */
+  private def corpusBuildFlagsWith(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      nearDropped: DataFrame): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val t    = split(col("text"), " ")
+    val keepers = docs
+      .groupBy(sha2(col("text"), 256))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(true).as("pass_e"))
     // contamination verdicts from the WRITE-ONCE 5-gram shingle view —
     // literally text_contamination's screen, reduced to a doc_id set
     val contaminated = TextAnalysis
@@ -408,15 +436,53 @@ object Sampling {
       )
   }
 
-  val pipelineCorpusBuild: Q = Q(
-    "pipeline_corpus_build",
-    Some(
-      "WITH keepers AS (SELECT min(doc_id) AS k FROM documents GROUP BY sha256(text)), " +
-        "dt AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t FROM documents), " +
-        "nd AS (SELECT DISTINCT b.doc_id AS idb FROM dt a JOIN dt b " +
-        "ON a.lang = b.lang AND a.doc_id < b.doc_id " +
-        s"AND ${Dedup.oLenRatio("a.t", "b.t")} " +
-        s"WHERE ${Dedup.oJac("a.t", "b.t")} >= 0.8), " +
+  /** The smaller-id near-dup CTE block of the corpus-build oracle: a
+    * doc is dropped iff it pairs with a smaller-id doc. */
+  private def corpusBuildNdSmallerId: String =
+    "dt AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t FROM documents), " +
+      "nd AS (SELECT DISTINCT b.doc_id AS idb FROM dt a JOIN dt b " +
+      "ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+      s"AND ${Dedup.oLenRatio("a.t", "b.t")} " +
+      s"WHERE ${Dedup.oJac("a.t", "b.t")} >= 0.8), "
+
+  /** The best-of-cluster near-dup CTE block: connected components over
+    * the jac ≥ 0.8 pair graph, keep the (n_chars DESC, doc_id) argmax
+    * per component, drop every other endpoint. The closure runs on a
+    * STAR-CONTRACTED quotient graph (every endpoint first merges with
+    * min(self, min neighbor) — one GROUP BY, connectivity-preserving
+    * for any graph) because the raw fixture graph is near-clique
+    * (759k edges at sf0.1) and DuckDB 1.0's recursive `reach` on it
+    * measured 180+ s, vs < 1 s after contraction. MATERIALIZED hints
+    * keep DuckDB from re-inlining the pair join per reference (29 s a
+    * pop at sf0.1). */
+  private def corpusBuildNdBestKeep: String =
+    "dt AS MATERIALIZED (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t FROM documents), " +
+      "pr AS MATERIALIZED (SELECT a.doc_id ida, b.doc_id idb FROM dt a JOIN dt b " +
+      "ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+      s"AND ${Dedup.oLenRatio("a.t", "b.t")} " +
+      s"WHERE ${Dedup.oJac("a.t", "b.t")} >= 0.8), " +
+      "sym AS MATERIALIZED (SELECT ida AS a, idb AS b FROM pr UNION ALL SELECT idb, ida FROM pr), " +
+      "l0 AS MATERIALIZED (SELECT a AS doc_id, least(a, min(b)) AS c0 FROM sym GROUP BY a), " +
+      "ce AS MATERIALIZED (SELECT DISTINCT la.c0 AS a, lb.c0 AS b FROM sym s " +
+      "JOIN l0 la ON s.a = la.doc_id JOIN l0 lb ON s.b = lb.doc_id WHERE la.c0 != lb.c0), " +
+      "reach(x, y) AS (SELECT a, b FROM ce UNION " +
+      "SELECT r.x, s.b FROM reach r JOIN ce s ON r.y = s.a WHERE s.b != r.x), " +
+      "l1 AS (SELECT x AS c0, least(x, min(y)) AS cluster FROM reach GROUP BY x), " +
+      "lblc AS (SELECT l0.doc_id, coalesce(l1.cluster, l0.c0) AS cluster " +
+      "FROM l0 LEFT JOIN l1 ON l0.c0 = l1.c0), " +
+      "keepd AS (SELECT doc_id FROM (SELECT l.doc_id, row_number() OVER " +
+      "(PARTITION BY l.cluster ORDER BY d.n_chars DESC, l.doc_id) AS rn " +
+      "FROM lblc l JOIN documents d ON l.doc_id = d.doc_id) WHERE rn = 1), " +
+      "nd AS (SELECT doc_id AS idb FROM lblc WHERE doc_id NOT IN (SELECT doc_id FROM keepd)), "
+
+  /** The corpus-build oracle, parameterized on the near-dup survivor
+    * policy's CTE block (which must end by defining `nd(idb)` = the
+    * dropped set). Everything downstream — quality gate, exact-dedup
+    * keepers, contamination, budget cut, packing, funnel — is shared
+    * verbatim between the two policy rows. */
+  private def corpusBuildOracleSql(withPrefix: String, ndBlock: String): String =
+    withPrefix + "keepers AS (SELECT min(doc_id) AS k FROM documents GROUP BY sha256(text)), " +
+        ndBlock +
         "dd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
         "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 3), " +
         "i -> array_to_string(t[i:i+4], ' '))) AS s FROM dd WHERE len(t) >= 5), " +
@@ -459,17 +525,20 @@ object Sampling {
         Det.oRN("chars_packed::DOUBLE / (n_packs * 4000.0)", 6) +
         " ELSE 0.0 END AS mean_fill " +
         "FROM fu LEFT JOIN ka ON fu.lang = ka.lang ORDER BY fu.lang"
-    ),
-    (spark, dir) => {
+
+  /** Shared downstream of both corpus-build rows: the lineage-truncated
+    * flag frame in, the 11-column per-lang build report out.
+    *
+    * The flag pass feeds SIX downstream consumers (funnel aggregate,
+    * clean filter, budget total, the running sum's internal
+    * references) — callers truncate its lineage so the corpus is
+    * flagged ONCE and every consumer reads the materialized slim frame
+    * instead of re-deriving the joins (the no-recompute contract
+    * PlanShapeSpec pins; at 100 TB this is one corpus pass + one
+    * 9-column write, not six passes). */
+  private def corpusBuildReport(f: DataFrame): DataFrame = {
+    {
       import org.apache.spark.sql.expressions.Window
-      // The flag pass feeds SIX downstream consumers (funnel aggregate,
-      // clean filter, budget total, the running sum's internal
-      // references) — truncate its lineage so the corpus is flagged
-      // ONCE and every consumer reads the materialized slim frame
-      // instead of re-deriving the joins (the no-recompute contract
-      // PlanShapeSpec pins; at 100 TB this is one corpus pass + one
-      // 9-column write, not six passes).
-      val f = graft.Lineage.truncate(corpusBuildFlags(spark, dir))
       val clean = f
         .filter(col("pass_q") && col("pass_e") && col("pass_n") && col("pass_c"))
         .select(col("doc_id"), col("lang"), col("n_chars"), col("n_tokens"), col("q"))
@@ -519,6 +588,33 @@ object Sampling {
         )
         .orderBy(col("lang"))
     }
+  }
+
+  val pipelineCorpusBuild: Q = Q(
+    "pipeline_corpus_build",
+    Some(corpusBuildOracleSql("WITH ", corpusBuildNdSmallerId)),
+    (spark, dir) => corpusBuildReport(graft.Lineage.truncate(corpusBuildFlags(spark, dir)))
+  )
+
+  /** The corpus build with the SURVIVOR-POLICY knob turned (VERDICT
+    * r19 #1): identical pipeline — quality gate → exact-dedup keepers →
+    * near-dup stage → decontamination → quality-ordered token-budget
+    * cut → 4000-char packing → per-lang report — but the near-dup
+    * stage keeps each dup cluster's HIGHEST-QUALITY member
+    * ([[Dedup.bestOfClusterDropped]]: n_chars desc, doc_id tiebreak,
+    * over connected components of the persisted pair manifest) instead
+    * of the smaller-id rule. Funnel consistency with the sibling row is
+    * structural: n_raw/n_quality/n_exact are policy-independent
+    * (SamplingSpec pins equality), while n_near and everything
+    * downstream differ exactly by the policy (324 endpoints at sf0.01:
+    * smaller-id keeps 18, best-of-cluster keeps its 6 cluster argmaxes).
+    * memoizes: the cluster labels + keeper set are served from
+    * [[Dedup]]'s manifest-keyed memo on a second run. */
+  val pipelineCorpusBuildBestkeep: Q = Q(
+    "pipeline_corpus_build_bestkeep",
+    Some(corpusBuildOracleSql("WITH RECURSIVE ", corpusBuildNdBestKeep)),
+    (spark, dir) => corpusBuildReport(graft.Lineage.truncate(corpusBuildFlagsBestKeep(spark, dir))),
+    memoizes = true
   )
 
   /** Deterministic stratified train/test split — the assignment every
@@ -912,6 +1008,7 @@ object Sampling {
   def qs: Seq[Q] = Seq(
     sampleHashPct, sampleStratified, interleaveSources, joinRangeEvents,
     mixReport, sampleQualityWeighted, pipelinePack, pipelineTokenBudget, pipelineCorpusBuild,
+    pipelineCorpusBuildBestkeep,
     sampleTrainTestSplit,
     sampleRendezvousShards, pipelineEpochShuffle, sampleTemperature,
     pipelineMixtureSolve, sampleBootstrapCi

@@ -178,6 +178,31 @@ class PlanShapeSpec extends SparkSuite {
       s"composition re-scans files instead of the materialized flag frame: $rp")
   }
 
+  test("pipeline_corpus_build_bestkeep keeps the view-served zero-rescan chain") {
+    // The policy variant (VERDICT r19 #1) must not regress the
+    // composition contract: its flag pass still serves contamination
+    // from the persisted shingle view and makes at most two raw corpus
+    // passes; the near-dup verdicts arrive as a LOCAL frame (the
+    // memoized cluster-keeper set, computed once from the persisted
+    // pair manifest — so the manifest never appears in the flag PLAN),
+    // and the composed row reads only the truncated flag frame.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def paths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect { case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.mkString(",")
+      }
+    val fp = paths(operators.Sampling.corpusBuildFlagsBestKeep(spark, sf))
+    assert(fp.exists(_.contains("graft_contam_shingles")),
+      s"contamination verdicts must come from the shingle view, scans: $fp")
+    assert(!fp.exists(_.contains("graft_dedup_pairs")),
+      s"keeper verdicts must arrive as the memoized local frame, not an inline manifest scan: $fp")
+    assert(fp.count(_.contains("documents.parquet")) <= 2,
+      s"flag pass re-derives from raw text, scans: $fp")
+    val rp = paths(Registry.byName("pipeline_corpus_build_bestkeep").run(spark, sf))
+    assert(rp.isEmpty,
+      s"composition re-scans files instead of the materialized flag frame: $rp")
+  }
+
   test("agg_group_pricing uses two-phase hash aggregation") {
     val p = plan("agg_group_pricing")
     assert(p.contains("HashAggregate"), p.take(2000))

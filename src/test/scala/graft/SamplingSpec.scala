@@ -174,4 +174,35 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("corpus-build policy rows: funnels agree up to the policy stage, then differ") {
+    // VERDICT r19 #1's done-criterion: the best-of-cluster variant must
+    // be the SAME build with only the survivor policy turned — per
+    // language, n_raw/n_quality/n_exact (the policy-independent stages)
+    // are equal, and the near-dup stage's keep count actually moves
+    // (both policies non-vacuous, not one masking the other).
+    def rows(name: String): Map[String, (Long, Long, Long, Long)] =
+      Registry.byName(name).run(spark, sf)
+        .select("lang", "n_raw", "n_quality", "n_exact", "n_near")
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+    val minId = rows("pipeline_corpus_build")
+    val best  = rows("pipeline_corpus_build_bestkeep")
+    assert(minId.keySet == best.keySet, "per-lang row sets differ")
+    for (lang <- minId.keySet) {
+      val (ra, qa, ea, _) = minId(lang)
+      val (rb, qb, eb, _) = best(lang)
+      assert((ra, qa, ea) == (rb, qb, eb),
+        s"$lang: policy-independent funnel stages diverged: ($ra,$qa,$ea) vs ($rb,$qb,$eb)")
+    }
+    val nearA = minId.values.map(_._4).sum
+    val nearB = best.values.map(_._4).sum
+    assert(nearA != nearB,
+      s"survivor policies kept identical doc counts ($nearA) — the policy knob is vacuous at $sf")
+    // best-of-cluster keeps exactly ONE doc per dup cluster; the
+    // smaller-id rule keeps every doc with no smaller-id partner — on
+    // any graph that is at least as many survivors
+    assert(nearB < nearA, s"best-of-cluster ($nearB) should keep fewer than smaller-id ($nearA)")
+  }
+
 }
