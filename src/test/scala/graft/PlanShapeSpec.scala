@@ -149,6 +149,21 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("dedup_boilerplate_global joins on (h) and (source, h) only — never doc-keyed or source-only") {
+    // The global sibling's 100 TB contract: the corpus-wide df gate
+    // joins back on exactly the paragraph hash, the attribution gate on
+    // exactly (source, h). A source-only key would fan every doc of a
+    // source against all its hot paragraphs; any doc-keyed join is the
+    // pairwise regression both boilerplate rows exist to avoid.
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val sp = Registry.byName("dedup_boilerplate_global").run(spark, sf).queryExecution.sparkPlan
+    val joins = sp.collect { case j: BaseJoinExec if j.leftKeys.nonEmpty => j }
+    assert(joins.size >= 2, s"expected the global + attribution joins:\n$sp")
+    val keySets = joins.map(_.leftKeys.flatMap(_.references.map(_.name)).toSet).toSet
+    assert(keySets == Set(Set("h"), Set("source", "h")),
+      s"boilerplate joins must be keyed exactly on (h) and (source, h), got $keySets:\n$sp")
+  }
+
   test("pipeline_corpus_build serves its dedup and contamination verdicts from the persisted views") {
     // The composition row's whole point (VERDICT r18 #1): the near-dup
     // and contamination stages must SCAN the write-once views, never
