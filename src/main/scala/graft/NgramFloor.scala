@@ -60,6 +60,32 @@ object NgramFloor {
     time("candidates_plus_kernel")(
       joined.withColumn("inter", SortedLongIntersectCount.count(col("sa"), col("sb")))
         .filter(col("inter") >= 0).count())
+    // r20: the PPJoin-style prefix-filter twin end-to-end (same pair
+    // set) — the wall-clock side of the dedup_ngram_blocking_probe
+    // candidate-count comparison
+    time("prefix_full")(
+      operators.Dedup.ngramPairsPrefix(spark, sfDir).count())
+    // and the engine-only variant: prefix sliced straight off the
+    // already-sorted rolling-mix signature arrays (no md5 build, no
+    // window) — order differs, losslessness doesn't
+    time("prefix_full_mix") {
+      val pfx = d.select(
+        col("doc_id"), col("lang"), col("ns"),
+        explode(expr("slice(s, 1, ns - ((3 * ns + 4) div 5) + 1)")).as("h"))
+      val cand = pfx.select(col("doc_id").as("ida"), col("lang"), col("ns").as("na"), col("h"))
+        .join(pfx.select(col("doc_id").as("idb"), col("lang"), col("ns").as("nb"), col("h")),
+          Seq("lang", "h"))
+        .filter(col("ida") < col("idb") &&
+          lit(5) * least(col("na"), col("nb")) >= lit(3) * greatest(col("na"), col("nb")))
+        .select(col("ida"), col("idb")).distinct()
+      cand
+        .join(d.select(col("doc_id").as("ida"), col("s").as("sa"), col("ns").as("na")), Seq("ida"))
+        .join(d.select(col("doc_id").as("idb"), col("s").as("sb"), col("ns").as("nb")), Seq("idb"))
+        .withColumn("inter", SortedLongIntersectCount.count(col("sa"), col("sb")))
+        .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jac") >= 0.6)
+        .count()
+    }
     spark.stop()
   }
 }

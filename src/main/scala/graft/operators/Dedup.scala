@@ -320,7 +320,7 @@ object Dedup {
     * exhaustively; n = 1 is exactly 0 -> bucket 0, exact), seven
     * orders above double rounding error — floor() cannot flip a
     * bucket, so the ±1 probe explode stays lossless for jac >= 0.6. */
-  private[graft] def bigramShingleDocs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def bigramShingleDocsOf(docs: DataFrame): DataFrame = {
     def rot(c: Column, bits: Int): Column =
       shiftleft(c, bits).bitwiseOR(shiftrightunsigned(c, 64 - bits))
     val t  = split(col("text"), " ")
@@ -331,14 +331,221 @@ object Dedup {
       slice(th, lit(2), m),
       (a, b) => a.bitwiseXOR(rot(b, 13)))
     val sh = sort_array(array_distinct(mixed))
-    Tables
-      .documents(spark, dir)
-      .filter(col("doc_id") < 2000)
+    docs
       .select(col("doc_id"), col("lang"), sh.as("s"))
       .withColumn("ns", size(col("s")))
       .filter(col("ns") >= 1) // a shingle-less doc can never reach jac >= 0.6
       .withColumn("bkt", floor(log(col("ns").cast("double")) / math.log(5.0 / 3.0)).cast("int"))
   }
+
+  /** The ngram row's contract scope: `doc_id < 2000` (see the row's
+    * scaladoc — shared with its oracle and the blocking probe). */
+  private def ngramScopedDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).filter(col("doc_id") < 2000)
+
+  private[graft] def bigramShingleDocs(spark: SparkSession, dir: String): DataFrame =
+    bigramShingleDocsOf(ngramScopedDocs(spark, dir))
+
+  /** Distinct bigram STRINGS per doc (doc_id < 2000, the ngram row's
+    * scope) with the cross-engine md5-derived 60-bit hash per shingle —
+    * the PREFIX-FILTER side's signature universe. The hot row's
+    * rolling-mix hashes are engine-only (xxhash64 mix — DuckDB cannot
+    * reproduce them), so the prefix machinery, whose candidate set
+    * DEPENDS on the global shingle order, orders by the md5 hash both
+    * engines share; ns (distinct-shingle count) agrees with the mix
+    * spelling modulo the accepted ~2^-45 collision story. */
+  private def bigramPrefixRows(docs: DataFrame): DataFrame = {
+    val t  = split(col("text"), " ")
+    val m  = greatest(size(t) - 1, lit(0))
+    val bg = array_distinct(zip_with(
+      slice(t, lit(1), m),
+      slice(t, lit(2), m),
+      (a, b) => concat(a, lit(" "), b)))
+    docs
+      .select(col("doc_id"), col("lang"), explode(bg).as("s"))
+      .withColumn("h", conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"))
+      .withColumn("ns", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+  }
+
+  /** The per-doc PREFIX rows for jac ≥ 3/5: the first
+    * ns − ⌈3·ns/5⌉ + 1 shingles in global (md5-hash) order. Lossless by
+    * the standard prefix-filter lemma (Bayardo et al., WWW'07 /
+    * PPJoin): a pair with jac ≥ t shares ≥ ⌈t·n⌉ elements with EITHER
+    * side's n, and its smallest common element (in the shared global
+    * order) must sit inside both docs' first n − ⌈t·n⌉ + 1 positions.
+    * ⌈3n/5⌉ is exact INTEGER arithmetic ((3n + 4) div 5) — a
+    * float-ceil of 0.6·n could round the prefix one short and silently
+    * lose pairs. */
+  private def bigramPrefixes(docs: DataFrame): DataFrame =
+    bigramPrefixRows(docs)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("h"), col("s"))))
+      .filter(col("rn") <= col("ns") - expr("(3 * ns + 4) div 5") + 1)
+      .select(col("doc_id"), col("lang"), col("ns"), col("h"))
+
+  /** WORK-VOLUME counts of the two blocking strategies for the ngram
+    * screen, as one exact single-row frame — the shingle-space DENSITY
+    * PROBE (VERDICT r19 #5) that turns SCALING.md's r19 prose decision
+    * boundary into executable code, with the cost model each strategy
+    * actually pays:
+    *
+    *   grid:   generate-and-verify exactly `grid_candidates` pairs —
+    *           the (lang, 3:5 count band) block volume (the bucket
+    *           condition is implied by the band, so the count is
+    *           bucket-free, histogram-computable, cross-engine exact);
+    *   prefix: an element-keyed join that MATERIALIZES
+    *           `prefix_intermediate` rows (Σ C(df,2) over per-(lang,
+    *           prefix-element) doc frequencies), dedups them to
+    *           `prefix_candidates` distinct banded pairs, then verifies
+    *           those.
+    *
+    * chosen = grid iff grid_candidates ≤ prefix_intermediate +
+    * prefix_candidates. The distinct-candidate count ALONE is not a
+    * decision metric: banded prefix candidates are a SUBSET of the band
+    * pairs by construction, so that comparison would pick prefix on
+    * every corpus — this corrects r19's prose rejection, which compared
+    * an UNbanded prefix count (292k) against the banded grid (246k).
+    * With the band composed in, the sf0.1 fixture measures prefix
+    * 169,253 distinct candidates from 547,195 intermediate rows vs the
+    * grid's 245,817 generate-and-verify — the dense bigram space
+    * (≤ 31² shingles) makes every prefix element corpus-hot, so the
+    * grid wins on total volume (NgramFloor's wall-clock A/B
+    * corroborates: 1.43 s grid vs 1.1-1.5 s prefix across windows, a
+    * wash — first-order model, kernel work per grid candidate costs
+    * more than a hash-join intermediate row). On a sparse vocabulary
+    * the intermediate collapses and prefix wins by orders of magnitude.
+    * NgramBlockingSpec pins BOTH verdicts (the real fixture → grid; a
+    * synthetic sparse corpus → prefix) plus pair-set equality of the
+    * two full screens. */
+  private[graft] def ngramBlockingCounts(docs: DataFrame): DataFrame = {
+    val sig = bigramPrefixRows(docs)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(max(col("ns")).as("ns"))
+    val nDocs = sig.agg(count(lit(1)).as("n_docs"))
+    // grid candidates are COUNTED from the (lang, ns) histogram, never
+    // enumerated: same-count pairs contribute C(c,2), cross-count pairs
+    // c(na)·c(nb) over the 3:5 band with na < nb — the probe touches
+    // O(distinct counts²) histogram cells where enumerating would touch
+    // every candidate pair it is trying to avoid generating
+    val hist = sig.groupBy(col("lang"), col("ns")).agg(count(lit(1)).as("c"))
+    val same = hist.select((col("c") * (col("c") - 1) / 2).cast("long").as("pairs"))
+    val cross = hist.select(col("lang"), col("ns").as("na"), col("c").as("ca"))
+      .join(hist.select(col("lang"), col("ns").as("nb"), col("c").as("cb")), Seq("lang"))
+      .filter(col("na") < col("nb") && lit(5) * col("na") >= lit(3) * col("nb"))
+      .select((col("ca") * col("cb")).cast("long").as("pairs"))
+    val grid = same.union(cross).agg(coalesce(sum(col("pairs")), lit(0L)).as("grid_candidates"))
+    val p  = bigramPrefixes(docs)
+    // the prefix join's materialized volume, from the SAME histogram
+    // trick as the grid count — the probe never enumerates what it is
+    // costing out
+    val inter = p.groupBy(col("lang"), col("h")).agg(count(lit(1)).as("c"))
+      .select((col("c") * (col("c") - 1) / 2).cast("long").as("pairs"))
+      .agg(coalesce(sum(col("pairs")), lit(0L)).as("prefix_intermediate"))
+    val pa = p.select(col("doc_id").as("ida"), col("lang"), col("ns").as("na"), col("h"))
+    val pb = p.select(col("doc_id").as("idb"), col("lang"), col("ns").as("nb"), col("h"))
+    val pfx = pa.join(pb, Seq("lang", "h"))
+      .filter(
+        col("ida") < col("idb") &&
+          lit(5) * least(col("na"), col("nb")) >= lit(3) * greatest(col("na"), col("nb")))
+      .select(col("ida"), col("idb"))
+      .distinct()
+      .agg(count(lit(1)).as("prefix_candidates"))
+    nDocs
+      .crossJoin(broadcast(grid)) // bounded: every side is ONE row
+      .crossJoin(broadcast(inter))
+      .crossJoin(broadcast(pfx))
+  }
+
+  /** Strategy selector over the probe: the blocking a deployment picks
+    * at ingest for a given corpus snapshot, by the total-work model in
+    * [[ngramBlockingCounts]]'s scaladoc. Grid wins ties — it is
+    * lossless at any vocabulary and needs no prefix build. */
+  private[graft] def chooseNgramBlocking(docs: DataFrame): String = {
+    val r = ngramBlockingCounts(docs).head()
+    if (r.getLong(1) <= r.getLong(2) + r.getLong(3)) "bucket_grid" else "prefix_filter"
+  }
+
+  /** The FULL prefix-filter screen — the alternative blocking's
+    * end-to-end twin of [[dedupNgramJaccard]]'s grid path, producing
+    * the identical (ida, idb, jac) pair set when selected: prefix
+    * candidates (above), then the exact codegen'd sorted-intersect
+    * kernel over the per-doc hash arrays. Candidates join back to the
+    * signature arrays by doc key (two broadcast-size joins at probe
+    * scope; key-partitioned at corpus scale). */
+  private[graft] def ngramPairsPrefix(spark: SparkSession, dir: String): DataFrame =
+    ngramPairsPrefixOf(ngramScopedDocs(spark, dir))
+
+  private[graft] def ngramPairsPrefixOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftx.SortedLongIntersectCount
+    val d = bigramShingleDocsOf(docs)
+    val p = bigramPrefixes(docs)
+    val cand = p.select(col("doc_id").as("ida"), col("lang"), col("ns").as("na"), col("h"))
+      .join(p.select(col("doc_id").as("idb"), col("lang"), col("ns").as("nb"), col("h")),
+        Seq("lang", "h"))
+      .filter(
+        col("ida") < col("idb") &&
+          lit(5) * least(col("na"), col("nb")) >= lit(3) * greatest(col("na"), col("nb")))
+      .select(col("ida"), col("idb"))
+      .distinct()
+    cand
+      .join(d.select(col("doc_id").as("ida"), col("s").as("sa"), col("ns").as("na")), Seq("ida"))
+      .join(d.select(col("doc_id").as("idb"), col("s").as("sb"), col("ns").as("nb")), Seq("idb"))
+      .withColumn("inter", SortedLongIntersectCount.count(col("sa"), col("sb")))
+      .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= 0.6)
+      .select(col("ida"), col("idb"), Det.rN(col("jac"), 6).as("jac"))
+  }
+
+  /** The density probe as a driver-visible, oracle-checked row: one
+    * summary row naming the three work volumes and the selected
+    * blocking. On this fixture the verdict is bucket_grid at every SF
+    * (dense bigram space, 31-token vocabulary — the prefix join's
+    * intermediate dominates); a sparse corpus flips it to prefix_filter
+    * (NgramBlockingSpec's synthetic fixture pins that arm). The HOT row
+    * ([[dedupNgramJaccard]]) keeps the grid unconditionally: the probe
+    * is an ingest-time, once-per-snapshot decision — folding two corpus
+    * passes into every query run would pay the probe forever to
+    * re-learn a constant. */
+  val dedupNgramBlockingProbe: Q = Q(
+    "dedup_ngram_blocking_probe",
+    Some(
+      "WITH d0 AS (SELECT doc_id, lang, list_distinct(list_filter(" +
+        "list_transform(list_zip(string_split(text, ' '), string_split(text, ' ')[2:]), " +
+        "x -> x[1] || ' ' || x[2]), v -> v IS NOT NULL)) AS sb " +
+        "FROM documents WHERE doc_id < 2000), " +
+        "d AS (SELECT doc_id, lang, len(sb) AS ns, sb FROM d0 WHERE len(sb) >= 1), " +
+        "grid AS (SELECT count(*) AS gc FROM d a JOIN d b ON a.lang = b.lang " +
+        "AND a.doc_id < b.doc_id " +
+        "AND 5 * least(a.ns, b.ns) >= 3 * greatest(a.ns, b.ns)), " +
+        "ph AS (SELECT doc_id, lang, ns, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h, s " +
+        "FROM (SELECT doc_id, lang, ns, unnest(sb) AS s FROM d)), " +
+        "pfx AS (SELECT doc_id, lang, ns, h FROM (SELECT doc_id, lang, ns, h, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY h, s) AS rn FROM ph) " +
+        "WHERE rn <= ns - ((3 * ns + 4) // 5) + 1), " +
+        "pint AS (SELECT cast(coalesce(sum(c * (c - 1) / 2), 0) as bigint) AS pi " +
+        "FROM (SELECT lang, h, count(*) AS c FROM pfx GROUP BY 1, 2)), " +
+        "pc AS (SELECT count(*) AS pc FROM (SELECT DISTINCT a.doc_id, b.doc_id " +
+        "FROM pfx a JOIN pfx b ON a.lang = b.lang AND a.h = b.h AND a.doc_id < b.doc_id " +
+        "AND 5 * least(a.ns, b.ns) >= 3 * greatest(a.ns, b.ns))) " +
+        "SELECT (SELECT cast(count(*) as bigint) FROM d) AS n_docs, " +
+        "cast(gc as bigint) AS grid_candidates, " +
+        "cast(pi as bigint) AS prefix_intermediate, " +
+        "cast(pc as bigint) AS prefix_candidates, " +
+        "CASE WHEN gc <= pi + pc THEN 'bucket_grid' ELSE 'prefix_filter' END AS chosen " +
+        "FROM grid, pint, pc"
+    ),
+    (spark, dir) =>
+      ngramBlockingCounts(ngramScopedDocs(spark, dir))
+        .select(
+          col("n_docs"),
+          col("grid_candidates"),
+          col("prefix_intermediate"),
+          col("prefix_candidates"),
+          when(col("grid_candidates") <= col("prefix_intermediate") + col("prefix_candidates"),
+            "bucket_grid").otherwise("prefix_filter").as("chosen"))
+  )
 
   val dedupNgramJaccard: Q = Q(
     "dedup_ngram_jaccard",
@@ -354,26 +561,29 @@ object Dedup {
         "SELECT ida, idb, " + Det.oRN("jac", 6) + " AS jac FROM p WHERE jac >= 0.6 " +
         "ORDER BY ida, idb"
     ),
-    (spark, dir) => {
-      import org.apache.spark.sql.graftx.SortedLongIntersectCount
-      val d = bigramShingleDocs(spark, dir)
-      val a = d.select(
-        col("doc_id").as("ida"), col("lang"), col("s").as("sa"), col("ns").as("na"),
-        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("pb"))
-      val b = d.select(
-        col("doc_id").as("idb"), col("lang"), col("s").as("sb"), col("ns").as("nb"),
-        col("bkt").as("pb"))
-      a.join(b, Seq("lang", "pb"))
-        .filter(
-          col("ida") < col("idb") &&
-            lit(5) * least(col("na"), col("nb")) >= lit(3) * greatest(col("na"), col("nb")))
-        .withColumn("inter", SortedLongIntersectCount.count(col("sa"), col("sb")))
-        .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .filter(col("jac") >= 0.6)
-        .select(col("ida"), col("idb"), Det.rN(col("jac"), 6).as("jac"))
-        .orderBy(col("ida"), col("idb"))
-    }
+    (spark, dir) => ngramPairsGridOf(ngramScopedDocs(spark, dir)).orderBy(col("ida"), col("idb"))
   )
+
+  /** The grid screen over ANY docs frame — the hot row's body, shared
+    * with NgramBlockingSpec's synthetic fixtures. Unsorted. */
+  private[graft] def ngramPairsGridOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftx.SortedLongIntersectCount
+    val d = bigramShingleDocsOf(docs)
+    val a = d.select(
+      col("doc_id").as("ida"), col("lang"), col("s").as("sa"), col("ns").as("na"),
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("pb"))
+    val b = d.select(
+      col("doc_id").as("idb"), col("lang"), col("s").as("sb"), col("ns").as("nb"),
+      col("bkt").as("pb"))
+    a.join(b, Seq("lang", "pb"))
+      .filter(
+        col("ida") < col("idb") &&
+          lit(5) * least(col("na"), col("nb")) >= lit(3) * greatest(col("na"), col("nb")))
+      .withColumn("inter", SortedLongIntersectCount.count(col("sa"), col("sb")))
+      .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= 0.6)
+      .select(col("ida"), col("idb"), Det.rN(col("jac"), 6).as("jac"))
+  }
 
   /** 60-bit SimHash per document from md5-derived token hashes: for
     * each bit, sum ±1 contributions over distinct tokens; the sign
@@ -2877,7 +3087,8 @@ object Dedup {
   )
 
   def qs: Seq[Q] = Seq(
-    dedupExact, dedupNearJaccard, dedupEmbedCosine, dedupNgramJaccard, dedupSimhash,
+    dedupExact, dedupNearJaccard, dedupEmbedCosine, dedupNgramJaccard, dedupNgramBlockingProbe,
+    dedupSimhash,
     dedupSimhashPairs, dedupMinhashLsh, dedupMinhashLsh16, dedupLshRecallReport, dedupClusters, dedupReport,
     dedupSoftWeights,
     dedupThresholdCurve,
