@@ -466,7 +466,7 @@ object Bench {
         // unsupported) never triggers the io arm.
         val retry = auditTag.get(name).flatMap { t =>
           auditEnv.get(t + "_mc").collect {
-            case (c, io) if io > 0.1 || c > 1.2 * calibSec =>
+            case (c, io) if BenchFmt.retryTriggered(c, io, calibSec) =>
               Registry.clearMemos()
               probeAuditEnv(t + "_mc2")
               val r = timedRun()

@@ -91,4 +91,19 @@ class BenchFmtSpec extends AnyFunSuite {
   test("mc_retry is zero bytes in the quiet-window common case") {
     assert(BenchFmt.mcRetryJson(Nil) === "")
   }
+
+  test("retry trigger: r19's CPU-noisy parity window now fires; quiet windows don't") {
+    // the exact observed regression (VERDICT r19 #3): calib 0.341 in
+    // the audit window vs run calib 0.296, io quiet at 0.020 — the
+    // io-only r19 trigger let the noisy 9.99 s reading stand
+    assert(BenchFmt.retryTriggered(calibMc = 0.341, ioMc = 0.020, runCalib = 0.296))
+    // the io arm (VERDICT r18 #5) is unchanged
+    assert(BenchFmt.retryTriggered(calibMc = 0.250, ioMc = 0.109, runCalib = 0.296))
+    // quiet window: neither arm
+    assert(!BenchFmt.retryTriggered(calibMc = 0.300, ioMc = 0.034, runCalib = 0.296))
+    // O_DIRECT unsupported (-1) never fires the io arm, but a noisy
+    // calib still can
+    assert(!BenchFmt.retryTriggered(calibMc = 0.300, ioMc = -1.0, runCalib = 0.296))
+    assert(BenchFmt.retryTriggered(calibMc = 0.400, ioMc = -1.0, runCalib = 0.296))
+  }
 }
