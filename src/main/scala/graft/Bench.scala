@@ -457,10 +457,11 @@ object Bench {
         // THE memo-cleared reading (r18's 250.7 s builder run). When the
         // pre-rerun probes saw contention — io > 0.1 s for the 32 MB
         // O_DIRECT read (quiet windows measure 0.017-0.034), OR, since
-        // r20 (VERDICT r19 #3), the window's calib probe > 1.2× the
+        // r20 (VERDICT r19 #3), the window's calib probe > 1.1× the
         // run-start calib_sec (r19's par window read 0.341 vs the run's
-        // 0.296 with quiet io, and its noisy 9.99 s stood as the
-        // first-run figure — a CPU-noisy window must trigger too) —
+        // 0.296 — ratio 1.15 — with quiet io, and its noisy 9.99 s
+        // stood as the first-run figure; BenchFmt.retryTriggered has
+        // the threshold calibration) —
         // re-probe and re-run ONCE: bounded, both readings recorded in
         // mc_retry, the min carried forward. io = -1 (O_DIRECT
         // unsupported) never triggers the io arm.
@@ -506,7 +507,11 @@ object Bench {
     val headline = Seq("agg_group_pricing", "join_broadcast_dims", "win_top3_per_group",
       "ts_tumbling_1h", "sim_cosine_topk", "dedup_near_jaccard")
     val byName = results.map(r => r._1 -> r._2).toMap
-    val slowest = results.sortBy(-_._2).take(10).map(_._1)
+    // 8, not 10 (r20): the three long-named r20 rows pushed the modeled
+    // max-widths tail to 2046/2000; the queries map's last two slowest
+    // slots were the least informative bytes (the COMPLETE ranked map
+    // is in BENCH_DETAIL.json) — BenchFmtSpec models exactly this cap
+    val slowest = results.sortBy(-_._2).take(8).map(_._1)
     val compact = (headline ++ slowest).distinct
       .flatMap(n => byName.get(n).map(v => f""""$n":$v%.3f"""))
       .mkString("{", ",", "}")

@@ -77,14 +77,18 @@ object BenchFmt {
   /** The contention-retry TRIGGER (VERDICT r18 #5 io arm; r19 #3 CPU
     * arm): rerun a memo-cleared audit once when its pre-rerun window's
     * 32 MB O_DIRECT probe exceeds 0.1 s (quiet windows measure
-    * 0.017-0.034) OR its calib probe exceeds 1.2× the run-start
-    * calib_sec (r19's CPU-noisy parity window read 0.341 vs the run's
-    * 0.296 with quiet io, and the noisy 9.99 s stood). io = -1
-    * (O_DIRECT unsupported) never triggers the io arm. Factored here so
-    * BenchFmtSpec can pin both arms against the observed regression
-    * values. */
+    * 0.017-0.034) OR its calib probe exceeds 1.1× the run-start
+    * calib_sec. The 1.1 factor is set BY the motivating regression:
+    * r19's CPU-noisy parity window read calib 0.341 vs the run's 0.296
+    * — ratio 1.15 — with quiet io, and the noisy 9.99 s stood; quiet
+    * windows measure ratios 0.73-1.08 across r19/r20 artifacts (the
+    * 50M-row window probe runs relatively faster than the 200M run
+    * probe), so 1.1 sits above observed quiet noise and below the
+    * observed contention. io = -1 (O_DIRECT unsupported) never
+    * triggers the io arm. Factored here so BenchFmtSpec can pin both
+    * arms against the observed regression values. */
   def retryTriggered(calibMc: Double, ioMc: Double, runCalib: Double): Boolean =
-    ioMc > 0.1 || calibMc > 1.2 * runCalib
+    ioMc > 0.1 || calibMc > 1.1 * runCalib
 
   /** Contention-retry readings: audit tag -> [first_mc, retry_mc]
     * seconds. Empty map -> empty string (the common quiet-window case

@@ -32,7 +32,9 @@ class BenchFmtSpec extends AnyFunSuite {
   private val headline = Seq("agg_group_pricing", "join_broadcast_dims",
     "win_top3_per_group", "ts_tumbling_1h", "sim_cosine_topk", "dedup_near_jaccard")
   private val slowest10  = longestNames.take(10)
-  private val queriesMax = (headline ++ slowest10).distinct
+  // the compact line lists only the 8 slowest (r20 cap — the full
+  // ranked map is in BENCH_DETAIL.json); min2 keeps its 10
+  private val queriesMax = (headline ++ longestNames.take(8)).distinct
   private val sec        = 99.999 // > any single-query reading ever measured
 
   private def compactAtMaxWidths: String = {
