@@ -2535,6 +2535,138 @@ object Dedup {
     }
   )
 
+  /** BOILERPLATE REWRITE ACCOUNTING — the composition row the two
+    * removal stages feed (SURVEY §24g residual #3): apply the FULL
+    * boilerplate pass a pipeline actually runs (per-source df ≥ 2
+    * UNION global df ≥ max(2, ⌈0.1% · docs⌉) — [[dedupBoilerplate]]'s
+    * and [[dedupBoilerplateGlobal]]'s rules together), rewrite each
+    * doc to its kept paragraphs, and report per language what the
+    * cleaning DID: docs touched, paragraphs dropped, token/char volume
+    * before → after, and — the eval-integrity number — how many docs
+    * FELL OUT of the corpus build's quality gate (n_chars ≥ 150 ∧
+    * tokens ≥ 20) because their bulk was template material. Removal is
+    * monotone, so the gate only loses docs, never gains.
+    *
+    * Char accounting is derived from the SAME token partition on both
+    * engines (Σ kept-paragraph string lengths + single-space joins),
+    * never from raw `length(text)` — the before-number is therefore
+    * exactly Σ nc + (paras − 1), engine-independent of any raw-text
+    * whitespace conventions.
+    *
+    * 100 TB: one paragraph explode carrying (hash, token count, char
+    * count), the two keyed df aggregates the sibling rows already
+    * shape, joins back on the SAME keys, one doc-keyed then one
+    * lang-keyed aggregate — no pairwise join, the global threshold a
+    * one-row broadcast. Determinism: exact ints throughout; the one
+    * ratio is an IEEE division of exact longs, trunc-rounded. */
+  val pipelineBoilerplateRewrite: Q = Q(
+    "pipeline_boilerplate_rewrite",
+    Some(
+      "WITH d AS (SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents), " +
+        "th AS (SELECT greatest(2, cast(ceil(0.001 * count(*)) as bigint)) AS thr FROM documents), " +
+        "g AS (SELECT doc_id, lang, source, len(t) AS nt, unnest(generate_series(1, len(t), 16)) AS p0, t " +
+        "FROM d WHERE len(t) >= 1), " +
+        "para AS (SELECT doc_id, lang, source, nt, array_to_string(t[p0:p0+15], ' ') AS s, " +
+        "len(t[p0:p0+15]) AS np, length(array_to_string(t[p0:p0+15], ' ')) AS nc FROM g), " +
+        "ghot AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS dfg FROM para GROUP BY s), th " +
+        "WHERE dfg >= thr), " +
+        "shot AS (SELECT source, s FROM (SELECT source, s, count(DISTINCT doc_id) AS dfs " +
+        "FROM para GROUP BY 1, 2) WHERE dfs >= 2), " +
+        "j AS (SELECT para.*, (ghot.s IS NOT NULL OR shot.s IS NOT NULL) AS is_hot " +
+        "FROM para LEFT JOIN ghot ON para.s = ghot.s " +
+        "LEFT JOIN shot ON para.source = shot.source AND para.s = shot.s), " +
+        "pd AS (SELECT doc_id, lang, nt, count(*) AS n_paras, " +
+        "sum(CASE WHEN is_hot THEN 1 ELSE 0 END) AS n_dropped, " +
+        "sum(nc) + (count(*) - 1) AS chars_before, " +
+        "nt - sum(CASE WHEN is_hot THEN np ELSE 0 END) AS tokens_after, " +
+        "sum(CASE WHEN is_hot THEN 0 ELSE nc END) + " +
+        "greatest(count(*) - sum(CASE WHEN is_hot THEN 1 ELSE 0 END) - 1, 0) AS chars_after " +
+        "FROM j GROUP BY doc_id, lang, nt) " +
+        "SELECT lang, count(*)::BIGINT AS n_docs, " +
+        "cast(sum(CASE WHEN n_dropped > 0 THEN 1 ELSE 0 END) as bigint) AS n_docs_touched, " +
+        "cast(sum(n_dropped) as bigint) AS n_paras_dropped, " +
+        "cast(sum(nt) as bigint) AS n_tokens_before, " +
+        "cast(sum(tokens_after) as bigint) AS n_tokens_after, " +
+        "cast(sum(chars_before) as bigint) AS n_chars_before, " +
+        "cast(sum(chars_after) as bigint) AS n_chars_after, " +
+        "cast(sum(CASE WHEN chars_before >= 150 AND nt >= 20 " +
+        "AND NOT (chars_after >= 150 AND tokens_after >= 20) THEN 1 ELSE 0 END) as bigint) " +
+        "AS n_lost_quality, " +
+        Det.oRN("sum(tokens_after)::DOUBLE / sum(nt)", 6) + " AS token_kept_ratio " +
+        "FROM pd GROUP BY lang ORDER BY lang"
+    ),
+    (spark, dir) => {
+      val t = split(col("text"), " ")
+      val paras = Tables
+        .documents(spark, dir)
+        .filter(size(t) >= 1)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          col("source"),
+          size(t).as("nt"),
+          explode(transform(
+            sequence(lit(1), size(t), lit(16)),
+            i => {
+              val seg = array_join(slice(t, i, lit(16)), " ")
+              struct(
+                xxhash64(seg).as("h"),
+                size(slice(t, i, lit(16))).as("np"),
+                length(seg).as("nc"))
+            })).as("p")
+        )
+        .select(col("doc_id"), col("lang"), col("source"), col("nt"),
+          col("p.h").as("h"), col("p.np").as("np"), col("p.nc").as("nc"))
+      val thr = Tables.documents(spark, dir)
+        .agg(greatest(lit(2L), ceil(lit(0.001) * count(lit(1))).cast("long")).as("thr"))
+      val ghot = paras
+        .groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("dfg"))
+        .crossJoin(broadcast(thr)) // bounded: ONE threshold row
+        .filter(col("dfg") >= col("thr"))
+        .select(col("h"), lit(true).as("g_hot"))
+      val shot = paras
+        .groupBy(col("source"), col("h"))
+        .agg(countDistinct(col("doc_id")).as("dfs"))
+        .filter(col("dfs") >= 2)
+        .select(col("source"), col("h"), lit(true).as("s_hot"))
+      val perDoc = paras
+        .join(ghot, Seq("h"), "left")
+        .join(shot, Seq("source", "h"), "left")
+        .withColumn("is_hot",
+          coalesce(col("g_hot"), lit(false)) || coalesce(col("s_hot"), lit(false)))
+        .groupBy(col("doc_id"), col("lang"), col("nt"))
+        .agg(
+          count(lit(1)).as("n_paras"),
+          sum(when(col("is_hot"), 1L).otherwise(0L)).as("n_dropped"),
+          (sum(col("nc")) + count(lit(1)) - 1).as("chars_before"),
+          (max(col("nt")) - sum(when(col("is_hot"), col("np").cast("long")).otherwise(0L)))
+            .as("tokens_after"),
+          (sum(when(col("is_hot"), 0L).otherwise(col("nc").cast("long"))) +
+            greatest(count(lit(1)) - sum(when(col("is_hot"), 1L).otherwise(0L)) - 1, lit(0L)))
+            .as("chars_after")
+        )
+      perDoc
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_dropped") > 0, 1L).otherwise(0L)).as("n_docs_touched"),
+          sum(col("n_dropped")).as("n_paras_dropped"),
+          sum(col("nt")).cast("long").as("n_tokens_before"),
+          sum(col("tokens_after")).cast("long").as("n_tokens_after"),
+          sum(col("chars_before")).cast("long").as("n_chars_before"),
+          sum(col("chars_after")).cast("long").as("n_chars_after"),
+          sum(when(
+            col("chars_before") >= 150 && col("nt") >= 20 &&
+              !(col("chars_after") >= 150 && col("tokens_after") >= 20), 1L).otherwise(0L))
+            .as("n_lost_quality"),
+          Det.rN(sum(col("tokens_after")).cast("double") / sum(col("nt")).cast("double"), 6)
+            .as("token_kept_ratio")
+        )
+        .orderBy(col("lang"))
+    }
+  )
+
   /** Exact substring-duplication screen (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better"): document pairs that
     * share at least one EXACT 8-token n-gram, with the count of shared
@@ -3094,7 +3226,8 @@ object Dedup {
     dedupThresholdCurve,
     dedupBestOfCluster, dedupContainment, dedupIncremental, dedupIncrementalPersisted,
     dedupMinhashIncremental, dedupPairsIncremental,
-    dedupSpanCoverage, dedupBoilerplate, dedupBoilerplateGlobal, dedupNgramExact,
+    dedupSpanCoverage, dedupBoilerplate, dedupBoilerplateGlobal, pipelineBoilerplateRewrite,
+    dedupNgramExact,
     dedupSourceOverlap, dedupSourceUnique,
     dedupEditDistance, dedupCdcChunks, dedupCdcIncremental, pipelineSplitLeakage
   )

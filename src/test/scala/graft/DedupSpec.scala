@@ -254,6 +254,35 @@ class DedupSpec extends SparkSuite {
     assert(edges.nonEmpty, "second scope must still contain edges")
   }
 
+  test("best-of-cluster drop set matches a driver-side union-find + quality argmax") {
+    // The r20 keeper policy, checked against an oracle INDEPENDENT of
+    // both the Spark path (star-contracted iterative CC) and the DuckDB
+    // oracle (star-contracted recursive closure): plain union-find over
+    // the full manifest plus a per-component (n_chars desc, doc_id)
+    // argmax, all driver-side.
+    val dropped = operators.Dedup.bestOfClusterDropped(spark, sf)
+    val pairs = spark.read.parquet(operators.Dedup.pairTablePath(spark, sf))
+      .select(col("ida"), col("idb")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture manifest must contain pairs")
+    val ids = (pairs.map(_._1) ++ pairs.map(_._2)).toSet
+    val parent = scala.collection.mutable.Map(ids.toSeq.map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for ((a, b) <- pairs) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val chars = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keepers = ids.groupBy(find).values
+      .map(c => c.maxBy(i => (chars(i), -i)))
+      .toSet
+    val expect = (ids -- keepers).toSeq.sorted
+    assert(dropped == expect, s"drop set diverges from the union-find oracle " +
+      s"(engine ${dropped.size} vs oracle ${expect.size} ids)")
+    // the policy is non-vacuous on the fixture: at least one component
+    // keeps a NON-min-id member (quality beats the smaller-id rule)
+    assert(keepers.exists(k => ids.groupBy(find).values.exists(c => c.contains(k) && c.min != k)),
+      "every cluster's keeper is its min id — the quality argmax is vacuous here")
+  }
+
   test("shiftright-derived signatures equal the fresh-scan signature build bit-for-bit") {
     val dtok = operators.Dedup.tokenizedDocs(spark, sf, col("doc_id") < 500)
     val derived = operators.Dedup

@@ -68,6 +68,40 @@ class NgramBlockingSpec extends SparkSuite {
       s"sparse prefix volume $inter + $pfx should undercut grid $grid by >10x")
   }
 
+  test("screens agree on seeded random corpora across the density spectrum") {
+    // losslessness of the prefix filter is a THEOREM (the prefix
+    // lemma), but its implementation has off-by-one surface (the exact
+    // integer ceil, the rn <= boundary, the band compose) — sweep
+    // seeded corpora from 4-token (denser than the fixture) to
+    // 400-token vocabularies and require exact pair-set agreement on
+    // every one
+    val rnd = new scala.util.Random(20)
+    for (vocab <- Seq(4, 12, 40, 400)) {
+      import spark.implicits._
+      val docs = (0 until 30).map { i =>
+        // plant one near-dup pair per corpus: doc 1 = doc 0 plus a tail
+        // token (high but not necessarily >= 0.6 overlap — agreement
+        // must hold whether or not pairs survive)
+        val toks = i match {
+          case 0 => docs0Base(vocab)
+          case 1 => docs0Base(vocab) :+ "tail"
+          case _ => (0 until 15).map(_ => s"t${rnd.nextInt(vocab)}")
+        }
+        (i.toLong, "xx", toks.mkString(" "))
+      }.toDF("doc_id", "lang", "text")
+      val grid = pairs(operators.Dedup.ngramPairsGridOf(docs))
+      val pfx  = pairs(operators.Dedup.ngramPairsPrefixOf(docs))
+      assert(grid == pfx,
+        s"vocab=$vocab: grid-only ${grid -- pfx}, prefix-only ${pfx -- grid}")
+    }
+  }
+
+  // doc 0's token base per vocab size, reproduced for the planted dup
+  private def docs0Base(vocab: Int): Seq[String] = {
+    val rnd = new scala.util.Random(20L + vocab)
+    (0 until 15).map(_ => s"t${rnd.nextInt(vocab)}")
+  }
+
   test("the two screens agree on the sparse corpus and find exactly the planted dups") {
     val docs = sparseCorpus
     val grid = pairs(operators.Dedup.ngramPairsGridOf(docs))

@@ -156,12 +156,14 @@ class PlanShapeSpec extends SparkSuite {
     // source against all its hot paragraphs; any doc-keyed join is the
     // pairwise regression both boilerplate rows exist to avoid.
     import org.apache.spark.sql.execution.joins.BaseJoinExec
-    val sp = Registry.byName("dedup_boilerplate_global").run(spark, sf).queryExecution.sparkPlan
-    val joins = sp.collect { case j: BaseJoinExec if j.leftKeys.nonEmpty => j }
-    assert(joins.size >= 2, s"expected the global + attribution joins:\n$sp")
-    val keySets = joins.map(_.leftKeys.flatMap(_.references.map(_.name)).toSet).toSet
-    assert(keySets == Set(Set("h"), Set("source", "h")),
-      s"boilerplate joins must be keyed exactly on (h) and (source, h), got $keySets:\n$sp")
+    for (name <- Seq("dedup_boilerplate_global", "pipeline_boilerplate_rewrite")) {
+      val sp = Registry.byName(name).run(spark, sf).queryExecution.sparkPlan
+      val joins = sp.collect { case j: BaseJoinExec if j.leftKeys.nonEmpty => j }
+      assert(joins.size >= 2, s"$name: expected the global + per-source joins:\n$sp")
+      val keySets = joins.map(_.leftKeys.flatMap(_.references.map(_.name)).toSet).toSet
+      assert(keySets == Set(Set("h"), Set("source", "h")),
+        s"$name: joins must be keyed exactly on (h) and (source, h), got $keySets:\n$sp")
+    }
   }
 
   test("pipeline_corpus_build serves its dedup and contamination verdicts from the persisted views") {
