@@ -329,7 +329,8 @@ object Bench {
     // r17 #1a): BENCH_r17's +57 s total was environment-dominated on
     // the evidence, but the round-start io_probe/calib could not speak
     // for the window 200+ queries later in which the audits actually
-    // ran. A small calib (50M rows, ~80 ms quiet) + a small O_DIRECT
+    // ran. A small calib (50M rows; quiet windows read 0.73-1.08× the
+    // 200M run calib — see BenchFmt.retryTriggered) + a small O_DIRECT
     // read (32 MB) re-measured IMMEDIATELY before each audit row (and
     // before each memo-cleared rerun) land in the artifact as `aenv`,
     // so a contended audit window is attributable from BENCH_rN alone.
@@ -472,14 +473,17 @@ object Bench {
               probeAuditEnv(t + "_mc2")
               val r = timedRun()
               dropDeadBlocks()
-              // a retry run that THREW records the sentinel -1, not the
-              // 9999.0 clamp — a failed retry must be distinguishable in
-              // the artifact from a genuinely slow run (ADVICE r19 #3);
-              // the carried min still falls back to the first reading.
-              val rRec = if (r == Double.MaxValue) -1.0 else math.min(r, 9999.0)
-              mcRetries(t) = (math.min(second, 9999.0), rRec)
+              // a run that THREW records the sentinel -1, not the 9999.0
+              // clamp — a failed run must be distinguishable in the
+              // artifact from a genuinely slow one (ADVICE r19 #3), and
+              // BOTH recorded readings get the sentinel, not only the
+              // retry slot (r20 self-review); the carried min still
+              // falls back to whichever reading succeeded.
+              def rec(x: Double): Double =
+                if (x == Double.MaxValue) -1.0 else math.min(x, 9999.0)
+              mcRetries(t) = (rec(second), rec(r))
               System.err.println(
-                f"[bench] min2mc retry $name%-22s calib_mc=$c%.3f io_mc=$io%.3f first_mc=${math.min(second, 9999.0)}%7.3f s retry=$rRec%7.3f s")
+                f"[bench] min2mc retry $name%-22s calib_mc=$c%.3f io_mc=$io%.3f first_mc=${rec(second)}%7.3f s retry=${rec(r)}%7.3f s")
               r
           }
         }

@@ -385,6 +385,22 @@ object Dedup {
       .filter(col("rn") <= col("ns") - expr("(3 * ns + 4) div 5") + 1)
       .select(col("doc_id"), col("lang"), col("ns"), col("h"))
 
+  /** The ONE spelling of the prefix-filter candidate join (r20
+    * self-review: it was spelled verbatim in both the screen and the
+    * probe, a silent-desync hazard for the band arithmetic): distinct
+    * same-lang (ida < idb) pairs sharing a prefix element, with the
+    * 3:5 count band composed in — exactly the pair set the kernel
+    * verifies and the probe prices. */
+  private def prefixCandidatePairs(p: DataFrame): DataFrame =
+    p.select(col("doc_id").as("ida"), col("lang"), col("ns").as("na"), col("h"))
+      .join(p.select(col("doc_id").as("idb"), col("lang"), col("ns").as("nb"), col("h")),
+        Seq("lang", "h"))
+      .filter(
+        col("ida") < col("idb") &&
+          lit(5) * least(col("na"), col("nb")) >= lit(3) * greatest(col("na"), col("nb")))
+      .select(col("ida"), col("idb"))
+      .distinct()
+
   /** WORK-VOLUME counts of the two blocking strategies for the ngram
     * screen, as one exact single-row frame — the shingle-space DENSITY
     * PROBE (VERDICT r19 #5) that turns SCALING.md's r19 prose decision
@@ -420,7 +436,14 @@ object Dedup {
     * synthetic sparse corpus → prefix) plus pair-set equality of the
     * two full screens. */
   private[graft] def ngramBlockingCounts(docs: DataFrame): DataFrame = {
-    val sig = bigramPrefixRows(docs)
+    // the prefix frame feeds every consumer here — the (doc, ns)
+    // signature too, since every ns ≥ 1 doc has a non-empty prefix
+    // (length n − ⌈3n/5⌉ + 1 ≥ 1) — so ONE truncated materialization
+    // of the explode + md5 + per-doc rank pipeline serves the whole
+    // probe instead of one re-derivation per reference (r20
+    // self-review)
+    val p = graft.Lineage.truncate(bigramPrefixes(docs))
+    val sig = p
       .groupBy(col("doc_id"), col("lang"))
       .agg(max(col("ns")).as("ns"))
     val nDocs = sig.agg(count(lit(1)).as("n_docs"))
@@ -436,22 +459,13 @@ object Dedup {
       .filter(col("na") < col("nb") && lit(5) * col("na") >= lit(3) * col("nb"))
       .select((col("ca") * col("cb")).cast("long").as("pairs"))
     val grid = same.union(cross).agg(coalesce(sum(col("pairs")), lit(0L)).as("grid_candidates"))
-    val p  = bigramPrefixes(docs)
     // the prefix join's materialized volume, from the SAME histogram
     // trick as the grid count — the probe never enumerates what it is
     // costing out
     val inter = p.groupBy(col("lang"), col("h")).agg(count(lit(1)).as("c"))
       .select((col("c") * (col("c") - 1) / 2).cast("long").as("pairs"))
       .agg(coalesce(sum(col("pairs")), lit(0L)).as("prefix_intermediate"))
-    val pa = p.select(col("doc_id").as("ida"), col("lang"), col("ns").as("na"), col("h"))
-    val pb = p.select(col("doc_id").as("idb"), col("lang"), col("ns").as("nb"), col("h"))
-    val pfx = pa.join(pb, Seq("lang", "h"))
-      .filter(
-        col("ida") < col("idb") &&
-          lit(5) * least(col("na"), col("nb")) >= lit(3) * greatest(col("na"), col("nb")))
-      .select(col("ida"), col("idb"))
-      .distinct()
-      .agg(count(lit(1)).as("prefix_candidates"))
+    val pfx = prefixCandidatePairs(p).agg(count(lit(1)).as("prefix_candidates"))
     nDocs
       .crossJoin(broadcast(grid)) // bounded: every side is ONE row
       .crossJoin(broadcast(inter))
@@ -480,15 +494,9 @@ object Dedup {
   private[graft] def ngramPairsPrefixOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftx.SortedLongIntersectCount
     val d = bigramShingleDocsOf(docs)
-    val p = bigramPrefixes(docs)
-    val cand = p.select(col("doc_id").as("ida"), col("lang"), col("ns").as("na"), col("h"))
-      .join(p.select(col("doc_id").as("idb"), col("lang"), col("ns").as("nb"), col("h")),
-        Seq("lang", "h"))
-      .filter(
-        col("ida") < col("idb") &&
-          lit(5) * least(col("na"), col("nb")) >= lit(3) * greatest(col("na"), col("nb")))
-      .select(col("ida"), col("idb"))
-      .distinct()
+    // the candidate join reads the prefix frame twice — materialize it
+    // once (same truncate rationale as the probe's)
+    val cand = prefixCandidatePairs(graft.Lineage.truncate(bigramPrefixes(docs)))
     cand
       .join(d.select(col("doc_id").as("ida"), col("s").as("sa"), col("ns").as("na")), Seq("ida"))
       .join(d.select(col("doc_id").as("idb"), col("s").as("sb"), col("ns").as("nb")), Seq("idb"))
@@ -1399,46 +1407,44 @@ object Dedup {
     * projection; add rounds before the loop if the quotient is still
     * large). */
   private def ccLabels(edges: DataFrame, seeds: DataFrame): DataFrame = {
-    {
-      // symmetrize via explode, NOT union(edges, edges.reversed): a
-      // union would run the edge derivation once per branch. NOT
-      // checkpointed (r20): both consumers (l0, ce) are one linear pass
-      // over it, and materializing the 2×|edges| rows (1.5M at sf0.1
-      // full-manifest) cost more than the two recomputes — only the
-      // CONTRACTED frames below, which the iterative loop re-joins,
-      // are worth a checkpoint.
-      val sym = edges
-        .select(explode(array(
-          struct(col("ida").as("a"), col("idb").as("b")),
-          struct(col("idb").as("a"), col("ida").as("b"))
-        )).as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"))
-      // star contraction: endpoint -> min(self, min neighbor); bounded
-      // by the node count, so the checkpoint is cheap and cuts the
-      // explode out of every downstream lineage
-      val l0 = truncate(
-        sym.groupBy(col("a"))
-          .agg(least(col("a"), min(col("b"))).as("c0"))
-          .select(col("a").as("doc_id"), col("c0")))
-      // quotient edges between distinct supernodes (dedup'd — the raw
-      // multiplicity is exactly what the contraction exists to shed)
-      val ce = truncate(
-        sym
-          .join(broadcast(l0.select(col("doc_id").as("a"), col("c0").as("pa"))), Seq("a"))
-          .join(broadcast(l0.select(col("doc_id").as("b"), col("c0").as("pb"))), Seq("b"))
-          .filter(col("pa") =!= col("pb"))
-          .select(col("pa").as("a"), col("pb").as("b"))
-          .distinct())
-      val superLabels = ccLoop(ce, l0.select(col("c0").as("doc_id")).distinct())
-      // node label = its supernode's converged label; seeds with no
-      // edge keep their own id
-      val merged = l0
-        .join(superLabels.select(col("doc_id").as("c0"), col("cluster")), Seq("c0"))
-        .select(col("doc_id"), col("cluster"))
-      seeds
-        .join(broadcast(merged), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
-    }
+    // symmetrize via explode, NOT union(edges, edges.reversed): a
+    // union would run the edge derivation once per branch. NOT
+    // checkpointed (r20): both consumers (l0, ce) are one linear pass
+    // over it, and materializing the 2×|edges| rows (1.5M at sf0.1
+    // full-manifest) cost more than the two recomputes — only the
+    // CONTRACTED frames below, which the iterative loop re-joins,
+    // are worth a checkpoint.
+    val sym = edges
+      .select(explode(array(
+        struct(col("ida").as("a"), col("idb").as("b")),
+        struct(col("idb").as("a"), col("ida").as("b"))
+      )).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    // star contraction: endpoint -> min(self, min neighbor); bounded
+    // by the node count, so the checkpoint is cheap and cuts the
+    // explode out of every downstream lineage
+    val l0 = truncate(
+      sym.groupBy(col("a"))
+        .agg(least(col("a"), min(col("b"))).as("c0"))
+        .select(col("a").as("doc_id"), col("c0")))
+    // quotient edges between distinct supernodes (dedup'd — the raw
+    // multiplicity is exactly what the contraction exists to shed)
+    val ce = truncate(
+      sym
+        .join(broadcast(l0.select(col("doc_id").as("a"), col("c0").as("pa"))), Seq("a"))
+        .join(broadcast(l0.select(col("doc_id").as("b"), col("c0").as("pb"))), Seq("b"))
+        .filter(col("pa") =!= col("pb"))
+        .select(col("pa").as("a"), col("pb").as("b"))
+        .distinct())
+    val superLabels = ccLoop(ce, l0.select(col("c0").as("doc_id")).distinct())
+    // node label = its supernode's converged label; seeds with no
+    // edge keep their own id
+    val merged = l0
+      .join(superLabels.select(col("doc_id").as("c0"), col("cluster")), Seq("c0"))
+      .select(col("doc_id"), col("cluster"))
+    seeds
+      .join(broadcast(merged), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
   }
 
   /** The iterative min-label half of [[ccLabels]], over an already
@@ -1446,62 +1452,60 @@ object Dedup {
     * quotient edges are built from the symmetrized list) and its node
     * set. */
   private def ccLoop(edgeFrame: DataFrame, seeds: DataFrame): DataFrame = {
-    {
-      val sym = truncate(edgeFrame) // materialized once; every iteration joins it
-      var labels = seeds.select(col("doc_id"), col("doc_id").as("cluster"))
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 20) {
-        // labels is bounded by the seed count (≤ ClusterProbeScope for
-        // the scoped probe; the dup-graph endpoint set for the keeper
-        // path) — broadcast it so the big edge list never shuffles;
-        // only the narrow (a, nbr_min) aggregate exchanges. The hint is
-        // needed because the checkpointed inputs carry no stats for AQE
-        // to discover this. At unbounded corpus scale (labels = all
-        // docs) drop the hint and this reverts to the shuffle-join CC
-        // shape.
-        val nbrMin = sym
-          .join(broadcast(labels), col("b") === col("doc_id"))
-          .groupBy(col("a"))
-          .agg(min(col("cluster")).as("nbr_min"))
-        // stepped carries prev alongside the propagated label so the
-        // convergence check below is a flag scan, not another join.
-        // persist (lazy), don't truncate (eager): the only consumer is
-        // the pointer-doubling self-join inside next's materialization
-        // job — both sides of that join fill/read the same cached
-        // partitions in ONE job, where an eager checkpoint here would
-        // cost a whole extra job per round.
-        val stepped = labels
-          .join(nbrMin, col("doc_id") === col("a"), "left")
+    val sym = truncate(edgeFrame) // materialized once; every iteration joins it
+    var labels = seeds.select(col("doc_id"), col("doc_id").as("cluster"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      // labels is bounded by the seed count (≤ ClusterProbeScope for
+      // the scoped probe; the dup-graph endpoint set for the keeper
+      // path) — broadcast it so the big edge list never shuffles;
+      // only the narrow (a, nbr_min) aggregate exchanges. The hint is
+      // needed because the checkpointed inputs carry no stats for AQE
+      // to discover this. At unbounded corpus scale (labels = all
+      // docs) drop the hint and this reverts to the shuffle-join CC
+      // shape.
+      val nbrMin = sym
+        .join(broadcast(labels), col("b") === col("doc_id"))
+        .groupBy(col("a"))
+        .agg(min(col("cluster")).as("nbr_min"))
+      // stepped carries prev alongside the propagated label so the
+      // convergence check below is a flag scan, not another join.
+      // persist (lazy), don't truncate (eager): the only consumer is
+      // the pointer-doubling self-join inside next's materialization
+      // job — both sides of that join fill/read the same cached
+      // partitions in ONE job, where an eager checkpoint here would
+      // cost a whole extra job per round.
+      val stepped = labels
+        .join(nbrMin, col("doc_id") === col("a"), "left")
+        .select(
+          col("doc_id"),
+          col("cluster").as("prev"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("c1")
+        )
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pointer doubling: follow the label's label, collapsing chain
+      // components in O(log diameter) rounds instead of O(diameter)
+      val next = truncate(
+        stepped
+          .join(
+            broadcast(stepped.select(col("doc_id").as("ld"), col("c1").as("lc"))),
+            col("c1") === col("ld"),
+            "left"
+          )
           .select(
             col("doc_id"),
-            col("cluster").as("prev"),
-            least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("c1")
+            least(col("c1"), coalesce(col("lc"), col("c1"))).as("cluster"),
+            (least(col("c1"), coalesce(col("lc"), col("c1"))) =!= col("prev")).as("moved")
           )
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // pointer doubling: follow the label's label, collapsing chain
-        // components in O(log diameter) rounds instead of O(diameter)
-        val next = truncate(
-          stepped
-            .join(
-              broadcast(stepped.select(col("doc_id").as("ld"), col("c1").as("lc"))),
-              col("c1") === col("ld"),
-              "left"
-            )
-            .select(
-              col("doc_id"),
-              least(col("c1"), coalesce(col("lc"), col("c1"))).as("cluster"),
-              (least(col("c1"), coalesce(col("lc"), col("c1"))) =!= col("prev")).as("moved")
-            )
-        ) // truncate the growing iterative lineage (reliable when a ckpt dir is set)
-        stepped.unpersist(blocking = false) // next is materialized; the cache is dead weight
-        val changed = next.filter(col("moved")).count() // scan of the materialized step, no join
-        labels = next.select(col("doc_id"), col("cluster"))
-        converged = changed == 0
-        iter += 1
-      }
-      labels
+      ) // truncate the growing iterative lineage (reliable when a ckpt dir is set)
+      stepped.unpersist(blocking = false) // next is materialized; the cache is dead weight
+      val changed = next.filter(col("moved")).count() // scan of the materialized step, no join
+      labels = next.select(col("doc_id"), col("cluster"))
+      converged = changed == 0
+      iter += 1
     }
+    labels
   }
 
   /** Best-of-cluster DROP set over the FULL pair manifest — the keeper
@@ -2367,13 +2371,15 @@ object Dedup {
     * xxhash64 longs (8 bytes through the exchange, never strings) —
     * the oracle keeps exact string paragraphs, same accepted ~2^-45
     * collision story as every hashed screen here. */
-  /** The shared paragraph explode of both boilerplate rows: one linear
-    * pass carrying (xxhash64(paragraph), token count) per 16-token
-    * non-overlapping segment; nt rides the rows so the final per-doc
-    * aggregates need no join back to documents. Paragraphs ride as
-    * 8-byte longs through every exchange, never strings (the oracles
-    * keep exact string paragraphs — the accepted ~2^-45 collision
-    * story). */
+  /** The ONE paragraph explode of the boilerplate family (per-source
+    * removal, global removal, rewrite accounting): one linear pass
+    * carrying (xxhash64(paragraph), token count, char count) per
+    * 16-token non-overlapping segment; lang and nt ride the rows so
+    * the per-doc aggregates need no join back to documents (consumers
+    * that don't need lang/nc have them pruned by Catalyst). Paragraphs
+    * ride as 8-byte longs through every exchange, never strings (the
+    * oracles keep exact string paragraphs — the accepted ~2^-45
+    * collision story). */
   private def boilerplateParas(spark: SparkSession, dir: String): DataFrame = {
     val t = split(col("text"), " ")
     Tables
@@ -2381,15 +2387,48 @@ object Dedup {
       .filter(size(t) >= 1)
       .select(
         col("doc_id"),
+        col("lang"),
         col("source"),
         size(t).as("nt"),
         explode(transform(
           sequence(lit(1), size(t), lit(16)),
-          i => struct(
-            xxhash64(array_join(slice(t, i, lit(16)), " ")).as("h"),
-            size(slice(t, i, lit(16))).as("np")))).as("p")
+          i => {
+            val seg = array_join(slice(t, i, lit(16)), " ")
+            struct(
+              xxhash64(seg).as("h"),
+              size(slice(t, i, lit(16))).as("np"),
+              length(seg).as("nc"))
+          })).as("p")
       )
-      .select(col("doc_id"), col("source"), col("nt"), col("p.h").as("h"), col("p.np").as("np"))
+      .select(col("doc_id"), col("lang"), col("source"), col("nt"),
+        col("p.h").as("h"), col("p.np").as("np"), col("p.nc").as("nc"))
+  }
+
+  /** The per-source hot set ([[dedupBoilerplate]]'s rule): (source, h)
+    * keys whose within-source distinct-doc frequency is ≥ 2, flagged
+    * with `flag`. ONE spelling for all three family rows (r20
+    * self-review — the rule was re-derived per row). */
+  private def boilerplateSourceHot(paras: DataFrame, flag: String): DataFrame =
+    paras
+      .groupBy(col("source"), col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("source"), col("h"), lit(true).as(flag))
+
+  /** The global df-fraction hot set ([[dedupBoilerplateGlobal]]'s
+    * rule): (h) keys whose corpus-wide distinct-doc frequency meets
+    * max(2, ⌈0.1% · corpus docs⌉); the threshold arrives as a one-row
+    * broadcast. */
+  private def boilerplateGlobalHot(
+      spark: SparkSession, dir: String, paras: DataFrame, flag: String): DataFrame = {
+    val thr = Tables.documents(spark, dir)
+      .agg(greatest(lit(2L), ceil(lit(0.001) * count(lit(1))).cast("long")).as("thr"))
+    paras
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("dfg"))
+      .crossJoin(broadcast(thr)) // bounded: ONE threshold row
+      .filter(col("dfg") >= col("thr"))
+      .select(col("h"), lit(true).as(flag))
   }
 
   val dedupBoilerplate: Q = Q(
@@ -2414,13 +2453,8 @@ object Dedup {
     ),
     (spark, dir) => {
       val paras = boilerplateParas(spark, dir)
-      val hot = paras
-        .groupBy(col("source"), col("h"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .filter(col("df") >= 2)
-        .select(col("source"), col("h"), lit(true).as("is_hot"))
       paras
-        .join(hot, Seq("source", "h"), "left")
+        .join(boilerplateSourceHot(paras, "is_hot"), Seq("source", "h"), "left")
         .groupBy(col("doc_id"), col("source"), col("nt"))
         .agg(
           count(lit(1)).as("n_paras"),
@@ -2493,23 +2527,9 @@ object Dedup {
     ),
     (spark, dir) => {
       val paras = boilerplateParas(spark, dir)
-      // corpus-size threshold: ONE row, broadcast into the hot filter
-      val thr = Tables.documents(spark, dir)
-        .agg(greatest(lit(2L), ceil(lit(0.001) * count(lit(1))).cast("long")).as("thr"))
-      val ghot = paras
-        .groupBy(col("h"))
-        .agg(countDistinct(col("doc_id")).as("dfg"))
-        .crossJoin(broadcast(thr)) // bounded: ONE threshold row
-        .filter(col("dfg") >= col("thr"))
-        .select(col("h"), lit(true).as("is_hot"))
-      val shot = paras
-        .groupBy(col("source"), col("h"))
-        .agg(countDistinct(col("doc_id")).as("dfs"))
-        .filter(col("dfs") >= 2)
-        .select(col("source"), col("h"), lit(true).as("is_src_hot"))
       paras
-        .join(ghot, Seq("h"), "left")
-        .join(shot, Seq("source", "h"), "left")
+        .join(boilerplateGlobalHot(spark, dir, paras, "is_hot"), Seq("h"), "left")
+        .join(boilerplateSourceHot(paras, "is_src_hot"), Seq("source", "h"), "left")
         .groupBy(col("doc_id"), col("source"), col("nt"))
         .agg(
           count(lit(1)).as("n_paras"),
@@ -2596,43 +2616,10 @@ object Dedup {
         "FROM pd GROUP BY lang ORDER BY lang"
     ),
     (spark, dir) => {
-      val t = split(col("text"), " ")
-      val paras = Tables
-        .documents(spark, dir)
-        .filter(size(t) >= 1)
-        .select(
-          col("doc_id"),
-          col("lang"),
-          col("source"),
-          size(t).as("nt"),
-          explode(transform(
-            sequence(lit(1), size(t), lit(16)),
-            i => {
-              val seg = array_join(slice(t, i, lit(16)), " ")
-              struct(
-                xxhash64(seg).as("h"),
-                size(slice(t, i, lit(16))).as("np"),
-                length(seg).as("nc"))
-            })).as("p")
-        )
-        .select(col("doc_id"), col("lang"), col("source"), col("nt"),
-          col("p.h").as("h"), col("p.np").as("np"), col("p.nc").as("nc"))
-      val thr = Tables.documents(spark, dir)
-        .agg(greatest(lit(2L), ceil(lit(0.001) * count(lit(1))).cast("long")).as("thr"))
-      val ghot = paras
-        .groupBy(col("h"))
-        .agg(countDistinct(col("doc_id")).as("dfg"))
-        .crossJoin(broadcast(thr)) // bounded: ONE threshold row
-        .filter(col("dfg") >= col("thr"))
-        .select(col("h"), lit(true).as("g_hot"))
-      val shot = paras
-        .groupBy(col("source"), col("h"))
-        .agg(countDistinct(col("doc_id")).as("dfs"))
-        .filter(col("dfs") >= 2)
-        .select(col("source"), col("h"), lit(true).as("s_hot"))
+      val paras = boilerplateParas(spark, dir)
       val perDoc = paras
-        .join(ghot, Seq("h"), "left")
-        .join(shot, Seq("source", "h"), "left")
+        .join(boilerplateGlobalHot(spark, dir, paras, "g_hot"), Seq("h"), "left")
+        .join(boilerplateSourceHot(paras, "s_hot"), Seq("source", "h"), "left")
         .withColumn("is_hot",
           coalesce(col("g_hot"), lit(false)) || coalesce(col("s_hot"), lit(false)))
         .groupBy(col("doc_id"), col("lang"), col("nt"))

@@ -537,57 +537,55 @@ object Sampling {
     * PlanShapeSpec pins; at 100 TB this is one corpus pass + one
     * 9-column write, not six passes). */
   private def corpusBuildReport(f: DataFrame): DataFrame = {
-    {
-      import org.apache.spark.sql.expressions.Window
-      val clean = f
-        .filter(col("pass_q") && col("pass_e") && col("pass_n") && col("pass_c"))
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("n_tokens"), col("q"))
-      val tot  = clean.agg(sum(col("n_tokens")).cast("double").as("tot"))
-      val kept = Grids
-        .runningSums(clean, "q", desc = true, Seq("doc_id"), Seq((col("n_tokens"), "cum_tokens")))
-        .crossJoin(broadcast(tot)) // bounded: ONE budget row
-        .filter(col("cum_tokens").cast("double") <= lit(0.5) * col("tot"))
-      val w = Window
-        .partitionBy(col("lang"))
-        .orderBy(hkey(col("doc_id")), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ka = kept
-        .withColumn("start_off", sum(col("n_chars")).over(w) - col("n_chars"))
-        .withColumn("pack_id", floor(col("start_off").cast("double") / 4000.0).cast("long"))
-        .groupBy(col("lang"))
-        .agg(
-          count(lit(1)).as("n_kept"),
-          sum(col("n_tokens")).cast("long").as("n_tokens_kept"),
-          countDistinct(col("pack_id")).as("n_packs"),
-          sum(col("n_chars")).cast("long").as("chars_packed")
-        )
-      f.groupBy(col("lang"))
-        .agg(
-          count(lit(1)).as("n_raw"),
-          sum(when(col("pass_q"), 1L).otherwise(0L)).as("n_quality"),
-          sum(when(col("pass_q") && col("pass_e"), 1L).otherwise(0L)).as("n_exact"),
-          sum(when(col("pass_q") && col("pass_e") && col("pass_n"), 1L).otherwise(0L)).as("n_near"),
-          sum(when(col("pass_q") && col("pass_e") && col("pass_n") && col("pass_c"), 1L)
-            .otherwise(0L)).as("n_clean")
-        )
-        .join(broadcast(ka), Seq("lang"), "left")
-        .select(
-          col("lang"),
-          col("n_raw"),
-          col("n_quality"),
-          col("n_exact"),
-          col("n_near"),
-          col("n_clean"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
-          coalesce(col("n_packs"), lit(0L)).as("n_packs"),
-          coalesce(col("chars_packed"), lit(0L)).as("chars_packed"),
-          when(coalesce(col("n_packs"), lit(0L)) > 0,
-            Det.rN(col("chars_packed").cast("double") / (col("n_packs") * 4000.0), 6))
-            .otherwise(0.0).as("mean_fill")
-        )
-        .orderBy(col("lang"))
-    }
+    import org.apache.spark.sql.expressions.Window
+    val clean = f
+      .filter(col("pass_q") && col("pass_e") && col("pass_n") && col("pass_c"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("n_tokens"), col("q"))
+    val tot  = clean.agg(sum(col("n_tokens")).cast("double").as("tot"))
+    val kept = Grids
+      .runningSums(clean, "q", desc = true, Seq("doc_id"), Seq((col("n_tokens"), "cum_tokens")))
+      .crossJoin(broadcast(tot)) // bounded: ONE budget row
+      .filter(col("cum_tokens").cast("double") <= lit(0.5) * col("tot"))
+    val w = Window
+      .partitionBy(col("lang"))
+      .orderBy(hkey(col("doc_id")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ka = kept
+      .withColumn("start_off", sum(col("n_chars")).over(w) - col("n_chars"))
+      .withColumn("pack_id", floor(col("start_off").cast("double") / 4000.0).cast("long"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).cast("long").as("n_tokens_kept"),
+        countDistinct(col("pack_id")).as("n_packs"),
+        sum(col("n_chars")).cast("long").as("chars_packed")
+      )
+    f.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("pass_q"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("pass_q") && col("pass_e"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("pass_q") && col("pass_e") && col("pass_n"), 1L).otherwise(0L)).as("n_near"),
+        sum(when(col("pass_q") && col("pass_e") && col("pass_n") && col("pass_c"), 1L)
+          .otherwise(0L)).as("n_clean")
+      )
+      .join(broadcast(ka), Seq("lang"), "left")
+      .select(
+        col("lang"),
+        col("n_raw"),
+        col("n_quality"),
+        col("n_exact"),
+        col("n_near"),
+        col("n_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        coalesce(col("n_packs"), lit(0L)).as("n_packs"),
+        coalesce(col("chars_packed"), lit(0L)).as("chars_packed"),
+        when(coalesce(col("n_packs"), lit(0L)) > 0,
+          Det.rN(col("chars_packed").cast("double") / (col("n_packs") * 4000.0), 6))
+          .otherwise(0.0).as("mean_fill")
+      )
+      .orderBy(col("lang"))
   }
 
   val pipelineCorpusBuild: Q = Q(
