@@ -55,6 +55,15 @@ object Bench {
     //    bare count() would read only footers). Try-wrapped: a table
     //    an engine can't raw-read (events' ns timestamps go through
     //    Tables.events in real queries) must not kill the bench.
+    //    The summed value is the hash SHIFTED DOWN 40 bits (same trick
+    //    as calibProbe, r21): ANSI mode is on, and a bare sum of full
+    //    64-bit hashes overflows long partway through a large table —
+    //    the Try then swallowed an ARITHMETIC_OVERFLOW mid-scan and the
+    //    sweep silently warmed only a prefix of each table (r21
+    //    baseline log: warm-up stages aborted with ARITHMETIC_OVERFLOW).
+    //    The shift keeps every column flowing through the decoder (the
+    //    hash still consumes them all) while the aggregate stays in
+    //    range for any plausible row count (2^24 max per row).
     // 2) Broadcast-join + window actions — exchange machinery and
     //    codegen paths the scan sweep doesn't touch.
     // 3) dedup_incremental_persisted's one-time corpus signature
@@ -71,7 +80,8 @@ object Bench {
           // (optimized plan: Aggregate[count(1)] over ReadSchema
           // struct<>) — the sweep warmed nothing. head() demands the
           // sum's VALUE, which forces every column through the decoder.
-          df.select(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)).as("h"))
+          df.select(shiftrightunsigned(
+              xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), 40).as("h"))
             .agg(sum(col("h"))).head()
         }
       }
@@ -79,7 +89,8 @@ object Bench {
     // skips it, so warm it through the real loader
     scala.util.Try {
       val ev = Tables.events(spark, sfDir)
-      ev.select(xxhash64(struct(ev.columns.map(col).toIndexedSeq: _*)).as("h"))
+      ev.select(shiftrightunsigned(
+          xxhash64(struct(ev.columns.map(col).toIndexedSeq: _*)), 40).as("h"))
         .agg(sum(col("h"))).head()
     }
     val region = spark.read.parquet(s"$sfDir/region.parquet")
@@ -138,7 +149,9 @@ object Bench {
       viewPaths.foreach { p =>
         scala.util.Try {
           val df = spark.read.parquet(p)
-          df.select(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)).as("h"))
+          // shifted like the table sweep — same ANSI overflow trap
+          df.select(shiftrightunsigned(
+              xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), 40).as("h"))
             .agg(sum(col("h"))).head()
         }
       }

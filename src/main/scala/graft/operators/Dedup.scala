@@ -453,7 +453,11 @@ object Dedup {
     // O(distinct counts²) histogram cells where enumerating would touch
     // every candidate pair it is trying to avoid generating
     val hist = sig.groupBy(col("lang"), col("ns")).agg(count(lit(1)).as("c"))
-    val same = hist.select((col("c") * (col("c") - 1) / 2).cast("long").as("pairs"))
+    // integer `div`, not Divide (ADVICE r20 #3): long/long promotes to
+    // double, which silently loses exactness past 2^53 — a histogram
+    // cell of ~9.5e7 docs would make the "exact" count drift. c(c−1)
+    // is always even, so the integral quotient is the true C(c,2).
+    val same = hist.select(expr("(c * (c - 1)) div 2").cast("long").as("pairs"))
     val cross = hist.select(col("lang"), col("ns").as("na"), col("c").as("ca"))
       .join(hist.select(col("lang"), col("ns").as("nb"), col("c").as("cb")), Seq("lang"))
       .filter(col("na") < col("nb") && lit(5) * col("na") >= lit(3) * col("nb"))
@@ -463,7 +467,7 @@ object Dedup {
     // trick as the grid count — the probe never enumerates what it is
     // costing out
     val inter = p.groupBy(col("lang"), col("h")).agg(count(lit(1)).as("c"))
-      .select((col("c") * (col("c") - 1) / 2).cast("long").as("pairs"))
+      .select(expr("(c * (c - 1)) div 2").cast("long").as("pairs")) // integer div, see `same`
       .agg(coalesce(sum(col("pairs")), lit(0L)).as("prefix_intermediate"))
     val pfx = prefixCandidatePairs(p).agg(count(lit(1)).as("prefix_candidates"))
     nDocs
@@ -532,7 +536,7 @@ object Dedup {
         "pfx AS (SELECT doc_id, lang, ns, h FROM (SELECT doc_id, lang, ns, h, " +
         "row_number() OVER (PARTITION BY doc_id ORDER BY h, s) AS rn FROM ph) " +
         "WHERE rn <= ns - ((3 * ns + 4) // 5) + 1), " +
-        "pint AS (SELECT cast(coalesce(sum(c * (c - 1) / 2), 0) as bigint) AS pi " +
+        "pint AS (SELECT cast(coalesce(sum((c * (c - 1)) // 2), 0) as bigint) AS pi " +
         "FROM (SELECT lang, h, count(*) AS c FROM pfx GROUP BY 1, 2)), " +
         "pc AS (SELECT count(*) AS pc FROM (SELECT DISTINCT a.doc_id, b.doc_id " +
         "FROM pfx a JOIN pfx b ON a.lang = b.lang AND a.h = b.h AND a.doc_id < b.doc_id " +
@@ -1505,6 +1509,16 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // Non-convergence guard (ADVICE r20 #1): contraction + pointer
+    // doubling makes 20 rounds cover astronomical diameters, but a
+    // pathological graph that still hasn't converged at the cap would
+    // otherwise emit partially-propagated labels indistinguishable
+    // from correct ones — and those labels feed correctness rows
+    // (dedup_clusters, the bestkeep drop set). Fail loudly instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"ccLoop: min-label propagation still moving after $iter iterations — " +
+          "refusing to emit non-converged cluster labels")
     labels
   }
 
@@ -1520,10 +1534,15 @@ object Dedup {
     *
     * 100 TB: the input is the persisted manifest (never a re-screen);
     * CC touches only dup-graph endpoints, the keeper argmax moves one
-    * row per cluster. The collect is bounded by the dup-graph endpoint
-    * count (3,604 at sf0.1; at corpus scale the drop set stays a
-    * doc-keyed FRAME feeding the flag join instead of collecting —
-    * same plan shape, no driver state). Memoized per manifest path
+    * row per cluster. The drop set stays a doc-keyed FRAME the whole
+    * way (r21, VERDICT r20 #1): [[bestOfClusterDroppedFrame]] returns
+    * the `labels ⟕anti keepers` anti-join, checkpointed, and the
+    * bestkeep corpus build joins THAT — no driver-side collect and no
+    * LocalRelation of collected ids anywhere in the composed plan, so
+    * the shape survives a duplicate-heavy corpus where the endpoint
+    * set is O(corpus). The collected-Seq variant below remains ONLY
+    * for the spec/probe paths (DedupSpec's union-find oracle compares
+    * whole drop sets driver-side anyway), memoized per manifest path
     * like [[clusterCache]]: the path encodes (input fingerprint,
     * buildVersion), so regeneration invalidates mechanically. */
   private val bestKeepCache =
@@ -1536,25 +1555,39 @@ object Dedup {
     () => bestKeepComputes.get()
   ))
 
+  /** The drop set as an UNCOLLECTED one-column (doc_id) frame — the
+    * scale shape: CC labels over the persisted manifest's endpoints,
+    * the per-cluster (n_chars desc, doc_id) argmax via TopKPerGroup,
+    * then labels anti-join keepers. Checkpointed before return so the
+    * consumer's plan reads one materialized LogicalRDD instead of
+    * re-deriving the manifest scan + CC lineage per reference (the
+    * iterative CC is eager anyway — the truncate adds one tiny job
+    * over the already-computed labels). */
+  private[graft] def bestOfClusterDroppedFrame(
+      spark: SparkSession, dir: String): DataFrame = {
+    val pairs = spark.read
+      .parquet(pairTablePath(spark, dir))
+      .select(col("ida"), col("idb"))
+    val endpoints = pairs
+      .select(explode(array(col("ida"), col("idb"))).as("doc_id"))
+      .distinct()
+    val labels = ccLabels(pairs, endpoints)
+    val withChars = labels.join(
+      Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+      Seq("doc_id"))
+    val keepers = org.apache.spark.sql.graftx
+      .TopKPerGroup(withChars, Seq("cluster"), Seq("n_chars" -> true, "doc_id" -> false), 1)
+      .select(col("doc_id"))
+    graft.Lineage.truncate(
+      labels.select(col("doc_id")).join(keepers, Seq("doc_id"), "left_anti"))
+  }
+
   private[graft] def bestOfClusterDropped(spark: SparkSession, dir: String): Seq[Long] = {
     val key = pairTablePath(spark, dir)
     bestKeepCache.synchronized(bestKeepCache.get(key)) match {
       case Some(cached) => cached
       case None =>
-        val pairs = spark.read.parquet(key).select(col("ida"), col("idb"))
-        val endpoints = pairs
-          .select(explode(array(col("ida"), col("idb"))).as("doc_id"))
-          .distinct()
-        val labels = ccLabels(pairs, endpoints)
-        val withChars = labels.join(
-          Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
-          Seq("doc_id"))
-        val keepers = org.apache.spark.sql.graftx
-          .TopKPerGroup(withChars, Seq("cluster"), Seq("n_chars" -> true, "doc_id" -> false), 1)
-          .select(col("doc_id"))
-        val computed = labels
-          .select(col("doc_id"))
-          .join(keepers, Seq("doc_id"), "left_anti")
+        val computed = bestOfClusterDroppedFrame(spark, dir)
           .collect()
           .map(_.getLong(0))
           .toSeq

@@ -372,17 +372,18 @@ object Sampling {
   /** The `_bestkeep` flag pass: identical to [[corpusBuildFlags]]
     * except the near-dup SURVIVOR POLICY — instead of the smaller-id
     * rule, drop every dup-graph endpoint that is not its cluster's
-    * highest-quality member ([[Dedup.bestOfClusterDropped]]; verdicts
-    * arrive as a local frame bounded by the dup-graph endpoint count,
-    * computed once per manifest snapshot from the persisted pair view
-    * — still never an inline re-screen). */
+    * highest-quality member. The verdicts arrive as the UNCOLLECTED
+    * doc-keyed drop FRAME ([[Dedup.bestOfClusterDroppedFrame]], r21 —
+    * VERDICT r20 #1): the CC + keeper argmax run from the persisted
+    * pair view (never an inline re-screen), and the flag join reads
+    * the checkpointed anti-join result directly, so the composed plan
+    * carries NO driver-side collect and no LocalRelation of collected
+    * ids — the shape that survives an O(corpus) drop set at 100 TB. */
   private[graft] def corpusBuildFlagsBestKeep(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
-    import spark.implicits._
     val nearDropped = Dedup
-      .bestOfClusterDropped(spark, dir)
-      .toDF("doc_id")
+      .bestOfClusterDroppedFrame(spark, dir)
       .withColumn("near_dup", lit(true))
     corpusBuildFlagsWith(spark, dir, nearDropped)
   }
@@ -606,13 +607,14 @@ object Sampling {
     * (SamplingSpec pins equality), while n_near and everything
     * downstream differ exactly by the policy (324 endpoints at sf0.01:
     * smaller-id keeps 18, best-of-cluster keeps its 6 cluster argmaxes).
-    * memoizes: the cluster labels + keeper set are served from
-    * [[Dedup]]'s manifest-keyed memo on a second run. */
+    * memoizes = false since r21: the row consumes the uncollected drop
+    * FRAME (recomputed per run — the honest measurement), not
+    * [[Dedup]]'s collected-Seq memo, which now serves only the
+    * spec/probe paths. */
   val pipelineCorpusBuildBestkeep: Q = Q(
     "pipeline_corpus_build_bestkeep",
     Some(corpusBuildOracleSql("WITH RECURSIVE ", corpusBuildNdBestKeep)),
-    (spark, dir) => corpusBuildReport(graft.Lineage.truncate(corpusBuildFlagsBestKeep(spark, dir))),
-    memoizes = true
+    (spark, dir) => corpusBuildReport(graft.Lineage.truncate(corpusBuildFlagsBestKeep(spark, dir)))
   )
 
   /** Deterministic stratified train/test split — the assignment every

@@ -199,22 +199,32 @@ class PlanShapeSpec extends SparkSuite {
     // The policy variant (VERDICT r19 #1) must not regress the
     // composition contract: its flag pass still serves contamination
     // from the persisted shingle view and makes at most two raw corpus
-    // passes; the near-dup verdicts arrive as a LOCAL frame (the
-    // memoized cluster-keeper set, computed once from the persisted
-    // pair manifest — so the manifest never appears in the flag PLAN),
-    // and the composed row reads only the truncated flag frame.
-    import org.apache.spark.sql.execution.FileSourceScanExec
+    // passes; the near-dup verdicts arrive as the CHECKPOINTED drop
+    // FRAME (r21, VERDICT r20 #1 — the anti-join result of the CC +
+    // keeper argmax over the persisted pair manifest, materialized
+    // once, so the manifest never appears in the flag PLAN), and the
+    // composed row reads only the truncated flag frame.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, LocalTableScanExec}
     def paths(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.queryExecution.sparkPlan.collect { case s: FileSourceScanExec =>
         s.relation.location.rootPaths.mkString(",")
       }
-    val fp = paths(operators.Sampling.corpusBuildFlagsBestKeep(spark, sf))
+    val flags = operators.Sampling.corpusBuildFlagsBestKeep(spark, sf)
+    val fp = paths(flags)
     assert(fp.exists(_.contains("graft_contam_shingles")),
       s"contamination verdicts must come from the shingle view, scans: $fp")
     assert(!fp.exists(_.contains("graft_dedup_pairs")),
-      s"keeper verdicts must arrive as the memoized local frame, not an inline manifest scan: $fp")
+      s"keeper verdicts must arrive as the checkpointed drop frame, not an inline manifest scan: $fp")
     assert(fp.count(_.contains("documents.parquet")) <= 2,
       s"flag pass re-derives from raw text, scans: $fp")
+    // the scale pin (VERDICT r20 #1): the drop set must ride a
+    // distributed frame, never a LocalRelation rebuilt from ids
+    // collected to the driver — at 100 TB the drop set is O(corpus)
+    val locals = flags.queryExecution.sparkPlan.collect {
+      case l: LocalTableScanExec => l
+    }
+    assert(locals.isEmpty,
+      s"flag pass embeds a LocalTableScan — the drop set was collected driver-side: $locals")
     val rp = paths(Registry.byName("pipeline_corpus_build_bestkeep").run(spark, sf))
     assert(rp.isEmpty,
       s"composition re-scans files instead of the materialized flag frame: $rp")
