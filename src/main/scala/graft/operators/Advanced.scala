@@ -657,11 +657,26 @@ object Advanced {
     val qdt = pqSubDists(Tables.embeddings(spark, dir).filter(col("vec_id") < 100), cb)
       .groupBy(col("vec_id"), col("m"))
       .agg(map_from_arrays(collect_list(col("cid")), collect_list(col("d"))).as("md"))
+      // dense cid-indexed array per (query, m): the scoring projection
+      // below runs once per (query, neighbor) pair, and a MAP
+      // element_at is an O(K) linear key scan (K = 80 codewords) — so
+      // the nested-map spelling paid 8 x O(80) comparisons per scored
+      // pair. Indexing an ARRAY by code is O(1); the d doubles are the
+      // same values, so the adc output is bit-identical. The dense
+      // build costs |queries| x M x K map lookups once, not per pair.
+      // try_element_at: a cid hole (a label x residue seed group empty
+      // at tiny SF) must yield a null slot, not an ANSI key error —
+      // codes only ever index cids the codebook has, so the null is
+      // never read.
+      .withColumn("da", transform(
+        sequence(lit(0), array_max(map_keys(col("md")))),
+        i => try_element_at(col("md"), i)))
       .groupBy(col("vec_id"))
-      .agg(map_from_arrays(collect_list(col("m")), collect_list(col("md"))).as("dt"))
-      .select(col("vec_id").as("query_id"), col("dt"))
+      .agg(array_sort(collect_list(struct(col("m"), col("da")))).as("ma"))
+      .select(col("vec_id").as("query_id"),
+        transform(col("ma"), x => x.getField("da")).as("dt"))
     val terms = (0 until PqM).map(m =>
-      element_at(element_at(col("dt"), lit(m.toLong)), col(s"c$m"))
+      element_at(element_at(col("dt"), m + 1), col(s"c$m") + 1)
         .cast(DecimalType(30, 8)))
     codes
       .withColumnRenamed("vec_id", "neighbor_id")
@@ -893,10 +908,18 @@ object Advanced {
     val qdt = pqSubDists(qres, cb, "emb", Seq("query_id", "list_id", "prank"))
       .groupBy(col("query_id"), col("list_id"), col("prank"), col("m"))
       .agg(map_from_arrays(collect_list(col("cid")), collect_list(col("d"))).as("md"))
+      // dense cid-indexed arrays instead of nested maps — same O(K)-
+      // map-scan-per-scored-pair argument as [[pqAdcScores]] (K = 40
+      // residual codewords here); values identical, lookups O(1)
+      .withColumn("da", transform(
+        sequence(lit(0), array_max(map_keys(col("md")))),
+        i => try_element_at(col("md"), i)))
       .groupBy(col("query_id"), col("list_id"), col("prank"))
-      .agg(map_from_arrays(collect_list(col("m")), collect_list(col("md"))).as("dt"))
+      .agg(array_sort(collect_list(struct(col("m"), col("da")))).as("ma"))
+      .select(col("query_id"), col("list_id"), col("prank"),
+        transform(col("ma"), x => x.getField("da")).as("dt"))
     val terms = (0 until PqM).map(m =>
-      element_at(element_at(col("dt"), lit(m.toLong)), col(s"c$m"))
+      element_at(element_at(col("dt"), m + 1), col(s"c$m") + 1)
         .cast(DecimalType(30, 8)))
     codes
       .withColumnRenamed("vec_id", "neighbor_id")
