@@ -2914,10 +2914,20 @@ object Dedup {
         )
       val a = d.select(col("doc_id").as("ida"), col("lang"), col("pfx"), col("head").as("ha"))
       val b = d.select(col("doc_id").as("idb"), col("lang"), col("pfx"), col("head").as("hb"))
+      // thresholded levenshtein (Spark 3.5+): banded O(len·k) DP with
+      // early exit instead of the full O(len²) table, returning -1
+      // above the bound and the EXACT distance at or below it — so the
+      // kept rows and their dist values are identical to the unbounded
+      // spelling (the oracle keeps the plain levenshtein ≤ 24, same
+      // set). Matters twice over: Catalyst pushes the dist filter into
+      // the join condition AND keeps it in the projection, so every
+      // candidate pair pays the DP in the join and every survivor pays
+      // it again — the band cuts both evaluations.
       a.join(b, Seq("lang", "pfx"))
         .filter(col("ida") < col("idb"))
-        .select(col("ida"), col("idb"), levenshtein(col("ha"), col("hb")).cast("long").as("dist"))
-        .filter(col("dist") <= 24)
+        .select(col("ida"), col("idb"),
+          levenshtein(col("ha"), col("hb"), 24).cast("long").as("dist"))
+        .filter(col("dist") >= 0)
         .orderBy(col("ida"), col("idb"))
     }
   )
