@@ -505,8 +505,9 @@ object Dedup {
       .join(d.select(col("doc_id").as("ida"), col("s").as("sa"), col("ns").as("na")), Seq("ida"))
       .join(d.select(col("doc_id").as("idb"), col("s").as("sb"), col("ns").as("nb")), Seq("idb"))
       .withColumn("inter", SortedLongIntersectCount.count(col("sa"), col("sb")))
+      // integer spelling of jac >= 0.6 — see ngramPairsGridOf
+      .filter(col("inter").cast("long") * 8 >= (col("na") + col("nb")).cast("long") * 3)
       .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jac") >= 0.6)
       .select(col("ida"), col("idb"), Det.rN(col("jac"), 6).as("jac"))
   }
 
@@ -592,8 +593,17 @@ object Dedup {
         col("ida") < col("idb") &&
           lit(5) * least(col("na"), col("nb")) >= lit(3) * greatest(col("na"), col("nb")))
       .withColumn("inter", SortedLongIntersectCount.count(col("sa"), col("sb")))
+      // jac >= 0.6 spelled as the INTEGER 8*inter >= 3*(na+nb): the
+      // double spelling pushed into the join condition evaluated the
+      // merge-intersect kernel TWICE per candidate pair (numerator and
+      // denominator) — the kernel is the candidate scan's whole cost.
+      // Exactly the same pair set: i/(u) >= 0.6 <=> 8i >= 3(na+nb) on
+      // exact integers, and no rational with denominator < ~1e15 lies
+      // between double(0.6) and 3/5, so the IEEE comparison can never
+      // disagree with the exact one (equality at exactly 3/5 agrees:
+      // both engines' division then yields double(0.6) itself).
+      .filter(col("inter").cast("long") * 8 >= (col("na") + col("nb")).cast("long") * 3)
       .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jac") >= 0.6)
       .select(col("ida"), col("idb"), Det.rN(col("jac"), 6).as("jac"))
   }
 
@@ -1808,8 +1818,12 @@ object Dedup {
             !(col("nb") === col("na") && col("big_id") < col("small_id"))
         )
         .withColumn("inter", SortedLongIntersectCount.count(col("ta"), col("tb")))
+        // cont >= 0.9 spelled as the INTEGER 10*inter >= 9*na — same
+        // one-kernel-eval-per-candidate argument as ngramPairsGridOf
+        // (i/na >= 0.9 <=> 10i >= 9na exactly; no rational with a
+        // denominator below ~1e15 separates double(0.9) from 9/10)
+        .filter(col("inter").cast("long") * 10 >= col("na").cast("long") * 9)
         .withColumn("cont", col("inter").cast("double") / col("na"))
-        .filter(col("cont") >= 0.9)
         .select(col("small_id"), col("big_id"), Det.rN(col("cont"), 6).as("cont"))
         .orderBy(col("small_id"), col("big_id"))
     }
