@@ -183,11 +183,18 @@ object Dedup {
           lit(5) * least(col("na"), col("nb")) >= lit(4) * greatest(col("na"), col("nb"))
       )
       .withColumn("inter", SortedLongIntersectCount.count(col("ta"), col("tb")))
+      // jac >= 0.8 spelled as the INTEGER 9*inter >= 4*(na+nb) so the
+      // condition Catalyst pushes into the join evaluates the
+      // sorted-intersect kernel ONCE per candidate instead of twice
+      // (numerator + denominator of the double division). Same pair
+      // set exactly: i/(na+nb-i) >= 0.8 <=> 9i >= 4(na+nb) on exact
+      // integers, and no rational with denominator < ~1e15 lies
+      // between 4/5 and double(0.8) — the ngramPairsGridOf argument.
+      .filter(col("inter").cast("long") * 9 >= (col("na") + col("nb")).cast("long") * 4)
       .withColumn(
         "jac",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
       )
-      .filter(col("jac") >= 0.8)
   }
 
   /** The blocked exact-Jaccard pair join over an already-tokenized doc
@@ -2040,7 +2047,11 @@ object Dedup {
     * input-fingerprinted path (stale-proof against a regenerated
     * input dir), write-to-temp + rename for the cross-JVM race. */
   private[graft] def pairTablePath(spark: SparkSession, dir: String): String =
-    graft.ViewStore.materialize(spark, "graft_dedup_pairs", dir)(
+    // buildVersion 2: r21's integer threshold spelling in
+    // blockedJacPairsCore — content provably identical (same pair
+    // set, same jac doubles), but the house rule is to bump on ANY
+    // derivation change rather than reason per-case about coincidence
+    graft.ViewStore.materialize(spark, "graft_dedup_pairs", dir, buildVersion = 2)(
       nearJaccardPairs(spark, dir, carry = Seq("source")))
 
   /** Full-scope jac ≥ 0.8 pairs served from the materialized view —
