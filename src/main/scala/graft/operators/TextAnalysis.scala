@@ -413,10 +413,14 @@ object TextAnalysis {
         .documents(spark, dir)
         .select(col("doc_id"), explode(bgCol).as("bg"))
       val c2 = e.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-      val c1 = e
-        .select(split(col("bg"), " ").getItem(0).as("w1"))
-        .groupBy(col("w1"))
-        .agg(count(lit(1)).as("c1"))
+      // c1 from c2, NOT from a second corpus explode: c1(w1) is by
+      // definition the sum of c2 over bigrams starting with w1, and c2
+      // is vocabulary-sized — this folds a full tokenize+explode pass
+      // (the third corpus scan of this query) into a tiny aggregate
+      // over bigram TYPES. Counts identical, so every ln(c2/c1) is.
+      val c1 = c2
+        .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+        .agg(sum(col("c2")).as("c1"))
       e.join(broadcast(c2), Seq("bg"))
         .withColumn("w1", split(col("bg"), " ").getItem(0))
         .join(broadcast(c1), Seq("w1"))
