@@ -185,9 +185,25 @@ object StreamEquivalence {
     // run's entries mixed with this run's, and Bench publishes that
     // blend as the run's per-family attribution.
     familySeconds.synchronized(familySeconds.clear())
+    // Per-family replay session at 4 shuffle partitions — the parity
+    // rows' legSession rationale applied to the stateless family
+    // replays (r21): AQE is unavailable inside streaming micro-batches
+    // AND inside their foreachBatch bodies' derived jobs is per-batch,
+    // so every per-batch shuffle (the screens' joins, the bm25/bpe
+    // aggregates) ran at the engine-wide 32 partitions over a sliced
+    // input of a few thousand rows — 32 near-empty tasks of pure
+    // scheduling overhead per shuffle per micro-batch. newSession
+    // scopes the conf away from the shared session (ADVICE r15's
+    // isolation argument); results are partitioning-independent (all
+    // merges are keyed and the verdicts reduce to scalar flags).
+    def famSession(): SparkSession = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s
+    }
     def bm25(): (String, (Int, Int, Int)) = {
       val scope = pmod(col("doc_id"), lit(8)) === 0
-      val (sPost, sStats) = StreamDemos.streamedBm25Index(spark, dir, copies = 2, scope = scope)
+      val (sPost, sStats) = StreamDemos.streamedBm25Index(famSession(), dir, copies = 2, scope = scope)
       val (pPath, _)      = TextAnalysis.bm25IndexPath(spark, dir)
       // postings are per-document pure — the sliced streamed postings
       // must equal the persisted view's rows on the same slice
@@ -216,14 +232,14 @@ object StreamEquivalence {
       () => ("lsh_sigs", {
         val scope = pmod(col("vec_id"), lit(8)) === 0
         verdict(
-          StreamDemos.streamedLshSigTable(spark, dir, copies = 2, scope = scope),
+          StreamDemos.streamedLshSigTable(famSession(), dir, copies = 2, scope = scope),
           spark.read.parquet(Similarity.lshSigTablePath(spark, dir)).filter(scope))
       }),
       () => ("ivf_assignments", {
         val scope = pmod(col("vec_id"), lit(8)) === 0
         val (_, asgPath) = Advanced.ivfIndexPath(spark, dir)
         verdict(
-          StreamDemos.streamedIvfAssignments(spark, dir, copies = 2, scope = scope),
+          StreamDemos.streamedIvfAssignments(famSession(), dir, copies = 2, scope = scope),
           spark.read.parquet(asgPath).filter(scope))
       }),
       // The heavy full-corpus replay families below audit a FIXED hash
@@ -240,38 +256,38 @@ object StreamEquivalence {
         val scope = pmod(col("vec_id"), lit(8)) === 0
         val (_, codesPath) = Advanced.pqIndexPath(spark, dir)
         verdict(
-          StreamDemos.streamedPqCodes(spark, dir, copies = 2, scope = scope),
+          StreamDemos.streamedPqCodes(famSession(), dir, copies = 2, scope = scope),
           spark.read.parquet(codesPath).filter(scope))
       }),
       () => ("ivfpq_codes", {
         val scope = pmod(col("vec_id"), lit(8)) === 0
         val (_, codesPath) = Advanced.ivfPqIndexPath(spark, dir)
         verdict(
-          StreamDemos.streamedIvfPqCodes(spark, dir, copies = 2, scope = scope),
+          StreamDemos.streamedIvfPqCodes(famSession(), dir, copies = 2, scope = scope),
           spark.read.parquet(codesPath).filter(scope))
       }),
       () => ("minhash_sigs", {
         val scope = pmod(col("doc_id"), lit(8)) === 0
         verdict(
-          StreamDemos.streamedMinhashSigTable(spark, dir, copies = 2, scope = scope),
+          StreamDemos.streamedMinhashSigTable(famSession(), dir, copies = 2, scope = scope),
           spark.read.parquet(Dedup.minhashSigTablePath(spark, dir)).filter(scope))
       }),
       () => ("dedup_sigs", {
         val scope = pmod(col("doc_id"), lit(8)) === 0
         verdict(
-          StreamDemos.streamedExactSigTable(spark, dir, copies = 2, scope = scope),
+          StreamDemos.streamedExactSigTable(famSession(), dir, copies = 2, scope = scope),
           spark.read.parquet(Dedup.sigTablePath(spark, dir)).filter(scope))
       }),
       () => ("simhash_sigs", {
         val scope = pmod(col("doc_id"), lit(8)) === 0
         verdict(
-          StreamDemos.streamedSimhashSigTable(spark, dir, copies = 2, scope = scope),
+          StreamDemos.streamedSimhashSigTable(famSession(), dir, copies = 2, scope = scope),
           spark.read.parquet(Dedup.simhashSigTablePath(spark, dir)).filter(scope))
       }),
       () => ("contam_shingles", {
         val scope = pmod(col("doc_id"), lit(8)) === 0
         verdict(
-          StreamDemos.streamedContamShingleTable(spark, dir, copies = 2, scope = scope),
+          StreamDemos.streamedContamShingleTable(famSession(), dir, copies = 2, scope = scope),
           spark.read.parquet(TextAnalysis.contamShingleTablePath(spark, dir)).filter(scope))
       }),
       // edge_view audits a FIXED hash slice of baskets (1/8 of orders)
@@ -286,7 +302,7 @@ object StreamEquivalence {
         // basket replay became the audit's tail
         val scope = pmod(col("l_orderkey"), lit(16)) === 0
         verdict(
-          StreamDemos.streamedEdgeView(spark, dir, copies = 2, scope = scope),
+          StreamDemos.streamedEdgeView(famSession(), dir, copies = 2, scope = scope),
           Graph.edgesFrom(
             graft.Tables.lineitem(spark, dir)
               .select(col("l_orderkey"), col("l_partkey"))
@@ -318,7 +334,7 @@ object StreamEquivalence {
           Dedup.corpusSigTable(spark, dir).unionByName(sigs),
           col("ida") =!= col("idb") && (col("idb") % 10 =!= 0 || col("ida") < col("idb")))
         verdictEmptyOk(
-          StreamDemos.pairDeltaIngest(spark, dir, copies = 2, scope = scope),
+          StreamDemos.pairDeltaIngest(famSession(), dir, copies = 2, scope = scope),
           batchPairs, probes)
       }),
       () => ("ingest_screen_exact", {
@@ -326,7 +342,7 @@ object StreamEquivalence {
         // sliced probes against the unchanged corpus signature table
         val scope = pmod(col("doc_id"), lit(8)) === 0
         verdict(
-          StreamDemos.screenedIngest(spark, dir, copies = 2, scope = scope),
+          StreamDemos.screenedIngest(famSession(), dir, copies = 2, scope = scope),
           Dedup.screenSigsAgainst(
             Dedup.signaturesOf(
               graft.Tables.documents(spark, dir)
@@ -342,7 +358,7 @@ object StreamEquivalence {
           .parquet(Dedup.minhashSigTablePath(spark, dir))
           .filter(col("doc_id") % 10 =!= 0)
         verdict(
-          StreamDemos.minhashScreenedIngest(spark, dir, copies = 2, scope = scope),
+          StreamDemos.minhashScreenedIngest(famSession(), dir, copies = 2, scope = scope),
           Dedup.minhashScreenAgainst(
             graft.Tables.documents(spark, dir)
               .filter(col("doc_id") % 10 === 0).filter(scope),
@@ -364,7 +380,7 @@ object StreamEquivalence {
           TextAnalysis.contamShinglesBuild(probes),
           TextAnalysis.contamBenchFrame(spark, dir))
         verdictEmptyOk(
-          StreamDemos.contamScreenedIngest(spark, dir, copies = 2, scope = scope),
+          StreamDemos.contamScreenedIngest(famSession(), dir, copies = 2, scope = scope),
           batchVerdicts, probes)
       }),
       () => ("bpe_vocab", {
@@ -377,7 +393,7 @@ object StreamEquivalence {
         val scope = pmod(col("doc_id"), lit(8)) === 0
         val (mergesPath, _) = TextAnalysis.bpeIndexPath(spark, dir)
         verdict(
-          StreamDemos.streamedBpeVocab(spark, dir, copies = 2, scope = scope),
+          StreamDemos.streamedBpeVocab(famSession(), dir, copies = 2, scope = scope),
           TextAnalysis.bpeVocabOf(
             TextAnalysis.bpeDocTokenCounts(
               graft.Tables.documents(spark, dir).filter(scope)),
@@ -390,7 +406,7 @@ object StreamEquivalence {
         // chunk_id); full-corpus equality pinned by StreamingSpec)
         val scope = pmod(col("doc_id"), lit(8)) === 0
         verdict(
-          StreamDemos.streamedCdcChunkTable(spark, dir, copies = 2, scope = scope),
+          StreamDemos.streamedCdcChunkTable(famSession(), dir, copies = 2, scope = scope),
           spark.read.parquet(Dedup.cdcChunkTablePath(spark, dir)).filter(scope))
       }),
       // the 17th family (r15): added AFTER the slicing rework — the
@@ -399,7 +415,7 @@ object StreamEquivalence {
       () => ("mm_features", {
         val scope = pmod(col("doc_id"), lit(8)) === 0
         verdict(
-          StreamDemos.streamedMmFeatureTable(spark, dir, copies = 2, scope = scope),
+          StreamDemos.streamedMmFeatureTable(famSession(), dir, copies = 2, scope = scope),
           spark.read.parquet(Multimodal.mmFeatureTablePath(spark, dir)).filter(scope))
       })
     )
