@@ -728,12 +728,20 @@ object Dedup {
           k.select(col("bi"), col("bv"), col("doc_id").as("idb"), col("simhash").as("sb")),
           Seq("bi", "bv")
         )
-        .filter(col("ida") < col("idb"))
+        // Hamming screen BEFORE the distinct (r21): the popcount-of-xor
+        // is a per-row integer op evaluated map-side in the join's
+        // codegen span, while distinct is a full shuffle of its input —
+        // filtering first shrinks the exchange from every band
+        // collision (a pair can collide in up to 4 bands) to survivors
+        // only. A pair passes or fails the screen identically in every
+        // band it collides in (the test reads only sa/sb), so
+        // filter∘distinct ≡ distinct∘filter here and the oracle keeps
+        // the distinct-first spelling.
+        .filter(col("ida") < col("idb") && bit_count(expr("sa ^ sb")) <= 3)
         .select(col("ida"), col("sa"), col("idb"), col("sb"))
         .distinct()
       pairs
         .withColumn("hamming", bit_count(expr("sa ^ sb")).cast("long"))
-        .filter(col("hamming") <= 3)
         .select(col("ida"), col("idb"), col("hamming"))
         .orderBy(col("ida"), col("idb"))
     }
