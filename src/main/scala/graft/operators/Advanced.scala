@@ -667,17 +667,19 @@ object Advanced {
       // try_element_at: a cid hole (a label x residue seed group empty
       // at tiny SF) must yield a null slot, not an ANSI key error —
       // codes only ever index cids the codebook has, so the null is
-      // never read.
+      // never read. The decimal(30,8) cast the oracle-exact sum needs
+      // is hoisted INTO the dense build too: cast |queries| x M x K
+      // values once here instead of M BigDecimal allocations per
+      // scored pair — same cast on the same doubles, same values.
       .withColumn("da", transform(
         sequence(lit(0), array_max(map_keys(col("md")))),
-        i => try_element_at(col("md"), i)))
+        i => try_element_at(col("md"), i).cast(DecimalType(30, 8))))
       .groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("m"), col("da")))).as("ma"))
       .select(col("vec_id").as("query_id"),
         transform(col("ma"), x => x.getField("da")).as("dt"))
     val terms = (0 until PqM).map(m =>
-      element_at(element_at(col("dt"), m + 1), col(s"c$m") + 1)
-        .cast(DecimalType(30, 8)))
+      element_at(element_at(col("dt"), m + 1), col(s"c$m") + 1))
     codes
       .withColumnRenamed("vec_id", "neighbor_id")
       .crossJoin(broadcast(qdt)) // bounded build: one row per probe query
@@ -910,17 +912,17 @@ object Advanced {
       .agg(map_from_arrays(collect_list(col("cid")), collect_list(col("d"))).as("md"))
       // dense cid-indexed arrays instead of nested maps — same O(K)-
       // map-scan-per-scored-pair argument as [[pqAdcScores]] (K = 40
-      // residual codewords here); values identical, lookups O(1)
+      // residual codewords here); values identical, lookups O(1), and
+      // the oracle-exact decimal cast is hoisted into the build too
       .withColumn("da", transform(
         sequence(lit(0), array_max(map_keys(col("md")))),
-        i => try_element_at(col("md"), i)))
+        i => try_element_at(col("md"), i).cast(DecimalType(30, 8))))
       .groupBy(col("query_id"), col("list_id"), col("prank"))
       .agg(array_sort(collect_list(struct(col("m"), col("da")))).as("ma"))
       .select(col("query_id"), col("list_id"), col("prank"),
         transform(col("ma"), x => x.getField("da")).as("dt"))
     val terms = (0 until PqM).map(m =>
-      element_at(element_at(col("dt"), m + 1), col(s"c$m") + 1)
-        .cast(DecimalType(30, 8)))
+      element_at(element_at(col("dt"), m + 1), col(s"c$m") + 1))
     codes
       .withColumnRenamed("vec_id", "neighbor_id")
       .join(broadcast(qdt), Seq("list_id")) // the IVF prune: equi-join on probed lists
