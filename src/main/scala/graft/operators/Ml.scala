@@ -207,14 +207,25 @@ object Ml {
       val tr = docs.filter(!isTest)
       val te = docs.filter(isTest)
       val trt = tr.select(col("lang"), explode(split(col("text"), " ")).as("tok"))
-      val cnt = trt.groupBy(col("lang"), col("tok")).agg(count(lit(1)).cast("double").as("c"))
-      val tot = trt.groupBy(col("lang")).agg(count(lit(1)).cast("double").as("t"))
-      val voc = trt.agg(countDistinct(col("tok")).cast("double").as("v"))
-      val pri = tr
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).cast("double").as("nc"))
-        .crossJoin(broadcast(tr.agg(count(lit(1)).cast("double").as("nall"))))
-        .select(col("lang"), log(col("nc") / col("nall")).as("lp"))
+      // ONE tokenize+explode pass over the training corpus: the
+      // (lang, tok) count table is the only aggregate computed from
+      // token instances; the per-class totals and the vocabulary size
+      // derive from it EXACTLY (sum of exact long counts / distinct
+      // tok over the classes×vocab table) — the same
+      // derive-the-smaller-aggregate move as text_bigram_lm's
+      // c1-from-c2. Casts to double happen after the exact integer
+      // aggregation, so every model value is bit-identical.
+      val cnt0 = trt.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("ci"))
+      val cnt  = cnt0.select(col("lang"), col("tok"), col("ci").cast("double").as("c"))
+      val tot  = cnt0.groupBy(col("lang")).agg(sum(col("ci")).cast("double").as("t"))
+      val voc  = cnt0.agg(countDistinct(col("tok")).cast("double").as("v"))
+      // Class priors likewise: one doc-count aggregate, with the corpus
+      // total derived from the per-class counts instead of a second
+      // scan of the training docs.
+      val nc0 = tr.groupBy(col("lang")).agg(count(lit(1)).as("ncl"))
+      val pri = nc0
+        .crossJoin(broadcast(nc0.agg(sum(col("ncl")).cast("double").as("nall"))))
+        .select(col("lang"), log(col("ncl").cast("double") / col("nall")).as("lp"))
       val tet = te
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy(col("doc_id"), col("tok"))

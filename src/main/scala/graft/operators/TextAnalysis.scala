@@ -1421,10 +1421,18 @@ object TextAnalysis {
     * Determinism: chars come from the same regexp in both engines;
     * counts are exact; ties in the top-30 break on the pair string.
     *
-    * 100 TB: explode + one pair-keyed aggregate (partial map-side;
-    * the pair key space is |alphabet|² — tiny); top-30 is
-    * TakeOrderedAndProject. This is exactly how distributed BPE
-    * training computes each round's merge. */
+    * 100 TB: the char-pair expression work (regexp split + adjacent
+    * zip + explode) runs once per DISTINCT token, not once per token
+    * OCCURRENCE — [[bpeWords]] reduces the corpus to its Zipf-small
+    * (tok, freq) vocabulary first (map-side partial counts; this is
+    * the wordcount every real BPE trainer starts with, and the same
+    * table the training loop here already builds), and each emitted
+    * pair carries the token's frequency as an exact integer weight.
+    * `sum(freq)` over pairs equals the per-occurrence `count(*)`
+    * exactly, so the top-30 and its tie order are unchanged (oracle
+    * keeps the per-occurrence spelling). The pair aggregate stays
+    * partial/map-side over a |alphabet|² key space; top-30 is
+    * TakeOrderedAndProject. */
   val textBpePairs: Q = Q(
     "text_bpe_pairs",
     Some(
@@ -1437,11 +1445,10 @@ object TextAnalysis {
     ),
     (spark, dir) => {
       val c = regexp_extract_all(col("tok"), lit("."), lit(0))
-      Tables
-        .documents(spark, dir)
-        .select(explode(toks(col("text"))).as("tok"))
-        .select(c.as("c"))
+      bpeWords(spark, dir)
+        .select(col("freq"), c.as("c"))
         .select(
+          col("freq"),
           explode(
             filter(
               zip_with(
@@ -1454,7 +1461,7 @@ object TextAnalysis {
           ).as("pair")
         )
         .groupBy(col("pair"))
-        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(30)
     }
