@@ -69,7 +69,13 @@ object TextAnalysis {
         .documents(spark, dir)
         .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       val tf = dt.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val df = dt.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      // df derives from tf: the tf table carries exactly one row per
+      // (doc, distinct token-in-doc), so the row count per token IS the
+      // document frequency — exact, and one tokenize+explode pass
+      // instead of two (the countDistinct spelling re-exploded the
+      // corpus and held a doc-id hash set per token; this is a plain
+      // partial-aggregating count over the already-aggregated table).
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val n = Tables.documents(spark, dir).agg(count(lit(1)).cast("double").as("n"))
       val scored = tf
         .join(broadcast(df), Seq("tok"))
@@ -1138,7 +1144,11 @@ object TextAnalysis {
     val allToks = queries.flatMap(_._2).distinct
     val probed = spark.read.parquet(postingsPath).filter(col("tok").isin(allToks: _*))
     val stats = spark.read.parquet(statsPath)
-    val df_ = probed.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    // postings are unique per (tok, doc_id) by construction (the index
+    // build aggregates on exactly that key), so the document frequency
+    // is a plain row count — no per-group doc-id set like the
+    // countDistinct spelling held (O(postings-per-term) memory at scale)
+    val df_ = probed.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val qmap = queries
       .flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("query_id", "tok")
@@ -1173,7 +1183,9 @@ object TextAnalysis {
     val (postingsPath, statsPath) = bm25IndexPath(spark, dir)
     val probed = spark.read.parquet(postingsPath).filter(col("tok").isin(queryToks: _*))
     val stats = spark.read.parquet(statsPath)
-    val df_ = probed.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    // same (tok, doc_id)-uniqueness argument as bm25MultiFrame: df is a
+    // plain row count over the probed postings
+    val df_ = probed.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val termScore =
       log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
         (col("tf") * 2.2) / (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
