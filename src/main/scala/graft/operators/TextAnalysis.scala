@@ -1280,10 +1280,15 @@ object TextAnalysis {
       val isTest = Sampling.hkey(col("doc_id")) % 10 === 0
       val tre = docs.filter(!isTest).select(explode(bgCol).as("bg"))
       val c2 = tre.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-      val c1 = tre
-        .select(split(col("bg"), " ").getItem(0).as("w1"))
+      // c1 derives from c2 — the same move as text_bigram_lm: the
+      // count of training bigrams whose history is w1 is the exact
+      // integer sum of c2 over bigram TYPES with that prefix, so the
+      // second bigram explode over the training corpus disappears (a
+      // vocab²-bounded aggregate replaces a corpus pass).
+      val c1 = c2
+        .select(split(col("bg"), " ").getItem(0).as("w1"), col("c2"))
         .groupBy(col("w1"))
-        .agg(count(lit(1)).as("c1"))
+        .agg(sum(col("c2")).as("c1"))
       val voc = docs
         .filter(!isTest)
         .select(explode(t).as("tok"))
