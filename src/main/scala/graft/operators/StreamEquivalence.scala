@@ -185,7 +185,7 @@ object StreamEquivalence {
     // run's entries mixed with this run's, and Bench publishes that
     // blend as the run's per-family attribution.
     familySeconds.synchronized(familySeconds.clear())
-    // Per-family replay session at 4 shuffle partitions — the parity
+    // Per-family replay sessions at 4 shuffle partitions — the parity
     // rows' legSession rationale applied to the stateless family
     // replays (r21): AQE is unavailable inside streaming micro-batches
     // AND inside their foreachBatch bodies' derived jobs is per-batch,
@@ -196,10 +196,24 @@ object StreamEquivalence {
     // scopes the conf away from the shared session (ADVICE r15's
     // isolation argument); results are partitioning-independent (all
     // merges are keyed and the verdicts reduce to scalar flags).
-    def famSession(): SparkSession = {
+    // A/B knob (VERDICT r21 #1): spark.graft.streameq.famsess =
+    //   perfam (default) — one newSession per family (the r21 shape)
+    //   pooled           — ONE 4-partition newSession shared by all 17
+    //   shared           — the main session verbatim (the r20 shape)
+    val famSessMode = spark.conf
+      .getOption("spark.graft.streameq.famsess").getOrElse("perfam")
+    lazy val pooledFamSession: SparkSession = {
       val s = spark.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "4")
       s
+    }
+    def famSession(): SparkSession = famSessMode match {
+      case "shared" => spark
+      case "pooled" => pooledFamSession
+      case _ =>
+        val s = spark.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s
     }
     def bm25(): (String, (Int, Int, Int)) = {
       val scope = pmod(col("doc_id"), lit(8)) === 0
