@@ -193,12 +193,18 @@ object Bench {
       // ingest-belongs-to-warm-up accounting snk_bucketed already has
       // (ADVICE r17 #4: both rows' timed numbers are WARMED re-writes
       // of an already-materialized managed table, noted in SCALING.md).
+      // r22 addition (VERDICT r21 #4): maint_snapshot_diff read 8.1 s
+      // first vs 0.78 min2 in the driver's 8-core sidecar; the gap
+      // reproduces locally (3.4 first vs 1.2 min2 at 8c) and is
+      // first-execution compile/AQE fat on a plan whose warm cost is
+      // ~0.8 s. Non-memoizing, so the pre-compile is safe here.
       Seq("dedup_lsh_recall_report", "ml_confusion_matrix", "ml_auc",
         "sim_ann_family_report", "sim_ann_ivfpq_nprobe_report",
         "sim_ann_ivfpq_rerank", "sim_ann_pq_rerank",
         "dedup_minhash_lsh16", "snk_bucketed",
         "sql_pricing", "sql_correlated", "sql_cte_window",
-        "sql_ddl_ctas", "profile_fanout").foreach { n =>
+        "sql_ddl_ctas", "profile_fanout",
+        "maint_snapshot_diff").foreach { n =>
         scala.util.Try {
           val plan = Registry.byName(n).run(spark, sfDir).queryExecution.executedPlan
           org.apache.spark.sql.execution.debug.codegenStringSeq(plan)
