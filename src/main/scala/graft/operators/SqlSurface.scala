@@ -179,14 +179,27 @@ object SqlSurface {
         "WITH RECURSIVE cal(m) AS (" +
           "SELECT TIMESTAMP_NTZ '1995-01-01 00:00:00' " +
           "UNION ALL SELECT m + INTERVAL 1 MONTH FROM cal " +
-          "WHERE m < TIMESTAMP_NTZ '2001-08-01 00:00:00') " +
-          "SELECT c.m AS month, count(o.o_orderkey) AS n_orders " +
+          "WHERE m < TIMESTAMP_NTZ '2001-08-01 00:00:00'), " +
+          // Aggregate-before-join (r22): the join-then-group spelling
+          // planned a BroadcastHashJoin that broadcast the ENTIRE fact
+          // side as the build relation (the spine is the 80-row probe
+          // side of a LeftOuter, so Catalyst must build the right) —
+          // at scale that is a broadcast of the whole orders table.
+          // Grouping orders to per-month counts FIRST makes the build
+          // side ~80 rows; count(o_orderkey) per unique spine month is
+          // the same value joined-then-grouped or grouped-then-joined
+          // (null o_orderdate months match no spine row either way),
+          // and months with no orders surface as the left join's null
+          // -> coalesce 0, exactly the old empty group's count.
           // trunc(DATE)→DATE→NTZ is field arithmetic end to end; the
           // date_trunc builtin would produce a session-zone INSTANT and
           // the join keys against the NTZ spine would shift off-month
           // in a non-UTC library session (TzRobustnessSpec probes this).
-          "FROM cal c LEFT JOIN orders o ON cast(trunc(cast(o.o_orderdate as date), 'MM') as timestamp_ntz) = c.m " +
-          "GROUP BY c.m ORDER BY month"
+          "mo AS (SELECT cast(trunc(cast(o_orderdate as date), 'MM') as timestamp_ntz) AS m, " +
+          "count(o_orderkey) AS n FROM orders GROUP BY 1) " +
+          "SELECT c.m AS month, coalesce(mo.n, 0) AS n_orders " +
+          "FROM cal c LEFT JOIN mo ON mo.m = c.m " +
+          "ORDER BY month"
       )
     }
   )
