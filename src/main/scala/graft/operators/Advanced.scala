@@ -668,12 +668,24 @@ object Advanced {
       // at tiny SF) must yield a null slot, not an ANSI key error —
       // codes only ever index cids the codebook has, so the null is
       // never read. The decimal(30,8) cast the oracle-exact sum needs
-      // is hoisted INTO the dense build too: cast |queries| x M x K
-      // values once here instead of M BigDecimal allocations per
-      // scored pair — same cast on the same doubles, same values.
+      // is hoisted INTO the dense build too, then SCALED TO A LONG
+      // (r22, VERDICT r21 #7): the per-pair fold was 7 decimal adds +
+      // a decimal->double cast per scored pair; storing the EXACT
+      // unscaled value n = d_dec * 10^8 as a long makes the fold 7
+      // long adds + one double divide. Exactness: the decimal multiply
+      // is exact (no double multiply touches the value — the spelling
+      // the r21 round rejected), sub-distances are bounded (|x| <=
+      // 0.58 per dim, 8-dim slices, residuals <= ~1.2 -> d < 50), so
+      // the 8-term long sum < 4e10 << 2^53: double(sum)/1e8
+      // single-rounds the SAME exact rational the decimal sum's
+      // decimal->double cast rounds — bit-identical adc. The
+      // (20,8)-narrowing cast and the ANSI long sum both THROW rather
+      // than round if a future fixture ever broke those bounds.
       .withColumn("da", transform(
         sequence(lit(0), array_max(map_keys(col("md")))),
-        i => try_element_at(col("md"), i).cast(DecimalType(30, 8))))
+        i => (try_element_at(col("md"), i).cast(DecimalType(30, 8))
+          .cast(DecimalType(20, 8)) * lit(100000000L).cast(DecimalType(9, 0)))
+          .cast("long")))
       .groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("m"), col("da")))).as("ma"))
       .select(col("vec_id").as("query_id"),
@@ -687,7 +699,7 @@ object Advanced {
       .select(
         col("query_id"),
         col("neighbor_id"),
-        Det.rS(terms.reduce(_ + _).cast("double"), 6).as("adc"))
+        Det.rS(terms.reduce(_ + _).cast("double") / lit(1e8), 6).as("adc"))
   }
 
   /** Two-stage retrieval over the PQ index — the standard serving
@@ -913,10 +925,15 @@ object Advanced {
       // dense cid-indexed arrays instead of nested maps — same O(K)-
       // map-scan-per-scored-pair argument as [[pqAdcScores]] (K = 40
       // residual codewords here); values identical, lookups O(1), and
-      // the oracle-exact decimal cast is hoisted into the build too
+      // the oracle-exact decimal cast is hoisted into the build too,
+      // scaled to exact longs like [[pqAdcScores]] (r22): 7 long adds
+      // + one double divide per scored pair instead of 7 decimal adds
+      // — same bounded-sub-distance exactness argument there.
       .withColumn("da", transform(
         sequence(lit(0), array_max(map_keys(col("md")))),
-        i => try_element_at(col("md"), i).cast(DecimalType(30, 8))))
+        i => (try_element_at(col("md"), i).cast(DecimalType(30, 8))
+          .cast(DecimalType(20, 8)) * lit(100000000L).cast(DecimalType(9, 0)))
+          .cast("long")))
       .groupBy(col("query_id"), col("list_id"), col("prank"))
       .agg(array_sort(collect_list(struct(col("m"), col("da")))).as("ma"))
       .select(col("query_id"), col("list_id"), col("prank"),
@@ -932,7 +949,7 @@ object Advanced {
         col("neighbor_id"),
         col("list_id"),
         col("prank"),
-        Det.rS(terms.reduce(_ + _).cast("double"), 6).as("adc"))
+        Det.rS(terms.reduce(_ + _).cast("double") / lit(1e8), 6).as("adc"))
   }
 
   /** The oracle CTE chain shared by [[simAnnIvfPq]] and
