@@ -1235,13 +1235,11 @@ object Dedup {
     a.join(b, Seq("bk")).filter(col("ida") < col("idb"))
   }
 
-  /** The per-candidate agreement estimate — exact k/nH doubles, the
-    * same value from every band a pair collides in. */
-  private def estOf(nH: Int): Column =
+  /** The per-candidate agreement count — exact integers; est = k/nH. */
+  private def agreeOf(nH: Int): Column =
     (0 until nH)
       .map(i => when(col(s"ma$i") === col(s"mb$i"), 1).otherwise(0))
       .reduce(_ + _)
-      .cast("double") / nH
 
   /** Banded candidate pairs from a signature table with nH minhash
     * columns — nH/2 bands of r=2. */
@@ -1259,12 +1257,23 @@ object Dedup {
     val joined = minhashBandJoin(docs, nH)
     if (maxDist >= 1.0)
       joined.select(col("ida"), col("idb")).dropDuplicates("ida", "idb")
-    else
+    else {
+      // Integer threshold (r22, the r21 jaccard-screen move): est is an
+      // exact k/nH, so the double compare `k/nH >= 1-maxDist` partitions
+      // the k range at one integer boundary — found here by replaying
+      // THE SAME double compare for each k (equivalence by construction,
+      // no rational-gap argument needed). Candidates then pay one int
+      // compare; the division + 6-dp rounding run only for survivors.
+      val kMin = (0 to nH)
+        .find(k => k.toDouble / nH >= 1.0 - maxDist)
+        .getOrElse(nH + 1)
       joined
-        .withColumn("est_jac", estOf(nH))
-        .filter(col("est_jac") >= 1.0 - maxDist)
-        .select(col("ida"), col("idb"), Det.rN(col("est_jac"), 6).as("est_jac"))
+        .withColumn("agree", agreeOf(nH))
+        .filter(col("agree") >= kMin)
+        .select(col("ida"), col("idb"),
+          Det.rN(col("agree").cast("double") / nH, 6).as("est_jac"))
         .dropDuplicates("ida", "idb")
+    }
   }
 
   /** Near-dup CLUSTERS: connected components over the jac ≥ 0.8 pair
