@@ -42,4 +42,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // blocks accumulate, and allocation-heavy queries thrash (round 5:
   // identical code measured 0.6 s in-suite at r4, 19.5 s at r5).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+) ++
+  // Optional scratch-dir override (r22 A/B hook): everything ephemeral
+  // (Staging roots, streaming checkpoints, spark.local.dir shuffle
+  // files) keys off java.io.tmpdir; SPARK_GRAFT_TMPDIR redirects it
+  // (e.g. to a tmpfs) for I/O-layout experiments. Unset = unchanged.
+  sys.env.get("SPARK_GRAFT_TMPDIR").map(d => s"-Djava.io.tmpdir=$d").toSeq
