@@ -202,9 +202,11 @@ object StreamEquivalence {
     //   shared           — the main session verbatim (the r20 shape)
     val famSessMode = spark.conf
       .getOption("spark.graft.streameq.famsess").getOrElse("perfam")
+    val famParts = spark.conf
+      .getOption("spark.graft.streameq.famparts").getOrElse("1")
     lazy val pooledFamSession: SparkSession = {
       val s = spark.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions", famParts)
       s
     }
     def famSession(): SparkSession = famSessMode match {
@@ -212,7 +214,7 @@ object StreamEquivalence {
       case "pooled" => pooledFamSession
       case _ =>
         val s = spark.newSession()
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.shuffle.partitions", famParts)
         s
     }
     def bm25(): (String, (Int, Int, Int)) = {
@@ -590,7 +592,8 @@ object StreamEquivalence {
     *     thousand rows). */
   private def legSession(spark: SparkSession, tws: Boolean): SparkSession = {
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.getOption("spark.graft.stateparity.legparts").getOrElse("1"))
     if (tws) s.conf.set(
       "spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
