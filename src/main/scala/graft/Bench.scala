@@ -214,6 +214,56 @@ object Bench {
     }
     System.err.println(f"[bench] codegen_warm_sec=$codegenWarmSec%.3f (pre-compiled mega-plan codegen)")
 
+    // Streaming-machinery warm-up (r22): the first streaming row of the
+    // run paid one-time JVM infrastructure the batch warmers above never
+    // touch — MicroBatchExecution/state-store classloading, the RocksDB
+    // native library load, streaming codegen paths. BENCH_r22's midpoint
+    // run showed stream_state_api_parity 16.1 s first vs 6.8 s
+    // memo-cleared in the same window (the gap is machinery, not plan).
+    // Two EMPTY-SLICE AvailableNow legs (user_id = -1 matches nothing)
+    // exercise both state APIs and the RocksDB provider end to end with
+    // zero data: the audits' measured runs then start machinery-warm,
+    // exactly like the scan/codegen/view warmers. Measured and emitted
+    // as stream_warm_sec — never hidden, never touching any memo.
+    val streamWarmSec = {
+      val t0 = System.nanoTime()
+      def warmLeg[T](ds: org.apache.spark.sql.Dataset[T], tag: String): Unit = {
+        val ckpt = graft.Staging.dir(s"bench_stream_warm/$tag")
+        val q = ds.writeStream
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[T], _: Long) =>
+            b.write.format("noop").mode("overwrite").save(); ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      scala.util.Try {
+        import graft.streaming.StatefulDemos
+        val fmS = spark.newSession()
+        fmS.conf.set("spark.sql.shuffle.partitions", "1")
+        warmLeg(
+          StatefulDemos.userTotals(
+            fmS, StatefulDemos.chunkedEventsStream(fmS, sfDir).filter(col("user_id") === -1)),
+          "fm")
+      }
+      scala.util.Try {
+        import graft.streaming.StatefulDemos
+        val twsS = spark.newSession()
+        twsS.conf.set("spark.sql.shuffle.partitions", "1")
+        twsS.conf.set(
+          "spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        warmLeg(
+          StatefulDemos.userTotalsTws(
+            twsS, StatefulDemos.chunkedEventsStream(twsS, sfDir).filter(col("user_id") === -1)),
+          "tws")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    System.err.println(f"[bench] stream_warm_sec=$streamWarmSec%.3f (empty-slice streaming-machinery warm-up)")
+
     // Per-view serving disclosure (r9 judge ask): WHICH views the
     // warm-up served from an existing store (`hit` — a prior
     // same-fingerprint run's copy, e.g. when the driver box reuses a
@@ -593,7 +643,7 @@ object Bench {
     // a read-only cwd must not kill the artifact.
     scala.util.Try {
       val detail =
-        f"""{"sf":"$sfDir","total_sec":$total%.3f,"gc_sec":${gcMillis / 1000.0}%.1f,"calib_sec":$calibSec%.3f,"io_probe_sec":$ioProbeSec%.3f,"warm_views_sec":$warmViewsSec%.3f,"views":$viewsFullJson,"aenv":$aenvJson,
+        f"""{"sf":"$sfDir","total_sec":$total%.3f,"gc_sec":${gcMillis / 1000.0}%.1f,"calib_sec":$calibSec%.3f,"io_probe_sec":$ioProbeSec%.3f,"warm_views_sec":$warmViewsSec%.3f,"stream_warm_sec":$streamWarmSec%.3f,"views":$viewsFullJson,"aenv":$aenvJson,
 "queries":$qs,
 "gc_ms":$gcs,
 "min2":$min2Json,"min2_detail":$min2DetailJson,"min2_memo_cleared":$min2McJson${BenchFmt.mcRetryJson(mcRetries.toSeq)},
