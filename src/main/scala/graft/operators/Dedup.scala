@@ -1474,14 +1474,61 @@ object Dedup {
         .filter(col("pa") =!= col("pb"))
         .select(col("pa").as("a"), col("pb").as("b"))
         .distinct())
-    val superLabels = ccLoop(ce, l0.select(col("c0").as("doc_id")).distinct())
-    // node label = its supernode's converged label; seeds with no
-    // edge keep their own id
-    val merged = l0
-      .join(superLabels.select(col("doc_id").as("c0"), col("cluster")), Seq("c0"))
-      .select(col("doc_id"), col("cluster"))
+    // ADAPTIVE extra contraction rounds on the quotient before the
+    // loop (r22): each round is the SAME label-exact connectivity-
+    // preserving merge, applied to the previous round's quotient —
+    // supernode ids are member doc_ids at every level, so the composed
+    // labels stay the component minima. A round only runs while the
+    // quotient is still large (the count is one cheap job over the
+    // just-checkpointed frame), so the scoped probe rows — whose first
+    // quotient is already a few hundred edges — pay one count and skip,
+    // while the full-manifest bestkeep path (big first quotient on the
+    // near-clique fixture) contracts again instead of feeding the
+    // 4-jobs-per-iteration loop a large graph. Interleaved A/B at
+    // sf0.1/32, min/median of 5: bestkeep 3.04/3.18 (adaptive round 2)
+    // vs 3.34/3.58; forcing round 2 on the scoped rows regressed them
+    // ~+0.3 s each, hence the size gate.
+    val maxRounds = edges.sparkSession.conf
+      .getOption("spark.graft.cc.rounds").map(_.toInt).getOrElse(3)
+    val minEdges = edges.sparkSession.conf
+      .getOption("spark.graft.cc.recontract.minedges").map(_.toLong).getOrElse(1024L)
+    var levelMaps = List(l0) // innermost first
+    var q = ce
+    var round = 1
+    var qn = q.count()
+    System.err.println(s"[cc] round $round quotient edges=$qn")
+    while (round < maxRounds && qn > minEdges) {
+      // q is already symmetric (sym fed both orientations through the
+      // contraction map; distinct kept both), so no re-symmetrize
+      val ln = truncate(
+        q.groupBy(col("a"))
+          .agg(least(col("a"), min(col("b"))).as("c0"))
+          .select(col("a").as("doc_id"), col("c0")))
+      q = truncate(
+        q
+          .join(broadcast(ln.select(col("doc_id").as("a"), col("c0").as("pa"))), Seq("a"))
+          .join(broadcast(ln.select(col("doc_id").as("b"), col("c0").as("pb"))), Seq("b"))
+          .filter(col("pa") =!= col("pb"))
+          .select(col("pa").as("a"), col("pb").as("b"))
+          .distinct())
+      levelMaps = ln :: levelMaps
+      round += 1
+      qn = q.count()
+      System.err.println(s"[cc] round $round quotient edges=$qn")
+    }
+    val topSeeds = levelMaps.head.select(col("c0").as("doc_id")).distinct()
+    var labels = ccLoop(q, topSeeds)
+    // unwind: each level's node label = its supernode's converged
+    // label; nodes whose supernode is absent (no edge at that level)
+    // keep their own id via the left-join coalesce
+    for (lm <- levelMaps) {
+      labels = lm
+        .join(broadcast(labels.select(col("doc_id").as("c0"), col("cluster"))),
+          Seq("c0"), "left")
+        .select(col("doc_id"), coalesce(col("cluster"), col("c0")).as("cluster"))
+    }
     seeds
-      .join(broadcast(merged), Seq("doc_id"), "left")
+      .join(broadcast(labels), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
   }
 
