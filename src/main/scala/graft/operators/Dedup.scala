@@ -1444,7 +1444,10 @@ object Dedup {
     * distributed CC at 100 TB (each round is one aggregate + one
     * projection; add rounds before the loop if the quotient is still
     * large). */
-  private def ccLabels(edges: DataFrame, seeds: DataFrame): DataFrame = {
+  private def ccLabels(
+      edges: DataFrame,
+      seeds: DataFrame,
+      recontract: Boolean = false): DataFrame = {
     // symmetrize via explode, NOT union(edges, edges.reversed): a
     // union would run the edge derivation once per branch. NOT
     // checkpointed (r20): both consumers (l0, ce) are one linear pass
@@ -1478,25 +1481,29 @@ object Dedup {
     // loop (r22): each round is the SAME label-exact connectivity-
     // preserving merge, applied to the previous round's quotient —
     // supernode ids are member doc_ids at every level, so the composed
-    // labels stay the component minima. A round only runs while the
-    // quotient is still large (the count is one cheap job over the
-    // just-checkpointed frame), so the scoped probe rows — whose first
-    // quotient is already a few hundred edges — pay one count and skip,
-    // while the full-manifest bestkeep path (big first quotient on the
-    // near-clique fixture) contracts again instead of feeding the
-    // 4-jobs-per-iteration loop a large graph. Interleaved A/B at
-    // sf0.1/32, min/median of 5: bestkeep 3.04/3.18 (adaptive round 2)
-    // vs 3.34/3.58; forcing round 2 on the scoped rows regressed them
-    // ~+0.3 s each, hence the size gate.
+    // labels stay the component minima. Only CALLERS that may feed a
+    // large graph opt in (recontract = the full-manifest keeper path):
+    // the scoped probe rows' quotients are a few hundred edges by
+    // construction, and even the GATE's count job (one cheap job over
+    // the just-checkpointed quotient) measured as a visible ~0.05–0.1 s
+    // tax on those sub-second rows in the closing bench — caller
+    // knowledge is free, a runtime probe is not. With the gate, a
+    // round only runs while the quotient exceeds the threshold.
+    // Interleaved A/B at sf0.1/32, min/median of 5: bestkeep 3.04/3.18
+    // (round 2: 1988 → 56 edges) vs 3.34/3.58; forcing round 2 on the
+    // scoped rows regressed them ~+0.3 s each.
     val maxRounds = edges.sparkSession.conf
-      .getOption("spark.graft.cc.rounds").map(_.toInt).getOrElse(3)
+      .getOption("spark.graft.cc.rounds").map(_.toInt).getOrElse(if (recontract) 3 else 1)
     val minEdges = edges.sparkSession.conf
       .getOption("spark.graft.cc.recontract.minedges").map(_.toLong).getOrElse(1024L)
     var levelMaps = List(l0) // innermost first
     var q = ce
     var round = 1
-    var qn = q.count()
-    System.err.println(s"[cc] round $round quotient edges=$qn")
+    var qn = -1L
+    if (round < maxRounds) {
+      qn = q.count()
+      System.err.println(s"[cc] round $round quotient edges=$qn")
+    }
     while (round < maxRounds && qn > minEdges) {
       // q is already symmetric (sym fed both orientations through the
       // contraction map; distinct kept both), so no re-symmetrize
@@ -1513,8 +1520,10 @@ object Dedup {
           .distinct())
       levelMaps = ln :: levelMaps
       round += 1
-      qn = q.count()
-      System.err.println(s"[cc] round $round quotient edges=$qn")
+      if (round < maxRounds) {
+        qn = q.count()
+        System.err.println(s"[cc] round $round quotient edges=$qn")
+      }
     }
     val topSeeds = levelMaps.head.select(col("c0").as("doc_id")).distinct()
     var labels = ccLoop(q, topSeeds)
@@ -1652,7 +1661,7 @@ object Dedup {
     val endpoints = pairs
       .select(explode(array(col("ida"), col("idb"))).as("doc_id"))
       .distinct()
-    val labels = ccLabels(pairs, endpoints)
+    val labels = ccLabels(pairs, endpoints, recontract = true)
     val withChars = labels.join(
       Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
       Seq("doc_id"))
