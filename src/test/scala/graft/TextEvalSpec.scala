@@ -127,6 +127,24 @@ class TextEvalSpec extends SparkSuite {
     assert(!plan.contains("documents.parquet"), "query-time plan must not re-read the corpus")
   }
 
+  test("persisted BM25 postings carry no duplicate (tok, doc_id) keys") {
+    // ADVICE r21: both BM25 df call sites (bm25Frame / bm25MultiFrame)
+    // derive document frequency as a plain count(*) over probed
+    // postings — correct ONLY while the materialized postings view is
+    // unique per (tok, doc_id). That invariant is structural today
+    // (groupBy in bm25PostingsOf, keyed merge in streamedBm25Index);
+    // this pin makes a future writer that appends without merging fail
+    // a test instead of silently inflating df in two query paths.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val (pPath, _) = operators.TextAnalysis.bm25IndexPath(spark, sf)
+    val dups = spark.read.parquet(pPath)
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .count()
+    assert(dups == 0L, s"postings view has $dups duplicate (tok, doc_id) keys")
+  }
+
   test("multi-query BM25 batch: per-query slice equals the single-query path; plan stays on the index") {
     import org.apache.spark.sql.functions.col
     // batching must be result-invisible PER QUERY: the "lexical"
